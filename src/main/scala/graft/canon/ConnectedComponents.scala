@@ -1,0 +1,115 @@
+package graft.canon
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * DataFrame-native connected components for entity canonicalization:
+ * the alternating large-star / small-star algorithm (Kiveris et al.,
+ * "Connected Components in MapReduce and Beyond", SoCC'14) — the published
+ * O(log n)-round method that scales to web graphs, implemented with plain
+ * shuffles (no GraphX/RDDs, per input_hint "no RDD unless forced").
+ *
+ * Input: edges (src: long, dst: long), undirected. Output: (id, component)
+ * where component = min node id of the connected component.
+ *
+ * Every iteration `localCheckpoint`s the edge set — iterative plans
+ * otherwise accumulate lineage until planning itself dominates
+ * (SURVEY.md §7 "CC convergence + checkpoint").
+ */
+object ConnectedComponents {
+
+  /** large-star: connect every neighbor v > u to min(N(u) ∪ {u}). */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val und = undirect(edges)
+    und.groupBy(col("a")).agg(
+        min(col("b")).as("minNbr"),
+        collect_set(col("b")).as("nbrs"))
+      .withColumn("m", least(col("a"), col("minNbr")))
+      .select(col("a"), col("m"), explode(col("nbrs")).as("v"))
+      .filter(col("v") > col("a"))
+      .select(col("v").as("src"), col("m").as("dst"))
+      .distinct()
+  }
+
+  /** small-star: connect every neighbor v <= u (and u) to their min. */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val und = undirect(edges).filter(col("b") <= col("a"))
+    und.groupBy(col("a")).agg(
+        min(col("b")).as("minNbr"),
+        collect_set(col("b")).as("nbrs"))
+      .withColumn("m", least(col("a"), col("minNbr")))
+      .select(col("a"), col("m"), explode(array_union(col("nbrs"), array(col("a")))).as("v"))
+      .filter(col("v") =!= col("m"))
+      .select(col("v").as("src"), col("m").as("dst"))
+      .distinct()
+  }
+
+  private def undirect(edges: DataFrame): DataFrame = {
+    edges.select(col("src").as("a"), col("dst").as("b"))
+      .union(edges.select(col("dst").as("a"), col("src").as("b")))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+  }
+
+  /**
+   * Run to convergence (edge set stable) or maxIter. Returns the node ->
+   * component mapping (component = min id reachable).
+   */
+  def run(edgesIn: DataFrame, maxIter: Int = 20): DataFrame = {
+    val spark = edgesIn.sparkSession
+    var edges = edgesIn.select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val afterLarge = largeStar(edges).localCheckpoint(true)
+      val afterSmall = smallStar(afterLarge).localCheckpoint(true)
+      // convergence: star-graph fixpoint — edge multiset unchanged
+      val before = fingerprint(edges)
+      val after = fingerprint(afterSmall)
+      edges = afterSmall
+      converged = before == after
+      iter += 1
+    }
+    val nodes = undirect(edgesIn.select(col("src").cast("long"), col("dst").cast("long")))
+      .select(col("a").as("id")).distinct()
+    // after convergence every edge points v -> min(component); nodes that are
+    // minima have no outgoing edge — left-join and default to self.
+    nodes.join(edges.withColumnRenamed("src", "id").withColumnRenamed("dst", "component"),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
+  /** Order-insensitive multiset fingerprint of the edge set (sum of row
+    * hashes + count) — one cheap agg per iteration. */
+  private def fingerprint(edges: DataFrame): (Long, Long) = {
+    val row = edges.agg(
+      sum(xxhash64(col("src"), col("dst"))).as("h"),
+      count(lit(1)).as("c")).head()
+    (if (row.isNullAt(0)) 0L else row.getLong(0), row.getLong(1))
+  }
+
+  /** Simple min-label propagation (O(diameter) rounds) — reference twin for
+    * tests and the right choice for shallow alias graphs. */
+  def minLabelPropagation(edgesIn: DataFrame, maxIter: Int = 50): DataFrame = {
+    val edges = undirect(edgesIn.select(col("src").cast("long"), col("dst").cast("long")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("component", col("id")).localCheckpoint(true)
+    var iter = 0
+    var changed = 1L
+    while (iter < maxIter && changed > 0) {
+      val nbrMin = edges.join(labels, edges("b") === labels("id"))
+        .groupBy(edges("a").as("id2")).agg(min(col("component")).as("nbrComponent"))
+      val updated = labels.join(nbrMin, labels("id") === nbrMin("id2"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbrComponent"), col("component"))).as("newComponent"),
+          col("component"))
+      changed = updated.filter(col("newComponent") =!= col("component")).count()
+      labels = updated.select(col("id"), col("newComponent").as("component")).localCheckpoint(true)
+      iter += 1
+    }
+    labels
+  }
+}

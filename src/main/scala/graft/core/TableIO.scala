@@ -1,0 +1,98 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/**
+ * Iceberg-style snapshot/manifest layer over partitioned parquet — the
+ * resumability contract of the north_rule ("resumable from checkpoint with
+ * per-partition lineage"). No Iceberg jars ship offline (SURVEY.md §7), so
+ * snapshots are JSON manifests listing completed partition values; a real
+ * catalog can be dropped in behind the same three calls.
+ *
+ * Layout:
+ *   <root>/data/<part>=<value>/...parquet     (normal partitioned write)
+ *   <root>/_snapshots/snapshot-<n>.json       (completed partition values)
+ *   <root>/_lineage/<stage>-<n>.json          (per-partition metrics rows)
+ *
+ * Resume = anti-join of the input's partition values against the union of
+ * completed values — a stage restarted after failure only processes the
+ * partitions absent from the latest snapshot.
+ */
+object TableIO {
+
+  final case class Snapshot(id: Int, completed: Seq[String])
+
+  private def snapDir(root: String) = Paths.get(root, "_snapshots")
+
+  def listSnapshots(root: String): Seq[Snapshot] = {
+    val d = snapDir(root)
+    if (!Files.isDirectory(d)) return Nil
+    Files.list(d).iterator().asScala
+      .filter(_.getFileName.toString.matches("snapshot-\\d+\\.json"))
+      .toSeq.sortBy(_.getFileName.toString)
+      .map { p =>
+        val s = new String(Files.readAllBytes(p), "UTF-8")
+        val id = p.getFileName.toString.stripPrefix("snapshot-").stripSuffix(".json").toInt
+        // values are JSON-escaped strings in a flat array
+        val vals = "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(
+          s.dropWhile(_ != '[')).map(_.group(1)).toSeq
+        Snapshot(id, vals)
+      }
+  }
+
+  def completedPartitions(root: String): Set[String] =
+    listSnapshots(root).flatMap(_.completed).toSet
+
+  /** Write one partition-complete snapshot (atomic rename). */
+  def commitSnapshot(root: String, completed: Seq[String]): Int = {
+    val d = snapDir(root)
+    Files.createDirectories(d)
+    val next = listSnapshots(root).map(_.id).maxOption.getOrElse(-1) + 1
+    val all = (completedPartitions(root) ++ completed).toSeq.sorted
+    val json = all.map(v => "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .mkString("[", ",", "]")
+    val tmp = d.resolve(s".snapshot-$next.json.tmp")
+    Files.write(tmp, s"""{"snapshot": $next, "completed": $json}""".getBytes("UTF-8"))
+    Files.move(tmp, d.resolve(s"snapshot-$next.json"), StandardCopyOption.ATOMIC_MOVE)
+    next
+  }
+
+  /**
+   * Resumable partitioned write of `df` by string column `partCol`: skips
+   * partition values already committed, writes the rest partition-by-lang
+   * directory layout, then commits a new snapshot. Returns the partition
+   * values written this run.
+   */
+  def writeResumable(df: DataFrame, root: String, partCol: String): Seq[String] = {
+    val spark = df.sparkSession
+    val done = completedPartitions(root)
+    val values = df.select(col(partCol)).distinct()
+      .collect().map(_.get(0).toString).toSeq.sorted
+    val todo = values.filterNot(done)
+    if (todo.nonEmpty) {
+      val pending = df.filter(col(partCol).isInCollection(todo))
+      pending.write.mode("append").partitionBy(partCol).parquet(s"$root/data")
+      commitSnapshot(root, todo)
+    }
+    todo
+  }
+
+  /** Persist lineage rows (from the stage accumulators) alongside the data. */
+  def writeLineage(root: String, stage: String, rows: Seq[LineageRow]): Unit = {
+    val d = Paths.get(root, "_lineage")
+    Files.createDirectories(d)
+    val n = Files.list(d).iterator().asScala.count(_ => true)
+    val json = rows.map { r =>
+      s"""{"stage":"${r.stage}","partition":${r.partitionId},"rowsIn":${r.rowsIn},""" +
+      s""""rowsOut":${r.rowsOut},"wallMs":${r.wallMs},"detail":"${r.detail}"}"""
+    }.mkString("[", ",", "]")
+    Files.write(d.resolve(s"$stage-$n.json"), json.getBytes("UTF-8"))
+  }
+
+  /** Read back the data written by writeResumable. */
+  def read(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(s"$root/data")
+}

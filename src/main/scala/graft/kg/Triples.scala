@@ -1,0 +1,70 @@
+package graft.kg
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Triple
+import graft.ner.RawTriple
+
+/**
+ * Triple materialization: attach entity ids to surface triples via the
+ * alias dictionary, canonicalize via connected components over alias edges,
+ * and write the final (subj, pred, obj) table partitioned by `lang` and
+ * bucketed by canonical-subject hash (north_star sink K6).
+ */
+object Triples {
+
+  /** Surface triples -> entity triples: two broadcast joins (subj/obj alias
+    * -> entity id, top candidate by prior) + canonical-id mapping. */
+  def canonicalTriples(raw: Dataset[RawTriple], dict: DataFrame,
+                       canonMap: DataFrame): Dataset[Triple] = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    // best entity per alias (deterministic top-1: max prior, min entity_id)
+    val best = dict.groupBy($"alias").agg(
+      max(struct($"prior", (-$"entity_id").as("neg"), $"entity_id")).as("b"))
+      .select($"alias", $"b.entity_id".as("entity_id"))
+    val canon = canonMap.select($"id", $"component")
+    val withIds = raw.toDF()
+      .withColumn("subj_alias", lower($"subjSurface"))
+      .withColumn("obj_alias", lower($"objSurface"))
+      .join(broadcast(best.withColumnRenamed("alias", "subj_alias")
+        .withColumnRenamed("entity_id", "subj_id")), Seq("subj_alias"), "inner")
+      .join(broadcast(best.withColumnRenamed("alias", "obj_alias")
+        .withColumnRenamed("entity_id", "obj_id")), Seq("obj_alias"), "inner")
+    withIds
+      .join(broadcast(canon.withColumnRenamed("id", "subj_id")
+        .withColumnRenamed("component", "subj_canon")), Seq("subj_id"), "left")
+      .join(broadcast(canon.withColumnRenamed("id", "obj_id")
+        .withColumnRenamed("component", "obj_canon")), Seq("obj_id"), "left")
+      .select(
+        coalesce($"subj_canon", $"subj_id").as("subj"),
+        $"pred",
+        coalesce($"obj_canon", $"obj_id").as("obj"),
+        $"lang", $"url", $"sentIdx")
+      .as[Triple]
+  }
+
+  /** Alias-merge edges for canonicalization: entity(alias) <-> entity(stem)
+    * pairs from the dictionary (the aliases the dict itself declares). */
+  def aliasEdges(dict: DataFrame): DataFrame = {
+    dict.groupBy(col("alias"))
+      .agg(min(col("entity_id")).as("src"), max(col("entity_id")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+  }
+
+  /**
+   * Partitioned + bucketed sink (K6). Parquet stand-in for an Iceberg table
+   * (no Iceberg jars offline — see SURVEY.md §7): directory-partitioned by
+   * lang; files within a partition are split by `pmod(hash(subj), buckets)`
+   * via repartition so a downstream co-located join on subj avoids a
+   * shuffle after `spark.read` + bucket pruning.
+   */
+  def write(triples: Dataset[Triple], path: String, buckets: Int = 16): Unit = {
+    triples.toDF()
+      .repartition(buckets, col("lang"), pmod(hash(col("subj")), lit(buckets)))
+      .write.mode("overwrite")
+      .partitionBy("lang")
+      .parquet(path)
+  }
+}

@@ -1,0 +1,106 @@
+package graft.link
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.{LinkEdge, Mention}
+
+/**
+ * Entity linking: candidate generation against an alias dictionary,
+ * scoring, and top-1 selection (SURVEY.md §2.4 J3).
+ *
+ * Two physically different, semantically identical join paths:
+ *  - `linkBroadcast`: dictionary broadcast hash join — the right plan while
+ *    the dictionary fits in executor memory (alias dictionaries of 10^7-10^8
+ *    rows at ~50 B/row still broadcast-able with 8 GB executors);
+ *  - `linkSalted`: explicit salted shuffle join for the 100 TB case where
+ *    the dictionary is itself a big table AND mention surfaces are Zipfian
+ *    ("US", "Apple" — north_rule: "skew handled explicitly"). Hot surfaces
+ *    are detected with a cheap pre-aggregation, the dictionary side is
+ *    replicated x`salts` for hot keys only, and the mention side salts by
+ *    `pmod(xxhash64(url, sentIdx), salts)` — so a hot key spreads over
+ *    `salts` reducers instead of one.
+ */
+object EntityLink {
+
+  /** Deterministic alias dictionary derived from a token universe: each
+    * surface links to its own entity id, and (as a second candidate with
+    * lower prior) to its stem's entity — giving the canonicalization stage
+    * real alias edges to merge. Schema: (alias, entity_id, prior). */
+  def aliasDict(spark: SparkSession, surfaces: Dataset[String]): DataFrame = {
+    import spark.implicits._
+    surfaces
+      .map(_.toLowerCase(java.util.Locale.ROOT))
+      .distinct()
+      .flatMap { a =>
+        val self = (a, entityId(a), 1.0)
+        val st = stem(a)
+        if (st != a) Seq(self, (a, entityId(st), 0.5)) else Seq(self)
+      }
+      .toDF("alias", "entity_id", "prior")
+  }
+
+  def entityId(surface: String): Long =
+    graft.ner.Embeddings.fnv1a("ent:" + surface) & Long.MaxValue
+
+  def stem(s: String): String =
+    if (s.length > 4 && s.endsWith("s")) s.substring(0, s.length - 1) else s
+
+  private def normalizedMentions(mentions: Dataset[Mention]): DataFrame = {
+    mentions.toDF().withColumn("alias", lower(col("surface")))
+  }
+
+  private def pickTop1(cands: DataFrame): DataFrame = {
+    // top-1 candidate per mention: highest prior, tie-break on entity_id
+    // (deterministic) — row_number window per mention key (SURVEY §2.6).
+    val w = Window.partitionBy(col("url"), col("sentIdx"), col("begin"))
+      .orderBy(col("prior").desc, col("entity_id").asc)
+    cands.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
+  /** Broadcast-hash path. */
+  def linkBroadcast(mentions: Dataset[Mention], dict: DataFrame): Dataset[LinkEdge] = {
+    val spark = mentions.sparkSession
+    import spark.implicits._
+    val m = normalizedMentions(mentions)
+    val joined = m.join(broadcast(dict), Seq("alias"), "inner")
+    pickTop1(joined)
+      .select($"url", $"lang", $"sentIdx", $"begin", $"surface",
+        $"entity_id".as("entityId"), $"prior".as("score"))
+      .as[LinkEdge]
+  }
+
+  /**
+   * Salted shuffle path: identical output to `linkBroadcast`.
+   * @param salts replication factor for hot keys
+   * @param hotThreshold a surface is "hot" if it occurs more often than this
+   */
+  def linkSalted(mentions: Dataset[Mention], dict: DataFrame,
+                 salts: Int = 16, hotThreshold: Long = 10000L): Dataset[LinkEdge] = {
+    val spark = mentions.sparkSession
+    import spark.implicits._
+    val m = normalizedMentions(mentions)
+    // 1. hot-key pre-pass (partial agg makes this a cheap scan)
+    val hot = m.groupBy($"alias").count().filter($"count" > hotThreshold)
+      .select($"alias").withColumn("hot", lit(true))
+    // 2. mention side: salt hot keys by a deterministic hash, cold keys salt 0
+    val mSalted = m.join(broadcast(hot), Seq("alias"), "left")
+      .withColumn("salt",
+        when(col("hot").isNotNull,
+          pmod(xxhash64($"url", $"sentIdx", $"begin"), lit(salts)).cast("int"))
+          .otherwise(lit(0)))
+      .drop("hot")
+    // 3. dictionary side: replicate hot aliases x salts, cold aliases once
+    val dictSalted = dict.join(broadcast(hot), Seq("alias"), "left")
+      .withColumn("salt",
+        when(col("hot").isNotNull, explode(array((0 until salts).map(lit): _*)))
+          .otherwise(lit(0)))
+      .drop("hot")
+    val joined = mSalted.join(dictSalted, Seq("alias", "salt"), "inner").drop("salt")
+    pickTop1(joined)
+      .select($"url", $"lang", $"sentIdx", $"begin", $"surface",
+        $"entity_id".as("entityId"), $"prior".as("score"))
+      .as[LinkEdge]
+  }
+}

@@ -1,0 +1,137 @@
+package graft.ner
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Per-language model registry — the Spark-native form of the reference's
+ * multilingual routing (NeuralNERYang/models/modules.py:89-209 routes by
+ * languageId; we hold a `Map[lang -> LangModel]` and route rows by the
+ * `lang` column, exactly the N12 mapping in SURVEY.md §2.9).
+ *
+ * Vocabularies are built distributedly with reference semantics:
+ *  - word vocab comes from the embedding dictionary in file order
+ *    (NeuralNER.py:155-158), lowercased, `<unk>` appended;
+ *  - char vocab is seeded with `<S>`, `</S>` (NeuralNER.py:171-173) then
+ *    characters in first-occurrence corpus order (utilsLocal.py:138-140) —
+ *    realized as `min(position key)` ordering, which equals the sequential
+ *    scan order and is partition-count invariant. The position key is the
+ *    (url, sentIdx, tokIdx, charIdx) tuple, aggregated distributedly (no
+ *    global row_number — that would serialize the corpus through one task);
+ *  - tag vocab is fixed IOBES over {PER, LOC, ORG, MISC} (lowercased in the
+ *    vocab, uppercased on output, vocab.py:71 / NeuralNER.py:331).
+ */
+object Models {
+
+  final case class LangModel(
+      lang: String,
+      inputVocab: Vocab,
+      charVocab: Vocab,
+      tagVocab: Vocab,
+      weights: Kernel.NerWeights
+  ) extends Serializable
+
+  val tagStrings: Vector[String] = {
+    val types = Vector("PER", "LOC", "ORG", "MISC")
+    Vector("O") ++ types.flatMap(t => Vector(s"B-$t", s"I-$t", s"E-$t", s"S-$t"))
+  }
+
+  def tagVocab(): Vocab = {
+    val v = new Vocab(caseSensitive = false) // lowercases, like reference tag Vocab
+    tagStrings.foreach(v.add)
+    v.freeze()
+    v
+  }
+
+  /** Tokens with a lexicographically ordered position key: only the agg
+    * (vocab-sized) output is ever sorted or collected. */
+  private def positionedTokens(sentences: Dataset[graft.core.Sentence], lg: String): DataFrame = {
+    val spark = sentences.sparkSession
+    import spark.implicits._
+    sentences.filter($"lang" === lg)
+      .flatMap(s => s.tokens.iterator.zipWithIndex.map { case (t, i) => (s.url, s.sentIdx, i, t) })
+      .toDF("url", "sentIdx", "tokIdx", "tok")
+  }
+
+  /** Distributed char-vocab build: characters of every token, indexed in
+    * first-occurrence order (deterministic; equals the reference's
+    * sequential readCoNLL order for the same row order). */
+  def buildCharVocab(positioned: DataFrame): Vocab = {
+    val spark = positioned.sparkSession
+    import spark.implicits._
+    val chars = positioned
+      .select($"url", $"sentIdx", $"tokIdx", explode(
+        udfCodePoints($"tok")).as("chpos"))
+      .select(struct($"url", $"sentIdx", $"tokIdx", $"chpos._2".as("charIdx")).as("pos"),
+        $"chpos._1".as("ch"))
+    val ordered = chars.groupBy($"ch").agg(min($"pos").as("first"))
+      .orderBy($"first", $"ch")
+      .select($"ch").as[String].collect()
+    val v = Vocab.newCharVocab()
+    ordered.foreach(v.add)
+    v.freeze()
+    v
+  }
+
+  private val udfCodePoints = udf { (tok: String) =>
+    graft.text.TextExtract.codePoints(tok).zipWithIndex
+  }
+
+  /** Distributed word-frequency vocab (A1/A2 semantics: lowercased counts,
+    * `trim` keeps count > threshold; vocab.py:61-81,169-184). */
+  def buildWordVocab(positioned: DataFrame, trimThreshold: Long = -1L): Vocab = {
+    val spark = positioned.sparkSession
+    import spark.implicits._
+    val ordered = positioned
+      .select(struct($"url", $"sentIdx", $"tokIdx").as("pos"), lower($"tok").as("tok"))
+      .groupBy($"tok").agg(min($"pos").as("first"), count(lit(1)).as("cnt"))
+      .orderBy($"first", $"tok")
+      .select($"tok", $"cnt").as[(String, Long)].collect()
+    val v = new Vocab(caseSensitive = false)
+    ordered.foreach { case (t, c) =>
+      v.add(t); v.tokCounts(t) = c // set true corpus frequency
+    }
+    if (trimThreshold >= 0) v.trim(trimThreshold)
+    v.freeze()
+    v
+  }
+
+  /** First-occurrence-ordered distinct lowercased tokens (embedding fixture
+    * key order — load_embeddings is file-order first-wins). */
+  def wordOrder(positioned: DataFrame): Array[String] = {
+    val spark = positioned.sparkSession
+    import spark.implicits._
+    positioned
+      .select(struct($"url", $"sentIdx", $"tokIdx").as("pos"), lower($"tok").as("tok"))
+      .groupBy($"tok").agg(min($"pos").as("first"))
+      .orderBy($"first", $"tok").select($"tok").as[String].collect()
+  }
+
+  /**
+   * Build a deterministic model registry for the given languages from a
+   * corpus of sentences. The weights are seed-fixed synthetic stand-ins for
+   * trained checkpoints (no trained torch artifact can be loaded offline);
+   * every piece of the serving path — vocab build, embedding matrix shape,
+   * kernel math, routing — is the production code path.
+   */
+  def build(spark: SparkSession, sentences: Dataset[graft.core.Sentence],
+            embedDim: Int = 32, numFilters: Int = 8, minWidth: Int = 3,
+            maxWidth: Int = 5, hidden: Int = 32, seed: Long = 42L): Map[String, LangModel] = {
+    import spark.implicits._
+    val langs = sentences.select($"lang").distinct().as[String].collect().sorted
+    val tv = tagVocab()
+    langs.map { lg =>
+      val positioned = positionedTokens(sentences, lg).persist()
+      try {
+        val charV = buildCharVocab(positioned)
+        val order = wordOrder(positioned)
+        val lines = Embeddings.syntheticLines(order.toIndexedSeq, embedDim, seed ^ Embeddings.fnv1a(lg))
+        val loaded = Embeddings.fromLines(lines.iterator)
+        val inputV = Embeddings.toInputVocab(loaded)
+        val w = Kernel.randomWeights(embedDim, minWidth, maxWidth, numFilters, hidden,
+          charV.size, tv.size, loaded.matrix, seed ^ Embeddings.fnv1a("weights:" + lg))
+        lg -> LangModel(lg, inputV, charV, tv, w)
+      } finally positioned.unpersist()
+    }.toMap
+  }
+}

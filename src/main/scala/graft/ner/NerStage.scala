@@ -1,0 +1,212 @@
+package graft.ner
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.CollectionAccumulator
+import graft.core._
+import graft.text.TextExtract
+
+/** A tagged sentence — the unit handed from inference to span assembly /
+  * triple extraction (all derivable without another inference pass). */
+final case class SentenceNer(
+    url: String,
+    lang: String,
+    sentIdx: Int,
+    tokens: Seq[String],
+    preds: Seq[String]
+)
+
+/** A surface-form triple emitted at tag time (entity ids attached later by
+  * the linking stage — keeps the expensive NER pass single-shot). */
+final case class RawTriple(
+    url: String,
+    lang: String,
+    sentIdx: Int,
+    subjSurface: String,
+    pred: String,
+    objSurface: String,
+    subjType: String,
+    objType: String
+)
+
+/**
+ * Language-routed, micro-batched NER inference: the Spark realization of the
+ * reference evaluation loop (NeuralNERMono/NeuralNER.py:314-335): for each
+ * sentence -> constructBatch -> network.forward (batch size 1 semantics) ->
+ * tagged tokens. Routing mirrors the multilingual variants' languageId
+ * dispatch (NeuralNERYang/models/modules.py:89-209).
+ *
+ * Scale design:
+ *  - `select` narrows to (url, lang, text) before any row-level work so the
+ *    parquet scan never reads `html` (column pruning survives);
+ *  - `repartition($"lang")` co-locates each language so one weight set is
+ *    resident per task (with many langs this also spreads by hash; for a
+ *    skewed lang mix use `repartition(n, $"lang", pmod(xxhash64($"url"), k))`
+ *    — provided via `saltedRepartition`);
+ *  - weights travel once per executor via Broadcast;
+ *  - per-partition lineage rows + accumulator token counts (north_rule).
+ */
+object NerStage {
+
+  /** pages -> sentences (narrow projection first; html never read). */
+  def sentences(pages: Dataset[Page]): Dataset[Sentence] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.select($"url", $"lang", $"text").as[(String, String, String)]
+      .flatMap { case (url, lang, text) =>
+        TextExtract.sentences(text).iterator.zipWithIndex.map { case (toks, i) =>
+          Sentence(url, lang, i, toks)
+        }
+      }
+  }
+
+  /** Sentences straight from extracted html (the full extraction path —
+    * used by the invariant check and by callers that start from raw WARC
+    * bytes without a pre-extracted text column). */
+  def sentencesFromHtml(pages: Dataset[Page]): Dataset[Sentence] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.select($"url", $"lang", $"html").as[(String, String, Array[Byte])]
+      .flatMap { case (url, lang, html) =>
+        val text = TextExtract.extractText(html)
+        TextExtract.sentences(text).iterator.zipWithIndex.map { case (toks, i) =>
+          Sentence(url, lang, i, toks)
+        }
+      }
+  }
+
+  /** Spread a skewed language column over `buckets` hash buckets per lang. */
+  def saltedRepartition(sents: Dataset[Sentence], partitions: Int, buckets: Int): Dataset[Sentence] = {
+    val spark = sents.sparkSession
+    import spark.implicits._
+    sents.repartition(partitions, $"lang", pmod(xxhash64($"url"), lit(buckets)))
+  }
+
+  /** Tag every sentence. One inference pass; greedy (reference parity) or
+    * Viterbi (`useViterbi = true`, the north_star improvement). */
+  def tag(sents: Dataset[Sentence],
+          bcModels: Broadcast[Map[String, Models.LangModel]],
+          useViterbi: Boolean = false,
+          lineage: Option[CollectionAccumulator[LineageRow]] = None): Dataset[SentenceNer] = {
+    val spark = sents.sparkSession
+    import spark.implicits._
+    sents.mapPartitions { iter =>
+      val models = bcModels.value
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val t0 = System.nanoTime()
+      var rowsIn = 0L
+      var rowsOut = 0L
+      val out = iter.map { s =>
+        rowsIn += 1
+        val m = models.getOrElse(s.lang,
+          models.getOrElse("*", models.head._2)) // fallback model
+        val tagged = tagSentence(s.tokens.toIndexedSeq, m, useViterbi)
+        rowsOut += 1
+        SentenceNer(s.url, s.lang, s.sentIdx, s.tokens, tagged)
+      }
+      lineage match {
+        case Some(acc) =>
+          // exhaust lazily but record on completion
+          new Iterator[SentenceNer] {
+            def hasNext: Boolean = {
+              val h = out.hasNext
+              if (!h) acc.add(LineageRow("ner.tag", pid, rowsIn, rowsOut,
+                (System.nanoTime() - t0) / 1000000L, ""))
+              h
+            }
+            def next(): SentenceNer = out.next()
+          }
+        case None => out
+      }
+    }
+  }
+
+  /** The per-sentence serving function: encode (word ids with lowercased
+    * `<unk>` fallback, utilsLocal.py:318-324; code-point chars), BiLSTM,
+    * decode, map tag ids to UPPERCASE tag strings (NeuralNER.py:331). */
+  def tagSentence(tokens: IndexedSeq[String], m: Models.LangModel, useViterbi: Boolean): Seq[String] = {
+    if (tokens.isEmpty) return Nil
+    val wordIds = new Array[Int](tokens.length)
+    val cps = new Array[Array[String]](tokens.length)
+    var i = 0
+    while (i < tokens.length) {
+      wordIds(i) = m.inputVocab.getWordTrain(tokens(i))
+      cps(i) = TextExtract.codePoints(tokens(i))
+      i += 1
+    }
+    val hidden = Kernel.bilstmStates(tokens, wordIds, cps, m.charVocab, m.weights)
+    val tagged = if (useViterbi) Kernel.viterbiDecode(hidden, m.weights)
+                 else Kernel.greedyDecode(hidden, m.weights)
+    tagged.preds.toIndexedSeq.map(id =>
+      m.tagVocab.getIndex(id).getOrElse("o").toUpperCase(java.util.Locale.ROOT))
+  }
+
+  /** Flatten to CoNLL-style per-token rows (K1 sink shape,
+    * NeuralNER.py:325-333; gold empty for unlabeled corpora). */
+  def taggedTokens(ner: Dataset[SentenceNer]): Dataset[TaggedToken] = {
+    val spark = ner.sparkSession
+    import spark.implicits._
+    ner.flatMap { s =>
+      s.tokens.iterator.zip(s.preds.iterator).zipWithIndex.map { case ((tok, pred), i) =>
+        TaggedToken(s.url, s.lang, s.sentIdx, i, tok, "", pred)
+      }
+    }
+  }
+
+  /** BIOES span assembly -> mentions (conlleval chunking semantics). */
+  def mentions(ner: Dataset[SentenceNer]): Dataset[Mention] = {
+    val spark = ner.sparkSession
+    import spark.implicits._
+    ner.flatMap { s =>
+      Bioes.spans(s.preds.toIndexedSeq).iterator.map { sp =>
+        Mention(s.url, s.lang, s.sentIdx, sp.begin, sp.end,
+          s.tokens.slice(sp.begin, sp.end).mkString(" "), sp.tpe)
+      }
+    }
+  }
+
+  /** Dependency-pattern triple extraction (north_star): adjacent mention
+    * pairs within a sentence, predicate = first connecting token found in
+    * the (broadcast) predicate lexicon, else "related_to". Pure per-sentence
+    * flatMap: no shuffle. */
+  def rawTriples(ner: Dataset[SentenceNer], bcPredLex: Broadcast[Set[String]],
+                 maxGap: Int = 10): Dataset[RawTriple] = {
+    val spark = ner.sparkSession
+    import spark.implicits._
+    ner.flatMap { s =>
+      val sps = Bioes.spans(s.preds.toIndexedSeq)
+      val lex = bcPredLex.value
+      val toks = s.tokens
+      (0 until math.max(0, sps.length - 1)).iterator.flatMap { i =>
+        val a = sps(i); val b = sps(i + 1)
+        if (b.begin - a.end > maxGap) Iterator.empty
+        else {
+          val between = toks.slice(a.end, b.begin)
+          val pred = between.find(t => lex.contains(t.toLowerCase(java.util.Locale.ROOT)))
+            .map(_.toLowerCase(java.util.Locale.ROOT)).getOrElse("related_to")
+          Iterator.single(RawTriple(s.url, s.lang, s.sentIdx,
+            toks.slice(a.begin, a.end).mkString(" "), pred,
+            toks.slice(b.begin, b.end).mkString(" "), a.tpe, b.tpe))
+        }
+      }
+    }
+  }
+
+  /** Default deterministic predicate lexicon (verb-ish connectors in the
+    * synthetic corpus vocabulary). */
+  val defaultPredicateLexicon: Set[String] = Set(
+    "join", "merge", "sort", "scan", "stream", "order", "hash", "batch",
+    "is", "has", "was", "are", "of", "in", "by", "with", "to")
+
+  /** End-to-end mention detection from pages (the flagship path). */
+  def mentionsFromPages(spark: SparkSession, pages: Dataset[Page],
+                        models: Map[String, Models.LangModel],
+                        useViterbi: Boolean = false): Dataset[Mention] = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(models)
+    val parts = math.max(spark.sparkContext.defaultParallelism, 1)
+    val sents = saltedRepartition(sentences(pages), parts, parts)
+    mentions(tag(sents, bc, useViterbi))
+  }
+}
