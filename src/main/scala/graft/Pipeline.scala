@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.concurrent.TrieMap
+import graft.core._
+import graft.gen.CorpusGen
+import graft.ner.{Models, NerStage, RawTriple, SentenceNer}
+import graft.link.EntityLink
+import graft.canon.ConnectedComponents
+import graft.kg.Triples
+
+/**
+ * End-to-end KG-construction wiring (north_star):
+ * pages -> extract/sentences -> language-routed NER -> mentions
+ *   -> alias-dict linking (broadcast or salted) -> connected-component
+ *   canonicalization -> (subj, pred, obj) triples partitioned by lang.
+ *
+ * Per-process caches keep the one-time model-prep jobs (vocab builds) from
+ * re-running for every query in a session.
+ */
+object Pipeline {
+
+  private val modelCache = TrieMap.empty[String, Map[String, Models.LangModel]]
+  private val dictCache = TrieMap.empty[String, DataFrame]
+  private val canonCache = TrieMap.empty[String, DataFrame]
+  private val taggedCache = TrieMap.empty[(String, Boolean), Dataset[SentenceNer]]
+
+  def pages(spark: SparkSession, sfDir: String): Dataset[Page] =
+    CorpusGen.pages(spark, sfDir)
+
+  def sentences(spark: SparkSession, sfDir: String): Dataset[Sentence] =
+    NerStage.sentences(pages(spark, sfDir))
+
+  /** Deterministic per-language models, built once per (process, sfDir). */
+  def models(spark: SparkSession, sfDir: String): Map[String, Models.LangModel] =
+    modelCache.getOrElseUpdate(sfDir, Models.build(spark, sentences(spark, sfDir)))
+
+  /** Tagged sentences, persisted per (sfDir, decoder): the NER pass is the
+    * expensive stage; every downstream query (mentions, linking, triples,
+    * metrics) reuses one materialization. */
+  def taggedSentences(spark: SparkSession, sfDir: String,
+                      useViterbi: Boolean = false): Dataset[SentenceNer] =
+    taggedCache.getOrElseUpdate((sfDir, useViterbi), {
+      val bc = spark.sparkContext.broadcast(models(spark, sfDir))
+      val parts = math.max(spark.sparkContext.defaultParallelism, 2)
+      NerStage.tag(NerStage.saltedRepartition(sentences(spark, sfDir), parts, parts), bc, useViterbi)
+        .persist()
+    })
+
+  def mentions(spark: SparkSession, sfDir: String): Dataset[Mention] =
+    NerStage.mentions(taggedSentences(spark, sfDir))
+
+  /** Alias dictionary derived from the corpus token universe (cached). */
+  def aliasDict(spark: SparkSession, sfDir: String): DataFrame =
+    dictCache.getOrElseUpdate(sfDir, {
+      import spark.implicits._
+      val surfaces = sentences(spark, sfDir).flatMap(_.tokens).distinct()
+      EntityLink.aliasDict(spark, surfaces).persist()
+    })
+
+  /** Canonical map: connected components over the dictionary's alias edges
+    * (cached — it's a model-prep artifact, same at every query). */
+  def canonMap(spark: SparkSession, sfDir: String): DataFrame =
+    canonCache.getOrElseUpdate(sfDir, {
+      ConnectedComponents.run(Triples.aliasEdges(aliasDict(spark, sfDir))).persist()
+    })
+
+  def rawTriples(spark: SparkSession, sfDir: String): Dataset[RawTriple] = {
+    val lex = spark.sparkContext.broadcast(NerStage.defaultPredicateLexicon)
+    NerStage.rawTriples(taggedSentences(spark, sfDir), lex)
+  }
+
+  def triples(spark: SparkSession, sfDir: String): Dataset[Triple] =
+    Triples.canonicalTriples(rawTriples(spark, sfDir),
+      aliasDict(spark, sfDir), canonMap(spark, sfDir))
+
+  /** Clear caches (tests / fresh benchmarks). */
+  def reset(): Unit = {
+    taggedCache.values.foreach(_.unpersist())
+    dictCache.values.foreach(_.unpersist())
+    canonCache.values.foreach(_.unpersist())
+    modelCache.clear(); dictCache.clear(); canonCache.clear(); taggedCache.clear()
+  }
+}

@@ -1,13 +1,308 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
+
+/** Driver contract — queries (Spark) + oracleSql (DuckDB twin) per operator.
+  * Column names/aliases match between both sides (the driver hash-compares
+  * values under sorted column names). Double aggregates are rounded on BOTH
+  * sides to absorb summation-order ulps. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(dir: String, name: String) = s"$dir/$name.parquet"
+
+  /** Flagship: end-to-end KG triples on the smallest corpus. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Pipeline.triples(spark, "/root/testdata/sf0.001").toDF()
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ----------------------------------------------------- relational core
+    "q01_pricing_agg" -> ((s, dir) => {
+      s.read.parquet(t(dir, "lineitem"))
+        .filter(col("l_shipdate") <= lit("1998-09-01"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 4).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    }),
+    "q02_topk_orders" -> ((s, dir) => {
+      s.read.parquet(t(dir, "orders"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("total"), col("o_orderpriority"))
+    }),
+    "q03_join_mktsegment" -> ((s, dir) => {
+      val o = s.read.parquet(t(dir, "orders"))
+      val c = s.read.parquet(t(dir, "customer"))
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
+    }),
+    "q04_part_brand_qty" -> ((s, dir) => {
+      val li = s.read.parquet(t(dir, "lineitem"))
+      val p = s.read.parquet(t(dir, "part")).filter(col("p_size") < 15)
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(round(sum(col("l_quantity")), 4).as("sum_qty"), count(lit(1)).as("n_lines"))
+    }),
+    "q05_region_rollup" -> ((s, dir) => {
+      val c = s.read.parquet(t(dir, "customer"))
+      val n = s.read.parquet(t(dir, "nation"))
+      val r = s.read.parquet(t(dir, "region"))
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_customers"), round(sum(col("c_acctbal")), 2).as("sum_bal"))
+    }),
+    "q06_top_event_per_user" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id").asc)
+      s.read.parquet(t(dir, "events"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), round(col("value"), 2).as("top_value"))
+    }),
+    "q07_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      s.read.parquet(t(dir, "events"))
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev").isNull ||
+            col("ts").cast("timestamp").cast("double") -
+              col("prev").cast("timestamp").cast("double") > 1800.0, 1L).otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
+    }),
+    "q08_salted_join" -> ((s, dir) => {
+      // explicit skew-salted shuffle join; result identical to a plain join
+      val salts = 8
+      val li = s.read.parquet(t(dir, "lineitem"))
+        .withColumn("salt", pmod(xxhash64(col("l_partkey"), col("l_linenumber")), lit(salts)).cast("int"))
+      val o = s.read.parquet(t(dir, "orders"))
+        .withColumn("salt", explode(array((0 until salts).map(lit): _*)))
+      li.join(o, li("l_orderkey") === o("o_orderkey") && li("salt") === o("salt"))
+        .groupBy(col("o_orderpriority"))
+        .agg(round(sum(col("l_quantity")), 4).as("sum_qty"), count(lit(1)).as("n_lines"))
+    }),
+    "q09_anti_semi" -> ((s, dir) => {
+      val o = s.read.parquet(t(dir, "orders"))
+      val li = s.read.parquet(t(dir, "lineitem")).select(col("l_orderkey"))
+      val withL = o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
+        .agg(count(lit(1)).as("n")).withColumn("kind", lit("with_lineitems"))
+      val noL = o.join(li, o("o_orderkey") === li("l_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n")).withColumn("kind", lit("without_lineitems"))
+      withL.unionByName(noL).select(col("kind"), col("n"))
+    }),
+    "q10_set_ops" -> ((s, dir) => {
+      val o = s.read.parquet(t(dir, "orders")).select(col("o_custkey").as("k")).distinct()
+      val c = s.read.parquet(t(dir, "customer")).filter(col("c_acctbal") > 0)
+        .select(col("c_custkey").as("k"))
+      val inter = o.intersect(c).agg(count(lit(1)).as("n")).withColumn("op", lit("intersect"))
+      val minus = c.except(o).agg(count(lit(1)).as("n")).withColumn("op", lit("except"))
+      inter.unionByName(minus).select(col("op"), col("n"))
+    }),
+    // ------------------------------------------- corpus ops (vocab A1/A2)
+    "q20_vocab_trim" -> ((s, dir) => {
+      s.read.parquet(t(dir, "documents"))
+        .select(explode(split(lower(col("text")), " ")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > 10)
+    }),
+    "q21_dedup_exact" -> ((s, dir) =>
+      Dedup.exactByText(s.read.parquet(t(dir, "documents")))),
+    "q22_quality" -> ((s, dir) =>
+      TextStats.quality(s.read.parquet(t(dir, "documents")))),
+    "q23_lang_dist" -> ((s, dir) => {
+      s.read.parquet(t(dir, "documents"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+    }),
+    "q24_langid" -> ((s, dir) =>
+      TextStats.langId(s.read.parquet(t(dir, "documents")))),
+    "q25_token_counts" -> ((s, dir) =>
+      TextStats.tokenCounts(s.read.parquet(t(dir, "documents")))),
+    "q26_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(
+        s.read.parquet(t(dir, "documents")).filter(col("doc_id") < 2000), n = 2, minJaccardPct = 50)),
+    "q27_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLsh(s.read.parquet(t(dir, "documents")), shingleSize = 3,
+        numHashes = 32, bands = 8, threshold = 0.5)
+        .select(col("doc1"), col("doc2"), col("inter"), col("uni"))),
+    "q28_simhash" -> ((s, dir) =>
+      Dedup.simhash(s.read.parquet(t(dir, "documents")))),
+    "q29_simhash_neardup" -> ((s, dir) =>
+      Dedup.simhashNearDup(s.read.parquet(t(dir, "documents")))),
+    "q30_ann_bruteforce" -> ((s, dir) =>
+      Similarity.bruteForceTopK(s.read.parquet(t(dir, "embeddings")), col("vec_id") < 20, 10)),
+    "q31_ann_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(s.read.parquet(t(dir, "embeddings")), col("vec_id") < 20, 10)),
+    "q32_embedding_neardup" -> ((s, dir) =>
+      Dedup.embeddingNearDup(s.read.parquet(t(dir, "embeddings")), threshold = 0.5)
+        .select(col("v1"), col("v2"), round(col("cosine"), 6).as("cosine"))),
+    "q33_fingerprint" -> ((s, dir) =>
+      TextStats.fingerprints(s.read.parquet(t(dir, "documents")))),
+    "q34_multimodal_meta" -> ((s, dir) => {
+      Multimodal.extract(Multimodal.syntheticMedia(s.read.parquet(t(dir, "documents"))))
+        .toDF().select(col("doc_id"), col("media_type"), col("n_bytes"))
+    }),
+    "q35_frame_sample" -> ((s, dir) => {
+      Multimodal.frameSample(
+        Multimodal.extract(Multimodal.syntheticMedia(s.read.parquet(t(dir, "documents")))))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sampled"))
+    }),
+    // ------------------------------------------------ KG pipeline (no SQL)
+    "q40_extraction_invariant" -> ((s, dir) => {
+      import s.implicits._
+      Pipeline.pages(s, dir).map { p =>
+        (p.url, p.lang, graft.text.TextExtract.extractText(p.html) == p.text)
+      }.toDF("url", "lang", "extract_ok")
+    }),
+    "q41_sentences" -> ((s, dir) => {
+      import s.implicits._
+      Pipeline.sentences(s, dir).map(x => (x.url, x.sentIdx, x.tokens.length))
+        .toDF("url", "sentIdx", "n_tokens")
+    }),
+    "q42_mentions" -> ((s, dir) => Pipeline.mentions(s, dir).toDF()),
+    "q43_tagged_tokens" -> ((s, dir) =>
+      graft.ner.NerStage.taggedTokens(Pipeline.taggedSentences(s, dir)).toDF()
+        .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("n"))),
+    "q44_linked" -> ((s, dir) =>
+      graft.link.EntityLink.linkBroadcast(
+        Pipeline.mentions(s, dir), Pipeline.aliasDict(s, dir)).toDF()),
+    "q45_linked_salted_parity" -> ((s, dir) => {
+      // salted path must equal broadcast path: symmetric difference == 0
+      val m = Pipeline.mentions(s, dir)
+      val d = Pipeline.aliasDict(s, dir)
+      val a = graft.link.EntityLink.linkBroadcast(m, d).toDF()
+      val b = graft.link.EntityLink.linkSalted(m, d, salts = 4, hotThreshold = 50L).toDF()
+      val diff = a.exceptAll(b).agg(count(lit(1)).as("n")).withColumn("side", lit("broadcast_minus_salted"))
+        .unionByName(b.exceptAll(a).agg(count(lit(1)).as("n")).withColumn("side", lit("salted_minus_broadcast")))
+      diff.select(col("side"), col("n"))
+    }),
+    "q46_canon_components" -> ((s, dir) => {
+      Pipeline.canonMap(s, dir)
+        .agg(count(lit(1)).as("n_nodes"), countDistinct(col("component")).as("n_components"))
+    }),
+    "q47_triples" -> ((s, dir) => Pipeline.triples(s, dir).toDF()),
+    "q48_span_metrics_greedy_vs_viterbi" -> ((s, dir) => {
+      val greedy = graft.ner.NerStage.mentions(Pipeline.taggedSentences(s, dir, useViterbi = false))
+      val vit = graft.ner.NerStage.mentions(Pipeline.taggedSentences(s, dir, useViterbi = true))
+      graft.eval.SpanEval.prf(vit, greedy)
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 4) AS sum_qty,
+         round(sum(l_extendedprice), 4) AS sum_base_price,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+         round(avg(l_quantity), 6) AS avg_qty,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q02_topk_orders" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS total, o_orderpriority
+         FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+    "q03_join_mktsegment" ->
+      """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment""",
+    "q04_part_brand_qty" ->
+      """SELECT p_brand, round(sum(l_quantity), 4) AS sum_qty, count(*) AS n_lines
+         FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_size < 15 GROUP BY p_brand""",
+    "q05_region_rollup" ->
+      """SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_bal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey GROUP BY r_name""",
+    "q06_top_event_per_user" ->
+      """SELECT user_id, event_id, round(value, 2) AS top_value FROM (
+           SELECT user_id, event_id, value,
+                  row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
+           FROM events) WHERE rn = 1""",
+    "q07_sessionize" ->
+      """SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events FROM (
+           SELECT user_id,
+                  CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800.0 THEN 1 ELSE 0 END AS new_sess
+           FROM (SELECT user_id, ts,
+                        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                 FROM events)) GROUP BY user_id""",
+    "q08_salted_join" ->
+      """SELECT o_orderpriority, round(sum(l_quantity), 4) AS sum_qty, count(*) AS n_lines
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority""",
+    "q09_anti_semi" ->
+      """SELECT 'with_lineitems' AS kind, count(*) AS n FROM orders
+           WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem)
+         UNION ALL
+         SELECT 'without_lineitems' AS kind, count(*) AS n FROM orders
+           WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)""",
+    "q10_set_ops" ->
+      """SELECT 'intersect' AS op, count(*) AS n FROM (
+           SELECT DISTINCT o_custkey AS k FROM orders
+           INTERSECT SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0)
+         UNION ALL
+         SELECT 'except' AS op, count(*) AS n FROM (
+           SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0
+           EXCEPT SELECT DISTINCT o_custkey AS k FROM orders)""",
+    "q20_vocab_trim" ->
+      """SELECT token, count(*) AS cnt FROM (
+           SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+         GROUP BY token HAVING count(*) > 10""",
+    "q21_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS dup_cnt FROM documents GROUP BY text""",
+    "q22_quality" ->
+      s"""SELECT doc_id,
+          len(string_split(text, ' ')) AS n_tokens,
+          len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens,
+          len(list_filter(string_split(text, ' '), x -> x IN (${TextStats.stopwords.map("'" + _ + "'").mkString(",")}))) AS n_stopwords,
+          length(text) AS n_chars,
+          length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct
+          FROM documents""",
+    "q23_lang_dist" ->
+      "SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars FROM documents GROUP BY lang",
+    "q24_langid" -> {
+      val scores = TextStats.markers.map { case (lg, ms) =>
+        s"len(list_filter(string_split(text, ' '), x -> x IN (${ms.map("'" + _ + "'").mkString(",")}))) AS s_$lg"
+      }.mkString(", ")
+      val gl = "greatest(" + TextStats.markers.map("s_" + _._1).mkString(", ") + ")"
+      val cases = TextStats.markers.map { case (lg, _) => s"WHEN s_$lg = $gl THEN '$lg'" }.mkString(" ")
+      s"""SELECT doc_id,
+          CASE WHEN $gl = 0 THEN 'und' $cases END AS pred_lang,
+          $gl AS marker_hits
+          FROM (SELECT doc_id, $scores FROM documents)"""
+    },
+    "q25_token_counts" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
+         list_sum(list_transform(string_split(text, ' '), x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS bpe_units
+         FROM documents""",
+    "q26_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents WHERE doc_id < 2000),
+         grams AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ts)), i -> ts[i] || chr(1) || ts[i+1]))) AS g FROM toks),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+         ip AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS cnt
+                FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         SELECT doc1, doc2, cnt AS inter, s1.sz + s2.sz - cnt AS uni
+         FROM ip JOIN sizes s1 ON s1.doc_id = doc1 JOIN sizes s2 ON s2.doc_id = doc2
+         WHERE cnt * 100 >= (s1.sz + s2.sz - cnt) * 50""",
+    "q30_ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id < 20)
+         SELECT query_id, neighbor_id, rank FROM (
+           SELECT query_id, e.vec_id AS neighbor_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY round(list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])), 9) DESC,
+                             e.vec_id ASC) AS rank
+           FROM q, embeddings e WHERE e.vec_id <> q.query_id)
+         WHERE rank <= 10""",
+    "q34_multimodal_meta" ->
+      """SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+              WHEN doc_id % 3 = 1 THEN 'audio/wav' ELSE 'video/mp4' END AS media_type,
+         octet_length(encode(text)) AS n_bytes
+         FROM documents"""
+  )
 }

@@ -85,7 +85,7 @@ object ConnectedComponents {
     * hashes + count) — one cheap agg per iteration. */
   private def fingerprint(edges: DataFrame): (Long, Long) = {
     val row = edges.agg(
-      sum(xxhash64(col("src"), col("dst"))).as("h"),
+      bit_xor(xxhash64(col("src"), col("dst"))).as("h"), // XOR-fold: order-insensitive, overflow-free
       count(lit(1)).as("c")).head()
     (if (row.isNullAt(0)) 0L else row.getLong(0), row.getLong(1))
   }

@@ -25,8 +25,8 @@ object Triples {
       .select($"alias", $"b.entity_id".as("entity_id"))
     val canon = canonMap.select($"id", $"component")
     val withIds = raw.toDF()
-      .withColumn("subj_alias", lower($"subjSurface"))
-      .withColumn("obj_alias", lower($"objSurface"))
+      .withColumn("subj_alias", lower(split($"subjSurface", " ").getItem(0)))
+      .withColumn("obj_alias", lower(split($"objSurface", " ").getItem(0)))
       .join(broadcast(best.withColumnRenamed("alias", "subj_alias")
         .withColumnRenamed("entity_id", "subj_id")), Seq("subj_alias"), "inner")
       .join(broadcast(best.withColumnRenamed("alias", "obj_alias")

@@ -24,18 +24,23 @@ import graft.core.{LinkEdge, Mention}
 object EntityLink {
 
   /** Deterministic alias dictionary derived from a token universe: each
-    * surface links to its own entity id, and (as a second candidate with
-    * lower prior) to its stem's entity — giving the canonicalization stage
-    * real alias edges to merge. Schema: (alias, entity_id, prior). */
+    * surface links to its own entity (prior 1.0) plus lower-prior variant
+    * entities (plural stem, 4-char prefix stem) — giving the linker multiple
+    * candidates per alias and the canonicalization stage real alias edges to
+    * merge. Schema: (alias, entity_id, prior). At deployment this is the
+    * external KB alias table; shape and join physics are identical. */
   def aliasDict(spark: SparkSession, surfaces: Dataset[String]): DataFrame = {
     import spark.implicits._
     surfaces
       .map(_.toLowerCase(java.util.Locale.ROOT))
       .distinct()
       .flatMap { a =>
-        val self = (a, entityId(a), 1.0)
+        val cands = scala.collection.mutable.LinkedHashMap(a -> 1.0)
         val st = stem(a)
-        if (st != a) Seq(self, (a, entityId(st), 0.5)) else Seq(self)
+        if (!cands.contains(st)) cands(st) = 0.5
+        val pf = prefixStem(a)
+        if (!cands.contains(pf)) cands(pf) = 0.25
+        cands.iterator.map { case (c, prior) => (a, entityId(c), prior) }
       }
       .toDF("alias", "entity_id", "prior")
   }
@@ -46,8 +51,13 @@ object EntityLink {
   def stem(s: String): String =
     if (s.length > 4 && s.endsWith("s")) s.substring(0, s.length - 1) else s
 
+  def prefixStem(s: String): String =
+    if (s.length > 4) s.substring(0, 4) else s
+
+  /** Linking key: the lowercased head (first) token of the surface — the
+    * dictionary is token-keyed; multi-word mentions link via their head. */
   private def normalizedMentions(mentions: Dataset[Mention]): DataFrame = {
-    mentions.toDF().withColumn("alias", lower(col("surface")))
+    mentions.toDF().withColumn("alias", lower(split(col("surface"), " ").getItem(0)))
   }
 
   private def pickTop1(cands: DataFrame): DataFrame = {
@@ -93,10 +103,11 @@ object EntityLink {
       .drop("hot")
     // 3. dictionary side: replicate hot aliases x salts, cold aliases once
     val dictSalted = dict.join(broadcast(hot), Seq("alias"), "left")
-      .withColumn("salt",
-        when(col("hot").isNotNull, explode(array((0 until salts).map(lit): _*)))
-          .otherwise(lit(0)))
-      .drop("hot")
+      .withColumn("saltArr",
+        when(col("hot").isNotNull, sequence(lit(0), lit(salts - 1)))
+          .otherwise(array(lit(0))))
+      .withColumn("salt", explode(col("saltArr")))
+      .drop("hot", "saltArr")
     val joined = mSalted.join(dictSalted, Seq("alias", "salt"), "inner").drop("salt")
     pickTop1(joined)
       .select($"url", $"lang", $"sentIdx", $"begin", $"surface",

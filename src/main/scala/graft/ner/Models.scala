@@ -44,13 +44,40 @@ object Models {
   }
 
   /** Tokens with a lexicographically ordered position key: only the agg
-    * (vocab-sized) output is ever sorted or collected. */
-  private def positionedTokens(sentences: Dataset[graft.core.Sentence], lg: String): DataFrame = {
+    * (vocab-sized) output is ever sorted or collected. One pass for ALL
+    * languages (lang is just another grouping column). */
+  private def positionedTokens(sentences: Dataset[graft.core.Sentence]): DataFrame = {
     val spark = sentences.sparkSession
     import spark.implicits._
-    sentences.filter($"lang" === lg)
-      .flatMap(s => s.tokens.iterator.zipWithIndex.map { case (t, i) => (s.url, s.sentIdx, i, t) })
-      .toDF("url", "sentIdx", "tokIdx", "tok")
+    sentences
+      .flatMap(s => s.tokens.iterator.zipWithIndex.map { case (t, i) => (s.lang, s.url, s.sentIdx, i, t) })
+      .toDF("lang", "url", "sentIdx", "tokIdx", "tok")
+  }
+
+  /** First-occurrence-ordered characters per language, one distributed agg. */
+  private def charOrderByLang(positioned: DataFrame): Map[String, Seq[String]] = {
+    val spark = positioned.sparkSession
+    import spark.implicits._
+    positioned
+      .select($"lang", $"url", $"sentIdx", $"tokIdx",
+        posexplode(udfCps($"tok")).as(Seq("charIdx", "ch")))
+      .groupBy($"lang", $"ch")
+      .agg(min(struct($"url", $"sentIdx", $"tokIdx", $"charIdx")).as("first"))
+      .orderBy($"lang", $"first", $"ch")
+      .select($"lang", $"ch").as[(String, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+  }
+
+  /** First-occurrence-ordered distinct lowercased tokens per language. */
+  private def wordOrderByLang(positioned: DataFrame): Map[String, Seq[String]] = {
+    val spark = positioned.sparkSession
+    import spark.implicits._
+    positioned
+      .select($"lang", struct($"url", $"sentIdx", $"tokIdx").as("pos"), lower($"tok").as("tok"))
+      .groupBy($"lang", $"tok").agg(min($"pos").as("first"))
+      .orderBy($"lang", $"first", $"tok")
+      .select($"lang", $"tok").as[(String, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
   }
 
   /** Distributed char-vocab build: characters of every token, indexed in
@@ -76,6 +103,8 @@ object Models {
   private val udfCodePoints = udf { (tok: String) =>
     graft.text.TextExtract.codePoints(tok).zipWithIndex
   }
+
+  private val udfCps = udf { (tok: String) => graft.text.TextExtract.codePoints(tok) }
 
   /** Distributed word-frequency vocab (A1/A2 semantics: lowercased counts,
     * `trim` keeps count > threshold; vocab.py:61-81,169-184). */
@@ -117,21 +146,23 @@ object Models {
   def build(spark: SparkSession, sentences: Dataset[graft.core.Sentence],
             embedDim: Int = 32, numFilters: Int = 8, minWidth: Int = 3,
             maxWidth: Int = 5, hidden: Int = 32, seed: Long = 42L): Map[String, LangModel] = {
-    import spark.implicits._
-    val langs = sentences.select($"lang").distinct().as[String].collect().sorted
     val tv = tagVocab()
-    langs.map { lg =>
-      val positioned = positionedTokens(sentences, lg).persist()
-      try {
-        val charV = buildCharVocab(positioned)
-        val order = wordOrder(positioned)
-        val lines = Embeddings.syntheticLines(order.toIndexedSeq, embedDim, seed ^ Embeddings.fnv1a(lg))
+    val positioned = positionedTokens(sentences).persist()
+    try {
+      val charOrders = charOrderByLang(positioned)
+      val wordOrders = wordOrderByLang(positioned)
+      charOrders.keys.toSeq.sorted.map { lg =>
+        val charV = Vocab.newCharVocab()
+        charOrders(lg).foreach(charV.add)
+        charV.freeze()
+        val lines = Embeddings.syntheticLines(wordOrders(lg).toIndexedSeq, embedDim,
+          seed ^ Embeddings.fnv1a(lg))
         val loaded = Embeddings.fromLines(lines.iterator)
         val inputV = Embeddings.toInputVocab(loaded)
         val w = Kernel.randomWeights(embedDim, minWidth, maxWidth, numFilters, hidden,
           charV.size, tv.size, loaded.matrix, seed ^ Embeddings.fnv1a("weights:" + lg))
         lg -> LangModel(lg, inputV, charV, tv, w)
-      } finally positioned.unpersist()
-    }.toMap
+      }.toMap
+    } finally positioned.unpersist()
   }
 }
