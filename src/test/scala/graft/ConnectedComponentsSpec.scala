@@ -1,0 +1,54 @@
+package graft
+
+import graft.canon.ConnectedComponents
+
+class ConnectedComponentsSpec extends SparkSpec {
+
+  /** Driver-side union-find oracle. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    edges.foreach { case (a, b) => union(a, b) }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    nodes.map(n => n -> find(n)).toMap
+  }
+
+  private def check(edges: Seq[(Long, Long)]): Unit = {
+    import spark.implicits._
+    val df = edges.toDF("src", "dst")
+    val oracle = unionFind(edges)
+    val mine = ConnectedComponents.run(df).as[(Long, Long)].collect().toMap
+    assert(mine == oracle, s"large/small-star vs union-find on ${edges.size} edges")
+    val prop = ConnectedComponents.minLabelPropagation(df).as[(Long, Long)].collect().toMap
+    assert(prop == oracle, "min-label propagation vs union-find")
+  }
+
+  test("chain, star, two components") {
+    check(Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)))
+  }
+
+  test("self-contained cycles and cross links") {
+    check(Seq((1L, 2L), (2L, 3L), (3L, 1L), (5L, 6L), (6L, 7L), (7L, 5L), (3L, 5L)))
+  }
+
+  test("random graphs match union-find (seeded)") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 60 + trial * 40
+      val edges = Seq.fill(n)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+        .filter(e => e._1 != e._2)
+      check(edges)
+    }
+  }
+
+  test("long path (diameter > iterations of naive propagation step count)") {
+    check((0L until 40L).map(i => (i, i + 1)))
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import graft.core.Mention
+import graft.link.EntityLink
+import org.apache.spark.sql.functions._
+
+class EntityLinkSpec extends SparkSpec {
+
+  private def skewedMentions(n: Int): Seq[Mention] = {
+    val rnd = new scala.util.Random(5)
+    (0 until n).map { i =>
+      // Zipfian-ish: 60% of mentions share one hot surface
+      val surface = if (rnd.nextDouble() < 0.6) "hotkey"
+                    else Vector("alpha", "beta", "gamma", "deltas")(rnd.nextInt(4))
+      Mention(s"u${i % 97}", "en", i % 7, i % 5, i % 5 + 1, surface, "PER")
+    }
+  }
+
+  test("salted join == broadcast join on heavily skewed surfaces") {
+    import spark.implicits._
+    val mentions = spark.createDataset(skewedMentions(3000))
+    val dict = EntityLink.aliasDict(spark,
+      spark.createDataset(Seq("hotkey", "alpha", "beta", "gamma", "deltas", "unused")))
+    val a = EntityLink.linkBroadcast(mentions, dict).collect()
+      .map(e => (e.url, e.sentIdx, e.begin, e.surface, e.entityId, e.score)).sorted
+    val b = EntityLink.linkSalted(mentions, dict, salts = 8, hotThreshold = 100L).collect()
+      .map(e => (e.url, e.sentIdx, e.begin, e.surface, e.entityId, e.score)).sorted
+    assert(a.nonEmpty)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("top-1 candidate selection is deterministic: highest prior wins") {
+    import spark.implicits._
+    val mentions = spark.createDataset(Seq(Mention("u1", "en", 0, 0, 1, "deltas", "PER")))
+    val dict = EntityLink.aliasDict(spark, spark.createDataset(Seq("deltas")))
+    // "deltas" has candidates: self (1.0), stem "delta" (0.5), prefix "delt" (0.25)
+    assert(dict.count() == 3)
+    val linked = EntityLink.linkBroadcast(mentions, dict).collect()
+    assert(linked.length == 1)
+    assert(linked.head.entityId == EntityLink.entityId("deltas"))
+    assert(linked.head.score == 1.0)
+  }
+
+  test("multi-word mentions link via head token") {
+    import spark.implicits._
+    val mentions = spark.createDataset(Seq(Mention("u1", "en", 0, 0, 2, "Alpha beta", "ORG")))
+    val dict = EntityLink.aliasDict(spark, spark.createDataset(Seq("alpha", "beta")))
+    val linked = EntityLink.linkBroadcast(mentions, dict).collect()
+    assert(linked.length == 1)
+    assert(linked.head.entityId == EntityLink.entityId("alpha"))
+  }
+}

@@ -1,0 +1,109 @@
+package graft
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
+import org.apache.spark.sql.functions._
+
+class OpsSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+  }
+
+  test("exact dedup groups identical texts under min doc_id") {
+    import spark.implicits._
+    val d = Dedup.exactByText(docs(1L -> "a b c", 2L -> "a b c", 3L -> "x y"))
+      .as[(Long, Long)].collect().sorted
+    assert(d.toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash LSH finds planted near-duplicates and verifies exact jaccard") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 29).map(i => s"w$i").mkString(" ") + " zz"
+    val other = (100 to 130).map(i => s"v$i").mkString(" ")
+    val pairs = Dedup.minhashLsh(docs(1L -> base, 2L -> nearDup, 3L -> other),
+      shingleSize = 3, numHashes = 32, bands = 16, threshold = 0.5)
+      .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical docs share hash; near-dups within small hamming") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val d = Dedup.simhash(docs(1L -> base, 2L -> base, 3L -> "entirely different words here"))
+      .as[(Long, Long)].collect().toMap
+    assert(d(1L) == d(2L))
+    assert(d(1L) != d(3L))
+    val nd = Dedup.simhashNearDup(docs(1L -> base, 2L -> base), maxHamming = 0)
+      .select("doc1", "doc2").collect()
+    assert(nd.map(r => (r.getLong(0), r.getLong(1))).contains((1L, 2L)))
+  }
+
+  test("ngram jaccard pairs: exact intersection/union counts") {
+    import spark.implicits._
+    // doc1/doc2 share 2 of 3 distinct bigrams each -> J = 2/4 = 0.5
+    val r = Dedup.ngramJaccardPairs(docs(1L -> "a b c d", 2L -> "a b c x"), n = 2, minJaccardPct = 50)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(r.toSeq == Seq((1L, 2L, 2L, 4L)))
+  }
+
+  test("brute-force ANN: rank 1 is the true nearest by double cosine") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f, 0.0f), 1),
+      (3L, Array(0.0f, 0.95f, 0.2f), 1)).toDF("vec_id", "embedding", "label")
+    val top = Similarity.bruteForceTopK(vecs, col("vec_id") === 0, 2)
+      .as[(Long, Long, Int)].collect().sortBy(_._3)
+    assert(top.head == ((0L, 1L, 1)))
+  }
+
+  test("IVF ANN returns valid ranked neighbors (recall vs brute force on clustered data)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    // two well-separated clusters
+    val vecs = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) Array(10.0f, 0f, 0f, 0f) else Array(0f, 10f, 0f, 0f)
+      (i.toLong, base.map(_ + rnd.nextFloat() * 0.5f), i % 2)
+    }.toDF("vec_id", "embedding", "label")
+    val bf = Similarity.bruteForceTopK(vecs, col("vec_id") < 4, 5)
+      .as[(Long, Long, Int)].collect().toSet
+    val ivf = Similarity.ivfTopK(vecs, col("vec_id") < 4, 5, nList = 4, nProbe = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    val recall = bf.intersect(ivf).size.toDouble / bf.size
+    assert(recall >= 0.8, s"IVF recall $recall")
+  }
+
+  test("langid picks max-marker language with deterministic tie-break") {
+    val rows = TextStats.langId(docs(
+      1L -> "der und das ist gut",
+      2L -> "the of the and",
+      3L -> "zzz qqq www")).collect().map(x => (x.getLong(0), x.getString(1), x.getInt(2))).toSeq
+    assert(rows.contains((1L, "de", 4)))
+    assert(rows.contains((2L, "en", 4)))
+    assert(rows.contains((3L, "und", 0)))
+  }
+
+  test("fingerprint is stable and collision-free on distinct texts") {
+    val a = TextStats.fingerprint64("hello world")
+    assert(a == TextStats.fingerprint64("hello world"))
+    assert(a != TextStats.fingerprint64("hello worlds"))
+  }
+
+  test("multimodal extract: deterministic stub metadata, batch plumbing") {
+    import spark.implicits._
+    val meta = Multimodal.extract(Multimodal.syntheticMedia(docs(
+      0L -> "aaa", 1L -> "bbb", 2L -> "ccc"))).collect().sortBy(_.doc_id)
+    assert(meta.map(_.media_type).toSeq == Seq("image/png", "audio/wav", "video/mp4"))
+    assert(meta.forall(_.n_bytes > 0))
+    assert(meta.forall(_.feature.length == 8))
+    // determinism across runs
+    val again = Multimodal.extract(Multimodal.syntheticMedia(docs(
+      0L -> "aaa", 1L -> "bbb", 2L -> "ccc"))).collect().sortBy(_.doc_id)
+    assert(meta.map(_.width).toSeq == again.map(_.width).toSeq)
+  }
+}

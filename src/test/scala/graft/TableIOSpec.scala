@@ -1,0 +1,36 @@
+package graft
+
+import graft.core.{LineageRow, TableIO}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class TableIOSpec extends SparkSpec {
+
+  test("resumable write: second run skips committed partitions") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("tableio").toString
+    val df1 = Seq((1L, "en"), (2L, "de"), (3L, "en")).toDF("id", "lang")
+    val written1 = TableIO.writeResumable(df1, root, "lang")
+    assert(written1 == Seq("de", "en"))
+    // resume with one new partition: only "fr" is written
+    val df2 = Seq((1L, "en"), (4L, "fr")).toDF("id", "lang")
+    val written2 = TableIO.writeResumable(df2, root, "lang")
+    assert(written2 == Seq("fr"))
+    // a fully-covered rerun writes nothing
+    assert(TableIO.writeResumable(df2, root, "lang").isEmpty)
+    val back = TableIO.read(spark, root)
+    assert(back.count() == 4) // 3 from run 1 + fr row (en row of df2 skipped)
+    assert(TableIO.completedPartitions(root) == Set("en", "de", "fr"))
+    assert(TableIO.listSnapshots(root).map(_.id) == Seq(0, 1))
+  }
+
+  test("lineage rows persist as json") {
+    val root = Files.createTempDirectory("lineage").toString
+    TableIO.writeLineage(root, "ner.tag", Seq(LineageRow("ner.tag", 0, 10, 9, 42, "")))
+    val files = Files.list(java.nio.file.Paths.get(root, "_lineage")).toArray
+    assert(files.length == 1)
+    val content = new String(Files.readAllBytes(files(0).asInstanceOf[java.nio.file.Path]), "UTF-8")
+    assert(content.contains("\"rowsIn\":10"))
+    assert(content.contains("\"stage\":\"ner.tag\""))
+  }
+}
