@@ -32,9 +32,17 @@ object Pipeline {
   def sentences(spark: SparkSession, sfDir: String): Dataset[Sentence] =
     NerStage.sentences(pages(spark, sfDir))
 
-  /** Deterministic per-language models, built once per (process, sfDir). */
+  /** Deterministic per-language models, built once per (process, sfDir).
+    * SPARK_GRAFT_MODEL=reference selects the reference's own hyperparameters
+    * (NeuralNERMono/NeuralNER.py:67-75: hidden 200, embed 300, filters 35,
+    * widths 3-7); default is a small serving config for fast verification. */
   def models(spark: SparkSession, sfDir: String): Map[String, Models.LangModel] =
-    modelCache.getOrElseUpdate(sfDir, Models.build(spark, sentences(spark, sfDir)))
+    modelCache.getOrElseUpdate(sfDir, {
+      if (sys.env.get("SPARK_GRAFT_MODEL").contains("reference"))
+        Models.build(spark, sentences(spark, sfDir),
+          embedDim = 300, numFilters = 35, minWidth = 3, maxWidth = 7, hidden = 200)
+      else Models.build(spark, sentences(spark, sfDir))
+    })
 
   /** Tagged sentences, persisted per (sfDir, decoder): the NER pass is the
     * expensive stage; every downstream query (mentions, linking, triples,
@@ -81,5 +89,11 @@ object Pipeline {
     dictCache.values.foreach(_.unpersist())
     canonCache.values.foreach(_.unpersist())
     modelCache.clear(); dictCache.clear(); canonCache.clear(); taggedCache.clear()
+  }
+
+  /** Drop session-bound Datasets but keep the (session-independent) model
+    * registry — used between benchmark sessions with different masters. */
+  def resetDatasets(): Unit = {
+    taggedCache.clear(); dictCache.clear(); canonCache.clear()
   }
 }

@@ -87,12 +87,11 @@ object Kernel {
       val nPos = cMax - n + 1 // window positions
       val weights = w.convW(wi)
       val bias = w.convB(wi)
+      val acc = new Array[Float](nPos) // reused across filters
       var f = 0
       while (f < w.numFilters) {
         val wf = weights(f)
         val b = bias(f)
-        // conv output per window position
-        val acc = new Array[Float](nPos)
         var p = 0
         while (p < nPos) { acc(p) = b; p += 1 }
         var bi = 0
@@ -120,46 +119,143 @@ object Kernel {
   @inline private def sigmoidF(x: Float): Float = (1.0 / (1.0 + math.exp(-x.toDouble))).toFloat
   @inline private def tanhF(x: Float): Float = math.tanh(x.toDouble).toFloat
 
-  /** One LSTM direction over the token feature matrix (PyTorch gate order
-    * i,f,g,o; h' and c' per the standard cuDNN/PyTorch equations). Writes
-    * hidden states into `hOut(t)(off until off+H)`. */
-  private def lstmDirection(
-      feats: Array[Array[Float]], len: Int, w: NerWeights,
+  /** Dot product with 4 independent accumulators — HotSpot won't vectorize
+    * float reductions (reassociation), so manual ILP unrolling is the
+    * portable 2-4x. Summation order is fixed by this implementation, hence
+    * still deterministic and batch-size invariant. */
+  @inline private[ner] def dot4(a: Array[Float], ao: Int, b: Array[Float], n: Int): Float = {
+    var s0 = 0.0f; var s1 = 0.0f; var s2 = 0.0f; var s3 = 0.0f
+    var j = 0
+    val n4 = n & ~3
+    while (j < n4) {
+      s0 += a(ao + j) * b(j)
+      s1 += a(ao + j + 1) * b(j + 1)
+      s2 += a(ao + j + 2) * b(j + 2)
+      s3 += a(ao + j + 3) * b(j + 3)
+      j += 4
+    }
+    while (j < n) { s0 += a(ao + j) * b(j); j += 1 }
+    (s0 + s1) + (s2 + s3)
+  }
+
+  /**
+   * One LSTM direction over a MICRO-BATCH of sentences (PyTorch gate order
+   * i,f,g,o; standard equations). Two bandwidth optimizations, both
+   * math-preserving per sentence (identical float-op order regardless of
+   * batch size, so K=1 and K=16 are bit-identical):
+   *
+   *  1. the input contribution `W_ih·x_t + b_ih` is precomputed for every
+   *     token with W_ih streamed ONCE per batch (g-major loop) instead of
+   *     once per token — W_ih is 4H*D floats, the single largest matrix;
+   *  2. the recurrence streams each W_hh row once per time step for ALL
+   *     sentences in the batch (the reference pads+packs to the same
+   *     effect, utilsLocal.py:306-315 / modules.py:213-231; we skip
+   *     finished sentences instead of padding, so batch-size-1 semantics
+   *     are preserved exactly — the reference's batch>1 decode bug cannot
+   *     reoccur by construction).
+   *
+   * Writes hidden states into `hOut(s)(t)(off until off+H)`.
+   */
+  private def lstmDirectionBatch(
+      featsB: Array[Array[Array[Float]]], lens: Array[Int], w: NerWeights,
       wIh: Array[Float], wHh: Array[Float], bIh: Array[Float], bHh: Array[Float],
-      reverse: Boolean, hOut: Array[Array[Float]], off: Int): Unit = {
+      reverse: Boolean, hOut: Array[Array[Array[Float]]], off: Int): Unit = {
     val H = w.hidden
     val D = w.inputDim
-    val h = new Array[Float](H)
-    val c = new Array[Float](H)
-    val gates = new Array[Float](4 * H)
-    var step = 0
-    while (step < len) {
-      val t = if (reverse) len - 1 - step else step
-      val x = feats(t)
+    val G = 4 * H
+    val K = featsB.length
+    var maxLen = 0
+    var s = 0
+    while (s < K) { if (lens(s) > maxLen) maxLen = lens(s); s += 1 }
+    if (maxLen == 0) return
+    // ---- 1. xGates(s)(t)(g) = bIh(g) + sum_j wIh(g,j) * x(j)
+    // GEMM-style token tiling: W_ih streams once per 32-token tile (instead
+    // of once per token), while the tile's feature rows stay cache-resident.
+    val xGates = new Array[Array[Array[Float]]](K)
+    s = 0
+    while (s < K) {
+      xGates(s) = Array.ofDim[Float](lens(s), G)
+      s += 1
+    }
+    // flatten (sentence, token) pairs into one token list
+    var nTok = 0
+    s = 0
+    while (s < K) { nTok += lens(s); s += 1 }
+    val tokX = new Array[Array[Float]](nTok)
+    val tokOut = new Array[Array[Float]](nTok)
+    var idx = 0
+    s = 0
+    while (s < K) {
+      var t = 0
+      while (t < lens(s)) {
+        tokX(idx) = featsB(s)(t)
+        tokOut(idx) = xGates(s)(t)
+        idx += 1
+        t += 1
+      }
+      s += 1
+    }
+    val Tile = 128
+    var base = 0
+    while (base < nTok) {
+      val lim = math.min(base + Tile, nTok)
       var g = 0
-      while (g < 4 * H) {
-        var acc = bIh(g) + bHh(g)
+      while (g < G) {
         val rowIh = g * D
-        var j = 0
-        while (j < D) { acc += wIh(rowIh + j) * x(j); j += 1 }
-        val rowHh = g * H
-        j = 0
-        while (j < H) { acc += wHh(rowHh + j) * h(j); j += 1 }
-        gates(g) = acc
+        val bg = bIh(g)
+        var ti = base
+        while (ti < lim) {
+          tokOut(ti)(g) = bg + dot4(wIh, rowIh, tokX(ti), D)
+          ti += 1
+        }
         g += 1
       }
-      var k = 0
-      while (k < H) {
-        val ig = sigmoidF(gates(k))
-        val fg = sigmoidF(gates(H + k))
-        val gg = tanhF(gates(2 * H + k))
-        val og = sigmoidF(gates(3 * H + k))
-        val cNew = fg * c(k) + ig * gg
-        c(k) = cNew
-        val hNew = og * tanhF(cNew)
-        h(k) = hNew
-        hOut(t)(off + k) = hNew
-        k += 1
+      base = lim
+    }
+    // ---- 2. recurrence: W_hh row read once per (step, g) for all sentences
+    val h = Array.ofDim[Float](K, H)
+    val c = Array.ofDim[Float](K, H)
+    val gates = Array.ofDim[Float](K, G)
+    var step = 0
+    var g = 0
+    while (step < maxLen) {
+      g = 0
+      while (g < G) {
+        val rowHh = g * H
+        val bg = bHh(g)
+        s = 0
+        while (s < K) {
+          if (step < lens(s)) {
+            gates(s)(g) = xGates(s)(if (reverse) lens(s) - 1 - step else step)(g) + bg +
+              dot4(wHh, rowHh, h(s), H)
+          }
+          s += 1
+        }
+        g += 1
+      }
+      s = 0
+      while (s < K) {
+        if (step < lens(s)) {
+          val t = if (reverse) lens(s) - 1 - step else step
+          val gs = gates(s)
+          val hs = h(s)
+          val cs = c(s)
+          val out = hOut(s)(t)
+          var k = 0
+          while (k < H) {
+            val ig = sigmoidF(gs(k))
+            val fg = sigmoidF(gs(H + k))
+            val gg = tanhF(gs(2 * H + k))
+            val og = sigmoidF(gs(3 * H + k))
+            val cNew = fg * cs(k) + ig * gg
+            cs(k) = cNew
+            val hNew = og * tanhF(cNew)
+            hs(k) = hNew
+            out(off + k) = hNew
+            k += 1
+          }
+        }
+        s += 1
       }
       step += 1
     }
@@ -177,32 +273,53 @@ object Kernel {
    * utilsLocal.py:318-324); `cps` are per-token code-point strings.
    */
   def bilstmStates(tokens: IndexedSeq[String], wordIds: Array[Int],
-                   cps: Array[Array[String]], charVocab: Vocab, w: NerWeights): Array[Array[Float]] = {
-    val L = tokens.length
+                   cps: Array[Array[String]], charVocab: Vocab, w: NerWeights): Array[Array[Float]] =
+    bilstmStatesBatch(Array(Encoded(tokens, wordIds, cps)), charVocab, w)(0)
+
+  /** One encoded sentence awaiting inference. */
+  final case class Encoded(tokens: IndexedSeq[String], wordIds: Array[Int], cps: Array[Array[String]])
+
+  /** BiLSTM hidden states for a micro-batch of sentences. Per-sentence
+    * results are bit-identical for any batch size (see lstmDirectionBatch);
+    * batching exists purely to stream the weight matrices once per batch
+    * instead of once per token. cMax (char padding) stays PER-SENTENCE —
+    * the reference's batch-size-1 semantics (README.md:7-8). */
+  def bilstmStatesBatch(batch: Array[Encoded], charVocab: Vocab,
+                        w: NerWeights): Array[Array[Array[Float]]] = {
+    val K = batch.length
     val D = w.inputDim
-    var maxWordLen = 0
-    var i = 0
-    while (i < L) { if (cps(i).length > maxWordLen) maxWordLen = cps(i).length; i += 1 }
-    val cMax = math.max(maxWordLen, w.maxWidth)
-    // token feature = [charFeatures ++ wordEmbedding] (modules.py:201-206:
-    // cat([finalCharOut, embedOut]) puts char features FIRST)
     val charLen = w.nWidths * w.numFilters
-    val feats = new Array[Array[Float]](L)
-    i = 0
-    while (i < L) {
-      val row = new Array[Float](D)
-      val bits = charBits(cps(i), charVocab, cMax)
-      charCnn(bits, cMax, w, row, 0)
-      val emb = w.embeddings(if (wordIds(i) >= 0) wordIds(i) else w.embeddings.length - 1)
-      System.arraycopy(emb, 0, row, charLen, w.embedDim)
-      feats(i) = row
-      i += 1
+    val featsB = new Array[Array[Array[Float]]](K)
+    val lens = new Array[Int](K)
+    val hidden = new Array[Array[Array[Float]]](K)
+    var s = 0
+    while (s < K) {
+      val e = batch(s)
+      val L = e.tokens.length
+      lens(s) = L
+      var maxWordLen = 0
+      var i = 0
+      while (i < L) { if (e.cps(i).length > maxWordLen) maxWordLen = e.cps(i).length; i += 1 }
+      val cMax = math.max(maxWordLen, w.maxWidth)
+      // token feature = [charFeatures ++ wordEmbedding] (modules.py:201-206:
+      // cat([finalCharOut, embedOut]) puts char features FIRST)
+      val feats = new Array[Array[Float]](L)
+      i = 0
+      while (i < L) {
+        val row = new Array[Float](D)
+        val bits = charBits(e.cps(i), charVocab, cMax)
+        charCnn(bits, cMax, w, row, 0)
+        val emb = w.embeddings(if (e.wordIds(i) >= 0) e.wordIds(i) else w.embeddings.length - 1)
+        System.arraycopy(emb, 0, row, charLen, w.embedDim)
+        feats(i) = row
+        i += 1
+      }
+      featsB(s) = feats
+      hidden(s) = Array.ofDim[Float](L, 2 * w.hidden)
+      s += 1
     }
-    val hidden = new Array[Array[Float]](L)
-    i = 0
-    while (i < L) { hidden(i) = new Array[Float](2 * w.hidden); i += 1 }
-    lstmDirection(feats, L, w, w.fwIh, w.fwHh, w.fbIh, w.fbHh, reverse = false, hidden, 0)
-    lstmDirection(feats, L, w, w.bwIh, w.bwHh, w.bbIh, w.bbHh, reverse = true, hidden, w.hidden)
+    lstmDirectionBatch(featsB, lens, w, w.fwIh, w.fwHh, w.fbIh, w.fbHh, reverse = false, hidden, 0)
+    lstmDirectionBatch(featsB, lens, w, w.bwIh, w.bwHh, w.bbIh, w.bbHh, reverse = true, hidden, w.hidden)
     hidden
   }
 
@@ -223,9 +340,7 @@ object Kernel {
       var y = 0
       while (y < T) {
         val row = w.outW(y)
-        var acc = 0.0f
-        var j = 0
-        while (j < H2) { acc += row(j) * h(j); j += 1 }
+        var acc = dot4(row, 0, h, H2)
         if (prev >= 0) acc += row(H2 + prev)
         logits(y) = acc
         y += 1
@@ -256,11 +371,7 @@ object Kernel {
       val h = hidden(t)
       var y = 0
       while (y < T) {
-        val row = w.outW(y)
-        var acc = 0.0f
-        var j = 0
-        while (j < H2) { acc += row(j) * h(j); j += 1 }
-        base(t)(y) = acc
+        base(t)(y) = dot4(w.outW(y), 0, h, H2)
         y += 1
       }
       t += 1

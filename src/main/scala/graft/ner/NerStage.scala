@@ -97,13 +97,19 @@ object NerStage {
       val t0 = System.nanoTime()
       var rowsIn = 0L
       var rowsOut = 0L
-      val out = iter.map { s =>
-        rowsIn += 1
-        val m = models.getOrElse(s.lang,
-          models.getOrElse("*", models.head._2)) // fallback model
-        val tagged = tagSentence(s.tokens.toIndexedSeq, m, useViterbi)
-        rowsOut += 1
-        SentenceNer(s.url, s.lang, s.sentIdx, s.tokens, tagged)
+      // micro-batch: group a window of sentences by language and run the
+      // batched kernel once per (window, lang) — weights stream once per
+      // batch, results are bit-identical to one-at-a-time (Kernel contract).
+      val out = iter.grouped(microBatchSize).flatMap { window =>
+        rowsIn += window.size
+        window.groupBy(_.lang).toSeq.sortBy(_._1).iterator.flatMap { case (lang, group) =>
+          val m = models.getOrElse(lang, models.getOrElse("*", models.head._2))
+          val res = tagSentences(group.map(_.tokens.toIndexedSeq), m, useViterbi)
+          rowsOut += group.size
+          group.iterator.zip(res.iterator).map { case (s, preds) =>
+            SentenceNer(s.url, s.lang, s.sentIdx, s.tokens, preds)
+          }
+        }
       }
       lineage match {
         case Some(acc) =>
@@ -122,24 +128,41 @@ object NerStage {
     }
   }
 
+  /** Sentences per kernel micro-batch (bandwidth amortization only — any
+    * value yields identical results). */
+  val microBatchSize = 64
+
   /** The per-sentence serving function: encode (word ids with lowercased
     * `<unk>` fallback, utilsLocal.py:318-324; code-point chars), BiLSTM,
     * decode, map tag ids to UPPERCASE tag strings (NeuralNER.py:331). */
-  def tagSentence(tokens: IndexedSeq[String], m: Models.LangModel, useViterbi: Boolean): Seq[String] = {
-    if (tokens.isEmpty) return Nil
-    val wordIds = new Array[Int](tokens.length)
-    val cps = new Array[Array[String]](tokens.length)
-    var i = 0
-    while (i < tokens.length) {
-      wordIds(i) = m.inputVocab.getWordTrain(tokens(i))
-      cps(i) = TextExtract.codePoints(tokens(i))
-      i += 1
+  def tagSentence(tokens: IndexedSeq[String], m: Models.LangModel, useViterbi: Boolean): Seq[String] =
+    tagSentences(Seq(tokens), m, useViterbi).head
+
+  /** Batched serving function — one kernel invocation for K sentences of
+    * one language. Per-sentence results are independent of K. */
+  def tagSentences(sentences: Seq[IndexedSeq[String]], m: Models.LangModel,
+                   useViterbi: Boolean): Seq[Seq[String]] = {
+    val nonEmpty = sentences.zipWithIndex.filter(_._1.nonEmpty)
+    val encoded = nonEmpty.map { case (tokens, _) =>
+      val wordIds = new Array[Int](tokens.length)
+      val cps = new Array[Array[String]](tokens.length)
+      var i = 0
+      while (i < tokens.length) {
+        wordIds(i) = m.inputVocab.getWordTrain(tokens(i))
+        cps(i) = TextExtract.codePoints(tokens(i))
+        i += 1
+      }
+      Kernel.Encoded(tokens, wordIds, cps)
+    }.toArray
+    val hidden = Kernel.bilstmStatesBatch(encoded, m.charVocab, m.weights)
+    val results = scala.collection.mutable.ArrayBuffer.fill[Seq[String]](sentences.length)(Nil)
+    nonEmpty.iterator.zipWithIndex.foreach { case ((_, origIdx), k) =>
+      val tagged = if (useViterbi) Kernel.viterbiDecode(hidden(k), m.weights)
+                   else Kernel.greedyDecode(hidden(k), m.weights)
+      results(origIdx) = tagged.preds.toIndexedSeq.map(id =>
+        m.tagVocab.getIndex(id).getOrElse("o").toUpperCase(java.util.Locale.ROOT))
     }
-    val hidden = Kernel.bilstmStates(tokens, wordIds, cps, m.charVocab, m.weights)
-    val tagged = if (useViterbi) Kernel.viterbiDecode(hidden, m.weights)
-                 else Kernel.greedyDecode(hidden, m.weights)
-    tagged.preds.toIndexedSeq.map(id =>
-      m.tagVocab.getIndex(id).getOrElse("o").toUpperCase(java.util.Locale.ROOT))
+    results.toSeq
   }
 
   /** Flatten to CoNLL-style per-token rows (K1 sink shape,

@@ -117,6 +117,23 @@ class KernelSpec extends AnyFunSuite {
     }
   }
 
+  test("micro-batched BiLSTM is bit-identical to batch-of-1 (the reference's batch>1 bug cannot reoccur)") {
+    val tokens = Seq("alpha", "be", "gamma9", "x", "longtokenword")
+    val (inV, chV, w) = weightsFor(tokens, seed = 31L)
+    val rnd = new scala.util.Random(4)
+    val sents = (1 to 9).map(i => Vector.fill(1 + rnd.nextInt(8))(tokens(rnd.nextInt(tokens.size))))
+    val encoded = sents.map { s =>
+      graft.ner.Kernel.Encoded(s, s.map(inV.getWordTrain).toArray,
+        s.map(graft.text.TextExtract.codePoints).toArray)
+    }.toArray
+    val batched = Kernel.bilstmStatesBatch(encoded, chV, w)
+    for (k <- encoded.indices) {
+      val single = Kernel.bilstmStatesBatch(Array(encoded(k)), chV, w)(0)
+      for (t <- single.indices; j <- single(t).indices)
+        assert(single(t)(j) == batched(k)(t)(j), s"sentence $k differs at ($t,$j) in a batch")
+    }
+  }
+
   test("weights are deterministic for a seed") {
     val (_, _, w1) = weightsFor(Seq("tok"), seed = 5L)
     val (_, _, w2) = weightsFor(Seq("tok"), seed = 5L)
