@@ -58,6 +58,52 @@ object Embeddings {
     Loaded(mat, index.toMap, dim)
   }
 
+  /**
+   * Distributed GloVe load (S1) for embedding files too large to stream
+   * through the driver: parse + lowercase + first-occurrence-wins dedup as
+   * a Spark job; only the deduped (vocab-sized) rows are collected, in file
+   * order, then assembled with the same pad/unk rows as `fromLines`.
+   * Identical output to `fromLines` on the same content.
+   */
+  def loadDistributed(spark: org.apache.spark.sql.SparkSession, path: String): Loaded = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val lines = spark.sparkContext.textFile(path)
+      .zipWithIndex() // file order: the first-wins tie-break key
+      .toDF("line", "pos")
+      .select(trim(col("line")).as("line"), col("pos"))
+      .filter(length(col("line")) > 0)
+    val parsed = lines
+      .withColumn("parts", split(col("line"), " "))
+      .select(
+        lower(col("parts").getItem(0)).as("word"),
+        slice(col("parts"), 2, Int.MaxValue).cast("array<float>").as("vec"),
+        col("pos"))
+    val deduped = parsed
+      .groupBy(col("word"))
+      .agg(min(struct(col("pos"), col("vec"))).as("first"))
+      .select(col("word"), col("first.pos").as("pos"), col("first.vec").as("vec"))
+      .orderBy(col("pos"))
+      .as[(String, Long, Array[Float])]
+      .collect()
+    require(deduped.nonEmpty, "no embedding rows parsed")
+    val dim = deduped.head._3.length
+    deduped.foreach { case (w, _, v) =>
+      require(v.length == dim,
+        s"embedding dim mismatch: expected $dim got ${v.length} for '$w'")
+    }
+    val index = scala.collection.mutable.LinkedHashMap(PadToken -> 0)
+    val mat = new Array[Array[Float]](deduped.length + 2)
+    mat(0) = new Array[Float](dim)
+    deduped.zipWithIndex.foreach { case ((w, _, v), i) =>
+      index(w) = i + 1
+      mat(i + 1) = v
+    }
+    index(UnkToken) = index.size
+    mat(deduped.length + 1) = new Array[Float](dim)
+    Loaded(mat, index.toMap, dim)
+  }
+
   /** Build the input word Vocab from the embedding dictionary exactly like
     * NeuralNER.py:155-158 (iterate embedding vocab in insertion order,
     * `Vocab.add` each key — which lowercases, a no-op here). */

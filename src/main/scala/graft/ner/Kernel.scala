@@ -430,6 +430,36 @@ object Kernel {
     Tagged(preds, probs)
   }
 
+  /** Teacher-forced masked NLL (N9/A3): mean over tokens of
+    * -logsoftmax(outW·[h_t ++ onehot(gold_{t-1})])[gold_t], gold prev one-hot
+    * all-zero at t=0 (utilsLocal.py:357-368; modules.py:191-252 computes the
+    * same mean via packed sequences — batch padding never enters because we
+    * evaluate per sentence). Training itself stays out of scope (north_rule
+    * grafts a trained model); this exists for loss-parity tests and for
+    * dev-loss-style model selection on held-out data. */
+  def teacherForcedLoss(hidden: Array[Array[Float]], goldIds: Array[Int], w: NerWeights): Double = {
+    val L = hidden.length
+    if (L == 0) return 0.0
+    val T = w.tagCount
+    val H2 = 2 * w.hidden
+    var total = 0.0
+    var t = 0
+    while (t < L) {
+      val h = hidden(t)
+      val logits = new Array[Float](T)
+      var y = 0
+      while (y < T) {
+        var acc = dot4(w.outW(y), 0, h, H2)
+        if (t > 0) acc += w.outW(y)(H2 + goldIds(t - 1))
+        logits(y) = acc
+        y += 1
+      }
+      total -= logSoftmax(logits)(goldIds(t))
+      t += 1
+    }
+    total / L
+  }
+
   def softmax(logits: Array[Float]): Array[Float] = {
     var mx = logits(0)
     var i = 1

@@ -143,6 +143,68 @@ object Models {
    * every piece of the serving path — vocab build, embedding matrix shape,
    * kernel math, routing — is the production code path.
    */
+  /**
+   * Multilingual sharing variants (N12) — the reference's three schemes,
+   * expressed as different sharings inside the broadcast registry:
+   *
+   *  - Yang (NeuralNERYang/models/modules.py:72-83): per-language word
+   *    embeddings / BiLSTM / output, SHARED char-CNN — `buildYang` rebinds
+   *    every language's convW/convB to the first language's arrays;
+   *  - AllShared (NeuralNERAllShared/models/modules.py:52): one network and
+   *    tag space for every language — `buildAllShared` maps all langs (and
+   *    the "*" fallback) to a single LangModel;
+   *  - AllShared-NoOutput (models/modules.py:252,278-284): shared encoder,
+   *    per-language output layer — `buildSharedEncoder` shares everything
+   *    except `outW`.
+   *
+   * Sharing is by array reference: one broadcast ships one copy of each
+   * shared matrix regardless of language count.
+   */
+  def buildYang(spark: SparkSession, sentences: Dataset[graft.core.Sentence],
+                embedDim: Int = 32, numFilters: Int = 8, minWidth: Int = 3,
+                maxWidth: Int = 5, hidden: Int = 32, seed: Long = 42L): Map[String, LangModel] = {
+    val perLang = build(spark, sentences, embedDim, numFilters, minWidth, maxWidth, hidden, seed)
+    if (perLang.isEmpty) return perLang
+    // shared char-CNN requires one shared char vocab: take the union model
+    // of the alphabetically-first language as the shared module holder
+    val first = perLang(perLang.keys.min)
+    perLang.map { case (lg, m) =>
+      lg -> m.copy(
+        charVocab = first.charVocab,
+        weights = m.weights.copy(
+          charVocabSize = first.weights.charVocabSize,
+          convW = first.weights.convW,
+          convB = first.weights.convB))
+    }
+  }
+
+  def buildAllShared(spark: SparkSession, sentences: Dataset[graft.core.Sentence],
+                     embedDim: Int = 32, numFilters: Int = 8, minWidth: Int = 3,
+                     maxWidth: Int = 5, hidden: Int = 32, seed: Long = 42L): Map[String, LangModel] = {
+    import spark.implicits._
+    val shared = build(spark,
+      sentences.map(_.copy(lang = "*")), embedDim, numFilters, minWidth, maxWidth, hidden, seed)("*")
+    val langs = sentences.select($"lang").distinct().as[String].collect()
+    (langs.map(_ -> shared) :+ ("*" -> shared)).toMap
+  }
+
+  def buildSharedEncoder(spark: SparkSession, sentences: Dataset[graft.core.Sentence],
+                         embedDim: Int = 32, numFilters: Int = 8, minWidth: Int = 3,
+                         maxWidth: Int = 5, hidden: Int = 32, seed: Long = 42L): Map[String, LangModel] = {
+    import spark.implicits._
+    val all = buildAllShared(spark, sentences, embedDim, numFilters, minWidth, maxWidth, hidden, seed)
+    all.map { case (lg, m) =>
+      if (lg == "*") lg -> m
+      else {
+        // per-language output head (xavier over the shared encoder width)
+        lg -> m.copy(weights = m.weights.copy(
+          outW = Kernel.randomWeights(embedDim, minWidth, maxWidth, numFilters, hidden,
+            m.weights.charVocabSize, m.tagVocab.size, m.weights.embeddings,
+            seed ^ Embeddings.fnv1a("head:" + lg)).outW))
+      }
+    }
+  }
+
   def build(spark: SparkSession, sentences: Dataset[graft.core.Sentence],
             embedDim: Int = 32, numFilters: Int = 8, minWidth: Int = 3,
             maxWidth: Int = 5, hidden: Int = 32, seed: Long = 42L): Map[String, LangModel] = {
