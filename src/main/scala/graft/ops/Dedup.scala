@@ -26,16 +26,20 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
       .select(col("keep_id"), col("dup_cnt"))
 
-  /** Word n-gram shingles of a text column, as a distinct array. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = split(text, " ")
-    // sliding n-gram join: transform over indices 0..len-n
+  /** Word n-gram shingles from a PRE-MATERIALIZED token-array column (pass
+    * an attribute, not an inline split(...) — Catalyst inlines expression
+    * arguments into every lambda use, re-running the split per element).
+    * element_at is O(1) per access; no per-element slice copies. */
+  def shinglesFromTokens(toks: Column, n: Int): Column = {
+    val grams = transform(sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws("", (0 until n).map(k => element_at(toks, i + k)): _*))
     array_distinct(
-      filter(
-        transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
-          i => when(i + n <= size(toks), concat_ws("", slice(toks, i + 1, lit(n))))),
-        x => x.isNotNull))
+      when(size(toks) >= n, grams).otherwise(array().cast("array<string>")))
   }
+
+  /** Convenience for small inputs/tests; production paths materialize the
+    * token array first (see shinglesFromTokens). */
+  def shingles(text: Column, n: Int): Column = shinglesFromTokens(split(text, " "), n)
 
   /**
    * MinHash + banded LSH near-duplicate detection:
@@ -56,32 +60,49 @@ object Dedup {
                  maxBucket: Int = 64): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
-    val withShingles = docs.select(col("doc_id"), shingles(col("text"), shingleSize).as("sh"))
+    // higher-order array functions are interpreted (no codegen); the shingle
+    // table is referenced three times (signature + both join-backs) — cache
+    // it once rather than re-deriving per reference.
+    val withShingles = docs
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), shinglesFromTokens(col("toks"), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // signature(i) = min over shingles of xxhash64(i, shingle) — seeded hash
     // family; no multiplicative arithmetic (ANSI-safe, no overflow).
     val sig = withShingles.withColumn("sig",
       transform(sequence(lit(0), lit(numHashes - 1)), i =>
         aggregate(col("sh"), lit(Long.MaxValue),
           (acc, s) => least(acc, xxhash64(i, s)))))
-    val banded = sig.select(col("doc_id"), col("sh"),
+    // pair on IDS ONLY (payloads join back later — carrying shingle arrays
+    // through the K^2 bucket self-product explodes shuffle volume)
+    val banded = sig.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
         xxhash64(concat_ws("_", lit("band"), b,
           concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))))))).as(Seq("band", "bucket")))
-    val buckets = banded.groupBy(col("band"), col("bucket"))
-      .agg(collect_list(struct(col("doc_id"), col("sh"))).as("members"))
-      .filter(size(col("members")).between(2, maxBucket))
-    val pairs = buckets.select(explode(expr(
-      "filter(transform(flatten(transform(members, a -> transform(members, b -> struct(a, b)))), " +
-        "p -> p), p -> p.a.doc_id < p.b.doc_id)")).as("p"))
-      .select(col("p.a.doc_id").as("doc1"), col("p.b.doc_id").as("doc2"),
-        col("p.a.sh").as("sh1"), col("p.b.sh").as("sh2"))
-      .dropDuplicates("doc1", "doc2")
-    pairs.withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+    val pairs = idPairsFromBuckets(banded, maxBucket)
+    val shingleTable = withShingles
+    pairs
+      .join(shingleTable.withColumnRenamed("doc_id", "doc1").withColumnRenamed("sh", "sh1"), Seq("doc1"))
+      .join(shingleTable.withColumnRenamed("doc_id", "doc2").withColumnRenamed("sh", "sh2"), Seq("doc2"))
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
       .withColumn("uni", size(array_union(col("sh1"), col("sh2"))))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc1"), col("doc2"), col("inter"), col("uni"), col("jaccard"))
+  }
+
+  /** Distinct candidate id pairs from (doc_id, band, bucket) rows; buckets
+    * larger than maxBucket are dropped (standard LSH hot-bucket cap). */
+  private def idPairsFromBuckets(banded: DataFrame, maxBucket: Int): DataFrame = {
+    banded.groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col("doc_id")).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+      .select(explode(expr(
+        "filter(flatten(transform(members, a -> transform(members, b -> struct(a AS doc1, b AS doc2)))), " +
+          "p -> p.doc1 < p.doc2)")).as("p"))
+      .select(col("p.doc1").as("doc1"), col("p.doc2").as("doc2"))
+      .dropDuplicates("doc1", "doc2")
   }
 
   /** 64-bit SimHash per document: per-token hash bits vote +1/-1; the sign
@@ -102,20 +123,16 @@ object Dedup {
     * chunks (guaranteed to catch hamming distance <= 3), verified by true
     * hamming distance <= `maxHamming`. */
   def simhashNearDup(docs: DataFrame, maxHamming: Int = 3, maxBucket: Int = 64): DataFrame = {
-    val sh = simhash(docs)
-    val chunked = sh.select(col("doc_id"), col("simhash"),
+    // interpreted HOF, referenced three times (banding + two join-backs)
+    val sh = simhash(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sh.select(col("doc_id"),
       posexplode(expr(
         "transform(sequence(0, 3), c -> shiftright(simhash, c * 16) & 65535)"))
-        .as(Seq("chunk", "ckey")))
-    val buckets = chunked.groupBy(col("chunk"), col("ckey"))
-      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("members"))
-      .filter(size(col("members")).between(2, maxBucket))
-    buckets.select(explode(expr(
-        "filter(flatten(transform(members, a -> transform(members, b -> struct(a, b)))), " +
-          "p -> p.a.doc_id < p.b.doc_id)")).as("p"))
-      .select(col("p.a.doc_id").as("doc1"), col("p.b.doc_id").as("doc2"),
-        col("p.a.simhash").as("h1"), col("p.b.simhash").as("h2"))
-      .dropDuplicates("doc1", "doc2")
+        .as(Seq("band", "bucket")))
+    val pairs = idPairsFromBuckets(banded, maxBucket)
+    pairs
+      .join(sh.withColumnRenamed("doc_id", "doc1").withColumnRenamed("simhash", "h1"), Seq("doc1"))
+      .join(sh.withColumnRenamed("doc_id", "doc2").withColumnRenamed("simhash", "h2"), Seq("doc2"))
       .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc1"), col("doc2"), col("hamming"))
@@ -128,7 +145,9 @@ object Dedup {
    * quadratic in bucket size; production uses minhashLsh and verifies).
    */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 2, minJaccardPct: Int = 50): DataFrame = {
-    val grams = docs.select(col("doc_id"), explode(shingles(col("text"), n)).as("g"))
+    val grams = docs
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(shinglesFromTokens(col("toks"), n)).as("g"))
     val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val g2 = grams.withColumnRenamed("doc_id", "doc2")
     val inter = grams.join(g2, Seq("g"))
@@ -158,17 +177,13 @@ object Dedup {
       .select(col("vec_id"), col("embedding"), expr(
         s"aggregate(zip_with(bits, sequence(0, ${planes - 1}), " +
           "(b, i) -> shiftleft(CAST(b AS BIGINT), i)), 0L, (a, v) -> a | v)").as("sig"))
-    val buckets = withSig.groupBy(col("sig"))
-      .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("members"))
-      .filter(size(col("members")).between(2, maxBucket))
-    val pairs = buckets.select(explode(expr(
-        "filter(flatten(transform(members, a -> transform(members, b -> struct(a, b)))), " +
-          "p -> p.a.vec_id < p.b.vec_id)")).as("p"))
-      .select(col("p.a.vec_id").as("v1"), col("p.b.vec_id").as("v2"),
-        col("p.a.embedding").as("e1"), col("p.b.embedding").as("e2"))
-      .dropDuplicates("v1", "v2")
-    pairs.withColumn("cosine", Similarity.cosine(col("e1"), col("e2")))
+    val banded = withSig.select(col("vec_id").as("doc_id"), lit(0).as("band"), col("sig").as("bucket"))
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+    idPairsFromBuckets(banded, maxBucket)
+      .join(vecs.withColumnRenamed("vec_id", "doc1").withColumnRenamed("embedding", "e1"), Seq("doc1"))
+      .join(vecs.withColumnRenamed("vec_id", "doc2").withColumnRenamed("embedding", "e2"), Seq("doc2"))
+      .withColumn("cosine", Similarity.cosine(col("e1"), col("e2")))
       .filter(col("cosine") >= threshold)
-      .select(col("v1"), col("v2"), col("cosine"))
+      .select(col("doc1").as("v1"), col("doc2").as("v2"), col("cosine"))
   }
 }

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/**
+ * Physical-plan audits: the properties that make the 100 TB case work must
+ * hold in the actual optimized plans, not just in intent — filter pushdown
+ * to the parquet scan, column pruning (never read `html`/`text` when not
+ * needed), broadcast joins for dimension tables.
+ */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q01: shipdate filter is pushed to the parquet scan") {
+    val p = plan(SparkEntry.queries("q01_pricing_agg")(spark, sf))
+    assert(p.contains("PushedFilters"), p.take(2000))
+    assert(p.contains("LessThanOrEqual(l_shipdate"), p.take(2000))
+  }
+
+  test("q25: scan reads only doc_id and text (column pruning past the ops)") {
+    val p = plan(SparkEntry.queries("q25_token_counts")(spark, sf))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"), readSchema)
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"), readSchema)
+  }
+
+  test("q03/q04/q05: dimension joins are broadcast hash joins") {
+    for (q <- Seq("q03_join_mktsegment", "q04_part_brand_qty", "q05_region_rollup")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n${p.take(1500)}")
+      assert(!p.contains("SortMergeJoin"), s"$q should not shuffle the fact side")
+    }
+  }
+
+  test("NER sentence source never reads the html column") {
+    val pages = Pipeline.pages(spark, sf)
+    val p = plan(graft.ner.NerStage.sentences(pages).toDF())
+    // the corpus is derived from documents.parquet: text flows in, html is
+    // synthesized per-row; the scan must not read columns the narrow
+    // projection drops (n_chars is unused everywhere)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("n_chars"), readSchema)
+  }
+
+  test("q20 vocab counts: partial aggregation before the shuffle") {
+    val p = plan(SparkEntry.queries("q20_vocab_trim")(spark, sf))
+    // two HashAggregates around one exchange = map-side combine
+    val n = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(n >= 2, p.take(1500))
+    assert(p.contains("Exchange"), p.take(1500))
+  }
+
+  test("whole-stage codegen spans cover the relational queries") {
+    // AQE reveals codegen stages only in the final (executed) plan
+    val df = SparkEntry.queries("q01_pricing_agg")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WholeStageCodegen") || p.contains("*("), p.take(1500))
+  }
+}
