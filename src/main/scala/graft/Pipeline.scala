@@ -83,6 +83,45 @@ object Pipeline {
     Triples.canonicalTriples(rawTriples(spark, sfDir),
       aliasDict(spark, sfDir), canonMap(spark, sfDir))
 
+  /**
+   * Full production-shaped run: triples written resumably (snapshot
+   * manifests per lang partition), per-partition lineage persisted, OOV /
+   * token accumulator metrics returned. Re-running after a partial failure
+   * only processes langs absent from the latest snapshot (north_rule:
+   * "resumable from checkpoint with per-partition lineage + metrics").
+   */
+  final case class RunReport(
+      langsWritten: Seq[String],
+      lineageRows: Int,
+      tokensSeen: Long,
+      unknownWords: Long)
+
+  def runAndWrite(spark: SparkSession, sfDir: String, outRoot: String,
+                  useViterbi: Boolean = false): RunReport = {
+    val sc = spark.sparkContext
+    val lineage = sc.collectionAccumulator[LineageRow]("graft.lineage")
+    val tokensSeen = sc.longAccumulator("graft.tokens")
+    val unknownWords = sc.longAccumulator("graft.unknownWords")
+    val mdl = models(spark, sfDir)
+    val bc = sc.broadcast(mdl)
+    val lex = sc.broadcast(NerStage.defaultPredicateLexicon)
+    // resume: only process languages not yet committed
+    val done = graft.core.TableIO.completedPartitions(outRoot)
+    val pending = pages(spark, sfDir).filter(p => !done.contains(p.lang))
+    val sents = NerStage.sentences(pending)
+    // persist: writeResumable runs two actions (partition discovery + write);
+    // the cache ensures one inference pass and single-counted accumulators
+    val tagged = NerStage.tag(sents, bc, useViterbi, lineage = Some(lineage),
+      tokenCounter = Some(tokensSeen), oovCounter = Some(unknownWords)).persist()
+    val raw = NerStage.rawTriples(tagged, lex)
+    val triples = graft.kg.Triples.canonicalTriples(raw, aliasDict(spark, sfDir), canonMap(spark, sfDir))
+    val written = graft.core.TableIO.writeResumable(triples.toDF(), outRoot, "lang")
+    tagged.unpersist()
+    val rows = scala.jdk.CollectionConverters.ListHasAsScala(lineage.value).asScala.toSeq
+    if (rows.nonEmpty) graft.core.TableIO.writeLineage(outRoot, "ner.tag", rows)
+    RunReport(written, rows.size, tokensSeen.value, unknownWords.value)
+  }
+
   /** Clear caches (tests / fresh benchmarks). */
   def reset(): Unit = {
     taggedCache.values.foreach(_.unpersist())

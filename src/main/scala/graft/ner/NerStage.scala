@@ -88,7 +88,9 @@ object NerStage {
   def tag(sents: Dataset[Sentence],
           bcModels: Broadcast[Map[String, Models.LangModel]],
           useViterbi: Boolean = false,
-          lineage: Option[CollectionAccumulator[LineageRow]] = None): Dataset[SentenceNer] = {
+          lineage: Option[CollectionAccumulator[LineageRow]] = None,
+          tokenCounter: Option[org.apache.spark.util.LongAccumulator] = None,
+          oovCounter: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[SentenceNer] = {
     val spark = sents.sparkSession
     import spark.implicits._
     sents.mapPartitions { iter =>
@@ -104,6 +106,16 @@ object NerStage {
         rowsIn += window.size
         window.groupBy(_.lang).toSeq.sortBy(_._1).iterator.flatMap { case (lang, group) =>
           val m = models.getOrElse(lang, models.getOrElse("*", models.head._2))
+          // OOV metrics — the reference's totalWords/unknownWords counters
+          // vs the embedding vocabulary (utilsLocal.py:168-170)
+          (tokenCounter, oovCounter) match {
+            case (Some(tc), Some(oc)) =>
+              group.foreach { s =>
+                tc.add(s.tokens.size)
+                oc.add(s.tokens.count(t => m.inputVocab.getWord(t).isEmpty))
+              }
+            case _ => ()
+          }
           val res = tagSentences(group.map(_.tokens.toIndexedSeq), m, useViterbi)
           rowsOut += group.size
           group.iterator.zip(res.iterator).map { case (s, preds) =>

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupState
+import graft.core.{Mention, Page, Sentence}
+import graft.ner.{Models, NerStage}
+
+/**
+ * Structured-Streaming twin of the batch ingest: the same typed transforms
+ * (extract -> sentences -> language-routed NER -> mentions) applied to a
+ * streaming Dataset[Page] — `readStream` on a crawl landing directory at
+ * deployment. The batch pipeline remains the primary contract
+ * (BASELINE.json: batch with snapshot checkpoints); this twin exists so a
+ * continuously-landing crawl can reuse the operators unchanged.
+ */
+object StreamIngest {
+
+  /** Identical row-level semantics to the batch path — NerStage's typed
+    * operators are stateless, so they bind to a streaming Dataset as-is. */
+  def mentionStream(pages: Dataset[Page],
+                    bcModels: Broadcast[Map[String, Models.LangModel]]): Dataset[Mention] =
+    NerStage.mentions(NerStage.tag(NerStage.sentences(pages), bcModels))
+
+  /** Tumbling-window ingest statistics on crawl time with a late-record
+    * watermark (late WARC records are dropped after the horizon). */
+  def windowedCounts(pages: Dataset[Page], window: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame = {
+    pages.toDF()
+      .withWatermark("warc_ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("warc_ts"), window), col("lang"))
+      .agg(count(lit(1)).as("n_pages"), sum(length(col("text"))).as("n_chars"))
+  }
+
+  /** Running per-language totals — custom streaming state via
+    * mapGroupsWithState (the micro-batching state hook). */
+  final case class LangTotals(lang: String, docs: Long, sentences: Long, tokens: Long)
+
+  def runningTotals(sents: Dataset[Sentence]): Dataset[LangTotals] = {
+    val spark = sents.sparkSession
+    import spark.implicits._
+    sents.groupByKey(_.lang)
+      .mapGroupsWithState[LangTotals, LangTotals](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (lang: String, rows: Iterator[Sentence], state: GroupState[LangTotals]) =>
+          val prev = state.getOption.getOrElse(LangTotals(lang, 0L, 0L, 0L))
+          var docs = scala.collection.mutable.Set.empty[String]
+          var nSents = 0L
+          var nToks = 0L
+          rows.foreach { s => docs += s.url; nSents += 1; nToks += s.tokens.size }
+          val next = LangTotals(lang, prev.docs + docs.size, prev.sentences + nSents,
+            prev.tokens + nToks)
+          state.update(next)
+          next
+      }
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import graft.core.Page
+import graft.gen.CorpusGen
+import graft.ner.Models
+import graft.streaming.StreamIngest
+
+class StreamIngestSpec extends SparkSpec {
+
+  private def mkPages(n: Int): Seq[Page] = (0 until n).map { i =>
+    val text = s"alpha beta gamma doc$i delta"
+    val lang = if (i % 2 == 0) "en" else "de"
+    Page(s"https://s/$lang/doc$i", new java.sql.Timestamp(CorpusGen.BaseEpochMs + i * 60000L),
+      CorpusGen.htmlFor(i.toLong, text, lang, "s"), CorpusGen.expectedText(text), lang)
+  }
+
+  test("streaming mention detection == batch on the same rows") {
+    import spark.implicits._
+    val pages = mkPages(20)
+    val models = Models.build(spark, graft.ner.NerStage.sentences(spark.createDataset(pages)))
+    val bc = spark.sparkContext.broadcast(models)
+    // batch result
+    val batch = graft.ner.NerStage.mentions(
+      graft.ner.NerStage.tag(graft.ner.NerStage.sentences(spark.createDataset(pages)), bc))
+      .collect().map(m => (m.url, m.sentIdx, m.begin, m.end, m.entityType)).sorted
+    // streaming result via MemoryStream + available-now trigger
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[Page]
+    stream.addData(pages)
+    val q = StreamIngest.mentionStream(stream.toDS(), bc)
+      .writeStream.format("memory").queryName("mentions_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("mentions_stream")
+      .collect().map(r => (r.getString(0), r.getInt(2), r.getInt(3), r.getInt(4), r.getString(6)))
+      .sorted
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("windowed ingest counts with watermark aggregate by crawl hour") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[Page]
+    stream.addData(mkPages(10))
+    val q = StreamIngest.windowedCounts(stream.toDS(), "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("win_counts").outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.table("win_counts").collect()
+    assert(rows.map(_.getAs[Long]("n_pages")).sum == 10)
+    assert(rows.map(_.getAs[String]("lang")).toSet == Set("en", "de"))
+  }
+
+  test("mapGroupsWithState running totals accumulate across micro-batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[graft.core.Sentence]
+    val q = StreamIngest.runningTotals(stream.toDS())
+      .writeStream.format("memory").queryName("totals").outputMode("update")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    stream.addData(graft.core.Sentence("u1", "en", 0, Seq("a", "b")))
+    q.processAllAvailable()
+    stream.addData(graft.core.Sentence("u2", "en", 0, Seq("c")))
+    q.processAllAvailable()
+    val rows = spark.table("totals").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    // update mode emits one row per batch; the LAST en row carries the running total
+    assert(rows.contains(("en", 2L, 3L)), rows.mkString(", "))
+    q.stop()
+  }
+}
