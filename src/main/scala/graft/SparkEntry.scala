@@ -106,6 +106,27 @@ object SparkEntry {
       val minus = c.except(o).agg(count(lit(1)).as("n")).withColumn("op", lit("except"))
       inter.unionByName(minus).select(col("op"), col("n"))
     }),
+    "q11_running_total" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      s.read.parquet(t(dir, "events"))
+        .withColumn("running_value", round(sum(col("value")).over(w), 2))
+        .select(col("user_id"), col("event_id"), col("running_value"))
+    }),
+    "q12_cube_revenue" -> ((s, dir) => {
+      s.read.parquet(t(dir, "lineitem"))
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("revenue"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("revenue"), col("n"))
+    }),
+    "q13_distinct_agg" -> ((s, dir) => {
+      s.read.parquet(t(dir, "events"))
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+    }),
     // ------------------------------------------- corpus ops (vocab A1/A2)
     "q20_vocab_trim" -> ((s, dir) => {
       s.read.parquet(t(dir, "documents"))
@@ -157,10 +178,11 @@ object SparkEntry {
     }),
     // ------------------------------------------------ KG pipeline (no SQL)
     "q40_extraction_invariant" -> ((s, dir) => {
-      import s.implicits._
-      Pipeline.pages(s, dir).map { p =>
-        (p.url, p.lang, graft.text.TextExtract.extractText(p.html) == p.text)
-      }.toDF("url", "lang", "extract_ok")
+      // native codegen'd Catalyst expression (graft.functions.ExtractText)
+      Pipeline.pages(s, dir).toDF()
+        .select(col("url"), col("lang"),
+          (graft.functions.GraftFunctions.extract_text(col("html")) === col("text"))
+            .as("extract_ok"))
     }),
     "q41_sentences" -> ((s, dir) => {
       import s.implicits._
@@ -248,6 +270,18 @@ object SparkEntry {
          SELECT 'except' AS op, count(*) AS n FROM (
            SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0
            EXCEPT SELECT DISTINCT o_custkey AS k FROM orders)""",
+    "q11_running_total" ->
+      """SELECT user_id, event_id,
+         round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+         FROM events""",
+    "q12_cube_revenue" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+         round(sum(l_extendedprice), 2) AS revenue, count(*) AS n
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    "q13_distinct_agg" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+         FROM events GROUP BY event_type""",
     "q20_vocab_trim" ->
       """SELECT token, count(*) AS cnt FROM (
            SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)

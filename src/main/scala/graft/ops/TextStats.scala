@@ -91,5 +91,6 @@ object TextStats {
   val fingerprintUdf = udf(fingerprint64 _)
 
   def fingerprints(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), fingerprintUdf(col("text")).as("fingerprint"))
+    docs.select(col("doc_id"),
+      graft.functions.GraftFunctions.fingerprint64(col("text")).as("fingerprint"))
 }
