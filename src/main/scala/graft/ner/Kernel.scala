@@ -119,6 +119,10 @@ object Kernel {
   @inline private def sigmoidF(x: Float): Float = (1.0 / (1.0 + math.exp(-x.toDouble))).toFloat
   @inline private def tanhF(x: Float): Float = math.tanh(x.toDouble).toFloat
 
+  /** xGates token-tile width (bandwidth tuning only; any value is exact).
+    * Resolved once per JVM. */
+  private val tileSize: Int = sys.env.getOrElse("SPARK_GRAFT_TILE", "128").toInt
+
   /** Dot product with 4 independent accumulators — HotSpot won't vectorize
     * float reductions (reassociation), so manual ILP unrolling is the
     * portable 2-4x. Summation order is fixed by this implementation, hence
@@ -195,7 +199,7 @@ object Kernel {
       }
       s += 1
     }
-    val Tile = 128
+    val Tile = tileSize
     var base = 0
     while (base < nTok) {
       val lim = math.min(base + Tile, nTok)
