@@ -142,7 +142,7 @@ object NerStage {
 
   /** Sentences per kernel micro-batch (bandwidth amortization only — any
     * value yields identical results). */
-  val microBatchSize = 64
+  val microBatchSize: Int = sys.env.getOrElse("SPARK_GRAFT_MICROBATCH", "64").toInt
 
   /** The per-sentence serving function: encode (word ids with lowercased
     * `<unk>` fallback, utilsLocal.py:318-324; code-point chars), BiLSTM,

@@ -134,6 +134,48 @@ class KernelSpec extends AnyFunSuite {
     }
   }
 
+  test("viterbi == exhaustive best path over all tag sequences (brute-force oracle)") {
+    val tokens = Seq("aa", "bb", "cc", "dd")
+    val (inV, chV, w) = weightsFor(tokens, seed = 77L)
+    val T = w.tagCount
+    val H2 = 2 * w.hidden
+    def stepLogProbs(hidden: Array[Array[Float]], t: Int, prev: Int): Array[Double] = {
+      val logits = Array.tabulate(T) { y =>
+        var a = 0.0f
+        for (j <- 0 until H2) a += w.outW(y)(j) * hidden(t)(j)
+        if (prev >= 0) a += w.outW(y)(H2 + prev)
+        a
+      }
+      Kernel.logSoftmax(logits)
+    }
+    val rnd = new scala.util.Random(9)
+    for (trial <- 1 to 4) {
+      val sent = Vector.fill(3 + trial % 2)(tokens(rnd.nextInt(tokens.size)))
+      val hidden = Kernel.bilstmStates(sent, sent.map(inV.getWordTrain).toArray,
+        sent.map(graft.text.TextExtract.codePoints).toArray, chV, w)
+      // exhaustive search
+      var bestScore = Double.NegativeInfinity
+      var bestPath: Seq[Int] = Nil
+      def rec(t: Int, prev: Int, score: Double, path: List[Int]): Unit = {
+        if (t == sent.length) {
+          if (score > bestScore) { bestScore = score; bestPath = path.reverse }
+        } else {
+          val lp = stepLogProbs(hidden, t, prev)
+          for (y <- 0 until T) rec(t + 1, y, score + lp(y), y :: path)
+        }
+      }
+      rec(0, -1, 0.0, Nil)
+      val vit = Kernel.viterbiDecode(hidden, w)
+      val vitScore = {
+        var s = 0.0; var prev = -1
+        for (t <- sent.indices) { s += stepLogProbs(hidden, t, prev)(vit.preds(t)); prev = vit.preds(t) }
+        s
+      }
+      assert(math.abs(vitScore - bestScore) < 1e-9,
+        s"trial $trial: viterbi score $vitScore vs exhaustive $bestScore (paths ${vit.preds.toSeq} vs $bestPath)")
+    }
+  }
+
   test("weights are deterministic for a seed") {
     val (_, _, w1) = weightsFor(Seq("tok"), seed = 5L)
     val (_, _, w2) = weightsFor(Seq("tok"), seed = 5L)
