@@ -108,7 +108,11 @@ object Pipeline {
     // resume: only process languages not yet committed
     val done = graft.core.TableIO.completedPartitions(outRoot)
     val pending = pages(spark, sfDir).filter(p => !done.contains(p.lang))
-    val sents = NerStage.sentences(pending)
+    // spread the inference stage over the cluster regardless of how few
+    // input splits the source had (a single parquet file otherwise caps the
+    // NER stage at its split count)
+    val parts = math.max(spark.sparkContext.defaultParallelism * 2, 4)
+    val sents = NerStage.saltedRepartition(NerStage.sentences(pending), parts, parts)
     // persist: writeResumable runs two actions (partition discovery + write);
     // the cache ensures one inference pass and single-counted accumulators
     val tagged = NerStage.tag(sents, bc, useViterbi, lineage = Some(lineage),
