@@ -95,4 +95,20 @@ object TableIO {
   /** Read back the data written by writeResumable. */
   def read(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(s"$root/data")
+
+  /**
+   * Bucketed + sorted catalog table (K6's bucketing contract): downstream
+   * equi-joins on `bucketCol` between tables bucketed the same way need no
+   * shuffle at all — Catalyst sees the hash-partitioned layout and plans a
+   * SortMergeJoin without Exchange (plan-tested in PlanSpec). This is the
+   * parquet stand-in for an Iceberg bucket transform.
+   */
+  def writeBucketed(df: DataFrame, tableName: String, buckets: Int,
+                    bucketCol: String, sortCol: String): Unit = {
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(sortCol)
+      .format("parquet")
+      .saveAsTable(tableName)
+  }
 }

@@ -55,6 +55,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Exchange"), p.take(1500))
   }
 
+  test("bucketed tables join without any Exchange (co-located join)") {
+    import spark.implicits._
+    import graft.core.TableIO
+    val triples = Pipeline.triples(spark, sf).toDF().limit(500)
+    val canon = Pipeline.canonMap(spark, sf)
+    TableIO.writeBucketed(triples, "t_triples_b", 4, "subj", "subj")
+    TableIO.writeBucketed(canon.withColumnRenamed("id", "subj"), "t_canon_b", 4, "subj", "subj")
+    // force the sort-merge path (tiny test tables would otherwise broadcast)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("t_triples_b").join(spark.table("t_canon_b"), "subj")
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n${p.take(1500)}")
+      assert(p.contains("SortMergeJoin"), p.take(800))
+      assert(p.contains("Bucketed: true"), p.take(1500))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("whole-stage codegen spans cover the relational queries") {
     // AQE reveals codegen stages only in the final (executed) plan
     val df = SparkEntry.queries("q01_pricing_agg")(spark, sf)
