@@ -76,6 +76,15 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("triple sink: lang partition pruning reaches the scan on read-back") {
+    val dir = java.nio.file.Files.createTempDirectory("trip").toString
+    graft.kg.Triples.write(Pipeline.triples(spark, sf).limit(200), dir, buckets = 2)
+    val back = spark.read.parquet(dir).filter(org.apache.spark.sql.functions.col("lang") === "en")
+    val p = plan(back)
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("lang"), s"expected lang partition filter:\n${p.take(1200)}")
+  }
+
   test("whole-stage codegen spans cover the relational queries") {
     // AQE reveals codegen stages only in the final (executed) plan
     val df = SparkEntry.queries("q01_pricing_agg")(spark, sf)
