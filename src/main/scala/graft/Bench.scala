@@ -18,20 +18,25 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // fail LOUD: a query that errors aborts the bench (a silent -1 would
+    // drop it from the total and misreport the round)
     def timeOne(name: String): Double = {
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => return -1.0 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: $e")
+        throw e
+      }
       (System.nanoTime() - t0) / 1e9
     }
     val results = names.map { n =>
       val a = timeOne(n)
       val b = timeOne(n)
-      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      n -> math.min(a, b)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -79,12 +79,27 @@ object SparkEntry {
         .agg(sum(col("new_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
     }),
     "q08_salted_join" -> ((s, dir) => {
-      // explicit skew-salted shuffle join; result identical to a plain join
+      // hot-key-only skew salting (the EntityLink.linkSalted pattern):
+      // a cheap keyed-count pre-pass finds hot join keys; ONLY those are
+      // salted/replicated — cold keys join once. Replicating the whole
+      // build side xSalts would multiply shuffle volume by the salt count.
+      // Result identical to a plain join (oracle-checked).
       val salts = 8
-      val li = s.read.parquet(t(dir, "lineitem"))
-        .withColumn("salt", pmod(xxhash64(col("l_partkey"), col("l_linenumber")), lit(salts)).cast("int"))
+      val li0 = s.read.parquet(t(dir, "lineitem"))
+      val hot = li0.groupBy(col("l_orderkey")).count()
+        .filter(col("count") > 5L).select(col("l_orderkey").as("hk"))
+      val li = li0.join(broadcast(hot), li0("l_orderkey") === col("hk"), "left")
+        .withColumn("salt",
+          when(col("hk").isNotNull,
+            pmod(xxhash64(col("l_partkey"), col("l_linenumber")), lit(salts)).cast("int"))
+            .otherwise(lit(0)))
+        .drop("hk")
       val o = s.read.parquet(t(dir, "orders"))
-        .withColumn("salt", explode(array((0 until salts).map(lit): _*)))
+        .join(broadcast(hot), col("o_orderkey") === col("hk"), "left")
+        .withColumn("salt",
+          explode(when(col("hk").isNotNull, sequence(lit(0), lit(salts - 1)))
+            .otherwise(array(lit(0)))))
+        .drop("hk")
       li.join(o, li("l_orderkey") === o("o_orderkey") && li("salt") === o("salt"))
         .groupBy(col("o_orderpriority"))
         .agg(round(sum(col("l_quantity")), 4).as("sum_qty"), count(lit(1)).as("n_lines"))
@@ -197,14 +212,25 @@ object SparkEntry {
       graft.link.EntityLink.linkBroadcast(
         Pipeline.mentions(s, dir), Pipeline.aliasDict(s, dir)).toDF()),
     "q45_linked_salted_parity" -> ((s, dir) => {
-      // salted path must equal broadcast path: symmetric difference == 0
+      // salted path must equal broadcast path: multiset symmetric difference
+      // == 0. ONE pass per side (groupBy-count) + one full-outer join — the
+      // exceptAll formulation evaluated each link plan twice and shuffled
+      // full-width rows four times.
       val m = Pipeline.mentions(s, dir)
       val d = Pipeline.aliasDict(s, dir)
       val a = graft.link.EntityLink.linkBroadcast(m, d).toDF()
       val b = graft.link.EntityLink.linkSalted(m, d, salts = 4, hotThreshold = 50L).toDF()
-      val diff = a.exceptAll(b).agg(count(lit(1)).as("n")).withColumn("side", lit("broadcast_minus_salted"))
-        .unionByName(b.exceptAll(a).agg(count(lit(1)).as("n")).withColumn("side", lit("salted_minus_broadcast")))
-      diff.select(col("side"), col("n"))
+      val keys = a.columns.toSeq
+      val ac = a.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_a"))
+      val bc = b.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_b"))
+      ac.join(bc, keys, "full_outer")
+        .select(coalesce(col("n_a"), lit(0L)).as("n_a"),
+                coalesce(col("n_b"), lit(0L)).as("n_b"))
+        .agg(
+          coalesce(sum(greatest(col("n_a") - col("n_b"), lit(0L))), lit(0L)).as("bms"),
+          coalesce(sum(greatest(col("n_b") - col("n_a"), lit(0L))), lit(0L)).as("smb"))
+        .select(expr(
+          "stack(2, 'broadcast_minus_salted', bms, 'salted_minus_broadcast', smb) AS (side, n)"))
     }),
     "q46_canon_components" -> ((s, dir) => {
       Pipeline.canonMap(s, dir)
@@ -247,7 +273,7 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
            FROM events) WHERE rn = 1""",
     "q07_sessionize" ->
-      """SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events FROM (
+      """SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
            SELECT user_id,
                   CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800.0 THEN 1 ELSE 0 END AS new_sess
            FROM (SELECT user_id, ts,
@@ -297,7 +323,9 @@ object SparkEntry {
           length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct
           FROM documents""",
     "q23_lang_dist" ->
-      "SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars FROM documents GROUP BY lang",
+      // CAST: DuckDB sum(BIGINT) yields HUGEINT, which the driver's pandas
+      // materialization renders as float64 -> hash mismatch vs Spark's int64
+      "SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents GROUP BY lang",
     "q24_langid" -> {
       val scores = TextStats.markers.map { case (lg, ms) =>
         s"len(list_filter(string_split(text, ' '), x -> x IN (${ms.map("'" + _ + "'").mkString(",")}))) AS s_$lg"
@@ -311,7 +339,7 @@ object SparkEntry {
     },
     "q25_token_counts" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
-         list_sum(list_transform(string_split(text, ' '), x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS bpe_units
+         CAST(list_sum(list_transform(string_split(text, ' '), x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS bpe_units
          FROM documents""",
     "q26_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents WHERE doc_id < 2000),
@@ -332,6 +360,17 @@ object SparkEntry {
                              e.vec_id ASC) AS rank
            FROM q, embeddings e WHERE e.vec_id <> q.query_id)
          WHERE rank <= 10""",
+    // the per-row extraction invariant: every page's extract_text(html)
+    // equals its text column — the oracle asserts TRUE for every url
+    "q40_extraction_invariant" ->
+      """SELECT 'https://crawl.example.org/' || lang || '/' || source || '/doc'
+           || CAST(doc_id AS VARCHAR) AS url,
+         lang, TRUE AS extract_ok FROM documents""",
+    // multiset symmetric difference between the two link plans is empty
+    "q45_linked_salted_parity" ->
+      """SELECT 'broadcast_minus_salted' AS side, CAST(0 AS BIGINT) AS n
+         UNION ALL
+         SELECT 'salted_minus_broadcast' AS side, CAST(0 AS BIGINT) AS n""",
     "q34_multimodal_meta" ->
       """SELECT doc_id,
          CASE WHEN doc_id % 3 = 0 THEN 'image/png'

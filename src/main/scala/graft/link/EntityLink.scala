@@ -61,12 +61,18 @@ object EntityLink {
   }
 
   private def pickTop1(cands: DataFrame): DataFrame = {
-    // top-1 candidate per mention: highest prior, tie-break on entity_id
-    // (deterministic) — row_number window per mention key (SURVEY §2.6).
-    val w = Window.partitionBy(col("url"), col("sentIdx"), col("begin"))
-      .orderBy(col("prior").desc, col("entity_id").asc)
-    cands.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn")
+    // top-1 candidate per mention: highest prior, tie-break on smallest
+    // entity_id (deterministic — a mention's candidate entity ids are
+    // distinct by aliasDict construction). min_by is a declarative aggregate
+    // with map-side partial merge — no per-partition sort, unlike the
+    // row_number window form; keep a window only where rank>1 is needed.
+    cands.groupBy(col("url"), col("sentIdx"), col("begin"))
+      .agg(min_by(
+        struct(col("lang"), col("surface"), col("entity_id"), col("prior")),
+        struct(negate(col("prior")), col("entity_id"))).as("top"))
+      .select(col("url"), col("sentIdx"), col("begin"),
+        col("top.lang").as("lang"), col("top.surface").as("surface"),
+        col("top.entity_id").as("entity_id"), col("top.prior").as("prior"))
   }
 
   /** Broadcast-hash path. */

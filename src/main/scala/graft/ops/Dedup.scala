@@ -80,7 +80,7 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
         xxhash64(concat_ws("_", lit("band"), b,
           concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))))))).as(Seq("band", "bucket")))
-    val pairs = idPairsFromBuckets(banded, maxBucket)
+    val pairs = idPairsFromBuckets(banded, maxBucket, dropLabel = "minhashLsh")
     val shingleTable = withShingles
     pairs
       .join(shingleTable.withColumnRenamed("doc_id", "doc1").withColumnRenamed("sh", "sh1"), Seq("doc1"))
@@ -92,12 +92,51 @@ object Dedup {
       .select(col("doc1"), col("doc2"), col("inter"), col("uni"), col("jaccard"))
   }
 
-  /** Distinct candidate id pairs from (doc_id, band, bucket) rows; buckets
-    * larger than maxBucket are dropped (standard LSH hot-bucket cap). */
-  private def idPairsFromBuckets(banded: DataFrame, maxBucket: Int): DataFrame = {
-    banded.groupBy(col("band"), col("bucket"))
+  /** Last drop report per label — observable from tests/metrics. */
+  val lastDropReport: scala.collection.concurrent.TrieMap[String, (Long, Long)] =
+    scala.collection.concurrent.TrieMap.empty
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /**
+   * Distinct candidate id pairs from (doc_id, band, bucket) rows; buckets
+   * larger than maxBucket are dropped (standard LSH hot-bucket cap).
+   *
+   * Scale contract: member lists are NEVER materialized for hot buckets —
+   * a cheap count aggregation sizes every bucket first (map-side partial
+   * agg; one long per bucket), hot buckets are filtered out by a join on
+   * (band, bucket), and only then are the surviving (<= maxBucket) buckets'
+   * members collected for pair expansion. A degenerate bucket (millions of
+   * near-empty docs hashing together) therefore costs one counter, not one
+   * OOM'd reducer.
+   *
+   * The drop is LOUD: dropped bucket / doc-slot counts are computed with a
+   * one-row aggregate, logged, recorded in `lastDropReport(dropLabel)`, and
+   * passed to `onDrop`.
+   */
+  private[graft] def idPairsFromBuckets(banded0: DataFrame, maxBucket: Int,
+      dropLabel: String = "lsh",
+      onDrop: (Long, Long) => Unit = (_, _) => ()): DataFrame = {
+    // banded is read twice (sizing + pair-gen) — persist so the upstream
+    // signature computation (interpreted HOFs) runs once
+    val banded = banded0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bsz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dropRow = sizes.filter(col("bsz") > maxBucket)
+      .agg(count(lit(1)).as("nBuckets"), coalesce(sum(col("bsz")), lit(0L)).as("nDocs"))
+      .head()
+    val (nBuckets, nDocs) = (dropRow.getLong(0), dropRow.getLong(1))
+    lastDropReport(dropLabel) = (nBuckets, nDocs)
+    if (nBuckets > 0)
+      log.warn(s"[$dropLabel] dropped $nBuckets hot LSH bucket(s) " +
+        s"covering $nDocs doc slots (maxBucket=$maxBucket)")
+    onDrop(nBuckets, nDocs)
+    val okBuckets = sizes.filter(col("bsz").between(2, maxBucket))
+      .select(col("band"), col("bucket"))
+    banded.join(okBuckets, Seq("band", "bucket"))
+      .groupBy(col("band"), col("bucket"))
       .agg(collect_list(col("doc_id")).as("members"))
-      .filter(size(col("members")).between(2, maxBucket))
       .select(explode(expr(
         "filter(flatten(transform(members, a -> transform(members, b -> struct(a AS doc1, b AS doc2)))), " +
           "p -> p.doc1 < p.doc2)")).as("p"))
@@ -129,7 +168,7 @@ object Dedup {
       posexplode(expr(
         "transform(sequence(0, 3), c -> shiftright(simhash, c * 16) & 65535)"))
         .as(Seq("band", "bucket")))
-    val pairs = idPairsFromBuckets(banded, maxBucket)
+    val pairs = idPairsFromBuckets(banded, maxBucket, dropLabel = "simhashNearDup")
     pairs
       .join(sh.withColumnRenamed("doc_id", "doc1").withColumnRenamed("simhash", "h1"), Seq("doc1"))
       .join(sh.withColumnRenamed("doc_id", "doc2").withColumnRenamed("simhash", "h2"), Seq("doc2"))
@@ -161,25 +200,32 @@ object Dedup {
       .select(col("doc_id").as("doc1"), col("doc2"), col("inter"), col("uni"))
   }
 
-  /** Embedding near-duplicates: pairs with cosine >= threshold. Exact
-    * all-pairs within hash-sign LSH buckets (random-hyperplane signs over
-    * deterministic pseudo-planes), verified by true cosine. */
+  /** Embedding near-duplicates: pairs with cosine >= threshold, found by
+    * MULTI-BAND random-hyperplane sign-LSH (the minhashLsh banding pattern)
+    * and verified by true cosine. `planes` sign bits are split into `bands`
+    * bands of planes/bands bits; a pair is a candidate if ANY band's bits
+    * all agree — for cosine-0.95 pairs (theta ~ 18deg, per-plane agreement
+    * ~0.9) the 4x4 default catches ~98.6% vs ~43% for the single 8-plane
+    * band it replaces. Recall is property-tested on planted near-dups. */
   def embeddingNearDup(emb: DataFrame, threshold: Double = 0.95,
-                       planes: Int = 8, maxBucket: Int = 256): DataFrame = {
+                       planes: Int = 16, bands: Int = 4, maxBucket: Int = 256): DataFrame = {
+    require(planes % bands == 0, "planes must be divisible by bands")
+    val rows = planes / bands
     val sigBits = transform(sequence(lit(0), lit(planes - 1)), p =>
       when(aggregate(zip_with(col("embedding"),
           sequence(lit(0), size(col("embedding")) - 1),
           // deterministic pseudo-plane: sin-free integer hash -> ±1 weights
           (x, i) => x * (pmod(xxhash64(concat(lit("plane"), p, lit(":"), i)), lit(2)) * 2 - 1).cast("float")),
         lit(0.0d), (acc, v) => acc + v) > 0, lit(1)).otherwise(lit(0)))
-    val withSig = emb
-      .select(col("vec_id"), col("embedding"), sigBits.as("bits"))
-      .select(col("vec_id"), col("embedding"), expr(
-        s"aggregate(zip_with(bits, sequence(0, ${planes - 1}), " +
-          "(b, i) -> shiftleft(CAST(b AS BIGINT), i)), 0L, (a, v) -> a | v)").as("sig"))
-    val banded = withSig.select(col("vec_id").as("doc_id"), lit(0).as("band"), col("sig").as("bucket"))
+    // interpreted HOFs + reuse across bands: materialize bits once
+    val withSig = emb.select(col("vec_id"), sigBits.as("bits"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = withSig.select(col("vec_id").as("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        aggregate(slice(col("bits"), b * lit(rows) + 1, lit(rows)),
+          lit(0L), (a, bit) => a * 2 + bit))).as(Seq("band", "bucket")))
     val vecs = emb.select(col("vec_id"), col("embedding"))
-    idPairsFromBuckets(banded, maxBucket)
+    idPairsFromBuckets(banded, maxBucket, dropLabel = "embeddingNearDup")
       .join(vecs.withColumnRenamed("vec_id", "doc1").withColumnRenamed("embedding", "e1"), Seq("doc1"))
       .join(vecs.withColumnRenamed("vec_id", "doc2").withColumnRenamed("embedding", "e2"), Seq("doc2"))
       .withColumn("cosine", Similarity.cosine(col("e1"), col("e2")))

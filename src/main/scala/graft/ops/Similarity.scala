@@ -17,8 +17,10 @@ import org.apache.spark.sql.expressions.Window
  *   queries probe `nProbe` nearest centroids and scan only those buckets:
  *   the 100 TB plan (scan cost / nlist * nProbe).
  *
- * All dot products run through codegen'd higher-order functions
- * (zip_with + aggregate) — no Scala UDF in the hot path.
+ * Column-side dot products use higher-order functions (zip_with +
+ * aggregate) — interpreted, not codegen'd, but still no Catalyst<->Scala
+ * row conversion; the per-row assignment hot loop is a plain-JVM
+ * mapPartitions kernel over the broadcast codebook.
  */
 object Similarity {
 
@@ -52,40 +54,104 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
-  /** Deterministic coarse centroids: every `stride`-th vector by id order. */
-  def centroids(emb: DataFrame, nList: Int): DataFrame = {
-    val n = emb.count()
-    val stride = math.max(1L, n / nList)
-    emb.filter(pmod(col("vec_id"), lit(stride)) === 0)
-      .limit(nList)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+  /** One coarse-quantizer centroid: id, vector, precomputed L2 norm. */
+  final case class Centroid(id: Long, v: Array[Float], norm: Double)
+
+  /** Plain-Scala cosine, double accumulation in array order — the scalar
+    * twin of `cosine` (same summation order as zip_with+aggregate). */
+  def cosineScalar(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var i = 0
+    while (i < a.length) { dot += a(i).toDouble * b(i).toDouble; i += 1 }
+    dot / (normScalar(a) * normScalar(b))
   }
 
-  /** IVF approximate top-k: assign to nearest centroid, probe nProbe lists.
-    * Output schema matches bruteForceTopK. */
+  def normScalar(a: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i).toDouble * a(i).toDouble; i += 1 }
+    math.sqrt(s)
+  }
+
+  /**
+   * Deterministic coarse centroids, collected to the driver (the codebook —
+   * nList entries by construction; at deployment this is the trained
+   * k-means codebook artifact). Stride derives from max(vec_id) — correct
+   * for non-dense ids — and the candidates are ORDERED by vec_id before the
+   * cut, so the codebook is identical across runs and partitionings.
+   */
+  def centroidCodebook(emb: DataFrame, nList: Int): Array[Centroid] = {
+    val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+    val stride = math.max(1L, (maxId + 1) / nList)
+    emb.filter(pmod(col("vec_id"), lit(stride)) === 0)
+      .orderBy(col("vec_id")).limit(nList)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Float](1).toArray
+        Centroid(r.getLong(0), v, normScalar(v))
+      }
+  }
+
+  /** Nearest-centroid id for one vector: max cosine, ties to the smaller
+    * centroid id (codebook is id-ascending; strict > keeps the first). */
+  def nearestList(v: Array[Float], cents: Array[Centroid]): Long = {
+    val vn = normScalar(v)
+    var bestId = cents(0).id
+    var bestSim = Double.NegativeInfinity
+    var ci = 0
+    while (ci < cents.length) {
+      val c = cents(ci)
+      var dot = 0.0; var i = 0
+      while (i < v.length) { dot += v(i).toDouble * c.v(i).toDouble; i += 1 }
+      val sim = dot / (vn * c.norm)
+      if (sim > bestSim) { bestSim = sim; bestId = c.id }
+      ci += 1
+    }
+    bestId
+  }
+
+  /** Top-`nProbe` centroid ids for a query vector (cosine desc, id asc). */
+  def probeLists(v: Array[Float], cents: Array[Centroid], nProbe: Int): Array[Long] =
+    cents.map(c => (cosineScalar(v, c.v), c.id))
+      .sortBy { case (sim, id) => (-sim, id) }
+      .take(nProbe).map(_._2)
+
+  /**
+   * IVF approximate top-k: assign every vector to its nearest centroid,
+   * probe the `nProbe` best lists per query, scan only those lists.
+   * Output schema matches bruteForceTopK. The 100 TB plan: scan cost /
+   * nList * nProbe, and at scale the assignment is a one-time fact-table
+   * write reused by every query batch.
+   *
+   * Plan shape (plan-tested): assignment is ONE narrow projection per row
+   * against the broadcast codebook — no xNList explode, no window, no
+   * shuffle; the probe side (queries x nProbe, tiny) is BROADCAST to the
+   * assignment side, so no Exchange is ever keyed on the nList-valued
+   * `list_id` (nList distinct keys would cap parallelism at nList and skew).
+   */
   def ivfTopK(emb: DataFrame, queryFilter: Column, k: Int,
               nList: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cents = centroids(emb, nList)
-    // assignment: nearest centroid per vector (broadcast centroids; one scan)
-    val assignW = Window.partitionBy(col("vec_id"))
-      .orderBy(round(col("csim"), 9).desc, col("centroid_id").asc)
-    val assigned = emb.join(broadcast(cents))
-      .withColumn("csim", cosine(col("embedding"), col("cv")))
-      .withColumn("crank", row_number().over(assignW))
-      .filter(col("crank") === 1)
-      .select(col("vec_id"), col("embedding"), col("centroid_id").as("list_id"))
-    // query side: top nProbe centroid lists per query
-    val queries = emb.filter(queryFilter)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val probeW = Window.partitionBy(col("query_id"))
-      .orderBy(round(col("qsim"), 9).desc, col("centroid_id").asc)
-    val probes = queries.join(broadcast(cents))
-      .withColumn("qsim", cosine(col("qv"), col("cv")))
-      .withColumn("prank", row_number().over(probeW))
-      .filter(col("prank") <= nProbe)
-      .select(col("query_id"), col("qv"), col("centroid_id").as("list_id"))
-    // scan only probed lists
-    val scored = assigned.join(probes, Seq("list_id"))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents = centroidCodebook(emb, nList)
+    val bcCents = spark.sparkContext.broadcast(cents)
+    // assignment: nearest centroid per vector — mapPartitions kernel over
+    // the broadcast codebook (tight JVM loop; one pass, stays partition-local)
+    val assigned = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bcCents.value
+        it.map { case (id, v) => (id, v, nearestList(v, cs)) }
+      }.toDF("vec_id", "embedding", "list_id")
+    // query side: top nProbe centroid lists per query (tiny by construction)
+    val probes = emb.filter(queryFilter)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (qid, qv) =>
+        probeLists(qv, bcCents.value, nProbe).iterator.map(listId => (qid, qv, listId))
+      }.toDF("query_id", "qv", "list_id")
+    // scan only probed lists: broadcast the probes — the big assigned side
+    // never shuffles
+    val scored = assigned.join(broadcast(probes), Seq("list_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine", cosine(col("qv"), col("embedding")))
     val w = Window.partitionBy(col("query_id"))

@@ -20,12 +20,15 @@ for name, sql in sorted(oracle.items()):
     files = glob.glob(f'{outdir}/{name}/*.parquet')
     if not files:
         print(f'{name}: NO SPARK OUTPUT'); fails += 1; continue
-    spark_df = con.sql(f"SELECT * FROM read_parquet({files!r})").fetchall()
-    spark_cols = [d[0] for d in con.sql(f"SELECT * FROM read_parquet({files!r}) LIMIT 0").description]
+    # materialize via pandas, like the driver — DuckDB HUGEINT becomes
+    # float64 here, reproducing the driver's hashing behavior exactly
+    sp = con.sql(f"SELECT * FROM read_parquet({files!r})").df()
+    spark_df = list(sp.itertuples(index=False, name=None))
+    spark_cols = list(sp.columns)
     try:
-        duck = con.sql(sql)
-        duck_cols = [d[0] for d in duck.description]
-        duck_rows = duck.fetchall()
+        duck = con.sql(sql).df()
+        duck_cols = list(duck.columns)
+        duck_rows = list(duck.itertuples(index=False, name=None))
     except Exception as e:
         print(f'{name}: ORACLE SQL ERROR: {e}'); fails += 1; continue
     if sorted(spark_cols) != sorted(duck_cols):
