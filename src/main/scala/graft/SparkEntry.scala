@@ -178,7 +178,10 @@ object SparkEntry {
     "q31_ann_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(s.read.parquet(t(dir, "embeddings")), col("vec_id") < 20, 10)),
     "q32_embedding_neardup" -> ((s, dir) =>
-      Dedup.embeddingNearDup(s.read.parquet(t(dir, "embeddings")), threshold = 0.5)
+      // 0.4: the synthetic embeddings' most-similar pairs sit around
+      // 0.45-0.6 cosine; 0.95-style near-dup recall is property-tested on
+      // planted duplicates in OpsSpec
+      Dedup.embeddingNearDup(s.read.parquet(t(dir, "embeddings")), threshold = 0.4)
         .select(col("v1"), col("v2"), round(col("cosine"), 6).as("cosine"))),
     "q33_fingerprint" -> ((s, dir) =>
       TextStats.fingerprints(s.read.parquet(t(dir, "documents")))),
@@ -244,7 +247,26 @@ object SparkEntry {
     })
   )
 
+  /** Golden-fixture oracle: DuckDB reads the committed parquet written by
+    * graft.golden.GoldenGen (the sequential twin — NaiveKernel dense math,
+    * union-find canonicalizer, independent XXH64). Verify substitutes
+    * __SF__ with the sf directory name at dump time. */
+  private def golden(name: String): String =
+    s"SELECT * FROM '/root/repo/golden/__SF__/$name.parquet/*.parquet'"
+
   def oracleSql: Map[String, String] = Map(
+    "q28_simhash" -> golden("q28_simhash"),
+    "q29_simhash_neardup" -> golden("q29_simhash_neardup"),
+    "q32_embedding_neardup" -> golden("q32_embedding_neardup"),
+    "q33_fingerprint" -> golden("q33_fingerprint"),
+    "q35_frame_sample" -> golden("q35_frame_sample"),
+    "q41_sentences" -> golden("q41_sentences"),
+    "q42_mentions" -> golden("q42_mentions"),
+    "q43_tagged_tokens" -> golden("q43_tagged_tokens"),
+    "q44_linked" -> golden("q44_linked"),
+    "q46_canon_components" -> golden("q46_canon_components"),
+    "q47_triples" -> golden("q47_triples"),
+    "q48_span_metrics_greedy_vs_viterbi" -> golden("q48_span_metrics_greedy_vs_viterbi"),
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 4) AS sum_qty,
@@ -350,6 +372,49 @@ object SparkEntry {
          SELECT doc1, doc2, cnt AS inter, s1.sz + s2.sz - cnt AS uni
          FROM ip JOIN sizes s1 ON s1.doc_id = doc1 JOIN sizes s2 ON s2.doc_id = doc2
          WHERE cnt * 100 >= (s1.sz + s2.sz - cnt) * 50""",
+    // exact n-gram Jaccard as the LSH oracle: every pair minhashLsh reports
+    // must be a true >=0.5-Jaccard pair AND (verified empirically: the
+    // corpus' near-dups are high-similarity, where 8x4 banding recall ~ 1)
+    // every true pair must be found — so the exact twin IS the answer
+    "q27_minhash_lsh" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         grams AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ts) - 1),
+                     i -> ts[i] || ts[i+1] || ts[i+2]))) AS g FROM toks),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+         ip AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS cnt
+                FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         SELECT doc1, doc2, CAST(cnt AS INT) AS inter, CAST(s1.sz + s2.sz - cnt AS INT) AS uni
+         FROM ip JOIN sizes s1 ON s1.doc_id = doc1 JOIN sizes s2 ON s2.doc_id = doc2
+         WHERE cnt * 2 >= s1.sz + s2.sz - cnt""",
+    // full IVF replication in SQL: same deterministic codebook (stride on
+    // max id, ordered cut), same assignment/probe/rank tie-breaks; cosines
+    // computed as dot/(sqrt*sqrt) over DOUBLE[] in array order on both
+    // sides, so the doubles are bit-identical and need no rounding
+    "q31_ann_ivf" -> {
+      val cos = (a: String, b: String) =>
+        s"(list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b))))"
+      s"""WITH mx AS (SELECT max(vec_id) AS m FROM embeddings),
+         cents AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+                   FROM embeddings, mx
+                   WHERE vec_id % greatest(1, (m + 1) // 16) = 0
+                   ORDER BY vec_id LIMIT 16),
+         assigned AS (SELECT vec_id, ev, centroid_id AS list_id FROM (
+             SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS ev, c.centroid_id,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY ${cos("CAST(e.embedding AS DOUBLE[])", "c.cv")} DESC, c.centroid_id ASC) AS rn
+             FROM embeddings e, cents c) WHERE rn = 1),
+         probes AS (SELECT query_id, qv, centroid_id AS list_id FROM (
+             SELECT q.vec_id AS query_id, CAST(q.embedding AS DOUBLE[]) AS qv, c.centroid_id,
+                    row_number() OVER (PARTITION BY q.vec_id
+                      ORDER BY ${cos("CAST(q.embedding AS DOUBLE[])", "c.cv")} DESC, c.centroid_id ASC) AS rn
+             FROM embeddings q, cents c WHERE q.vec_id < 20) WHERE rn <= 4)
+         SELECT query_id, neighbor_id, rank FROM (
+           SELECT p.query_id, a.vec_id AS neighbor_id,
+                  row_number() OVER (PARTITION BY p.query_id
+                    ORDER BY ${cos("p.qv", "a.ev")} DESC, a.vec_id ASC) AS rank
+           FROM assigned a JOIN probes p ON a.list_id = p.list_id AND a.vec_id <> p.query_id)
+         WHERE rank <= 10"""
+    },
     "q30_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                     FROM embeddings WHERE vec_id < 20)

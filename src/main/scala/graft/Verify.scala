@@ -34,8 +34,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // __SF__ -> the sf directory name, so golden-fixture oracle paths
+    // resolve against the scale this run actually verified
+    val sfName = new java.io.File(sfDir).getName
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__SF__", sfName))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -1,0 +1,68 @@
+package graft.golden
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Golden-fixture generator: computes every SequentialTwin oracle over one
+ * sf directory and writes each as a single-file parquet under
+ * `<outDir>/<queryName>.parquet/` — the files SparkEntry.oracleSql points
+ * DuckDB at (via the __SF__ token Verify substitutes).
+ *
+ * All query RESULTS here come from the sequential twins (plain driver-side
+ * Scala; NaiveKernel dense math); Spark is used only to read the input
+ * parquet, to build the deterministic model registry (the same model
+ * fixture both pipelines consume), and to serialize the twin output.
+ *
+ * Usage: GoldenGen <sfDir> <outDir>   (run once per sf; output committed)
+ */
+object GoldenGen {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    import SequentialTwin._
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "lang", "source")
+      .as[(Long, String, String, String)].collect().sortBy(_._1)
+      .map { case (id, t, l, s) => Doc(id, t, l, s) }.toSeq
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().sortBy(_._1).toSeq
+
+    def write[T <: Product : org.apache.spark.sql.Encoder](name: String, rows: Seq[T], cols: String*): Unit = {
+      val ds = spark.createDataset(rows)
+      val df = if (cols.nonEmpty) ds.toDF(cols: _*) else ds.toDF()
+      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      println(s"[golden] $name: ${rows.size} rows")
+    }
+
+    // hash-family + scalar ops (documents/embeddings only)
+    write("q28_simhash", docs.map(d => (d.docId, simhash(d.text))), "doc_id", "simhash")
+    write("q29_simhash_neardup", q29SimhashNearDup(docs), "doc1", "doc2", "hamming")
+    write("q32_embedding_neardup", q32EmbeddingNearDup(vecs, threshold = 0.4), "v1", "v2", "cosine")
+    write("q33_fingerprint", q33Fingerprints(docs), "doc_id", "fingerprint")
+    write("q35_frame_sample", q35FrameSamples(docs), "doc_id", "n_sampled")
+    write("q41_sentences", q41Sentences(docs), "url", "sentIdx", "n_tokens")
+
+    // NER pipeline twins (NaiveKernel; one BiLSTM pass, both decoders)
+    val models = graft.Pipeline.models(spark, sfDir)
+    val (greedy, vit) = tagBoth(docs, models)
+    val dict = aliasDict(docs)
+    val canon = new Canon(dict)
+    write("q42_mentions", mentions(greedy))
+    write("q43_tagged_tokens", q43TagCounts(greedy), "lang", "pred", "n")
+    write("q44_linked", q44Linked(greedy, dict))
+    write("q46_canon_components", Seq((canon.nNodes, canon.nComponents)), "n_nodes", "n_components")
+    write("q47_triples", q47Triples(greedy, dict, canon))
+    write("q48_span_metrics_greedy_vs_viterbi", q48Prf(mentions(vit), mentions(greedy)),
+      "entityType", "correct", "guessed", "gold", "precision", "recall", "f1")
+
+    spark.stop()
+  }
+}

@@ -1,4 +1,4 @@
-package graft
+package graft.golden
 
 import graft.ner.{Kernel, Vocab}
 import graft.ner.Kernel.NerWeights
@@ -76,9 +76,9 @@ object NaiveKernel {
     (hN, cN)
   }
 
-  /** Full forward + greedy decode for one sentence. Returns (preds, probs). */
-  def forward(tokens: IndexedSeq[String], inputVocab: Vocab, charVocab: Vocab,
-              w: NerWeights): (Array[Int], Array[Array[Float]]) = {
+  /** BiLSTM hidden states (L x 2H) via the textbook loops. */
+  def hiddenStates(tokens: IndexedSeq[String], inputVocab: Vocab, charVocab: Vocab,
+                   w: NerWeights): Array[Array[Float]] = {
     val L = tokens.length
     val cMax = math.max(w.maxWidth,
       if (L == 0) 0 else tokens.map(t => graft.text.TextExtract.codePoints(t).length).max)
@@ -106,7 +106,13 @@ object NaiveKernel {
       h = hN; c = cN
       System.arraycopy(h, 0, hidden(t), H, H)
     }
-    // greedy transition decode
+    hidden
+  }
+
+  /** Greedy transition decode over precomputed hidden states. */
+  def greedyFromHidden(hidden: Array[Array[Float]], w: NerWeights): (Array[Int], Array[Array[Float]]) = {
+    val L = hidden.length
+    val H = w.hidden
     val T = w.tagCount
     val preds = new Array[Int](L)
     val probs = new Array[Array[Float]](L)
@@ -123,5 +129,55 @@ object NaiveKernel {
       probs(t) = Kernel.softmax(logits)
     }
     (preds, probs)
+  }
+
+  /** Full forward + greedy decode for one sentence. Returns (preds, probs). */
+  def forward(tokens: IndexedSeq[String], inputVocab: Vocab, charVocab: Vocab,
+              w: NerWeights): (Array[Int], Array[Array[Float]]) =
+    greedyFromHidden(hiddenStates(tokens, inputVocab, charVocab, w), w)
+
+  /** Textbook Viterbi over the transition-conditioned scores: maximizes the
+    * sum of per-step log-softmax(logits | prev tag); first-max tie-breaks,
+    * like Kernel.viterbiDecode but written as the straightforward
+    * prev-loop-inside-cur-loop DP (different code shape on purpose). */
+  def viterbi(tokens: IndexedSeq[String], inputVocab: Vocab, charVocab: Vocab,
+              w: NerWeights): Array[Int] =
+    viterbiFromHidden(hiddenStates(tokens, inputVocab, charVocab, w), w)
+
+  def viterbiFromHidden(hidden: Array[Array[Float]], w: NerWeights): Array[Int] = {
+    val L = hidden.length
+    val T = w.tagCount
+    val H2 = 2 * w.hidden
+    if (L == 0) return Array.empty
+    def baseLogit(t: Int, y: Int): Float = {
+      var a = 0.0f
+      for (j <- 0 until H2) a += w.outW(y)(j) * hidden(t)(j)
+      a
+    }
+    val base = Array.tabulate(L, T)(baseLogit)
+    val delta = Array.ofDim[Double](L, T)
+    val back = Array.ofDim[Int](L, T)
+    val ls0 = Kernel.logSoftmax(base(0))
+    for (y <- 0 until T) delta(0)(y) = ls0(y)
+    for (t <- 1 until L) {
+      // log-softmax of the current step's logits, conditioned on each prev
+      val condLs = Array.tabulate(T) { p =>
+        Kernel.logSoftmax(Array.tabulate(T)(y => base(t)(y) + w.outW(y)(H2 + p)))
+      }
+      for (cur <- 0 until T) {
+        var bestP = 0
+        var bestV = delta(t - 1)(0) + condLs(0)(cur)
+        for (p <- 1 until T) {
+          val v = delta(t - 1)(p) + condLs(p)(cur)
+          if (v > bestV) { bestV = v; bestP = p }
+        }
+        delta(t)(cur) = bestV
+        back(t)(cur) = bestP
+      }
+    }
+    val preds = new Array[Int](L)
+    preds(L - 1) = (0 until T).maxBy(y => (delta(L - 1)(y), -y))
+    for (t <- L - 1 to 1 by -1) preds(t - 1) = back(t)(preds(t))
+    preds
   }
 }

@@ -1,0 +1,299 @@
+package graft.golden
+
+import graft.core.{LinkEdge, Mention, Triple}
+import graft.gen.CorpusGen
+import graft.link.EntityLink
+import graft.ner.{Bioes, Models, NerStage}
+import graft.ops.{Multimodal, TextStats}
+import graft.text.TextExtract
+
+/**
+ * Sequential, single-threaded oracle twins of the distributed queries — the
+ * independent goldens behind the driver's DuckDB compare for the operators
+ * no SQL can express (LSH families over Spark's hash space, the NER
+ * pipeline). Everything here is plain driver-side Scala: a straight
+ * scan-order loop per document, NaiveKernel (the dense-math kernel twin)
+ * for inference, a recursive union-find for canonicalization, and Xxh64
+ * (an independent XXH64 implementation, property-tested equal to Spark's
+ * xxhash64) for the hash families. No Spark execution happens here; Spark
+ * is used only by GoldenGen to read/write parquet.
+ *
+ * Output row shapes mirror the SparkEntry queries exactly (same column
+ * names and value semantics) so the driver's sorted-row hash compare is
+ * meaningful.
+ */
+object SequentialTwin {
+
+  final case class Doc(docId: Long, text: String, lang: String, source: String)
+
+  def url(d: Doc): String = s"https://crawl.example.org/${d.lang}/${d.source}/doc${d.docId}"
+
+  /** Spark's split(text, " ") keeps trailing empties — so must the twin. */
+  def splitKeepAll(text: String): Array[String] = text.split(" ", -1)
+
+  /** Spark Round(double, scale) semantics (HALF_UP over the decimal form). */
+  def sparkRound(x: Double, scale: Int): Double =
+    if (x.isNaN || x.isInfinite) x
+    else BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  // ------------------------------------------------------------- sentences
+
+  /** (url, lang, sentIdx, tokens) per sentence, full extraction chain. */
+  def sentences(docs: Seq[Doc]): Seq[(String, String, Int, IndexedSeq[String])] =
+    docs.flatMap { d =>
+      val text = TextExtract.extractText(CorpusGen.htmlFor(d.docId, d.text, d.lang, d.source))
+      TextExtract.sentences(text).zipWithIndex.map { case (toks, i) =>
+        (url(d), d.lang, i, toks.toIndexedSeq)
+      }
+    }
+
+  /** q41 rows: (url, sentIdx, n_tokens). */
+  def q41Sentences(docs: Seq[Doc]): Seq[(String, Int, Int)] =
+    sentences(docs).map { case (u, _, i, toks) => (u, i, toks.length) }
+
+  // ------------------------------------------------------------------- NER
+
+  final case class TaggedSent(url: String, lang: String, sentIdx: Int,
+                              tokens: IndexedSeq[String], preds: IndexedSeq[String])
+
+  /** Greedy and Viterbi taggings in one pass (one BiLSTM per sentence). */
+  def tagBoth(docs: Seq[Doc], models: Map[String, Models.LangModel]): (Seq[TaggedSent], Seq[TaggedSent]) = {
+    val both = sentences(docs).map { case (u, lang, i, toks) =>
+      val m = models.getOrElse(lang, models.getOrElse("*", models.head._2))
+      def toTags(ids: Array[Int]): IndexedSeq[String] = ids.toIndexedSeq.map(id =>
+        m.tagVocab.getIndex(id).getOrElse("o").toUpperCase(java.util.Locale.ROOT))
+      if (toks.isEmpty) {
+        val t = TaggedSent(u, lang, i, toks, IndexedSeq.empty)
+        (t, t)
+      } else {
+        val hidden = NaiveKernel.hiddenStates(toks, m.inputVocab, m.charVocab, m.weights)
+        val g = NaiveKernel.greedyFromHidden(hidden, m.weights)._1
+        val v = NaiveKernel.viterbiFromHidden(hidden, m.weights)
+        (TaggedSent(u, lang, i, toks, toTags(g)), TaggedSent(u, lang, i, toks, toTags(v)))
+      }
+    }
+    (both.map(_._1), both.map(_._2))
+  }
+
+  def mentions(tagged: Seq[TaggedSent]): Seq[Mention] =
+    tagged.flatMap { s =>
+      Bioes.spans(s.preds).map { sp =>
+        Mention(s.url, s.lang, s.sentIdx, sp.begin, sp.end,
+          s.tokens.slice(sp.begin, sp.end).mkString(" "), sp.tpe)
+      }
+    }
+
+  /** q43 rows: (lang, pred, n) over per-token tag counts. */
+  def q43TagCounts(tagged: Seq[TaggedSent]): Seq[(String, String, Long)] =
+    tagged.flatMap(s => s.preds.map(p => (s.lang, p)))
+      .groupBy(identity).map { case ((lang, pred), xs) => (lang, pred, xs.size.toLong) }
+      .toSeq
+
+  // ------------------------------------------------- alias dict / link / KG
+
+  /** Alias dictionary twin of EntityLink.aliasDict: per distinct lowercased
+    * corpus token, candidates (self 1.0, stem 0.5, prefix-stem 0.25). */
+  def aliasDict(docs: Seq[Doc]): scala.collection.SeqMap[String, Seq[(Long, Double)]] = {
+    val aliases = scala.collection.mutable.LinkedHashSet.empty[String]
+    sentences(docs).foreach { case (_, _, _, toks) =>
+      toks.foreach(t => aliases += t.toLowerCase(java.util.Locale.ROOT))
+    }
+    val b = scala.collection.immutable.VectorMap.newBuilder[String, Seq[(Long, Double)]]
+    aliases.foreach { a =>
+      val cands = scala.collection.mutable.LinkedHashMap(a -> 1.0)
+      val st = EntityLink.stem(a)
+      if (!cands.contains(st)) cands(st) = 0.5
+      val pf = EntityLink.prefixStem(a)
+      if (!cands.contains(pf)) cands(pf) = 0.25
+      b += a -> cands.iterator.map { case (c, p) => (EntityLink.entityId(c), p) }.toSeq
+    }
+    b.result()
+  }
+
+  /** Best entity per alias: max prior, then min entity id. */
+  def bestEntity(cands: Seq[(Long, Double)]): Long =
+    cands.maxBy { case (id, p) => (p, -id) }._1
+
+  def q44Linked(tagged: Seq[TaggedSent], dict: scala.collection.SeqMap[String, Seq[(Long, Double)]]): Seq[LinkEdge] =
+    mentions(tagged).flatMap { m =>
+      val alias = splitKeepAll(m.surface)(0).toLowerCase(java.util.Locale.ROOT)
+      dict.get(alias).map { cands =>
+        val (id, prior) = cands.maxBy { case (cid, p) => (p, -cid) }
+        LinkEdge(m.url, m.lang, m.sentIdx, m.begin, m.surface, id, prior)
+      }
+    }
+
+  /** Union-find canonicalization over the dict's alias-merge edges
+    * (min-id <-> max-id per alias with >1 distinct candidate id). Returns
+    * (canonOf, nNodes, nComponents). */
+  final class Canon(dict: scala.collection.SeqMap[String, Seq[(Long, Double)]]) {
+    private val parent = scala.collection.mutable.Map.empty[Long, Long]
+    private def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    val edges: Seq[(Long, Long)] = dict.valuesIterator.flatMap { cands =>
+      val ids = cands.map(_._1)
+      if (ids.min != ids.max) Some((ids.min, ids.max)) else None
+    }.toSeq
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes: Seq[Long] = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    private val compMin: Map[Long, Long] =
+      nodes.groupBy(find).map { case (root, ns) => root -> ns.min }
+    private val nodeSet = nodes.toSet
+    def canon(id: Long): Long = if (nodeSet.contains(id)) compMin(find(id)) else id
+    def nNodes: Long = nodes.size.toLong
+    def nComponents: Long = nodes.map(find).distinct.size.toLong
+  }
+
+  /** q47 rows (a MULTISET — duplicates preserved, unlike a Set compare). */
+  def q47Triples(tagged: Seq[TaggedSent],
+                 dict: scala.collection.SeqMap[String, Seq[(Long, Double)]],
+                 canon: Canon): Seq[Triple] = {
+    val lex = NerStage.defaultPredicateLexicon
+    val best = dict.map { case (a, cands) => a -> bestEntity(cands) }
+    tagged.flatMap { s =>
+      val sps = Bioes.spans(s.preds)
+      val toks = s.tokens
+      (0 until math.max(0, sps.length - 1)).flatMap { i =>
+        val a = sps(i); val b = sps(i + 1)
+        if (b.begin - a.end > 10) None
+        else {
+          val between = toks.slice(a.end, b.begin)
+          val pred = between.find(t => lex.contains(t.toLowerCase(java.util.Locale.ROOT)))
+            .map(_.toLowerCase(java.util.Locale.ROOT)).getOrElse("related_to")
+          val subjAlias = toks.slice(a.begin, a.end).head.toLowerCase(java.util.Locale.ROOT)
+          val objAlias = toks.slice(b.begin, b.end).head.toLowerCase(java.util.Locale.ROOT)
+          for (sId <- best.get(subjAlias); oId <- best.get(objAlias))
+            yield Triple(canon.canon(sId), pred, canon.canon(oId), s.lang, s.url, s.sentIdx)
+        }
+      }
+    }
+  }
+
+  /** q48 rows: conlleval-style P/R/F of `pred` mentions vs `gold` mentions —
+    * per entityType plus the ALL row, SpanEval.prf arithmetic. */
+  def q48Prf(pred: Seq[Mention], gold: Seq[Mention]): Seq[(String, Long, Long, Long, Double, Double, Double)] = {
+    def key(m: Mention) = (m.url, m.sentIdx, m.begin, m.end, m.entityType)
+    val pKeys = pred.map(key).toSet
+    val gKeys = gold.map(key).toSet
+    val types = (pred.map(_.entityType) ++ gold.map(_.entityType)).distinct
+    def row(tpe: String, correct: Long, guessed: Long, gold0: Long) = {
+      val p = if (guessed > 0) correct.toDouble / guessed else 0.0
+      val r = if (gold0 > 0) correct.toDouble / gold0 else 0.0
+      val f = if (p + r > 0) 2 * p * r / (p + r) else 0.0
+      (tpe, correct, guessed, gold0, sparkRound(p, 6), sparkRound(r, 6), sparkRound(f, 6))
+    }
+    val perType = types.map { t =>
+      val c = pKeys.count(k => k._5 == t && gKeys.contains(k)).toLong
+      val gu = pred.count(_.entityType == t).toLong
+      val go = gold.count(_.entityType == t).toLong
+      (t, c, gu, go)
+    }
+    val all = ("ALL", perType.map(_._2).sum, perType.map(_._3).sum, perType.map(_._4).sum)
+    (perType :+ all).map { case (t, c, gu, go) => row(t, c, gu, go) }
+  }
+
+  // -------------------------------------------------------- hash-family ops
+
+  /** q28: 64-bit SimHash per doc, Spark-identical token hashing. */
+  def simhash(text: String): Long = {
+    val hs = splitKeepAll(text).map(t => Xxh64.hashString(t, Xxh64.SparkSeed))
+    var sim = 0L
+    var b = 0
+    while (b < 64) {
+      var vote = 0L
+      hs.foreach(h => vote += (if (((h >> b) & 1L) == 1L) 1L else -1L))
+      if (vote > 0) sim |= (1L << b)
+      b += 1
+    }
+    sim
+  }
+
+  /** Candidate pairs from (id, band, bucket) rows with the hot-bucket cap
+    * (size 2..maxBucket), a<b, distinct — idPairsFromBuckets' semantics. */
+  def pairsFromBuckets(rows: Seq[(Long, Int, Long)], maxBucket: Int): Seq[(Long, Long)] =
+    rows.groupBy(r => (r._2, r._3)).valuesIterator
+      .filter(g => g.size >= 2 && g.size <= maxBucket)
+      .flatMap { g =>
+        val ids = g.map(_._1)
+        for (a <- ids; b <- ids if a < b) yield (a, b)
+      }.toSeq.distinct
+
+  /** q29 rows: (doc1, doc2, hamming). */
+  def q29SimhashNearDup(docs: Seq[Doc], maxHamming: Int = 3, maxBucket: Int = 64): Seq[(Long, Long, Int)] = {
+    val sims = docs.map(d => d.docId -> simhash(d.text)).toMap
+    val banded = docs.flatMap { d =>
+      (0 until 4).map(c => (d.docId, c, (sims(d.docId) >> (c * 16)) & 65535L))
+    }
+    pairsFromBuckets(banded, maxBucket).flatMap { case (a, b) =>
+      val hamming = java.lang.Long.bitCount(sims(a) ^ sims(b))
+      if (hamming <= maxHamming) Some((a, b, hamming)) else None
+    }
+  }
+
+  // ------------------------------------------------------- embedding ops
+
+  /** Spark cosine() twin: per-element double products, summed in order;
+    * norms likewise; dot / (sqrt * sqrt). */
+  def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) { dot += a(i).toDouble * b(i).toDouble; i += 1 }
+    i = 0
+    while (i < a.length) { na += a(i).toDouble * a(i).toDouble; i += 1 }
+    i = 0
+    while (i < b.length) { nb += b(i).toDouble * b(i).toDouble; i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Sign bit of embedding vs pseudo-plane p — Spark-identical arithmetic:
+    * weight from xxhash64("plane<p>:<i>") parity, float product, double
+    * accumulation in array order. */
+  def planeBit(emb: Array[Float], p: Int): Int = {
+    var acc = 0.0
+    var i = 0
+    while (i < emb.length) {
+      val h = Xxh64.hashString(s"plane$p:$i", Xxh64.SparkSeed)
+      val w = (((h % 2 + 2) % 2) * 2 - 1).toFloat
+      acc += (emb(i) * w).toDouble
+      i += 1
+    }
+    if (acc > 0) 1 else 0
+  }
+
+  /** q32 rows: (v1, v2, cosine rounded 6) via 16-plane / 4-band sign-LSH. */
+  def q32EmbeddingNearDup(vecs: Seq[(Long, Array[Float])], threshold: Double = 0.5,
+                          planes: Int = 16, bands: Int = 4, maxBucket: Int = 256): Seq[(Long, Long, Double)] = {
+    val rows = planes / bands
+    val byId = vecs.toMap
+    val banded = vecs.flatMap { case (id, v) =>
+      val bits = (0 until planes).map(p => planeBit(v, p))
+      (0 until bands).map { b =>
+        val bucket = bits.slice(b * rows, b * rows + rows).foldLeft(0L)((a, bit) => a * 2 + bit)
+        (id, b, bucket)
+      }
+    }
+    pairsFromBuckets(banded, maxBucket).flatMap { case (a, b) =>
+      val c = cosine(byId(a), byId(b))
+      if (c >= threshold) Some((a, b, sparkRound(c, 6))) else None
+    }
+  }
+
+  // --------------------------------------------------------- scalar ops
+
+  /** q33 rows: (doc_id, fingerprint). */
+  def q33Fingerprints(docs: Seq[Doc]): Seq[(Long, Long)] =
+    docs.map(d => (d.docId, TextStats.fingerprint64(d.text)))
+
+  /** q35 rows: (doc_id, n_sampled) for video docs (doc_id % 3 == 2). */
+  def q35FrameSamples(docs: Seq[Doc], stride: Int = 10): Seq[(Long, Long)] =
+    docs.filter(d => d.docId % 3 == 2).map { d =>
+      val blob = d.text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val (_, _, nFrames, _) = Multimodal.decodeStub("video/mp4", blob)
+      (d.docId, ((nFrames - 1) / stride + 1).toLong)
+    }
+}

@@ -154,8 +154,11 @@ object Similarity {
     val scored = assigned.join(broadcast(probes), Seq("list_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine", cosine(col("qv"), col("embedding")))
+    // unrounded ordering: cosine() sums in array order in double, which is
+    // bit-identical to the scalar twin and to DuckDB's list_inner_product
+    // form — no rounding needed for deterministic cross-engine agreement
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(round(col("cosine"), 9).desc, col("vec_id").asc)
+      .orderBy(col("cosine").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))

@@ -66,7 +66,7 @@ class GoldenPipelineSpec extends SparkSpec {
     val lex = NerStage.defaultPredicateLexicon
     sentences.flatMap { case (url, lang, si, toks) =>
       val m = models(lang)
-      val (predIds, _) = NaiveKernel.forward(toks.toIndexedSeq, m.inputVocab, m.charVocab, m.weights)
+      val (predIds, _) = graft.golden.NaiveKernel.forward(toks.toIndexedSeq, m.inputVocab, m.charVocab, m.weights)
       val tags = predIds.toIndexedSeq.map(id =>
         m.tagVocab.getIndex(id).getOrElse("o").toUpperCase(java.util.Locale.ROOT))
       val spans = graft.ner.Bioes.spans(tags)

@@ -49,7 +49,7 @@ class KernelSpec extends AnyFunSuite {
       val bits = Kernel.charBits(TextExtract.codePoints(tok), chV, cMax)
       val mine = new Array[Float](w.nWidths * w.numFilters)
       Kernel.charCnn(bits, cMax, w, mine, 0)
-      val naive = NaiveKernel.charFeatures(tok, chV, cMax, w)
+      val naive = graft.golden.NaiveKernel.charFeatures(tok, chV, cMax, w)
       for (i <- mine.indices)
         assert(math.abs(mine(i) - naive(i)) < 1e-5f, s"tok=$tok cMax=$cMax i=$i ${mine(i)} ${naive(i)}")
     }
@@ -67,7 +67,7 @@ class KernelSpec extends AnyFunSuite {
       val cps = sent.map(TextExtract.codePoints).toArray
       val hidden = Kernel.bilstmStates(sent, wordIds, cps, chV, w)
       val mine = Kernel.greedyDecode(hidden, w)
-      val (nPreds, nProbs) = NaiveKernel.forward(sent, inV, chV, w)
+      val (nPreds, nProbs) = graft.golden.NaiveKernel.forward(sent, inV, chV, w)
       assert(mine.preds.toSeq == nPreds.toSeq, s"sent=$sent")
       for (t <- sent.indices; k <- 0 until w.tagCount)
         assert(math.abs(mine.probs(t)(k) - nProbs(t)(k)) < 1e-4f)
