@@ -1,0 +1,118 @@
+package graft
+
+import graft.golden.{SequentialTwin, Xxh64}
+import graft.ops.Dedup
+import org.apache.spark.sql.functions._
+
+/**
+ * The sequential-twin equivalences the golden fixtures rest on:
+ *  - Xxh64 (independent XXH64 from the public spec) == Spark's xxhash64
+ *    for strings / ints / longs / chained args;
+ *  - SequentialTwin.sparkRound == Spark's round(col, n);
+ *  - twin simhash / sign-LSH == the distributed operators on a live corpus;
+ *  - multi-band embeddingNearDup recall >= 0.95 on PLANTED near-duplicates;
+ *  - idPairsFromBuckets drops degenerate hot buckets loudly and boundedly.
+ */
+class GoldenTwinSpec extends SparkSpec {
+
+  private val rng = new scala.util.Random(20260816L)
+
+  test("Xxh64 matches Spark xxhash64: strings of every length class") {
+    import spark.implicits._
+    val strings = Seq("", "a", "abc", "abcdefg", "abcdefgh", "12345678901234567890123456789012",
+      "x" * 100, "danda।mixed ünïcödé € text", "plane3:17") ++
+      (1 to 50).map(_ => rng.alphanumeric.take(rng.nextInt(80)).mkString)
+    val sparkHashes = strings.toDF("s").select(col("s"), xxhash64(col("s")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    strings.foreach { s =>
+      assert(Xxh64.hashString(s, Xxh64.SparkSeed) == sparkHashes(s), s"string '$s'")
+    }
+  }
+
+  test("Xxh64 matches Spark xxhash64: ints, longs, chained multi-arg") {
+    import spark.implicits._
+    val pairs = (1 to 40).map(_ => (rng.nextInt(), rng.nextLong()))
+    val rows = pairs.toDF("i", "l")
+      .select(xxhash64(col("i")), xxhash64(col("l")), xxhash64(col("i"), col("l")),
+        xxhash64(lit("seed"), col("i")))
+      .collect()
+    pairs.zip(rows).foreach { case ((i, l), r) =>
+      assert(Xxh64.hashInt(i, Xxh64.SparkSeed) == r.getLong(0))
+      assert(Xxh64.hashLong(l, Xxh64.SparkSeed) == r.getLong(1))
+      // Seq[Any]: Seq(i, l) would numerically widen the Int to Long
+      assert(Xxh64.sparkChain(Seq[Any](i, l)) == r.getLong(2))
+      assert(Xxh64.sparkChain(Seq[Any]("seed", i)) == r.getLong(3))
+    }
+  }
+
+  test("sparkRound matches Spark round() at scales 6 and 9") {
+    import spark.implicits._
+    val xs = (1 to 200).map(_ => (rng.nextDouble() * 2 - 1) * math.pow(10, rng.nextInt(6) - 3))
+    val rows = xs.toDF("x").select(round(col("x"), 6), round(col("x"), 9)).collect()
+    xs.zip(rows).foreach { case (x, r) =>
+      assert(SequentialTwin.sparkRound(x, 6) == r.getDouble(0), s"round6($x)")
+      assert(SequentialTwin.sparkRound(x, 9) == r.getDouble(1), s"round9($x)")
+    }
+  }
+
+  test("twin simhash == distributed simhash; twin near-dup == distributed") {
+    import spark.implicits._
+    val docs = (1L to 60L).map { i =>
+      val toks = (0 until 20).map(k => s"w${(i * 7 + k * 3) % 40}")
+      SequentialTwin.Doc(i, toks.mkString(" "), "en", "s")
+    }
+    val df = docs.map(d => (d.docId, d.text)).toDF("doc_id", "text")
+    val sparkSim = Dedup.simhash(df).as[(Long, Long)].collect().toMap
+    docs.foreach(d => assert(SequentialTwin.simhash(d.text) == sparkSim(d.docId)))
+    val sparkPairs = Dedup.simhashNearDup(df).select("doc1", "doc2", "hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(SequentialTwin.q29SimhashNearDup(docs).toSet == sparkPairs)
+  }
+
+  test("multi-band embeddingNearDup: recall >= 0.95 on planted near-dups, twin-identical") {
+    import spark.implicits._
+    val dim = 16
+    def randVec(): Array[Float] = Array.fill(dim)((rng.nextDouble() * 2 - 1).toFloat)
+    // 40 planted pairs (cosine ~ 0.99+) + 120 background vectors
+    val planted = (0 until 40).map { k =>
+      val v = randVec()
+      val nearDup = v.map(x => x + (rng.nextDouble() * 0.02 - 0.01).toFloat)
+      (2000L + 2 * k, v, 2001L + 2 * k, nearDup)
+    }
+    val background = (0 until 120).map(k => (3000L + k, randVec()))
+    val rows = planted.flatMap { case (i1, v1, i2, v2) => Seq((i1, v1), (i2, v2)) } ++ background
+    val df = rows.toDF("vec_id", "embedding")
+    val found = Dedup.embeddingNearDup(df, threshold = 0.95)
+      .select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = planted.count { case (i1, _, i2, _) => found.contains((i1, i2)) }.toDouble / planted.size
+    info(f"planted near-dup recall: $recall%.3f (${found.size} pairs found)")
+    assert(recall >= 0.95, f"recall $recall%.3f < 0.95")
+    // and the sequential twin reproduces the operator exactly (incl. cosine rounding)
+    val sparkExact = Dedup.embeddingNearDup(df, threshold = 0.95)
+      .select(col("v1"), col("v2"), round(col("cosine"), 6))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val twin = SequentialTwin.q32EmbeddingNearDup(
+      rows.map { case (id, v) => (id, v) }, threshold = 0.95).toSet
+    assert(twin == sparkExact)
+  }
+
+  test("degenerate hot bucket: bounded pair-gen, loud drop, others unaffected") {
+    import spark.implicits._
+    // 3000 identical docs -> one degenerate bucket per band; plus one cold
+    // duplicate pair (shared simhash bucket) that must survive
+    val degenerate = (1L to 3000L).map(i => (i, "same same same same same same"))
+    val base = (1 to 30).map(i => s"u$i").mkString(" ")
+    val df = (degenerate ++ Seq((9001L, base), (9002L, base))).toDF("doc_id", "text")
+    var dropped = (0L, 0L)
+    val banded = Dedup.simhash(df).select(col("doc_id"), lit(0).as("band"),
+      col("simhash").as("bucket"))
+    val pairs = Dedup.idPairsFromBuckets(banded, maxBucket = 64,
+        dropLabel = "spec-degenerate", onDrop = (b, d) => dropped = (b, d))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(dropped._1 >= 1, "hot bucket not reported dropped")
+    assert(dropped._2 >= 3000L, "dropped doc-slot count missing")
+    assert(Dedup.lastDropReport("spec-degenerate") == dropped)
+    assert(pairs.contains((9001L, 9002L)), "cold pair lost")
+    assert(!pairs.exists(p => p._1 <= 3000L), "degenerate bucket expanded into pairs")
+  }
+}
