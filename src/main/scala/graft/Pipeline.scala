@@ -33,15 +33,20 @@ object Pipeline {
     NerStage.sentences(pages(spark, sfDir))
 
   /** Deterministic per-language models, built once per (process, sfDir).
+    * SPARK_GRAFT_MODEL_DIR=<dir> loads a saved registry (the trained-model
+    * deployment path — graft.ner.ModelStore, S5 checkpoint parity);
     * SPARK_GRAFT_MODEL=reference selects the reference's own hyperparameters
     * (NeuralNERMono/NeuralNER.py:67-75: hidden 200, embed 300, filters 35,
     * widths 3-7); default is a small serving config for fast verification. */
   def models(spark: SparkSession, sfDir: String): Map[String, Models.LangModel] =
     modelCache.getOrElseUpdate(sfDir, {
-      if (sys.env.get("SPARK_GRAFT_MODEL").contains("reference"))
-        Models.build(spark, sentences(spark, sfDir),
-          embedDim = 300, numFilters = 35, minWidth = 3, maxWidth = 7, hidden = 200)
-      else Models.build(spark, sentences(spark, sfDir))
+      sys.env.get("SPARK_GRAFT_MODEL_DIR") match {
+        case Some(dir) => graft.ner.ModelStore.load(dir)
+        case None if sys.env.get("SPARK_GRAFT_MODEL").contains("reference") =>
+          Models.build(spark, sentences(spark, sfDir),
+            embedDim = 300, numFilters = 35, minWidth = 3, maxWidth = 7, hidden = 200)
+        case None => Models.build(spark, sentences(spark, sfDir))
+      }
     })
 
   /** Tagged sentences, persisted per (sfDir, decoder): the NER pass is the

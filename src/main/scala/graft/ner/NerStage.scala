@@ -8,13 +8,18 @@ import graft.core._
 import graft.text.TextExtract
 
 /** A tagged sentence — the unit handed from inference to span assembly /
-  * triple extraction (all derivable without another inference pass). */
+  * triple extraction (all derivable without another inference pass).
+  * `probs` carries per-token per-tag softmax probabilities when the tag
+  * stage ran with `withProbs = true` (the reference's final-test output,
+  * NeuralNER.py:325-333); empty otherwise so the common path ships no
+  * dead weight through shuffles. */
 final case class SentenceNer(
     url: String,
     lang: String,
     sentIdx: Int,
     tokens: Seq[String],
-    preds: Seq[String]
+    preds: Seq[String],
+    probs: Seq[Seq[Float]] = Nil
 )
 
 /** A surface-form triple emitted at tag time (entity ids attached later by
@@ -90,7 +95,8 @@ object NerStage {
           useViterbi: Boolean = false,
           lineage: Option[CollectionAccumulator[LineageRow]] = None,
           tokenCounter: Option[org.apache.spark.util.LongAccumulator] = None,
-          oovCounter: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[SentenceNer] = {
+          oovCounter: Option[org.apache.spark.util.LongAccumulator] = None,
+          withProbs: Boolean = false): Dataset[SentenceNer] = {
     val spark = sents.sparkSession
     import spark.implicits._
     sents.mapPartitions { iter =>
@@ -116,10 +122,11 @@ object NerStage {
               }
             case _ => ()
           }
-          val res = tagSentences(group.map(_.tokens.toIndexedSeq), m, useViterbi)
+          val res = tagSentencesFull(group.map(_.tokens.toIndexedSeq), m, useViterbi)
           rowsOut += group.size
-          group.iterator.zip(res.iterator).map { case (s, preds) =>
-            SentenceNer(s.url, s.lang, s.sentIdx, s.tokens, preds)
+          group.iterator.zip(res.iterator).map { case (s, (preds, probs)) =>
+            SentenceNer(s.url, s.lang, s.sentIdx, s.tokens, preds,
+              if (withProbs) probs else Nil)
           }
         }
       }
@@ -153,7 +160,14 @@ object NerStage {
   /** Batched serving function — one kernel invocation for K sentences of
     * one language. Per-sentence results are independent of K. */
   def tagSentences(sentences: Seq[IndexedSeq[String]], m: Models.LangModel,
-                   useViterbi: Boolean): Seq[Seq[String]] = {
+                   useViterbi: Boolean): Seq[Seq[String]] =
+    tagSentencesFull(sentences, m, useViterbi).map(_._1)
+
+  /** As tagSentences, but also returns per-token per-tag softmax
+    * probabilities (the reference final-test artifact's columns,
+    * NeuralNER.py:325-333). */
+  def tagSentencesFull(sentences: Seq[IndexedSeq[String]], m: Models.LangModel,
+                       useViterbi: Boolean): Seq[(Seq[String], Seq[Seq[Float]])] = {
     val nonEmpty = sentences.zipWithIndex.filter(_._1.nonEmpty)
     val encoded = nonEmpty.map { case (tokens, _) =>
       val wordIds = new Array[Int](tokens.length)
@@ -167,12 +181,14 @@ object NerStage {
       Kernel.Encoded(tokens, wordIds, cps)
     }.toArray
     val hidden = Kernel.bilstmStatesBatch(encoded, m.charVocab, m.weights)
-    val results = scala.collection.mutable.ArrayBuffer.fill[Seq[String]](sentences.length)(Nil)
+    val results = scala.collection.mutable.ArrayBuffer.fill[(Seq[String], Seq[Seq[Float]])](
+      sentences.length)((Nil, Nil))
     nonEmpty.iterator.zipWithIndex.foreach { case ((_, origIdx), k) =>
       val tagged = if (useViterbi) Kernel.viterbiDecode(hidden(k), m.weights)
                    else Kernel.greedyDecode(hidden(k), m.weights)
-      results(origIdx) = tagged.preds.toIndexedSeq.map(id =>
+      val preds = tagged.preds.toIndexedSeq.map(id =>
         m.tagVocab.getIndex(id).getOrElse("o").toUpperCase(java.util.Locale.ROOT))
+      results(origIdx) = (preds, tagged.probs.toIndexedSeq.map(_.toIndexedSeq))
     }
     results.toSeq
   }

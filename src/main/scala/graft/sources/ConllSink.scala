@@ -45,4 +45,21 @@ object ConllSink {
       formatSentence(s.tokens, g, s.preds)
     }.write.mode("overwrite").text(path)
   }
+
+  /** The reference FINAL-TEST artifact: `token p1..pK token gold PRED`
+    * (NeuralNER.py:325-333). Requires the tag stage to have run with
+    * `withProbs = true`; still conlleval-compatible (the scorer reads the
+    * last two fields). */
+  def writeWithProbs(ner: Dataset[SentenceNer], golds: Map[(String, Int), Seq[String]],
+                     path: String): Unit = {
+    val spark = ner.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(golds)
+    ner.map { s =>
+      require(s.probs.length == s.tokens.length,
+        s"no probs on ${s.url}#${s.sentIdx} — tag(withProbs = true) required")
+      val g = bc.value.getOrElse((s.url, s.sentIdx), Seq.fill(s.tokens.length)("O"))
+      formatSentence(s.tokens, g, s.preds, Some(s.probs.map(_.toArray)))
+    }.write.mode("overwrite").text(path)
+  }
 }

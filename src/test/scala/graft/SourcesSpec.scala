@@ -117,6 +117,51 @@ class SourcesSpec extends SparkSpec {
     assert(math.abs(r - m.group(2).toDouble) < 0.005, s"recall $r vs perl ${m.group(2)}")
   }
 
+  test("final-test probs format flows through the distributed path and perl-scores") {
+    import spark.implicits._
+    val scorer = "/root/reference/NeuralNERMono/eval/conll03eval.v2"
+    assume(Files.exists(java.nio.file.Paths.get(scorer)))
+    val sents = (0 until 12).map { i =>
+      graft.core.Sentence(s"p$i", "en", 0, Vector.fill(2 + i % 4)("tok" + i))
+    }
+    val models = Models.build(spark, spark.createDataset(sents))
+    val bc = spark.sparkContext.broadcast(models)
+    val tagged = NerStage.tag(spark.createDataset(sents), bc, withProbs = true).collect()
+    val T = models("en").tagVocab.size
+    // per-token distributions present, full tag arity, normalized
+    tagged.foreach { s =>
+      assert(s.probs.length == s.tokens.length)
+      s.probs.foreach { p =>
+        assert(p.length == T)
+        assert(math.abs(p.map(_.toDouble).sum - 1.0) < 1e-4)
+      }
+    }
+    // bit-equal to the kernel's own per-sentence probs
+    val one = tagged.minBy(_.url)
+    val direct = NerStage.tagSentencesFull(
+      Seq(one.tokens.toIndexedSeq), models("en"), useViterbi = false).head._2
+    assert(one.probs == direct)
+    // the written artifact is the reference final-test shape and the perl
+    // scorer parses it (last two fields = gold, pred)
+    val golds = sents.map(s => (s.url, 0) ->
+      s.tokens.indices.map(j => if (j % 2 == 0) "S-LOC" else "O")).toMap
+    val dir = Files.createTempDirectory("conllprobs").toString + "/out"
+    ConllSink.writeWithProbs(NerStage.tag(spark.createDataset(sents), bc, withProbs = true), golds, dir)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.startsWith("part-"))
+    val lines = files.flatMap(f => scala.io.Source.fromFile(f, "UTF-8").getLines().toSeq)
+    lines.filter(_.nonEmpty).foreach { ln =>
+      val fields = ln.split(" ")
+      assert(fields.length == T + 4, s"expected token p1..p$T token gold pred: $ln")
+      assert(fields(0) == fields(T + 1)) // token repeated after the probs
+    }
+    val tmp = Files.createTempFile("scoredprobs", ".txt")
+    Files.write(tmp, lines.mkString("\n").replace("\n\n\n", "\n\n").getBytes("UTF-8"))
+    val proc = new ProcessBuilder("perl", scorer).redirectInput(tmp.toFile).start()
+    val out = scala.io.Source.fromInputStream(proc.getInputStream).mkString
+    proc.waitFor()
+    assert(out.contains("accuracy:"), s"scorer failed on probs format: $out")
+  }
+
   test("distributed GloVe load == driver fromLines (dedup, order, pad/unk)") {
     val lines = Seq("Apple 1.0 2.0", "apple 9.0 9.0", "Banana 3.5 -4.25", "cherry 0.5 0.25")
     val f = Files.createTempFile("glove", ".txt")
