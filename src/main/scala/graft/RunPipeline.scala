@@ -21,7 +21,7 @@ object RunPipeline {
     val t0 = System.nanoTime()
     val report = Pipeline.runAndWrite(spark, sfDir, outRoot, useViterbi)
     val secs = (System.nanoTime() - t0) / 1e9
-    val nTriples = graft.core.TableIO.read(spark, outRoot).count()
+    val nTriples = graft.core.TableIO.read(spark, outRoot, "lang").count()
     println(
       s"""{"metric":"pipeline_run","seconds":${f"$secs%.2f"},"langs":${report.langsWritten.size},""" +
       s""""lineage_rows":${report.lineageRows},"tokens":${report.tokensSeen},""" +

@@ -65,6 +65,15 @@ object TableIO {
    * partition values already committed, writes the rest partition-by-lang
    * directory layout, then commits a new snapshot. Returns the partition
    * values written this run.
+   *
+   * Crash-atomicity: the parquet append and the snapshot commit are two
+   * steps, so a failure between them can leave files for a partition the
+   * snapshot does not record. To keep the resume contract (a partition is
+   * either fully committed or fully rewritten, never duplicated), every
+   * UNCOMMITTED todo partition's directory is deleted before its rewrite —
+   * files not covered by a snapshot are by definition leftovers of a failed
+   * attempt. `read(spark, root, partCol)` additionally filters to committed
+   * partition values, so readers never see a half-written partition.
    */
   def writeResumable(df: DataFrame, root: String, partCol: String): Seq[String] = {
     val spark = df.sparkSession
@@ -73,11 +82,30 @@ object TableIO {
       .collect().map(_.get(0).toString).toSeq.sorted
     val todo = values.filterNot(done)
     if (todo.nonEmpty) {
+      todo.foreach { v =>
+        deleteRecursively(Paths.get(root, "data",
+          s"$partCol=${escapePartitionValue(v)}"))
+      }
       val pending = df.filter(col(partCol).isInCollection(todo))
       pending.write.mode("append").partitionBy(partCol).parquet(s"$root/data")
       commitSnapshot(root, todo)
     }
     todo
+  }
+
+  /** Hive-style partition-directory escaping for the unsafe path chars
+    * Spark escapes on write (sufficient for the values this pipeline
+    * partitions by; full list in Spark's ExternalCatalogUtils). */
+  private def escapePartitionValue(v: String): String =
+    v.flatMap {
+      case c if c < ' ' || "\"#%'*/:=?\\{[]^".contains(c) => f"%%${c.toInt}%02X"
+      case c => c.toString
+    }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.exists(p)) {
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
   }
 
   /** Persist lineage rows (from the stage accumulators) alongside the data. */
@@ -95,6 +123,14 @@ object TableIO {
   /** Read back the data written by writeResumable. */
   def read(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(s"$root/data")
+
+  /** Snapshot-consistent read: only partitions recorded in a committed
+    * snapshot are visible (partition pruning keeps this a metadata filter —
+    * uncommitted leftover directories are never scanned). */
+  def read(spark: SparkSession, root: String, partCol: String): DataFrame = {
+    val done = completedPartitions(root).toSeq.sorted
+    spark.read.parquet(s"$root/data").filter(col(partCol).isInCollection(done))
+  }
 
   /**
    * Bucketed + sorted catalog table (K6's bucketing contract): downstream

@@ -9,12 +9,15 @@ import scala.collection.mutable.ArrayBuffer
  * startOfChunk; invoked from NeuralNER.py:52).
  *
  * A tag is `PREFIX-TYPE` (e.g. `B-PER`) or bare (`O`, or raw types like
- * `LOC` in the reference's German data, which conlleval treats as
- * prefix=tag, type="" — we treat bare non-O tags as prefix "I" with the tag
- * as type, matching conlleval's split-on-'-' behavior where a tag without
- * '-' yields type == the empty string and chunk == whole tag; for span
- * assembly this makes each maximal run of an identical raw tag one chunk,
- * which is what conlleval computes for that data).
+ * `LOC` in the reference's German data). Bare non-O tags are mapped here to
+ * (prefix = "I", type = tag), so each maximal run of one raw tag becomes
+ * one typed chunk. This is an INTENTIONAL improvement over conlleval, not
+ * parity: the perl scorer parses a dashless tag as (prefix = tag,
+ * type = "") and its transition tables then never start a chunk for
+ * raw-type runs — raw-tag data would produce zero chunks there. The
+ * pipeline's own output is always IOBES, where the two behaviors agree;
+ * only direct raw-tag scoring diverges (deliberately, in favor of counting
+ * the chunks the data clearly denotes).
  */
 object Bioes {
 

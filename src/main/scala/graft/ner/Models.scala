@@ -162,8 +162,9 @@ object Models {
    */
   def buildYang(spark: SparkSession, sentences: Dataset[graft.core.Sentence],
                 embedDim: Int = 32, numFilters: Int = 8, minWidth: Int = 3,
-                maxWidth: Int = 5, hidden: Int = 32, seed: Long = 42L): Map[String, LangModel] = {
-    val perLang = build(spark, sentences, embedDim, numFilters, minWidth, maxWidth, hidden, seed)
+                maxWidth: Int = 5, hidden: Int = 32, seed: Long = 42L,
+                tagVocabs: Map[String, Vocab] = Map.empty): Map[String, LangModel] = {
+    val perLang = build(spark, sentences, embedDim, numFilters, minWidth, maxWidth, hidden, seed, tagVocabs)
     if (perLang.isEmpty) return perLang
     // shared char-CNN requires one shared char vocab: take the union model
     // of the alphabetically-first language as the shared module holder
@@ -190,30 +191,44 @@ object Models {
 
   def buildSharedEncoder(spark: SparkSession, sentences: Dataset[graft.core.Sentence],
                          embedDim: Int = 32, numFilters: Int = 8, minWidth: Int = 3,
-                         maxWidth: Int = 5, hidden: Int = 32, seed: Long = 42L): Map[String, LangModel] = {
+                         maxWidth: Int = 5, hidden: Int = 32, seed: Long = 42L,
+                         tagVocabs: Map[String, Vocab] = Map.empty): Map[String, LangModel] = {
     import spark.implicits._
     val all = buildAllShared(spark, sentences, embedDim, numFilters, minWidth, maxWidth, hidden, seed)
     all.map { case (lg, m) =>
       if (lg == "*") lg -> m
       else {
-        // per-language output head (xavier over the shared encoder width)
-        lg -> m.copy(weights = m.weights.copy(
-          outW = Kernel.randomWeights(embedDim, minWidth, maxWidth, numFilters, hidden,
-            m.weights.charVocabSize, m.tagVocab.size, m.weights.embeddings,
-            seed ^ Embeddings.fnv1a("head:" + lg)).outW))
+        // per-language output head over the SHARED encoder — including a
+        // per-language TAG SPACE when provided (AllShared-NoOutput keeps
+        // per-language tag vocabs, modules.py:278-284,333-364): the head's
+        // row count and prev-tag columns are sized to that language's vocab
+        val tv = tagVocabs.getOrElse(lg, m.tagVocab)
+        lg -> m.copy(
+          tagVocab = tv,
+          weights = m.weights.copy(
+            tagCount = tv.size,
+            outW = Kernel.randomWeights(embedDim, minWidth, maxWidth, numFilters, hidden,
+              m.weights.charVocabSize, tv.size, m.weights.embeddings,
+              seed ^ Embeddings.fnv1a("head:" + lg)).outW))
       }
     }
   }
 
   def build(spark: SparkSession, sentences: Dataset[graft.core.Sentence],
             embedDim: Int = 32, numFilters: Int = 8, minWidth: Int = 3,
-            maxWidth: Int = 5, hidden: Int = 32, seed: Long = 42L): Map[String, LangModel] = {
-    val tv = tagVocab()
+            maxWidth: Int = 5, hidden: Int = 32, seed: Long = 42L,
+            tagVocabs: Map[String, Vocab] = Map.empty): Map[String, LangModel] = {
+    val sharedTv = tagVocab()
     val positioned = positionedTokens(sentences).persist()
     try {
       val charOrders = charOrderByLang(positioned)
       val wordOrders = wordOrderByLang(positioned)
       charOrders.keys.toSeq.sorted.map { lg =>
+        // per-language tag space when provided (Yang's aux tag vocab,
+        // NeuralNERYang/NeuralNERYang.py:63-64,106,157; NoOutput's
+        // per-language tag vocabs, NeuralNERAllShared/models/modules.py:278-284);
+        // the fixed IOBES vocab otherwise — the output layer is sized to it
+        val tv = tagVocabs.getOrElse(lg, sharedTv)
         val charV = Vocab.newCharVocab()
         charOrders(lg).foreach(charV.add)
         charV.freeze()

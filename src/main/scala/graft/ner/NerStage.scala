@@ -132,12 +132,17 @@ object NerStage {
       }
       lineage match {
         case Some(acc) =>
-          // exhaust lazily but record on completion
+          // exhaust lazily but record exactly once on completion — Spark's
+          // iterator wrappers commonly re-call hasNext after exhaustion
           new Iterator[SentenceNer] {
+            private var recorded = false
             def hasNext: Boolean = {
               val h = out.hasNext
-              if (!h) acc.add(LineageRow("ner.tag", pid, rowsIn, rowsOut,
-                (System.nanoTime() - t0) / 1000000L, ""))
+              if (!h && !recorded) {
+                recorded = true
+                acc.add(LineageRow("ner.tag", pid, rowsIn, rowsOut,
+                  (System.nanoTime() - t0) / 1000000L, ""))
+              }
               h
             }
             def next(): SentenceNer = out.next()

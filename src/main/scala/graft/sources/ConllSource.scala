@@ -14,6 +14,14 @@ final case class LabeledSentence(sentIdx: Long, tokens: Seq[String], tags: Seq[S
  *  - a token ending in the devanagari danda '।' with tag "O" also ends the
  *    sentence; with any other tag it is an ordinary token (:148-163).
  *
+ * Two INTENTIONAL robustness deviations from readCoNLL (not parity bugs):
+ *  - a file that does not end in a blank line still yields its final
+ *    sentence (the reference flushes only on blank lines and silently drops
+ *    an unterminated trailing sentence);
+ *  - a row with fewer columns than `tagField` is skipped (the reference
+ *    raises IndexError and aborts the read).
+ * Parity tests against reference-dropped inputs must account for both.
+ *
  * Scale shape: sentences can span input-split boundaries, so grouping needs
  * two passes (the classic distributed record-splitting pattern):
  *  pass 1 — per partition, emit only the head fragment (rows before the

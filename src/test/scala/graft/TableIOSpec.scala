@@ -24,6 +24,26 @@ class TableIOSpec extends SparkSpec {
     assert(TableIO.listSnapshots(root).map(_.id) == Seq(0, 1))
   }
 
+  test("crash between append and snapshot commit: resume rewrites, never duplicates") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("tableio-crash").toString
+    val df = Seq((1L, "en"), (2L, "en"), (3L, "de")).toDF("id", "lang")
+    // simulate the failure window: files landed, snapshot commit never ran
+    df.write.mode("append").partitionBy("lang").parquet(s"$root/data")
+    assert(TableIO.completedPartitions(root).isEmpty)
+    // snapshot-consistent read sees nothing of the half-written state
+    assert(TableIO.read(spark, root, "lang").count() == 0)
+    // resume: both partitions are still todo -> their leftover dirs are
+    // deleted before the rewrite, so the data is NOT doubled
+    val written = TableIO.writeResumable(df, root, "lang")
+    assert(written == Seq("de", "en"))
+    assert(TableIO.read(spark, root).count() == 3)
+    assert(TableIO.read(spark, root, "lang").count() == 3)
+    // second resume is a no-op
+    assert(TableIO.writeResumable(df, root, "lang").isEmpty)
+    assert(TableIO.read(spark, root, "lang").count() == 3)
+  }
+
   test("lineage rows persist as json") {
     val root = Files.createTempDirectory("lineage").toString
     TableIO.writeLineage(root, "ner.tag", Seq(LineageRow("ner.tag", 0, 10, 9, 42, "")))

@@ -55,6 +55,40 @@ class VariantsSpec extends SparkSpec {
     assert(ge.probs(0).toSeq != gd.probs(0).toSeq)
   }
 
+  test("per-language tag vocabularies: disjoint tag sets route correctly") {
+    import spark.implicits._
+    // es tags PER/LOC, de raw-style tags only ORG/MISC — disjoint spaces
+    // (Yang's separate aux tag vocab, NeuralNERYang.py:63-64,106,157;
+    // NoOutput's per-language tag vocabs, modules.py:278-284)
+    def mkTagVocab(types: Seq[String]): graft.ner.Vocab = {
+      val v = new graft.ner.Vocab(caseSensitive = false)
+      v.add("O")
+      types.foreach(t => Seq("B-", "I-", "E-", "S-").foreach(p => v.add(p + t)))
+      v.freeze()
+      v
+    }
+    val tagVocabs = Map("es" -> mkTagVocab(Seq("PER", "LOC")),
+                        "de" -> mkTagVocab(Seq("ORG", "MISC")))
+    for (m <- Seq(Models.buildYang(spark, spark.createDataset(corpus), tagVocabs = tagVocabs),
+                  Models.buildSharedEncoder(spark, spark.createDataset(corpus), tagVocabs = tagVocabs))) {
+      val (es, de) = (m("es"), m("de"))
+      assert(es.tagVocab.size == 9 && de.tagVocab.size == 9)
+      assert(es.weights.tagCount == 9 && de.weights.tagCount == 9)
+      assert(es.weights.outW.head.length == 2 * es.weights.hidden + 9)
+      val esAllowed = (0 until es.tagVocab.size)
+        .map(es.tagVocab.getIndex(_).get.toUpperCase(java.util.Locale.ROOT)).toSet
+      val deAllowed = (0 until de.tagVocab.size)
+        .map(de.tagVocab.getIndex(_).get.toUpperCase(java.util.Locale.ROOT)).toSet
+      assert((esAllowed - "O").intersect(deAllowed - "O").isEmpty)
+      corpus.foreach { s =>
+        val model = m(s.lang)
+        val allowed = if (s.lang == "es") esAllowed else deAllowed
+        val tags = NerStage.tagSentence(s.tokens.toIndexedSeq, model, useViterbi = false)
+        assert(tags.forall(allowed.contains), s"${s.lang}: $tags")
+      }
+    }
+  }
+
   test("teacher-forced loss: matches direct computation and improves with correct gold") {
     import spark.implicits._
     val m = Models.build(spark, spark.createDataset(corpus))("es")
