@@ -85,6 +85,31 @@ class PlanSpec extends SparkSpec {
     assert(scanLine.contains("lang"), s"expected lang partition filter:\n${p.take(1200)}")
   }
 
+  test("IVF: assignment never shuffles — no Exchange on list_id, probes broadcast, one window") {
+    val p = plan(SparkEntry.queries("q31_ann_ivf")(spark, sf))
+    // nearest-centroid assignment is a mapPartitions projection (no xNList
+    // explode, no per-vector window); the nList-valued list_id must never
+    // key an Exchange (it would cap parallelism at nList and skew)
+    assert(!p.contains("hashpartitioning(list_id"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    // exact node match — WindowGroupLimit (the top-k pushdown) is expected
+    val windows = p.linesIterator.count(_.trim.matches("\\(\\d+\\) Window"))
+    assert(windows == 1, s"expected only the final per-query top-k window, got $windows")
+  }
+
+  test("entity-link top-1 is a partial-merge aggregate, not a window sort") {
+    val m = Pipeline.mentions(spark, sf)
+    val d = Pipeline.aliasDict(spark, sf)
+    val p = plan(graft.link.EntityLink.linkBroadcast(m, d).toDF())
+    assert(!p.linesIterator.exists(_.trim.matches("\\(\\d+\\) Window")), p.take(3000))
+    // min_by(struct) -> SortAggregate/ObjectHashAggregate with a map-side
+    // partial before the exchange (the shuffle carries one row per mention
+    // per partition, not every candidate)
+    val aggs = p.linesIterator.count(l => l.matches("\\(\\d+\\) (Sort|Hash|ObjectHash)Aggregate.*"))
+    assert(aggs >= 2, p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("whole-stage codegen spans cover the relational queries") {
     // AQE reveals codegen stages only in the final (executed) plan
     val df = SparkEntry.queries("q01_pricing_agg")(spark, sf)
