@@ -1,4 +1,4 @@
-package graft.golden
+package graft.functions
 
 /**
  * XXH64 from the public specification (xxhash.com, Yann Collet), plus the

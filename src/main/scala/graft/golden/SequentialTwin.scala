@@ -1,5 +1,6 @@
 package graft.golden
 
+import graft.functions.Xxh64
 import graft.core.{LinkEdge, Mention, Triple}
 import graft.gen.CorpusGen
 import graft.link.EntityLink

@@ -211,12 +211,23 @@ object Dedup {
                        planes: Int = 16, bands: Int = 4, maxBucket: Int = 256): DataFrame = {
     require(planes % bands == 0, "planes must be divisible by bands")
     val rows = planes / bands
-    val sigBits = transform(sequence(lit(0), lit(planes - 1)), p =>
-      when(aggregate(zip_with(col("embedding"),
-          sequence(lit(0), size(col("embedding")) - 1),
-          // deterministic pseudo-plane: sin-free integer hash -> ±1 weights
-          (x, i) => x * (pmod(xxhash64(concat(lit("plane"), p, lit(":"), i)), lit(2)) * 2 - 1).cast("float")),
-        lit(0.0d), (acc, v) => acc + v) > 0, lit(1)).otherwise(lit(0)))
+    // The hyperplane weights are constants of (plane, position) — a model
+    // artifact like the IVF codebook — so compute the weight matrix ONCE on
+    // the driver (graft.functions.Xxh64 == Spark's xxhash64, property-
+    // tested) instead of re-hashing per row x plane x dim inside the
+    // expression. Weight = ±1 from the hash parity of "plane<p>:<i>".
+    // Assumes a fixed-dimension embedding column (any ANN-indexed table).
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val planeW: Seq[Seq[Float]] = (0 until planes).map { p =>
+      (0 until dim).map { i =>
+        val h = graft.functions.Xxh64.hashString(s"plane$p:$i", graft.functions.Xxh64.SparkSeed)
+        (((h % 2 + 2) % 2) * 2 - 1).toFloat
+      }
+    }
+    val sigBits = array(planeW.map { w =>
+      when(aggregate(zip_with(col("embedding"), typedLit(w), (x, wv) => x * wv),
+        lit(0.0d), (acc, v) => acc + v) > 0, lit(1)).otherwise(lit(0))
+    }: _*)
     // interpreted HOFs + reuse across bands: materialize bits once
     val withSig = emb.select(col("vec_id"), sigBits.as("bits"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

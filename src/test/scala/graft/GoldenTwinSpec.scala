@@ -1,6 +1,7 @@
 package graft
 
-import graft.golden.{SequentialTwin, Xxh64}
+import graft.golden.SequentialTwin
+import graft.functions.Xxh64
 import graft.ops.Dedup
 import org.apache.spark.sql.functions._
 
