@@ -162,6 +162,11 @@ object SparkEntry {
       TextStats.langId(s.read.parquet(t(dir, "documents")))),
     "q25_token_counts" -> ((s, dir) =>
       TextStats.tokenCounts(s.read.parquet(t(dir, "documents")))),
+    // EXACT quadratic twin of the LSH dedups — intentionally bounded to a
+    // fixed candidate universe (doc_id < 2000): pairwise work grows as the
+    // square of docs sharing a gram, so the exact form exists to oracle the
+    // LSH operators, never to run unbounded at scale (production uses
+    // minhashLsh and verifies candidates only)
     "q26_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(
         s.read.parquet(t(dir, "documents")).filter(col("doc_id") < 2000), n = 2, minJaccardPct = 50)),

@@ -53,10 +53,61 @@ case class Fingerprint64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "fingerprint64"
 }
 
+/** cosine_sim(a array<float>, b array<float>) -> double: dot/(|a|*|b|) with
+  * double accumulators in array-index order — bit-identical to the
+  * zip_with+aggregate formulation and to the sequential twin, but codegen'd
+  * (the HOF form is interpreted and dominates LSH verify passes that score
+  * hundreds of thousands of candidate pairs). */
+case class CosineSim(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes() = {
+    def ok(t: DataType) = t.isInstanceOf[ArrayType] &&
+      t.asInstanceOf[ArrayType].elementType == FloatType
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim requires two array<float> inputs, got ${left.dataType}, ${right.dataType}")
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CosineSim.compute(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.CosineSim.compute($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "cosine_sim"
+}
+
+object CosineSim {
+  /** Summation order per accumulator = array index order, double precision —
+    * the same operand sequences as the HOF form, hence identical bits. */
+  def compute(a: org.apache.spark.sql.catalyst.util.ArrayData,
+              b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}
+
 object GraftFunctions {
   import org.apache.spark.sql.graftbridge.Bridge
   def extract_text(c: Column): Column = Bridge.column(ExtractText(Bridge.expression(c)))
   def fingerprint64(c: Column): Column = Bridge.column(Fingerprint64(Bridge.expression(c)))
+  def cosine_sim(a: Column, b: Column): Column =
+    Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
 
   /** Register for SQL use in an existing session. */
   def register(spark: SparkSession): Unit = {
@@ -64,6 +115,8 @@ object GraftFunctions {
       "extract_text", exprs => ExtractText(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "fingerprint64", exprs => Fingerprint64(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSim(exprs.head, exprs(1)), "scala_udf")
   }
 }
 
@@ -79,5 +132,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("fingerprint64"),
       new ExpressionInfo(classOf[Fingerprint64].getName, "fingerprint64"),
       (exprs: Seq[Expression]) => Fingerprint64(exprs.head)))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => CosineSim(exprs.head, exprs(1))))
   }
 }

@@ -24,11 +24,18 @@ import org.apache.spark.sql.expressions.Window
  */
 object Similarity {
 
-  /** Cosine similarity of two array<float> columns (double accumulation). */
-  def cosine(a: Column, b: Column): Column = {
-    // cast BEFORE multiplying: float32*float32 rounds to float32, while the
-    // DuckDB oracle (CAST(... AS DOUBLE[])) multiplies in double — operand
-    // cast makes both sides bit-identical.
+  /** Cosine similarity of two array<float> columns — the codegen'd native
+    * expression (graft.functions.CosineSim). Bit-identical to `cosineHof`
+    * (double accumulation in array order; parity-tested in FunctionsSpec). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.cosine_sim(a, b)
+
+  /** The higher-order-function formulation (interpreted — kept as the
+    * in-Spark reference twin of the native expression). Cast BEFORE
+    * multiplying: float32*float32 rounds to float32, while the DuckDB
+    * oracle (CAST(... AS DOUBLE[])) multiplies in double — operand cast
+    * makes both sides bit-identical. */
+  def cosineHof(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0d), (s, v) => s + v)
     val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),

@@ -36,6 +36,32 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getString(1) == "hi")
   }
 
+  test("CosineSim expression == HOF cosine, bit-identical, inside codegen") {
+    import spark.implicits._
+    val rng = new scala.util.Random(99)
+    val vecs = (1L to 50L).map(i =>
+      (i, Array.fill(64)((rng.nextDouble() * 2 - 1).toFloat),
+          Array.fill(64)((rng.nextDouble() * 2 - 1).toFloat)))
+    val df = vecs.toDF("id", "a", "b")
+    val rows = df.select(col("id"),
+        graft.ops.Similarity.cosine(col("a"), col("b")).as("native"),
+        graft.ops.Similarity.cosineHof(col("a"), col("b")).as("hof"))
+      .collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)), s"id=${r.getLong(0)}")
+    }
+    // and it participates in whole-stage codegen from a file-backed source
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.select(graft.ops.Similarity.cosine(col("embedding"), col("embedding")).as("c"))
+      .filter(col("c") > 0.5)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("ScalaUDF"), p.take(800))
+    assert(p.contains("cosine_sim"), p.take(800))
+    assert(p.contains("WholeStageCodegen") || p.contains("*("), p.take(800))
+  }
+
   test("native expressions stay inside whole-stage codegen (no ScalaUDF)") {
     // parquet-backed source so ConvertToLocalRelation can't constant-fold
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
