@@ -117,6 +117,45 @@ class SourcesSpec extends SparkSpec {
     assert(math.abs(r - m.group(2).toDouble) < 0.005, s"recall $r vs perl ${m.group(2)}")
   }
 
+  test("score_ artifact is byte-identical to the perl scorer's own report") {
+    import spark.implicits._
+    val scorer = "/root/reference/NeuralNERMono/eval/conll03eval.v2"
+    assume(Files.exists(java.nio.file.Paths.get(scorer)))
+    val sents = (0 until 40).map { i =>
+      val toks = Vector.fill(3 + i % 6)("w" + i)
+      graft.core.Sentence(s"s$i", "en", 0, toks)
+    }
+    val models = Models.build(spark, spark.createDataset(sents))
+    val bc = spark.sparkContext.broadcast(models)
+    val tagged = NerStage.tag(spark.createDataset(sents), bc)
+    val golds = sents.map(s => (s.url, 0) ->
+      s.tokens.indices.map(j => if (j % 4 == 0) "S-LOC" else if (j % 7 == 3) "S-PER" else "O")).toMap
+    // perl's own report over the sink file
+    val dir = Files.createTempDirectory("scorefile").toString + "/out"
+    ConllSink.write(tagged, golds, dir)
+    val lines = new java.io.File(dir).listFiles().filter(_.getName.startsWith("part-"))
+      .flatMap(f => scala.io.Source.fromFile(f, "UTF-8").getLines().toSeq)
+    val tmp = Files.createTempFile("scorein", ".txt")
+    Files.write(tmp, lines.mkString("\n").replace("\n\n\n", "\n\n").getBytes("UTF-8"))
+    val proc = new ProcessBuilder("perl", scorer).redirectInput(tmp.toFile).start()
+    val perlReport = scala.io.Source.fromInputStream(proc.getInputStream).mkString
+    proc.waitFor()
+    // the same artifact from the distributed counters
+    val goldMentions = spark.createDataset(sents.flatMap { s =>
+      graft.ner.Bioes.spans(golds((s.url, 0)).toIndexedSeq).map(sp =>
+        graft.core.Mention(s.url, s.lang, 0, sp.begin, sp.end, "", sp.tpe))
+    })
+    val predMentions = NerStage.mentions(tagged).map(_.copy(surface = ""))
+    val predTags = NerStage.taggedTokens(tagged).toDF().select($"url", $"sentIdx", $"tokIdx", $"pred")
+    val goldTags = sents.flatMap { s =>
+      golds((s.url, 0)).zipWithIndex.map { case (g, j) => (s.url, 0, j, g) }
+    }.toDF("url", "sentIdx", "tokIdx", "pred")
+    val out = Files.createTempFile("scoreout", ".txt").toString
+    graft.eval.SpanEval.writeScoreFile(out, predMentions, goldMentions, predTags, goldTags)
+    val ours = new String(Files.readAllBytes(java.nio.file.Paths.get(out)), "UTF-8")
+    assert(ours == perlReport, s"ours:\n$ours\nperl:\n$perlReport")
+  }
+
   test("final-test probs format flows through the distributed path and perl-scores") {
     import spark.implicits._
     val scorer = "/root/reference/NeuralNERMono/eval/conll03eval.v2"
