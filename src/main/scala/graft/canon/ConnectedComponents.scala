@@ -90,6 +90,28 @@ object ConnectedComponents {
     (if (row.isNullAt(0)) 0L else row.getLong(0), row.getLong(1))
   }
 
+  /**
+   * GraphX fallback behind the same (edges -> (id, component)) interface
+   * (SURVEY §7 step 8). GraphX's Pregel connectedComponents labels each
+   * node with the MIN VERTEX ID of its component — the same canonical label
+   * `run` produces — so the three implementations are interchangeable and
+   * cross-check each other. RDD-based by nature (the one deliberate RDD
+   * exception to input_hint's "no RDD unless forced": GraphX has no
+   * DataFrame API); prefer `run` (alternating-star) on DataFrame pipelines
+   * and this when a deployment standardizes on GraphX.
+   */
+  def runGraphX(edgesIn: DataFrame, maxIter: Int = Int.MaxValue): DataFrame = {
+    val spark = edgesIn.sparkSession
+    import org.apache.spark.graphx.{Edge, Graph}
+    val edgeRdd = edgesIn.select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src") =!= col("dst"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    val graph = Graph.fromEdges(edgeRdd, defaultValue = ())
+    val labeled = graph.connectedComponents(maxIter).vertices // (id, minIdOfComponent)
+    spark.createDataFrame(labeled.map { case (id, comp) => (id, comp) })
+      .toDF("id", "component")
+  }
+
   /** Simple min-label propagation (O(diameter) rounds) — reference twin for
     * tests and the right choice for shallow alias graphs. */
   def minLabelPropagation(edgesIn: DataFrame, maxIter: Int = 50): DataFrame = {

@@ -122,7 +122,8 @@ object NerStage {
               }
             case _ => ()
           }
-          val res = tagSentencesFull(group.map(_.tokens.toIndexedSeq), m, useViterbi)
+          val res = tagSentencesFull(group.map(_.tokens.toIndexedSeq), m, useViterbi,
+            wantProbs = withProbs)
           rowsOut += group.size
           group.iterator.zip(res.iterator).map { case (s, (preds, probs)) =>
             SentenceNer(s.url, s.lang, s.sentIdx, s.tokens, preds,
@@ -170,9 +171,10 @@ object NerStage {
 
   /** As tagSentences, but also returns per-token per-tag softmax
     * probabilities (the reference final-test artifact's columns,
-    * NeuralNER.py:325-333). */
+    * NeuralNER.py:325-333). `wantProbs = false` skips the per-token
+    * boxing of the distributions (the hot path's default). */
   def tagSentencesFull(sentences: Seq[IndexedSeq[String]], m: Models.LangModel,
-                       useViterbi: Boolean): Seq[(Seq[String], Seq[Seq[Float]])] = {
+                       useViterbi: Boolean, wantProbs: Boolean = true): Seq[(Seq[String], Seq[Seq[Float]])] = {
     val nonEmpty = sentences.zipWithIndex.filter(_._1.nonEmpty)
     val encoded = nonEmpty.map { case (tokens, _) =>
       val wordIds = new Array[Int](tokens.length)
@@ -193,7 +195,8 @@ object NerStage {
                    else Kernel.greedyDecode(hidden(k), m.weights)
       val preds = tagged.preds.toIndexedSeq.map(id =>
         m.tagVocab.getIndex(id).getOrElse("o").toUpperCase(java.util.Locale.ROOT))
-      results(origIdx) = (preds, tagged.probs.toIndexedSeq.map(_.toIndexedSeq))
+      results(origIdx) =
+        (preds, if (wantProbs) tagged.probs.toIndexedSeq.map(_.toIndexedSeq) else Nil)
     }
     results.toSeq
   }

@@ -28,6 +28,8 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(mine == oracle, s"large/small-star vs union-find on ${edges.size} edges")
     val prop = ConnectedComponents.minLabelPropagation(df).as[(Long, Long)].collect().toMap
     assert(prop == oracle, "min-label propagation vs union-find")
+    val gx = ConnectedComponents.runGraphX(df).as[(Long, Long)].collect().toMap
+    assert(gx == oracle, "GraphX fallback vs union-find")
   }
 
   test("chain, star, two components") {
