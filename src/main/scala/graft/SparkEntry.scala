@@ -199,6 +199,17 @@ object SparkEntry {
         Multimodal.extract(Multimodal.syntheticMedia(s.read.parquet(t(dir, "documents")))))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sampled"))
     }),
+    // transitive near-dup clusters: LSH pairs -> connected components ->
+    // keep-list (A~B, B~C collapse to one representative without an A~C pair)
+    "q36_dedup_clusters" -> ((s, dir) =>
+      Dedup.dedupClusters(s.read.parquet(t(dir, "documents")))),
+    // Gopher/C4-style integer-rule quality filter
+    "q37_quality_filter" -> ((s, dir) =>
+      TextStats.curate(s.read.parquet(t(dir, "documents")))),
+    // deterministic hash sampling (stable across runs/partitionings)
+    "q38_hash_sample" -> ((s, dir) =>
+      TextStats.sampleByHash(s.read.parquet(t(dir, "documents")), col("doc_id"), 37)
+        .select(col("doc_id"))),
     // ------------------------------------------------ KG pipeline (no SQL)
     "q40_extraction_invariant" -> ((s, dir) => {
       // native codegen'd Catalyst expression (graft.functions.ExtractText)
@@ -261,6 +272,8 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q28_simhash" -> golden("q28_simhash"),
+    "q36_dedup_clusters" -> golden("q36_dedup_clusters"),
+    "q38_hash_sample" -> golden("q38_hash_sample"),
     "q29_simhash_neardup" -> golden("q29_simhash_neardup"),
     "q32_embedding_neardup" -> golden("q32_embedding_neardup"),
     "q33_fingerprint" -> golden("q33_fingerprint"),
@@ -353,6 +366,19 @@ object SparkEntry {
       // CAST: DuckDB sum(BIGINT) yields HUGEINT, which the driver's pandas
       // materialization renders as float64 -> hash mismatch vs Spark's int64
       "SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents GROUP BY lang",
+    "q37_quality_filter" ->
+      s"""SELECT doc_id, n_tokens, n_uniq_tokens, n_stopwords, n_chars, n_punct,
+          (n_tokens BETWEEN 5 AND 100000
+           AND n_chars >= n_tokens * 2 AND n_chars <= n_tokens * 12
+           AND n_stopwords * 100 >= n_tokens
+           AND n_punct * 5 <= n_chars) AS keep
+          FROM (SELECT doc_id,
+            len(string_split(text, ' ')) AS n_tokens,
+            len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens,
+            len(list_filter(string_split(text, ' '), x -> x IN (${TextStats.stopwords.map("'" + _ + "'").mkString(",")}))) AS n_stopwords,
+            length(text) AS n_chars,
+            length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct
+            FROM documents)""",
     "q24_langid" -> {
       val scores = TextStats.markers.map { case (lg, ms) =>
         s"len(list_filter(string_split(text, ' '), x -> x IN (${ms.map("'" + _ + "'").mkString(",")}))) AS s_$lg"

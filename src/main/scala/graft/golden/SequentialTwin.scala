@@ -236,6 +236,71 @@ object SequentialTwin {
     }
   }
 
+  /** MinHash+banded-LSH twin — Spark-identical shingles (n-token concat, no
+    * separator, first-occurrence-distinct), seeded-hash signature, band
+    * bucketing, hot-bucket cap, exact-Jaccard verify. Returns verified
+    * pairs (doc1 < doc2). */
+  def minhashPairs(docs: Seq[Doc], shingleSize: Int = 3, numHashes: Int = 32,
+                   bands: Int = 8, threshold: Double = 0.5,
+                   maxBucket: Int = 64): Seq[(Long, Long)] = {
+    val rows = numHashes / bands
+    val sh: Map[Long, IndexedSeq[String]] = docs.map { d =>
+      val toks = splitKeepAll(d.text)
+      val grams =
+        if (toks.length < shingleSize) IndexedSeq.empty[String]
+        else (0 to toks.length - shingleSize)
+          .map(i => toks.slice(i, i + shingleSize).mkString("")).distinct.toIndexedSeq
+      d.docId -> grams
+    }.toMap
+    val banded = docs.filter(d => sh(d.docId).nonEmpty).flatMap { d =>
+      val grams = sh(d.docId)
+      val sig = (0 until numHashes).map(i =>
+        grams.map(g => Xxh64.sparkChain(Seq[Any](i, g))).min)
+      (0 until bands).map { b =>
+        val bucket = Xxh64.hashString(
+          "band_" + b + "_" + sig.slice(b * rows, b * rows + rows).mkString(","),
+          Xxh64.SparkSeed)
+        (d.docId, b, bucket)
+      }
+    }
+    pairsFromBuckets(banded, maxBucket).filter { case (a, b) =>
+      val (s1, s2) = (sh(a).toSet, sh(b).toSet)
+      val inter = s1.intersect(s2).size
+      val uni = s1.union(s2).size
+      uni > 0 && inter.toDouble / uni >= threshold
+    }
+  }
+
+  /** q36 rows: (doc_id, keep_id) — union-find over the LSH pairs; keep_id =
+    * min doc of the cluster, self when unclustered. */
+  def q36DedupClusters(docs: Seq[Doc]): Seq[(Long, Long)] = {
+    val pairs = minhashPairs(docs)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val clustered = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val clusteredSet = clustered.toSet
+    val compMin = clustered.groupBy(find).map { case (root, ns) => root -> ns.min }
+    docs.map { d =>
+      val keep = if (clusteredSet.contains(d.docId)) compMin(find(d.docId)) else d.docId
+      (d.docId, keep)
+    }
+  }
+
+  /** q38 rows: doc_ids kept by deterministic hash sampling
+    * (pmod(xxhash64(doc_id), 100) < pctKeep). */
+  def q38HashSample(docs: Seq[Doc], pctKeep: Int): Seq[Long] =
+    docs.map(_.docId).filter { id =>
+      val h = Xxh64.hashLong(id, Xxh64.SparkSeed)
+      ((h % 100) + 100) % 100 < pctKeep
+    }
+
   // ------------------------------------------------------- embedding ops
 
   /** Spark cosine() twin: per-element double products, summed in order;

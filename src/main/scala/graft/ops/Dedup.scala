@@ -144,6 +144,31 @@ object Dedup {
       .dropDuplicates("doc1", "doc2")
   }
 
+  /**
+   * Transitive near-duplicate CLUSTERS — the operator an actual dedup pass
+   * needs (pairs alone under-delete: A~B and B~C must collapse to one
+   * representative even when A~C was never a candidate). LSH pairs become
+   * edges; connected components (large-star/small-star, O(log n) rounds)
+   * label every clustered doc with the minimum doc_id of its cluster; docs
+   * with no near-dup keep themselves.
+   *
+   * Scale: the CC iteration runs over the DUP-PAIR edge set (tiny relative
+   * to the corpus), never the corpus; the corpus-sized step is one
+   * left join against the cluster map.
+   *
+   * Returns (doc_id, keep_id); the dedup'd corpus is `keep_id = doc_id`.
+   */
+  def dedupClusters(docs: DataFrame, shingleSize: Int = 3, numHashes: Int = 32,
+                    bands: Int = 8, threshold: Double = 0.5,
+                    maxBucket: Int = 64): DataFrame = {
+    val pairs = minhashLsh(docs, shingleSize, numHashes, bands, threshold, maxBucket)
+      .select(col("doc1").as("src"), col("doc2").as("dst"))
+    val comp = graft.canon.ConnectedComponents.run(pairs)
+    docs.select(col("doc_id"))
+      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("keep_id"))
+  }
+
   /** 64-bit SimHash per document: per-token hash bits vote +1/-1; the sign
     * vector is the fingerprint. Computed with array expressions (codegen),
     * no UDF. Returns (doc_id, simhash). */

@@ -71,6 +71,29 @@ object TextStats {
         .as("bpe_units"))
   }
 
+  /** Gopher/C4-style quality FILTER over the `quality()` counters — all
+    * integer arithmetic (exact, oracle-friendly): keep a doc iff
+    *  - 5 <= n_tokens <= 100000,
+    *  - mean word length in [2, 12] chars (2*n_tokens <= n_chars <= 12*n_tokens),
+    *  - stopword ratio >= 1% (100*n_stopwords >= n_tokens),
+    *  - punctuation ratio <= 20% of chars (5*n_punct <= n_chars).
+    * Returns the counters + a `keep` flag (curation keeps `keep = true`). */
+  def curate(docs: DataFrame): DataFrame = {
+    quality(docs).withColumn("keep",
+      col("n_tokens").between(5, 100000) &&
+        (col("n_chars") >= col("n_tokens") * 2) &&
+        (col("n_chars") <= col("n_tokens") * 12) &&
+        (col("n_stopwords") * 100 >= col("n_tokens")) &&
+        (col("n_punct") * 5 <= col("n_chars")))
+  }
+
+  /** Deterministic hash sampling for corpus curation: keep a row iff
+    * xxhash64(key) mod 100 < pctKeep — stable across runs, partitionings
+    * and cluster sizes (unlike TABLESAMPLE/rand()), so a 10% sample drawn
+    * today equals the 10% prefix of a 30% sample drawn tomorrow. */
+  def sampleByHash(df: DataFrame, key: Column, pctKeep: Int): DataFrame =
+    df.filter(pmod(xxhash64(key), lit(100)) < pctKeep)
+
   /** Polynomial rolling-hash fingerprint (base 257 mod 2^61-1) over the raw
     * text bytes — stable across partitionings and JVMs. */
   def fingerprint64(text: String): Long = {

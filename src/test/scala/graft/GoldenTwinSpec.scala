@@ -97,6 +97,41 @@ class GoldenTwinSpec extends SparkSpec {
     assert(twin == sparkExact)
   }
 
+  test("twin minhash pairs == distributed minhashLsh; dedup clusters are transitive") {
+    import spark.implicits._
+    // A~B and B~C are near-dups; A~C differs in 2 tokens (may or may not
+    // pair) — the CLUSTER must still hold all three; D is unrelated
+    val base = (1 to 40).map(i => s"t$i")
+    val docs = Seq(
+      SequentialTwin.Doc(1L, base.mkString(" "), "en", "s"),
+      SequentialTwin.Doc(2L, (base.dropRight(1) :+ "x1").mkString(" "), "en", "s"),
+      SequentialTwin.Doc(3L, (base.dropRight(2) :+ "x1" :+ "x2").mkString(" "), "en", "s"),
+      SequentialTwin.Doc(4L, (100 to 140).map(i => s"z$i").mkString(" "), "en", "s"))
+    val df = docs.map(d => (d.docId, d.text)).toDF("doc_id", "text")
+    val sparkPairs = graft.ops.Dedup.minhashLsh(df)
+      .select("doc1", "doc2").as[(Long, Long)].collect().toSet
+    assert(SequentialTwin.minhashPairs(docs).toSet == sparkPairs)
+    val clusters = graft.ops.Dedup.dedupClusters(df).as[(Long, Long)].collect().toMap
+    assert(clusters(1L) == 1L && clusters(2L) == 1L && clusters(3L) == 1L,
+      s"transitive cluster broken: $clusters")
+    assert(clusters(4L) == 4L)
+    assert(SequentialTwin.q36DedupClusters(docs).toMap == clusters)
+  }
+
+  test("twin hash sample == distributed sampleByHash") {
+    import spark.implicits._
+    val docs = (1L to 300L).map(i => SequentialTwin.Doc(i, s"text $i", "en", "s"))
+    val df = docs.map(d => (d.docId, d.text)).toDF("doc_id", "text")
+    val sampled = graft.ops.TextStats.sampleByHash(df, col("doc_id"), 37)
+      .select("doc_id").as[Long].collect().toSet
+    assert(SequentialTwin.q38HashSample(docs, 37).toSet == sampled)
+    // deterministic nesting: the 10% sample is a subset of the 37% sample
+    val ten = graft.ops.TextStats.sampleByHash(df, col("doc_id"), 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ten.subsetOf(sampled))
+    assert(sampled.nonEmpty && sampled.size < 300)
+  }
+
   test("degenerate hot bucket: bounded pair-gen, loud drop, others unaffected") {
     import spark.implicits._
     // 3000 identical docs -> one degenerate bucket per band; plus one cold
