@@ -33,6 +33,37 @@ object StreamIngest {
       .agg(count(lit(1)).as("n_pages"), sum(length(col("text"))).as("n_chars"))
   }
 
+  /** Streaming EXACT dedup — the streaming twin of `Dedup.exact`: emit a
+    * page only the FIRST time its text is seen, across micro-batches
+    * (flatMapGroupsWithState keyed on the SHA-256 of the text; within one
+    * micro-batch the smallest url wins, deterministically). A continuously-
+    * landing crawl thus produces an already-deduplicated stream. At
+    * deployment, bound the state with a GroupStateTimeout TTL sized to the
+    * crawl revisit horizon; NoTimeout here keeps the test semantics exact. */
+  def firstSeenPages(pages: Dataset[Page]): Dataset[Page] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.groupByKey(p => sha256Hex(p.text))
+      .flatMapGroupsWithState[Boolean, Page](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Page], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single(rows.minBy(_.url))
+          }
+      }
+  }
+
+  def sha256Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sb = new java.lang.StringBuilder(64)
+    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
+  }
+
   /** Running per-language totals — custom streaming state via
     * mapGroupsWithState (the micro-batching state hook). */
   final case class LangTotals(lang: String, docs: Long, sentences: Long, tokens: Long)

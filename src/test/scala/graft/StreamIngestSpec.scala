@@ -54,6 +54,32 @@ class StreamIngestSpec extends SparkSpec {
     assert(rows.map(_.getAs[String]("lang")).toSet == Set("en", "de"))
   }
 
+  test("streaming exact dedup: first-seen wins across micro-batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    def page(url: String, text: String) =
+      Page(url, new java.sql.Timestamp(CorpusGen.BaseEpochMs),
+        Array.empty[Byte], text, "en")
+    val stream = MemoryStream[Page]
+    val q = StreamIngest.firstSeenPages(stream.toDS())
+      .writeStream.format("memory").queryName("first_seen").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    // batch 1: a duplicate pair (smallest url must win) + one distinct
+    stream.addData(page("u/a1", "same text"), page("u/a2", "same text"), page("u/c", "other"))
+    q.processAllAvailable()
+    // batch 2: a later duplicate of batch 1's text is DROPPED; a new one passes
+    stream.addData(page("u/d", "same text"), page("u/e", "fresh"))
+    q.processAllAvailable()
+    val urls = spark.table("first_seen").collect().map(_.getString(0)).sorted
+    assert(urls.toSeq == Seq("u/a1", "u/c", "u/e"), urls.mkString(", "))
+    q.stop()
+    // and the state key matches the batch operator's hash column exactly
+    val sparkHash = Seq("same text").toDF("text")
+      .select(org.apache.spark.sql.functions.sha2(org.apache.spark.sql.functions.col("text"), 256))
+      .head().getString(0)
+    assert(StreamIngest.sha256Hex("same text") == sparkHash)
+  }
+
   test("mapGroupsWithState running totals accumulate across micro-batches") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
