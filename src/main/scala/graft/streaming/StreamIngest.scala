@@ -33,6 +33,22 @@ object StreamIngest {
       .agg(count(lit(1)).as("n_pages"), sum(length(col("text"))).as("n_chars"))
   }
 
+  /** End-to-end STREAMING KG construction: pages stream -> extract ->
+    * language-routed NER -> surface triples -> stream-static joins against
+    * the (static, broadcast) alias dictionary and canonical map -> typed
+    * Dataset[Triple]. Every operator is the batch pipeline's own — the
+    * stateless stages bind to a streaming Dataset unchanged, and the
+    * entity/canonical joins are stream-static inner joins (append-mode
+    * safe). Row-level results are identical to the batch pipeline on the
+    * same pages (tested). */
+  def tripleStream(pages: Dataset[Page],
+                   bcModels: Broadcast[Map[String, Models.LangModel]],
+                   bcLex: Broadcast[Set[String]],
+                   dict: DataFrame, canonMap: DataFrame): Dataset[graft.core.Triple] =
+    graft.kg.Triples.canonicalTriples(
+      NerStage.rawTriples(NerStage.tag(NerStage.sentences(pages), bcModels), bcLex),
+      dict, canonMap)
+
   /** Streaming EXACT dedup — the streaming twin of `Dedup.exact`: emit a
     * page only the FIRST time its text is seen, across micro-batches
     * (flatMapGroupsWithState keyed on the SHA-256 of the text; within one

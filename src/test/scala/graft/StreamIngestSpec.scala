@@ -54,6 +54,36 @@ class StreamIngestSpec extends SparkSpec {
     assert(rows.map(_.getAs[String]("lang")).toSet == Set("en", "de"))
   }
 
+  test("streaming end-to-end triples == batch triples on the same pages") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val pages = mkPages(20)
+    val sents = graft.ner.NerStage.sentences(spark.createDataset(pages))
+    val models = Models.build(spark, sents)
+    val bc = spark.sparkContext.broadcast(models)
+    val lex = spark.sparkContext.broadcast(graft.ner.NerStage.defaultPredicateLexicon)
+    val dict = graft.link.EntityLink.aliasDict(spark, sents.flatMap(_.tokens).distinct())
+      .localCheckpoint(true)
+    val canon = graft.canon.ConnectedComponents.run(graft.kg.Triples.aliasEdges(dict))
+      .localCheckpoint(true)
+    val batch = graft.kg.Triples.canonicalTriples(
+      graft.ner.NerStage.rawTriples(
+        graft.ner.NerStage.tag(sents, bc), lex), dict, canon)
+      .collect().map(t => (t.subj, t.pred, t.obj, t.url, t.sentIdx)).sorted
+    val stream = MemoryStream[Page]
+    stream.addData(pages.take(11))
+    stream.addData(pages.drop(11)) // two micro-batches
+    val q = StreamIngest.tripleStream(stream.toDS(), bc, lex, dict, canon)
+      .writeStream.format("memory").queryName("triples_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("triples_stream").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(4), r.getInt(5)))
+      .sorted
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("streaming exact dedup: first-seen wins across micro-batches") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
