@@ -110,6 +110,40 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("AQE splits a skewed shuffle-join partition at runtime") {
+    import spark.implicits._
+    // one pathological key (20k rows) among 200 normal keys; thresholds
+    // lowered so the skew is visible at test scale — at 100 TB the defaults
+    // fire the same OptimizeSkewedJoin rule (the runtime complement of the
+    // explicit salting in EntityLink.linkSalted / q08)
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "20KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "20KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val fact = (1 to 20000).map(i => (0L, s"pad-$i-${"x" * 40}")) ++
+        (1 to 200).map(i => (i.toLong, s"v$i"))
+      val dim = (0 to 200).map(i => (i.toLong, s"name$i"))
+      val joined = fact.toDF("k", "payload").repartition(8)
+        .join(dim.toDF("k", "name").repartition(8), "k")
+      // collect() executes THIS queryExecution (count() would plan a new
+      // one and leave this AdaptiveSparkPlan unfinalized)
+      assert(joined.collect().length == 20200)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), p.take(2000))
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   test("whole-stage codegen spans cover the relational queries") {
     // AQE reveals codegen stages only in the final (executed) plan
     val df = SparkEntry.queries("q01_pricing_agg")(spark, sf)
