@@ -203,6 +203,12 @@ object SparkEntry {
     // keep-list (A~B, B~C collapse to one representative without an A~C pair)
     "q36_dedup_clusters" -> ((s, dir) =>
       Dedup.dedupClusters(s.read.parquet(t(dir, "documents")))),
+    // EXACT Jaccard over the FULL corpus — no bounded universe needed:
+    // the prefix-filtered inverted index (AllPairs/PPJoin) makes the exact
+    // form scale; contrast with q26's deliberately bounded quadratic twin
+    "q39_jaccard_prefix_filter" -> ((s, dir) =>
+      Dedup.ngramJaccardPairsPrefix(s.read.parquet(t(dir, "documents")), n = 3,
+        minJaccardPct = 60)),
     // Gopher/C4-style integer-rule quality filter
     "q37_quality_filter" -> ((s, dir) =>
       TextStats.curate(s.read.parquet(t(dir, "documents")))),
@@ -417,6 +423,19 @@ object SparkEntry {
          SELECT doc1, doc2, CAST(cnt AS INT) AS inter, CAST(s1.sz + s2.sz - cnt AS INT) AS uni
          FROM ip JOIN sizes s1 ON s1.doc_id = doc1 JOIN sizes s2 ON s2.doc_id = doc2
          WHERE cnt * 2 >= s1.sz + s2.sz - cnt""",
+    // the full-corpus exact twin of q39's prefix-filtered join — the naive
+    // quadratic form in SQL; identical rows prove the prefix filter loses
+    // no pair (the theorem's empirical check at every sf)
+    "q39_jaccard_prefix_filter" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         grams AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ts) - 1),
+                     i -> ts[i] || ts[i+1] || ts[i+2]))) AS g FROM toks),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+         ip AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS cnt
+                FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         SELECT doc1, doc2, CAST(cnt AS INT) AS inter, CAST(s1.sz + s2.sz - cnt AS INT) AS uni
+         FROM ip JOIN sizes s1 ON s1.doc_id = doc1 JOIN sizes s2 ON s2.doc_id = doc2
+         WHERE cnt * 100 >= (s1.sz + s2.sz - cnt) * 60""",
     // full IVF replication in SQL: same deterministic codebook (stride on
     // max id, ordered cut), same assignment/probe/rank tie-breaks; cosines
     // computed as dot/(sqrt*sqrt) over DOUBLE[] in array order on both

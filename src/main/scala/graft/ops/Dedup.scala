@@ -225,6 +225,56 @@ object Dedup {
       .select(col("doc_id").as("doc1"), col("doc2"), col("inter"), col("uni"))
   }
 
+  /**
+   * EXACT n-gram Jaccard pairs at corpus scale — the prefix-filtered
+   * inverted index (Bayardo et al. WWW'07 "Scaling Up All Pairs Similarity
+   * Search"; Xiao et al. PPJoin): identical output to `ngramJaccardPairs`,
+   * but the index holds only each document's PREFIX grams under the
+   * canonical (rarest-first) gram order. Guarantee: if J(A,B) >= t, the
+   * minimum-rank shared gram sits within the first
+   * |X| - ceil(t*|X|) + 1 grams of BOTH documents — so indexing prefixes
+   * loses nothing, while frequent grams (the quadratic blowup) fall out of
+   * most prefixes.
+   *
+   * Plan shape: one gram-frequency aggregation, one per-document window
+   * (keyed by doc — no global rank materialization; the canonical order is
+   * the (freq, gram) pair itself), a self-join on PREFIX grams only, and
+   * exact set verification on the candidates. All integer arithmetic
+   * (minJaccardPct), no probabilistic step.
+   */
+  def ngramJaccardPairsPrefix(docs: DataFrame, n: Int = 3,
+                              minJaccardPct: Int = 50): DataFrame = {
+    val withG = docs
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), shinglesFromTokens(col("toks"), n).as("g"))
+      .filter(size(col("g")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grams = withG.select(col("doc_id"), size(col("g")).as("gsz"),
+      explode(col("g")).as("gram"))
+    val freq = grams.groupBy(col("gram")).agg(count(lit(1)).as("freq"))
+    // per-doc rank under the canonical order; keep the prefix:
+    // p = gsz - ceil(pct*gsz/100) + 1  (integer ceil)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("freq"), col("gram"))
+    val prefixes = grams.join(freq, Seq("gram"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <=
+        col("gsz") - floor((col("gsz") * minJaccardPct + 99) / 100) + 1)
+      .select(col("gram"), col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = prefixes
+      .join(prefixes.withColumnRenamed("doc_id", "doc2"), Seq("gram"))
+      .filter(col("doc_id") < col("doc2"))
+      .select(col("doc_id").as("doc1"), col("doc2"))
+      .dropDuplicates("doc1", "doc2")
+    cands
+      .join(withG.withColumnRenamed("doc_id", "doc1").withColumnRenamed("g", "g1"), Seq("doc1"))
+      .join(withG.withColumnRenamed("doc_id", "doc2").withColumnRenamed("g", "g2"), Seq("doc2"))
+      .withColumn("inter", size(array_intersect(col("g1"), col("g2"))))
+      .withColumn("uni", size(array_union(col("g1"), col("g2"))))
+      .filter(col("inter") * 100 >= col("uni") * minJaccardPct)
+      .select(col("doc1"), col("doc2"), col("inter"), col("uni"))
+  }
+
   /** Embedding near-duplicates: pairs with cosine >= threshold, found by
     * MULTI-BAND random-hyperplane sign-LSH (the minhashLsh banding pattern)
     * and verified by true cosine. `planes` sign bits are split into `bands`

@@ -30,6 +30,28 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("prefix-filtered exact Jaccard == naive quadratic at several thresholds") {
+    import spark.implicits._
+    // random overlapping-window corpus: plenty of near-threshold pairs
+    val rnd = new scala.util.Random(4242)
+    val d = (1L to 80L).map { i =>
+      val start = rnd.nextInt(60)
+      val len = 8 + rnd.nextInt(25)
+      (i, (start until start + len).map(k => s"w$k").mkString(" "))
+    }
+    val df = docs(d: _*)
+    for (pct <- Seq(30, 50, 80)) {
+      def norm(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.get(2).toString.toLong, r.get(3).toString.toLong)
+      val naive = Dedup.ngramJaccardPairs(df, n = 3, minJaccardPct = pct)
+        .collect().map(norm).toSet
+      val pref = Dedup.ngramJaccardPairsPrefix(df, n = 3, minJaccardPct = pct)
+        .collect().map(norm).toSet
+      assert(pref == naive, s"pct=$pct: prefix=${pref.size} naive=${naive.size}\n" +
+        s"missing=${(naive -- pref).take(5)} extra=${(pref -- naive).take(5)}")
+    }
+  }
+
   test("simhash: identical docs share hash; near-dups within small hamming") {
     import spark.implicits._
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
