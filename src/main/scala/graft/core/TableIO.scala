@@ -132,6 +132,56 @@ object TableIO {
     spark.read.parquet(s"$root/data").filter(col(partCol).isInCollection(done))
   }
 
+  /** TIME TRAVEL (the Iceberg `VERSION AS OF` analog): read the table as of
+    * snapshot `snapshotId` — only partitions that snapshot had committed are
+    * visible. Snapshots are cumulative, so this is one metadata filter. */
+  def readAt(spark: SparkSession, root: String, partCol: String, snapshotId: Int): DataFrame = {
+    val snap = listSnapshots(root).find(_.id == snapshotId)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no snapshot $snapshotId under $root (have ${listSnapshots(root).map(_.id)})"))
+    spark.read.parquet(s"$root/data")
+      .filter(col(partCol).isInCollection(snap.completed.sorted))
+  }
+
+  /**
+   * Small-file COMPACTION (the Iceberg rewrite_data_files analog) — the
+   * 100 TB housekeeping a long-lived partitioned sink needs: every
+   * committed partition whose file count exceeds `maxFilesPerPartition` is
+   * rewritten to `targetFiles` files via a temp-dir + atomic-rename swap,
+   * then a new snapshot is committed (readers using the snapshot API never
+   * observe a partial rewrite). Row content is untouched. Returns the
+   * partition values rewritten.
+   */
+  def compact(spark: SparkSession, root: String, partCol: String,
+              maxFilesPerPartition: Int = 8, targetFiles: Int = 1): Seq[String] = {
+    val done = completedPartitions(root).toSeq.sorted
+    val rewritten = done.filter { v =>
+      val dir = Paths.get(root, "data", s"$partCol=${escapePartitionValue(v)}")
+      Files.isDirectory(dir) && {
+        val nFiles = Files.list(dir).iterator().asScala
+          .count(_.getFileName.toString.endsWith(".parquet"))
+        nFiles > maxFilesPerPartition
+      }
+    }
+    rewritten.foreach { v =>
+      val dirName = s"$partCol=${escapePartitionValue(v)}"
+      val dir = Paths.get(root, "data", dirName)
+      val tmp = Paths.get(root, "data", s".compact-$dirName.tmp")
+      deleteRecursively(tmp)
+      spark.read.parquet(dir.toString)
+        .repartition(targetFiles)
+        .write.mode("overwrite").parquet(tmp.toString)
+      // swap: the old dir vanishes only after the rewrite fully landed
+      val old = Paths.get(root, "data", s".compact-$dirName.old")
+      deleteRecursively(old)
+      Files.move(dir, old)
+      Files.move(tmp, dir)
+      deleteRecursively(old)
+    }
+    if (rewritten.nonEmpty) commitSnapshot(root, rewritten)
+    rewritten
+  }
+
   /**
    * Bucketed + sorted catalog table (K6's bucketing contract): downstream
    * equi-joins on `bucketCol` between tables bucketed the same way need no

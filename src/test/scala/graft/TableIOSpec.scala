@@ -44,6 +44,38 @@ class TableIOSpec extends SparkSpec {
     assert(TableIO.read(spark, root, "lang").count() == 3)
   }
 
+  test("time travel: readAt(snapshot) sees only that snapshot's partitions") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("tableio-tt").toString
+    TableIO.writeResumable(Seq((1L, "en"), (2L, "de")).toDF("id", "lang"), root, "lang")
+    TableIO.writeResumable(Seq((3L, "fr")).toDF("id", "lang"), root, "lang")
+    assert(TableIO.readAt(spark, root, "lang", 0).count() == 2)
+    assert(TableIO.readAt(spark, root, "lang", 1).count() == 3)
+    intercept[IllegalArgumentException](TableIO.readAt(spark, root, "lang", 9))
+  }
+
+  test("compaction rewrites many-file partitions without changing rows") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("tableio-compact").toString
+    // a fragmented partition: 12 separate appends -> 12 files under lang=en
+    (1 to 12).foreach { i =>
+      Seq((i.toLong, s"t$i", "en")).toDF("id", "v", "lang")
+        .coalesce(1).write.mode("append").partitionBy("lang").parquet(s"$root/data")
+    }
+    TableIO.commitSnapshot(root, Seq("en"))
+    val before = TableIO.read(spark, root, "lang").collect().map(_.toString).sorted
+    def nFiles = Files.list(java.nio.file.Paths.get(root, "data", "lang=en"))
+      .toArray.map(_.toString).count(_.endsWith(".parquet"))
+    assert(nFiles >= 12)
+    val rewritten = TableIO.compact(spark, root, "lang", maxFilesPerPartition = 8, targetFiles = 1)
+    assert(rewritten == Seq("en"))
+    assert(nFiles == 1, s"expected 1 file after compaction, got $nFiles")
+    val after = TableIO.read(spark, root, "lang").collect().map(_.toString).sorted
+    assert(after.toSeq == before.toSeq)
+    // idempotent: already-compacted partitions are left alone
+    assert(TableIO.compact(spark, root, "lang", 8, 1).isEmpty)
+  }
+
   test("lineage rows persist as json") {
     val root = Files.createTempDirectory("lineage").toString
     TableIO.writeLineage(root, "ner.tag", Seq(LineageRow("ner.tag", 0, 10, 9, 42, "")))
