@@ -203,6 +203,10 @@ object SparkEntry {
     // keep-list (A~B, B~C collapse to one representative without an A~C pair)
     "q36_dedup_clusters" -> ((s, dir) =>
       Dedup.dedupClusters(s.read.parquet(t(dir, "documents")))),
+    // batched media resize (stub codec, real mapPartitions plumbing):
+    // aspect-fitted dims + deterministic rendition bytes; audio passes out
+    "q49_media_resize" -> ((s, dir) =>
+      Multimodal.resize(Multimodal.syntheticMedia(s.read.parquet(t(dir, "documents")))).toDF()),
     // EXACT Jaccard over the FULL corpus — no bounded universe needed:
     // the prefix-filtered inverted index (AllPairs/PPJoin) makes the exact
     // form scale; contrast with q26's deliberately bounded quadratic twin
@@ -279,6 +283,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q28_simhash" -> golden("q28_simhash"),
     "q36_dedup_clusters" -> golden("q36_dedup_clusters"),
+    "q49_media_resize" -> golden("q49_media_resize"),
     "q38_hash_sample" -> golden("q38_hash_sample"),
     "q29_simhash_neardup" -> golden("q29_simhash_neardup"),
     "q32_embedding_neardup" -> golden("q32_embedding_neardup"),

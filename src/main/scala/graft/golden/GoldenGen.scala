@@ -50,6 +50,7 @@ object GoldenGen {
     write("q35_frame_sample", q35FrameSamples(docs), "doc_id", "n_sampled")
     write("q41_sentences", q41Sentences(docs), "url", "sentIdx", "n_tokens")
     write("q36_dedup_clusters", q36DedupClusters(docs), "doc_id", "keep_id")
+    write("q49_media_resize", q49Resize(docs))
     write("q38_hash_sample", q38HashSample(docs, pctKeep = 37).map(Tuple1(_)), "doc_id")
 
     // NER pipeline twins (NaiveKernel; one BiLSTM pass, both decoders)

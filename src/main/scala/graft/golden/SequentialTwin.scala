@@ -355,6 +355,23 @@ object SequentialTwin {
   def q33Fingerprints(docs: Seq[Doc]): Seq[(Long, Long)] =
     docs.map(d => (d.docId, TextStats.fingerprint64(d.text)))
 
+  /** q49 rows: the batched resize twin (image/video only, audio dropped). */
+  def q49Resize(docs: Seq[Doc], box: Int = 256): Seq[Multimodal.Resized] =
+    docs.flatMap { d =>
+      val mt = (d.docId % 3) match {
+        case 0 => "image/png"
+        case 1 => "audio/wav"
+        case _ => "video/mp4"
+      }
+      if (mt.startsWith("audio")) None
+      else {
+        val blob = d.text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val (w, h, _, _) = Multimodal.decodeStub(mt, blob)
+        val (ow, oh, thumb) = Multimodal.resizeStub(blob, w, h, box)
+        Some(Multimodal.Resized(d.docId, mt, w, h, ow, oh, thumb))
+      }
+    }
+
   /** q35 rows: (doc_id, n_sampled) for video docs (doc_id % 3 == 2). */
   def q35FrameSamples(docs: Seq[Doc], stride: Int = 10): Seq[(Long, Long)] =
     docs.filter(d => d.docId % 3 == 2).map { d =>

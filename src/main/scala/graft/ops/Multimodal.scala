@@ -76,6 +76,63 @@ object Multimodal {
       }
   }
 
+  /** One resized media rendition: dimensions fitted to a bounding box
+    * (aspect preserved) plus the rendition bytes (stub: a deterministic
+    * 64-byte signature standing in for the re-encoded payload). */
+  final case class Resized(
+      doc_id: Long,
+      media_type: String,
+      src_w: Int,
+      src_h: Int,
+      out_w: Int,
+      out_h: Int,
+      thumb: Array[Byte]
+  )
+
+  /** STUB resize kernel: fits (w, h) into `box` x `box` preserving aspect
+    * ratio (never upscales), and derives the rendition bytes
+    * deterministically from the source bytes + target dims — a real
+    * implementation swaps in the decoder/scaler, the shape stays. */
+  def resizeStub(blob: Array[Byte], w: Int, h: Int, box: Int): (Int, Int, Array[Byte]) = {
+    val scale = math.min(1.0, box.toDouble / math.max(w, h))
+    val ow = math.max(1, math.round(w * scale).toInt)
+    val oh = math.max(1, math.round(h * scale).toInt)
+    var s = 0xcbf29ce484222325L
+    var i = 0
+    while (i < blob.length) { s ^= blob(i); s *= 0x100000001b3L; i += 1 }
+    s ^= (ow.toLong << 32) | (oh.toLong & 0xffffffffL)
+    val out = new Array[Byte](64)
+    var k = 0
+    while (k < 64) {
+      s = graft.ner.Embeddings.xorshift(s)
+      out(k) = (s >>> 56).toByte
+      k += 1
+    }
+    (ow, oh, out)
+  }
+
+  /** Batched image/video resize over the opaque binary column — the same
+    * mapPartitions batch shape as `extract` (codec/scaler init once per
+    * partition, whole-partition batches like mapInPandas' Arrow batches).
+    * Audio rows pass through untouched (resize is a no-op for them). */
+  def resize(media: DataFrame, box: Int = 256): Dataset[Resized] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media_type"), col("blob"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { batch =>
+        // scaler init would happen here, once per partition
+        batch.flatMap { case (id, mt, blob) =>
+          if (!mt.startsWith("image") && !mt.startsWith("video")) Iterator.empty
+          else {
+            val (w, h, _, _) = decodeStub(mt, blob)
+            val (ow, oh, thumb) = resizeStub(blob, w, h, box)
+            Iterator.single(Resized(id, mt, w, h, ow, oh, thumb))
+          }
+        }
+      }
+  }
+
   /** Deterministic frame sampling plan for video rows: every `stride`-th
     * frame index — the shuffle-free precursor to a real frame decode. */
   def frameSample(meta: Dataset[MediaMeta], stride: Int = 10): DataFrame = {

@@ -116,6 +116,27 @@ class OpsSpec extends SparkSpec {
     assert(a != TextStats.fingerprint64("hello worlds"))
   }
 
+  test("multimodal resize: aspect-preserving fit, no upscale, audio dropped") {
+    import spark.implicits._
+    val d = docs(0L -> "an image doc body", 1L -> "an audio doc", 2L -> "a video doc body here")
+    val out = graft.ops.Multimodal.resize(graft.ops.Multimodal.syntheticMedia(d), box = 100)
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(!out.contains(1L), "audio must pass out of resize")
+    out.values.foreach { r =>
+      assert(math.max(r.out_w, r.out_h) <= 100 || (r.out_w == r.src_w && r.out_h == r.src_h))
+      assert(r.out_w <= r.src_w && r.out_h <= r.src_h, "never upscale")
+      // aspect preserved within rounding
+      val srcAspect = r.src_w.toDouble / r.src_h
+      val outAspect = r.out_w.toDouble / r.out_h
+      assert(math.abs(srcAspect - outAspect) / srcAspect < 0.05, s"$r")
+      assert(r.thumb.length == 64)
+    }
+    // deterministic across invocations
+    val again = graft.ops.Multimodal.resize(graft.ops.Multimodal.syntheticMedia(d), box = 100)
+      .collect().map(r => r.doc_id -> r.thumb.toSeq).toMap
+    out.foreach { case (id, r) => assert(again(id) == r.thumb.toSeq) }
+  }
+
   test("multimodal extract: deterministic stub metadata, batch plumbing") {
     import spark.implicits._
     val meta = Multimodal.extract(Multimodal.syntheticMedia(docs(
