@@ -203,6 +203,10 @@ object SparkEntry {
     // keep-list (A~B, B~C collapse to one representative without an A~C pair)
     "q36_dedup_clusters" -> ((s, dir) =>
       Dedup.dedupClusters(s.read.parquet(t(dir, "documents")))),
+    // deterministic sequence packing (pretraining batch assembly):
+    // hash-bucketed, per-bucket doc_id order, 512-token cumulative budget
+    "q51_sequence_packing" -> ((s, dir) =>
+      TextStats.packByTokenBudget(s.read.parquet(t(dir, "documents")), budget = 512L)),
     // batched media resize (stub codec, real mapPartitions plumbing):
     // aspect-fitted dims + deterministic rendition bytes; audio passes out
     "q49_media_resize" -> ((s, dir) =>
@@ -284,6 +288,7 @@ object SparkEntry {
     "q28_simhash" -> golden("q28_simhash"),
     "q36_dedup_clusters" -> golden("q36_dedup_clusters"),
     "q49_media_resize" -> golden("q49_media_resize"),
+    "q51_sequence_packing" -> golden("q51_sequence_packing"),
     "q38_hash_sample" -> golden("q38_hash_sample"),
     "q29_simhash_neardup" -> golden("q29_simhash_neardup"),
     "q32_embedding_neardup" -> golden("q32_embedding_neardup"),

@@ -355,6 +355,23 @@ object SequentialTwin {
   def q33Fingerprints(docs: Seq[Doc]): Seq[(Long, Long)] =
     docs.map(d => (d.docId, TextStats.fingerprint64(d.text)))
 
+  /** q51 rows: deterministic sequence packing (doc_id, n_tokens, bucket,
+    * pack_id) — hash buckets, per-bucket doc_id order, cumulative budget. */
+  def q51Pack(docs: Seq[Doc], budget: Long, buckets: Int = 64): Seq[(Long, Long, Int, Long)] =
+    docs.map { d =>
+      val h = Xxh64.hashLong(d.docId, Xxh64.SparkSeed)
+      val bucket = (((h % buckets) + buckets) % buckets).toInt
+      (d.docId, splitKeepAll(d.text).length.toLong, bucket)
+    }
+      .groupBy(_._3).valuesIterator.flatMap { group =>
+        var before = 0L
+        group.sortBy(_._1).map { case (id, n, b) =>
+          val row = (id, n, b, before / budget)
+          before += n
+          row
+        }
+      }.toSeq
+
   /** q49 rows: the batched resize twin (image/video only, audio dropped). */
   def q49Resize(docs: Seq[Doc], box: Int = 256): Seq[Multimodal.Resized] =
     docs.flatMap { d =>

@@ -94,6 +94,30 @@ object TextStats {
   def sampleByHash(df: DataFrame, key: Column, pctKeep: Int): DataFrame =
     df.filter(pmod(xxhash64(key), lit(100)) < pctKeep)
 
+  /**
+   * Deterministic SEQUENCE PACKING for pretraining-batch assembly: docs are
+   * spread over `buckets` hash buckets (the parallelism unit — each bucket
+   * packs independently, so the operator scales by executors), and within a
+   * bucket, ordered by doc_id, a doc joins pack
+   * floor(tokens_before_it / budget). Fully deterministic across runs,
+   * partitionings and cluster sizes (hash bucket + total order), unlike
+   * arrival-order packing. Returns (doc_id, n_tokens, bucket, pack_id).
+   *
+   * The window is keyed by bucket — no global sort; at 10^12 docs each
+   * bucket's running sum is an independent partition-local scan.
+   */
+  def packByTokenBudget(docs: DataFrame, budget: Long, buckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = docs.select(col("doc_id"),
+      size(toks(col("text"))).cast("long").as("n_tokens"),
+      pmod(xxhash64(col("doc_id")), lit(buckets)).cast("int").as("bucket"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.withColumn("tokens_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", floor(col("tokens_before") / budget).cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("bucket"), col("pack_id"))
+  }
+
   /** Polynomial rolling-hash fingerprint (base 257 mod 2^61-1) over the raw
     * text bytes — stable across partitionings and JVMs. */
   def fingerprint64(text: String): Long = {

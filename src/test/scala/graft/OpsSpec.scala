@@ -116,6 +116,32 @@ class OpsSpec extends SparkSpec {
     assert(a != TextStats.fingerprint64("hello worlds"))
   }
 
+  test("sequence packing: budget respected, deterministic, partition-invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val d = (1L to 200L).map(i => (i, Seq.fill(1 + rnd.nextInt(40))("w").mkString(" ")))
+    val df = docs(d: _*)
+    val packed = graft.ops.TextStats.packByTokenBudget(df, budget = 64L, buckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(packed.length == 200)
+    // a pack never starts beyond the budget boundary: within (bucket, pack),
+    // total tokens < budget + max single doc (docs are indivisible)
+    packed.groupBy(p => (p._3, p._4)).foreach { case ((b, pk), ds) =>
+      val total = ds.map(_._2).sum
+      val maxDoc = ds.map(_._2).max
+      assert(total < 64 + maxDoc, s"bucket $b pack $pk overfilled: $total")
+    }
+    // pack ids are dense from 0 within each bucket
+    packed.groupBy(_._3).foreach { case (_, ds) =>
+      val ids = ds.map(_._4).distinct.sorted.toSeq
+      assert(ids == (0 until ids.length).map(_.toLong))
+    }
+    // partition-count invariance
+    val repart = graft.ops.TextStats.packByTokenBudget(df.repartition(7), budget = 64L, buckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(repart.sorted.toSeq == packed.sorted.toSeq)
+  }
+
   test("multimodal resize: aspect-preserving fit, no upscale, audio dropped") {
     import spark.implicits._
     val d = docs(0L -> "an image doc body", 1L -> "an audio doc", 2L -> "a video doc body here")
