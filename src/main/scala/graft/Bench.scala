@@ -3,13 +3,19 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: every SparkEntry query, one JSON line on stdout.
-  * Each query runs twice and reports the min — pass 1 warms JIT/codegen and
-  * the pipeline's model/tagged caches; the host also shows multi-second
-  * hypervisor steal bursts (see BENCH.md), which min-of-2 partially absorbs. */
+  * Each query runs SPARK_GRAFT_BENCH_REPS times (default 3) and reports the
+  * min — pass 1 warms JIT/codegen and the pipeline's model/tagged caches;
+  * the host also shows multi-second hypervisor steal bursts (see BENCH.md),
+  * which min-of-N partially absorbs. Cache hygiene: the dedup/similarity
+  * operators self-clean their cached intermediates (Dedup eager mode), so
+  * each timing starts from a storage pool holding only the pipeline's
+  * deliberate model/tagged caches — the same methodology as BENCH.md's
+  * min-merged numbers. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -30,9 +36,7 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val results = names.map { n =>
-      val a = timeOne(n)
-      val b = timeOne(n)
-      n -> math.min(a, b)
+      n -> (1 to math.max(1, reps)).map(_ => timeOne(n)).min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

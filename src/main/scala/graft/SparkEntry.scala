@@ -208,9 +208,13 @@ object SparkEntry {
     "q51_sequence_packing" -> ((s, dir) =>
       TextStats.packByTokenBudget(s.read.parquet(t(dir, "documents")), budget = 512L)),
     // batched media resize (stub codec, real mapPartitions plumbing):
-    // aspect-fitted dims + deterministic rendition bytes; audio passes out
+    // aspect-fitted dims + deterministic rendition bytes; audio passes out.
+    // The rendition bytes are emitted HEX-ENCODED — the driver's pandas
+    // compare cannot hash/sort raw binary columns (round-2 q49 err).
     "q49_media_resize" -> ((s, dir) =>
-      Multimodal.resize(Multimodal.syntheticMedia(s.read.parquet(t(dir, "documents")))).toDF()),
+      Multimodal.resize(Multimodal.syntheticMedia(s.read.parquet(t(dir, "documents")))).toDF()
+        .select(col("doc_id"), col("media_type"), col("src_w"), col("src_h"),
+          col("out_w"), col("out_h"), hex(col("thumb")).as("thumb_hex"))),
     // EXACT Jaccard over the FULL corpus — no bounded universe needed:
     // the prefix-filtered inverted index (AllPairs/PPJoin) makes the exact
     // form scale; contrast with q26's deliberately bounded quadratic twin
@@ -280,14 +284,24 @@ object SparkEntry {
   /** Golden-fixture oracle: DuckDB reads the committed parquet written by
     * graft.golden.GoldenGen (the sequential twin — NaiveKernel dense math,
     * union-find canonicalizer, independent XXH64). Verify substitutes
-    * __SF__ with the sf directory name at dump time. */
+    * __SF__ with the sf directory name at dump time. The fixture root is
+    * overridable (repo relocation / alternate fixture sets) via
+    * SPARK_GRAFT_GOLDEN_DIR, resolved in the dumping JVM. */
+  private def goldenRoot: String =
+    sys.env.getOrElse("SPARK_GRAFT_GOLDEN_DIR", "/root/repo/golden")
+
   private def golden(name: String): String =
-    s"SELECT * FROM '/root/repo/golden/__SF__/$name.parquet/*.parquet'"
+    s"SELECT * FROM '$goldenRoot/__SF__/$name.parquet/*.parquet'"
 
   def oracleSql: Map[String, String] = Map(
     "q28_simhash" -> golden("q28_simhash"),
     "q36_dedup_clusters" -> golden("q36_dedup_clusters"),
-    "q49_media_resize" -> golden("q49_media_resize"),
+    // golden stores the raw rendition bytes; hex on the oracle side mirrors
+    // the query's hex(thumb) (both engines emit uppercase hex)
+    "q49_media_resize" ->
+      s"""SELECT doc_id, media_type, src_w, src_h, out_w, out_h,
+          hex(thumb) AS thumb_hex
+          FROM '$goldenRoot/__SF__/q49_media_resize.parquet/*.parquet'""",
     "q51_sequence_packing" -> golden("q51_sequence_packing"),
     "q38_hash_sample" -> golden("q38_hash_sample"),
     "q29_simhash_neardup" -> golden("q29_simhash_neardup"),

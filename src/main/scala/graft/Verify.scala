@@ -22,6 +22,13 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // surface the LSH/prefix hot-bucket drop reports: a non-zero drop means
+    // an approximate operator intentionally shed candidates — it makes a
+    // recall-looking oracle mismatch diagnosable as a drop, not a bug
+    graft.ops.Dedup.lastDropReport.toSeq.sortBy(_._1).foreach {
+      case (label, (buckets, slots)) =>
+        System.err.println(s"[verify] dropReport $label: buckets=$buckets slots=$slots")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

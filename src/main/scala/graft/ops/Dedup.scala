@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.storage.StorageLevel
 
 /**
  * Deduplication operators over a `documents`-shaped table
@@ -10,8 +11,60 @@ import org.apache.spark.sql.expressions.Window
  * training-data pipeline family — exact, MinHash+LSH, SimHash, exact n-gram
  * Jaccard. All are shuffle-on-key DataFrame plans (map-side partial aggs,
  * no driver collection) that scale linearly with executors.
+ *
+ * CACHE DISCIPLINE: the candidate-generating operators (minhashLsh,
+ * simhashNearDup, ngramJaccardPairsPrefix, embeddingNearDup, dedupClusters)
+ * internally cache their shingle/signature/prefix tables (each is read by
+ * several plan branches; Spark's higher-order array functions are
+ * interpreted, so recomputing them per branch is the expensive path). By
+ * default (`eagerOps = true`) every such operator EAGERLY materializes its
+ * (small) result via `localCheckpoint` and unpersists all of its cached
+ * intermediates before returning — calling it therefore runs Spark jobs at
+ * construction time, and leaks NOTHING into the session's storage pool: a
+ * long-lived session can run thousands of dedup passes back-to-back with a
+ * flat cache footprint. Callers that need fully lazy plans (plan audits,
+ * custom composition) use `withLazyPlans { ... }`, which registers the
+ * intermediates for a later `reset()` instead.
  */
 object Dedup {
+
+  /** Default (true): operators materialize their result and self-clean
+    * their cached intermediates before returning. See object scaladoc. */
+  @volatile private[graft] var eagerOps: Boolean = true
+
+  /** Intermediates persisted while in lazy mode, pending reset(). */
+  private val lazyCached = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Unpersist every intermediate registered by lazy-mode operators. */
+  def reset(): Unit = {
+    var df = lazyCached.poll()
+    while (df != null) { df.unpersist(false); df = lazyCached.poll() }
+  }
+
+  /** Run `f` with fully lazy operator plans (no construction-time jobs, no
+    * localCheckpoint); cached intermediates accumulate and are unpersisted
+    * when the block exits. Single-threaded use (the flag is global). */
+  def withLazyPlans[T](f: => T): T = {
+    eagerOps = false
+    try f finally { eagerOps = true; reset() }
+  }
+
+  private def persistIntermediate(df: DataFrame): DataFrame = {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    if (!eagerOps) lazyCached.add(p)
+    p
+  }
+
+  /** Terminal step of each candidate-generating operator: eager mode
+    * materializes the (small) result once and unpersists the operator's
+    * cached intermediates; lazy mode returns the plan untouched. */
+  private def finish(out: DataFrame, intermediates: DataFrame*): DataFrame = {
+    if (eagerOps) {
+      val ck = out.localCheckpoint(true)
+      intermediates.foreach(_.unpersist(false))
+      ck
+    } else out
+  }
 
   /** Exact dedup: one representative (min doc_id) per identical text.
     * At 100 TB hash first (`sha2`) so the shuffle carries 32-byte keys
@@ -32,7 +85,7 @@ object Dedup {
     * element_at is O(1) per access; no per-element slice copies. */
   def shinglesFromTokens(toks: Column, n: Int): Column = {
     val grams = transform(sequence(lit(1), size(toks) - (n - 1)),
-      i => concat_ws("", (0 until n).map(k => element_at(toks, i + k)): _*))
+      i => concat_ws("", (0 until n).map(k => element_at(toks, i + k)): _*))
     array_distinct(
       when(size(toks) >= n, grams).otherwise(array().cast("array<string>")))
   }
@@ -63,11 +116,10 @@ object Dedup {
     // higher-order array functions are interpreted (no codegen); the shingle
     // table is referenced three times (signature + both join-backs) — cache
     // it once rather than re-deriving per reference.
-    val withShingles = docs
+    val withShingles = persistIntermediate(docs
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), shinglesFromTokens(col("toks"), shingleSize).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .filter(size(col("sh")) > 0))
     // signature(i) = min over shingles of xxhash64(i, shingle) — seeded hash
     // family; no multiplicative arithmetic (ANSI-safe, no overflow).
     val sig = withShingles.withColumn("sig",
@@ -82,7 +134,7 @@ object Dedup {
           concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))))))).as(Seq("band", "bucket")))
     val pairs = idPairsFromBuckets(banded, maxBucket, dropLabel = "minhashLsh")
     val shingleTable = withShingles
-    pairs
+    val verified = pairs
       .join(shingleTable.withColumnRenamed("doc_id", "doc1").withColumnRenamed("sh", "sh1"), Seq("doc1"))
       .join(shingleTable.withColumnRenamed("doc_id", "doc2").withColumnRenamed("sh", "sh2"), Seq("doc2"))
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
@@ -90,13 +142,37 @@ object Dedup {
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc1"), col("doc2"), col("inter"), col("uni"), col("jaccard"))
+    finish(verified, withShingles)
   }
 
-  /** Last drop report per label — observable from tests/metrics. */
+  /** Last drop report per label — observable from tests/metrics. Populated
+    * synchronously before the operator returns (eager mode, the default);
+    * lazy plan-audit mode does not update it. */
   val lastDropReport: scala.collection.concurrent.TrieMap[String, (Long, Long)] =
     scala.collection.concurrent.TrieMap.empty
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Read the drop counts off the CACHED sizing table (one row per bucket/
+    * gram — the main job just materialized it, so this costs one scan of a
+    * KB-scale cached table, not a re-pass over the corpus) and publish them.
+    * (An `observe()` formulation was tried and reverted: CollectMetrics
+    * metrics are silently absent when the observed node executes inside a
+    * broadcast-exchange sub-execution, which these small sizing tables
+    * almost always do.) */
+  private def reportDrops(sizes: DataFrame, sizeCol: String, cap: Int,
+      dropLabel: String, what: String, onDrop: (Long, Long) => Unit): Unit = {
+    val dropRow = sizes.filter(col(sizeCol) > cap)
+      .agg(count(lit(1)).as("nDropped"),
+        coalesce(sum(col(sizeCol)), lit(0L)).as("nSlots"))
+      .head()
+    val (nBuckets, nDocs) = (dropRow.getLong(0), dropRow.getLong(1))
+    lastDropReport(dropLabel) = (nBuckets, nDocs)
+    if (nBuckets > 0)
+      log.warn(s"[$dropLabel] dropped $nBuckets hot $what " +
+        s"covering $nDocs slots (cap=$cap)")
+    onDrop(nBuckets, nDocs)
+  }
 
   /**
    * Distinct candidate id pairs from (doc_id, band, bucket) rows; buckets
@@ -110,31 +186,24 @@ object Dedup {
    * near-empty docs hashing together) therefore costs one counter, not one
    * OOM'd reducer.
    *
-   * The drop is LOUD: dropped bucket / doc-slot counts are computed with a
-   * one-row aggregate, logged, recorded in `lastDropReport(dropLabel)`, and
-   * passed to `onDrop`.
+   * The drop is LOUD and near-free: the sizing table is cached (it feeds the
+   * hot-bucket filter anyway), so the dropped bucket / doc-slot counts cost
+   * one scan of a KB-scale cached table after the main job — never a second
+   * pass over the banded corpus. Logged, recorded in
+   * `lastDropReport(dropLabel)`, and passed to `onDrop` (eager mode).
    */
   private[graft] def idPairsFromBuckets(banded0: DataFrame, maxBucket: Int,
       dropLabel: String = "lsh",
       onDrop: (Long, Long) => Unit = (_, _) => ()): DataFrame = {
     // banded is read twice (sizing + pair-gen) — persist so the upstream
-    // signature computation (interpreted HOFs) runs once
-    val banded = banded0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = banded.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("bsz"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dropRow = sizes.filter(col("bsz") > maxBucket)
-      .agg(count(lit(1)).as("nBuckets"), coalesce(sum(col("bsz")), lit(0L)).as("nDocs"))
-      .head()
-    val (nBuckets, nDocs) = (dropRow.getLong(0), dropRow.getLong(1))
-    lastDropReport(dropLabel) = (nBuckets, nDocs)
-    if (nBuckets > 0)
-      log.warn(s"[$dropLabel] dropped $nBuckets hot LSH bucket(s) " +
-        s"covering $nDocs doc slots (maxBucket=$maxBucket)")
-    onDrop(nBuckets, nDocs)
+    // signature computation (interpreted HOFs) runs once; sizes is read
+    // twice (bucket filter + drop report) and is one row per bucket
+    val banded = persistIntermediate(banded0)
+    val sizes = persistIntermediate(banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bsz")))
     val okBuckets = sizes.filter(col("bsz").between(2, maxBucket))
       .select(col("band"), col("bucket"))
-    banded.join(okBuckets, Seq("band", "bucket"))
+    val pairs = banded.join(okBuckets, Seq("band", "bucket"))
       .groupBy(col("band"), col("bucket"))
       .agg(collect_list(col("doc_id")).as("members"))
       .select(explode(expr(
@@ -142,6 +211,13 @@ object Dedup {
           "p -> p.doc1 < p.doc2)")).as("p"))
       .select(col("p.doc1").as("doc1"), col("p.doc2").as("doc2"))
       .dropDuplicates("doc1", "doc2")
+    if (eagerOps) {
+      val out = pairs.localCheckpoint(true) // materializes banded + sizes caches
+      reportDrops(sizes, "bsz", maxBucket, dropLabel, "LSH bucket(s)", onDrop)
+      banded.unpersist(false)
+      sizes.unpersist(false)
+      out
+    } else pairs
   }
 
   /**
@@ -188,18 +264,19 @@ object Dedup {
     * hamming distance <= `maxHamming`. */
   def simhashNearDup(docs: DataFrame, maxHamming: Int = 3, maxBucket: Int = 64): DataFrame = {
     // interpreted HOF, referenced three times (banding + two join-backs)
-    val sh = simhash(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = persistIntermediate(simhash(docs))
     val banded = sh.select(col("doc_id"),
       posexplode(expr(
         "transform(sequence(0, 3), c -> shiftright(simhash, c * 16) & 65535)"))
         .as(Seq("band", "bucket")))
     val pairs = idPairsFromBuckets(banded, maxBucket, dropLabel = "simhashNearDup")
-    pairs
+    val verified = pairs
       .join(sh.withColumnRenamed("doc_id", "doc1").withColumnRenamed("simhash", "h1"), Seq("doc1"))
       .join(sh.withColumnRenamed("doc_id", "doc2").withColumnRenamed("simhash", "h2"), Seq("doc2"))
       .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc1"), col("doc2"), col("hamming"))
+    finish(verified, sh)
   }
 
   /**
@@ -236,43 +313,74 @@ object Dedup {
    * loses nothing, while frequent grams (the quadratic blowup) fall out of
    * most prefixes.
    *
+   * PPJoin LENGTH FILTER: J(A,B) >= t additionally implies
+   * t*|A| <= |B| <= |A|/t, so candidates whose gram-set sizes violate
+   * `100*min(gsz1,gsz2) >= minJaccardPct*max(gsz1,gsz2)` are pruned BEFORE
+   * the (expensive) full-array verification — exactness preserved.
+   *
+   * HOT-GRAM GUARD: a prefix gram whose posting list exceeds
+   * `maxGramPostings` docs would still be an unguarded quadratic bucket in
+   * the self-join (Zipfian corpora). Such grams are dropped LOUDLY (logged +
+   * `lastDropReport("ngramJaccardPairsPrefix")`), like idPairsFromBuckets'
+   * bucket cap. With zero drops (queryable) the result is EXACT; a drop
+   * means a pair is missed only if the hot gram was its sole shared prefix
+   * gram. Singleton posting lists are pruned too (they cannot pair — pure
+   * win, exact).
+   *
    * Plan shape: one gram-frequency aggregation, one per-document window
    * (keyed by doc — no global rank materialization; the canonical order is
    * the (freq, gram) pair itself), a self-join on PREFIX grams only, and
-   * exact set verification on the candidates. All integer arithmetic
-   * (minJaccardPct), no probabilistic step.
+   * exact set verification on the length-filtered candidates. All integer
+   * arithmetic (minJaccardPct), no probabilistic step.
    */
   def ngramJaccardPairsPrefix(docs: DataFrame, n: Int = 3,
-                              minJaccardPct: Int = 50): DataFrame = {
-    val withG = docs
+                              minJaccardPct: Int = 50,
+                              maxGramPostings: Int = 10000): DataFrame = {
+    val withG = persistIntermediate(docs
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), shinglesFromTokens(col("toks"), n).as("g"))
-      .filter(size(col("g")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .filter(size(col("g")) > 0))
     val grams = withG.select(col("doc_id"), size(col("g")).as("gsz"),
       explode(col("g")).as("gram"))
     val freq = grams.groupBy(col("gram")).agg(count(lit(1)).as("freq"))
     // per-doc rank under the canonical order; keep the prefix:
     // p = gsz - ceil(pct*gsz/100) + 1  (integer ceil)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("freq"), col("gram"))
-    val prefixes = grams.join(freq, Seq("gram"))
+    val prefixes = persistIntermediate(grams.join(freq, Seq("gram"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <=
         col("gsz") - floor((col("gsz") * minJaccardPct + 99) / 100) + 1)
-      .select(col("gram"), col("doc_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = prefixes
-      .join(prefixes.withColumnRenamed("doc_id", "doc2"), Seq("gram"))
-      .filter(col("doc_id") < col("doc2"))
+      .select(col("gram"), col("doc_id"), col("gsz")))
+    // hot-gram guard: size every prefix posting list first (one counter per
+    // gram, map-side partial agg); cached — it feeds both the gram filter
+    // and the post-job drop report
+    val postings = persistIntermediate(
+      prefixes.groupBy(col("gram")).agg(count(lit(1)).as("psz")))
+    val okGrams = postings.filter(col("psz").between(2, maxGramPostings))
+      .select(col("gram"))
+    val p1 = prefixes.join(okGrams, Seq("gram"))
+    val p2 = p1.select(col("gram"), col("doc_id").as("doc2"), col("gsz").as("gsz2"))
+    val cands = p1.join(p2, Seq("gram"))
+      .filter(col("doc_id") < col("doc2") &&
+        // PPJoin length filter: prune before carrying pairs any further
+        col("gsz") * 100 >= col("gsz2") * minJaccardPct &&
+        col("gsz2") * 100 >= col("gsz") * minJaccardPct)
       .select(col("doc_id").as("doc1"), col("doc2"))
       .dropDuplicates("doc1", "doc2")
-    cands
+    val verified = cands
       .join(withG.withColumnRenamed("doc_id", "doc1").withColumnRenamed("g", "g1"), Seq("doc1"))
       .join(withG.withColumnRenamed("doc_id", "doc2").withColumnRenamed("g", "g2"), Seq("doc2"))
       .withColumn("inter", size(array_intersect(col("g1"), col("g2"))))
       .withColumn("uni", size(array_union(col("g1"), col("g2"))))
       .filter(col("inter") * 100 >= col("uni") * minJaccardPct)
       .select(col("doc1"), col("doc2"), col("inter"), col("uni"))
+    if (eagerOps) {
+      val out = verified.localCheckpoint(true)
+      reportDrops(postings, "psz", maxGramPostings, "ngramJaccardPairsPrefix",
+        "prefix gram posting list(s)", (_, _) => ())
+      Seq(withG, prefixes, postings).foreach(_.unpersist(false))
+      out
+    } else verified
   }
 
   /** Embedding near-duplicates: pairs with cosine >= threshold, found by
@@ -281,7 +389,8 @@ object Dedup {
     * bands of planes/bands bits; a pair is a candidate if ANY band's bits
     * all agree — for cosine-0.95 pairs (theta ~ 18deg, per-plane agreement
     * ~0.9) the 4x4 default catches ~98.6% vs ~43% for the single 8-plane
-    * band it replaces. Recall is property-tested on planted near-dups. */
+    * band it replaces. Recall is property-tested on planted near-dups.
+    * An empty input returns an empty (v1, v2, cosine) result. */
   def embeddingNearDup(emb: DataFrame, threshold: Double = 0.95,
                        planes: Int = 16, bands: Int = 4, maxBucket: Int = 256): DataFrame = {
     require(planes % bands == 0, "planes must be divisible by bands")
@@ -292,7 +401,12 @@ object Dedup {
     // tested) instead of re-hashing per row x plane x dim inside the
     // expression. Weight = ±1 from the hash parity of "plane<p>:<i>".
     // Assumes a fixed-dimension embedding column (any ANN-indexed table).
-    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    // NOTE: probing the dim runs one tiny Spark job at construction time.
+    val dimRow = emb.select(size(col("embedding"))).limit(1).collect()
+    if (dimRow.isEmpty)
+      return emb.limit(0).select(col("vec_id").as("v1"), col("vec_id").as("v2"),
+        lit(0.0d).as("cosine"))
+    val dim = dimRow(0).getInt(0)
     val planeW: Seq[Seq[Float]] = (0 until planes).map { p =>
       (0 until dim).map { i =>
         val h = graft.functions.Xxh64.hashString(s"plane$p:$i", graft.functions.Xxh64.SparkSeed)
@@ -304,18 +418,18 @@ object Dedup {
         lit(0.0d), (acc, v) => acc + v) > 0, lit(1)).otherwise(lit(0))
     }: _*)
     // interpreted HOFs + reuse across bands: materialize bits once
-    val withSig = emb.select(col("vec_id"), sigBits.as("bits"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withSig = persistIntermediate(emb.select(col("vec_id"), sigBits.as("bits")))
     val banded = withSig.select(col("vec_id").as("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
         aggregate(slice(col("bits"), b * lit(rows) + 1, lit(rows)),
           lit(0L), (a, bit) => a * 2 + bit))).as(Seq("band", "bucket")))
     val vecs = emb.select(col("vec_id"), col("embedding"))
-    idPairsFromBuckets(banded, maxBucket, dropLabel = "embeddingNearDup")
+    val verified = idPairsFromBuckets(banded, maxBucket, dropLabel = "embeddingNearDup")
       .join(vecs.withColumnRenamed("vec_id", "doc1").withColumnRenamed("embedding", "e1"), Seq("doc1"))
       .join(vecs.withColumnRenamed("vec_id", "doc2").withColumnRenamed("embedding", "e2"), Seq("doc2"))
       .withColumn("cosine", Similarity.cosine(col("e1"), col("e2")))
       .filter(col("cosine") >= threshold)
       .select(col("doc1").as("v1"), col("doc2").as("v2"), col("cosine"))
+    finish(verified, withSig)
   }
 }

@@ -86,7 +86,10 @@ object Similarity {
    * cut, so the codebook is identical across runs and partitionings.
    */
   def centroidCodebook(emb: DataFrame, nList: Int): Array[Centroid] = {
-    val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+    // empty table -> empty codebook (max over zero rows aggregates to null)
+    val maxRow = emb.agg(max(col("vec_id"))).head()
+    if (maxRow.isNullAt(0)) return Array.empty
+    val maxId = maxRow.getLong(0)
     val stride = math.max(1L, (maxId + 1) / nList)
     emb.filter(pmod(col("vec_id"), lit(stride)) === 0)
       .orderBy(col("vec_id")).limit(nList)
@@ -139,7 +142,12 @@ object Similarity {
               nList: Int = 16, nProbe: Int = 4): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    // NOTE: building the codebook runs Spark jobs at construction time (a
+    // deployment passes a trained codebook artifact instead).
     val cents = centroidCodebook(emb, nList)
+    if (cents.isEmpty)
+      return emb.limit(0).select(col("vec_id").as("query_id"),
+        col("vec_id").as("neighbor_id"), lit(1).as("rank"))
     val bcCents = spark.sparkContext.broadcast(cents)
     // assignment: nearest centroid per vector — mapPartitions kernel over
     // the broadcast codebook (tight JVM loop; one pass, stays partition-local)

@@ -135,8 +135,6 @@ object TextStats {
     h
   }
 
-  val fingerprintUdf = udf(fingerprint64 _)
-
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       graft.functions.GraftFunctions.fingerprint64(col("text")).as("fingerprint"))

@@ -175,4 +175,64 @@ class OpsSpec extends SparkSpec {
       0L -> "aaa", 1L -> "bbb", 2L -> "ccc"))).collect().sortBy(_.doc_id)
     assert(meta.map(_.width).toSeq == again.map(_.width).toSeq)
   }
+
+  test("dedup operators self-clean: zero cached plans after back-to-back calls") {
+    import spark.implicits._
+    spark.catalog.clearCache() // isolate from other suites' state
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 29).map(i => s"w$i").mkString(" ") + " zz"
+    val df = docs(1L -> base, 2L -> nearDup, 3L -> "q r s t u v w x y z a b")
+    val emb = (1L to 20L).map(i => (i, Array.tabulate(8)(k => (i % 5 + k).toFloat)))
+      .toDF("vec_id", "embedding")
+    // a long-lived curation session: several ops back-to-back — the round-2
+    // leak (no unpersist anywhere in ops/) filled the storage pool per call
+    Dedup.minhashLsh(df).count()
+    Dedup.simhashNearDup(df).count()
+    Dedup.ngramJaccardPairsPrefix(df, n = 3, minJaccardPct = 50).count()
+    Dedup.embeddingNearDup(emb, threshold = 0.4).count()
+    Dedup.dedupClusters(df).count()
+    assert(org.apache.spark.sql.graftbridge.Bridge.cacheManagerIsEmpty(spark),
+      "dedup/similarity operators left persisted plans in the CacheManager")
+  }
+
+  test("empty inputs: near-dup and IVF return empty results, correct schema") {
+    import spark.implicits._
+    val emptyEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val nd = Dedup.embeddingNearDup(emptyEmb, threshold = 0.5)
+    assert(nd.columns.toSeq == Seq("v1", "v2", "cosine") && nd.count() == 0)
+    assert(Similarity.centroidCodebook(emptyEmb, 16).isEmpty)
+    val ivf = Similarity.ivfTopK(emptyEmb, col("vec_id") < 5, 10)
+    assert(ivf.columns.toSeq == Seq("query_id", "neighbor_id", "rank") && ivf.count() == 0)
+  }
+
+  test("prefix join hot-gram guard: loud drop, exact when unfired") {
+    // 6 docs all sharing every gram (identical text, 4 grams each) -> every
+    // prefix posting list has 6 entries; cap 4 drops them all
+    val same = "a b c d e f"
+    val hot = docs((1L to 6L).map(i => i -> same): _*)
+    val dropped = Dedup.ngramJaccardPairsPrefix(hot, n = 3, minJaccardPct = 50,
+      maxGramPostings = 4)
+    assert(dropped.count() == 0)
+    val (nGrams, nSlots) = Dedup.lastDropReport("ngramJaccardPairsPrefix")
+    assert(nGrams >= 1 && nSlots >= 6, s"expected loud drop, got ($nGrams, $nSlots)")
+    // same corpus, default cap: guard unfired -> exact (all 15 pairs, J=1)
+    val full = Dedup.ngramJaccardPairsPrefix(hot, n = 3, minJaccardPct = 50)
+    assert(full.count() == 15)
+    assert(Dedup.lastDropReport("ngramJaccardPairsPrefix") == ((0L, 0L)))
+  }
+
+  test("PPJoin length filter prunes candidates but never true pairs") {
+    // mixed lengths around the bound: doc1 (10 grams) vs doc2 (30 grams)
+    // can never reach J >= 0.5 (10/30 < 0.5) — the filter prunes the pair
+    // before verification; doc1 vs doc3 (12 grams, 9 shared) survives
+    val d1 = (1 to 12).map(i => s"w$i").mkString(" ")          // 10 trigrams
+    val d2 = ((1 to 10) ++ (100 to 121)).map(i => s"w$i").mkString(" ") // 30
+    val d3 = ((2 to 12) ++ Seq(200, 201)).map(i => s"w$i").mkString(" ")
+    val got = Dedup.ngramJaccardPairsPrefix(docs(1L -> d1, 2L -> d2, 3L -> d3),
+      n = 3, minJaccardPct = 50).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = Dedup.ngramJaccardPairs(docs(1L -> d1, 2L -> d2, 3L -> d3),
+      n = 3, minJaccardPct = 50).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive, s"got=$got naive=$naive")
+    assert(!got.contains((1L, 2L)))
+  }
 }
