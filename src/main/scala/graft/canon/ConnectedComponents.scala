@@ -19,27 +19,35 @@ import org.apache.spark.sql.functions._
  */
 object ConnectedComponents {
 
-  /** large-star: connect every neighbor v > u to min(N(u) ∪ {u}). */
+  /** large-star: connect every neighbor v > u to min(N(u) ∪ {u}).
+    *
+    * PAIR-EMISSION form (the published algorithm's shape): the per-node
+    * minimum is a plain `min` aggregate (map-side partial, one long per
+    * node) joined back to the edge list — no `collect_set`, so a celebrity
+    * node's neighborhood never materializes in one aggregation buffer. A
+    * 100k-degree hub costs a wide join partition (AQE-splittable), not an
+    * OOM'd array. */
   private def largeStar(edges: DataFrame): DataFrame = {
     val und = undirect(edges)
-    und.groupBy(col("a")).agg(
-        min(col("b")).as("minNbr"),
-        collect_set(col("b")).as("nbrs"))
-      .withColumn("m", least(col("a"), col("minNbr")))
-      .select(col("a"), col("m"), explode(col("nbrs")).as("v"))
-      .filter(col("v") > col("a"))
-      .select(col("v").as("src"), col("m").as("dst"))
+    val mins = und.groupBy(col("a"))
+      .agg(min(col("b")).as("minNbr"))
+      .select(col("a"), least(col("a"), col("minNbr")).as("m"))
+    und.join(mins, Seq("a"))
+      .filter(col("b") > col("a"))
+      .select(col("b").as("src"), col("m").as("dst"))
       .distinct()
   }
 
-  /** small-star: connect every neighbor v <= u (and u) to their min. */
+  /** small-star: connect every neighbor v <= u (and u) to their min —
+    * same pair-emission shape as largeStar (min aggregate + join back;
+    * the node's own (a, m) edge comes straight off the aggregate). */
   private def smallStar(edges: DataFrame): DataFrame = {
     val und = undirect(edges).filter(col("b") <= col("a"))
-    und.groupBy(col("a")).agg(
-        min(col("b")).as("minNbr"),
-        collect_set(col("b")).as("nbrs"))
-      .withColumn("m", least(col("a"), col("minNbr")))
-      .select(col("a"), col("m"), explode(array_union(col("nbrs"), array(col("a")))).as("v"))
+    // b <= a throughout, so min(N(u) ∪ {u}) = min(b)
+    val mins = und.groupBy(col("a")).agg(min(col("b")).as("m"))
+    und.join(mins, Seq("a"))
+      .select(col("b").as("v"), col("m"))
+      .union(mins.select(col("a").as("v"), col("m")))
       .filter(col("v") =!= col("m"))
       .select(col("v").as("src"), col("m").as("dst"))
       .distinct()

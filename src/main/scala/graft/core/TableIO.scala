@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
+import scala.util.Using
 
 /**
  * Iceberg-style snapshot/manifest layer over partitioned parquet — the
@@ -30,9 +31,9 @@ object TableIO {
   def listSnapshots(root: String): Seq[Snapshot] = {
     val d = snapDir(root)
     if (!Files.isDirectory(d)) return Nil
-    Files.list(d).iterator().asScala
+    Using.resource(Files.list(d))(_.iterator().asScala
       .filter(_.getFileName.toString.matches("snapshot-\\d+\\.json"))
-      .toSeq.sortBy(_.getFileName.toString)
+      .toSeq).sortBy(_.getFileName.toString)
       .map { p =>
         val s = new String(Files.readAllBytes(p), "UTF-8")
         val id = p.getFileName.toString.stripPrefix("snapshot-").stripSuffix(".json").toInt
@@ -77,6 +78,7 @@ object TableIO {
    */
   def writeResumable(df: DataFrame, root: String, partCol: String): Seq[String] = {
     val spark = df.sparkSession
+    recoverCompactLeftovers(root)
     val done = completedPartitions(root)
     val values = df.select(col(partCol)).distinct()
       .collect().map(_.get(0).toString).toSeq.sorted
@@ -104,7 +106,32 @@ object TableIO {
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     if (Files.exists(p)) {
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      Using.resource(Files.walk(p))(_.iterator().asScala.toSeq)
+        .reverse.foreach(Files.delete)
+    }
+  }
+
+  /**
+   * Heal leftovers of a compact() interrupted inside its two-rename swap
+   * window: a `.compact-<dir>.old` with the real dir ABSENT means the crash
+   * hit between the renames — the original partition is restored; with the
+   * real dir present the rewrite landed and the stale `.old` is deleted.
+   * Orphan `.compact-*.tmp` dirs (crash mid-rewrite) are deleted. Called on
+   * every read/write/compact entry point, so no reader path ever depends on
+   * a partition stranded in a hidden dir.
+   */
+  private def recoverCompactLeftovers(root: String): Unit = {
+    val data = Paths.get(root, "data")
+    if (!Files.isDirectory(data)) return
+    val leftovers = Using.resource(Files.list(data))(_.iterator().asScala.toList)
+      .filter(_.getFileName.toString.startsWith(".compact-"))
+    leftovers.foreach { p =>
+      val name = p.getFileName.toString
+      if (name.endsWith(".old")) {
+        val real = data.resolve(name.stripPrefix(".compact-").stripSuffix(".old"))
+        if (!Files.exists(real)) Files.move(p, real)
+        else deleteRecursively(p)
+      } else if (name.endsWith(".tmp")) deleteRecursively(p)
     }
   }
 
@@ -112,7 +139,7 @@ object TableIO {
   def writeLineage(root: String, stage: String, rows: Seq[LineageRow]): Unit = {
     val d = Paths.get(root, "_lineage")
     Files.createDirectories(d)
-    val n = Files.list(d).iterator().asScala.count(_ => true)
+    val n = Using.resource(Files.list(d))(_.iterator().asScala.count(_ => true))
     val json = rows.map { r =>
       s"""{"stage":"${r.stage}","partition":${r.partitionId},"rowsIn":${r.rowsIn},""" +
       s""""rowsOut":${r.rowsOut},"wallMs":${r.wallMs},"detail":"${r.detail}"}"""
@@ -121,13 +148,16 @@ object TableIO {
   }
 
   /** Read back the data written by writeResumable. */
-  def read(spark: SparkSession, root: String): DataFrame =
+  def read(spark: SparkSession, root: String): DataFrame = {
+    recoverCompactLeftovers(root)
     spark.read.parquet(s"$root/data")
+  }
 
   /** Snapshot-consistent read: only partitions recorded in a committed
     * snapshot are visible (partition pruning keeps this a metadata filter —
     * uncommitted leftover directories are never scanned). */
   def read(spark: SparkSession, root: String, partCol: String): DataFrame = {
+    recoverCompactLeftovers(root)
     val done = completedPartitions(root).toSeq.sorted
     spark.read.parquet(s"$root/data").filter(col(partCol).isInCollection(done))
   }
@@ -136,6 +166,7 @@ object TableIO {
     * snapshot `snapshotId` — only partitions that snapshot had committed are
     * visible. Snapshots are cumulative, so this is one metadata filter. */
   def readAt(spark: SparkSession, root: String, partCol: String, snapshotId: Int): DataFrame = {
+    recoverCompactLeftovers(root)
     val snap = listSnapshots(root).find(_.id == snapshotId)
       .getOrElse(throw new IllegalArgumentException(
         s"no snapshot $snapshotId under $root (have ${listSnapshots(root).map(_.id)})"))
@@ -147,19 +178,28 @@ object TableIO {
    * Small-file COMPACTION (the Iceberg rewrite_data_files analog) — the
    * 100 TB housekeeping a long-lived partitioned sink needs: every
    * committed partition whose file count exceeds `maxFilesPerPartition` is
-   * rewritten to `targetFiles` files via a temp-dir + atomic-rename swap,
-   * then a new snapshot is committed (readers using the snapshot API never
-   * observe a partial rewrite). Row content is untouched. Returns the
+   * rewritten to `targetFiles` files via a temp-dir + rename swap, then a
+   * new snapshot is committed. Row content is untouched. Returns the
    * partition values rewritten.
+   *
+   * Atomicity: the swap is TWO renames (dir -> .old, tmp -> dir), so there
+   * is a crash/concurrency window in which the partition directory is
+   * briefly absent. A crash inside the window is healed on the next
+   * read/write/compact call (`recoverCompactLeftovers` restores the .old
+   * dir); a CONCURRENT reader listing root/data at that exact instant can
+   * still observe the partition as missing — run compaction when no reader
+   * races the same table (single-writer maintenance, the Iceberg
+   * rewrite_data_files operational contract).
    */
   def compact(spark: SparkSession, root: String, partCol: String,
               maxFilesPerPartition: Int = 8, targetFiles: Int = 1): Seq[String] = {
+    recoverCompactLeftovers(root)
     val done = completedPartitions(root).toSeq.sorted
     val rewritten = done.filter { v =>
       val dir = Paths.get(root, "data", s"$partCol=${escapePartitionValue(v)}")
       Files.isDirectory(dir) && {
-        val nFiles = Files.list(dir).iterator().asScala
-          .count(_.getFileName.toString.endsWith(".parquet"))
+        val nFiles = Using.resource(Files.list(dir))(_.iterator().asScala
+          .count(_.getFileName.toString.endsWith(".parquet")))
         nFiles > maxFilesPerPartition
       }
     }

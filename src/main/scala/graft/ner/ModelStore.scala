@@ -113,8 +113,8 @@ object ModelStore {
   def load(dir: String): Map[String, Models.LangModel] = {
     val root = Paths.get(dir)
     require(Files.isDirectory(root), s"model dir not found: $dir")
-    Files.list(root).iterator().asScala
-      .filter(p => Files.isRegularFile(p.resolve("model.bin")))
+    scala.util.Using.resource(Files.list(root))(_.iterator().asScala
+      .filter(p => Files.isRegularFile(p.resolve("model.bin"))).toList)
       .map { d =>
         val lang = langFromDirName(d.getFileName.toString)
         val inputV = Vocab.fromJson(Files.readString(d.resolve("input.vocab")), caseSensitive = false)

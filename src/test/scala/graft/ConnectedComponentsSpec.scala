@@ -53,4 +53,18 @@ class ConnectedComponentsSpec extends SparkSpec {
   test("long path (diameter > iterations of naive propagation step count)") {
     check((0L until 40L).map(i => (i, i + 1)))
   }
+
+  test("100k-degree hub: pair-emission form survives a celebrity node") {
+    import spark.implicits._
+    // one node connected to 100k others (+ a separate component) — the
+    // collect_set formulation materialized the full neighborhood in one
+    // aggregation buffer; the pair-emission form shuffles longs only
+    val hub = (1L to 100000L).map(i => (0L, i))
+    val other = Seq((500000L, 500001L), (500001L, 500002L))
+    val df = (hub ++ other).toDF("src", "dst")
+    val got = ConnectedComponents.run(df).as[(Long, Long)].collect()
+    assert(got.length == 100004)
+    val byComp = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byComp(0L) == 100001 && byComp(500000L) == 3, byComp.keySet.take(5))
+  }
 }

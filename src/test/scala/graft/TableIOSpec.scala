@@ -76,6 +76,31 @@ class TableIOSpec extends SparkSpec {
     assert(TableIO.compact(spark, root, "lang", 8, 1).isEmpty)
   }
 
+  test("compaction crash inside the rename swap heals on next read") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("tableio-crash").toString
+    Seq((1L, "a", "en"), (2L, "b", "en")).toDF("id", "v", "lang")
+      .write.partitionBy("lang").parquet(s"$root/data")
+    TableIO.commitSnapshot(root, Seq("en"))
+    val before = TableIO.read(spark, root, "lang").collect().map(_.toString).sorted
+    // simulate a crash between compact's two renames: the partition dir was
+    // moved aside to .old, the rewritten tmp never landed
+    val data = java.nio.file.Paths.get(root, "data")
+    Files.move(data.resolve("lang=en"), data.resolve(".compact-lang=en.old"))
+    Files.createDirectories(data.resolve(".compact-lang=en.tmp")) // orphan tmp
+    // snapshot-consistent read heals: .old restored, orphan tmp removed
+    val after = TableIO.read(spark, root, "lang").collect().map(_.toString).sorted
+    assert(after.toSeq == before.toSeq)
+    assert(Files.isDirectory(data.resolve("lang=en")))
+    assert(!Files.exists(data.resolve(".compact-lang=en.old")))
+    assert(!Files.exists(data.resolve(".compact-lang=en.tmp")))
+    // stale .old NEXT TO a landed rewrite is garbage-collected, data kept
+    Files.createDirectories(data.resolve(".compact-lang=en.old"))
+    val again = TableIO.read(spark, root, "lang").collect().map(_.toString).sorted
+    assert(again.toSeq == before.toSeq)
+    assert(!Files.exists(data.resolve(".compact-lang=en.old")))
+  }
+
   test("lineage rows persist as json") {
     val root = Files.createTempDirectory("lineage").toString
     TableIO.writeLineage(root, "ner.tag", Seq(LineageRow("ner.tag", 0, 10, 9, 42, "")))
