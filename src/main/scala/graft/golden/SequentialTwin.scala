@@ -4,7 +4,7 @@ import graft.functions.Xxh64
 import graft.core.{LinkEdge, Mention, Triple}
 import graft.gen.CorpusGen
 import graft.link.EntityLink
-import graft.ner.{Bioes, Models, NerStage}
+import graft.ner.{Models, NerStage}
 import graft.ops.{Multimodal, TextStats}
 import graft.text.TextExtract
 
@@ -39,10 +39,41 @@ object SequentialTwin {
 
   // ------------------------------------------------------------- sentences
 
+  /**
+   * INDEPENDENT minimal HTML -> text extraction for the generated corpus
+   * pages — a different decomposition than the production single-scan state
+   * machine (`TextExtract.extractTextStr`): locate the body, cut the
+   * trailer comment, split on the `</p>` block structure, invert
+   * `escapeHtml` entity-by-entity (lt/gt first, amp LAST — the inverse of
+   * the escape order), then per line collapse whitespace runs and drop
+   * blanks. GoldenTwinSpec proves it byte-equal to the production extractor
+   * over the full corpus and on adversarial strings, so the golden
+   * sentence/mention/triple fixtures no longer share the production
+   * extractor code path.
+   */
+  def extractGeneratedPage(html: Array[Byte]): String = {
+    val s = new String(html, java.nio.charset.StandardCharsets.UTF_8)
+    val bodyAt = s.indexOf("<body>")
+    require(bodyAt >= 0, "generated page without <body>")
+    val afterBody = s.substring(bodyAt + "<body>".length)
+    val commentAt = afterBody.indexOf("<!--") // raw '<' cannot occur in escaped text
+    val endAt = if (commentAt >= 0) commentAt else afterBody.indexOf("</body>")
+    val body = afterBody.substring(0, endAt)
+    def unescape(x: String): String =
+      x.replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
+    body.split("</p>", -1).iterator
+      .map(_.stripPrefix("<p>"))
+      .map(unescape)
+      .flatMap(_.split("[\n\r]", -1).iterator
+        .map(_.split("[ \t\u00A0]+", -1).filter(_.nonEmpty).mkString(" ")))  // space/tab/NBSP, as production
+      .filter(_.nonEmpty)
+      .mkString("\n")
+  }
+
   /** (url, lang, sentIdx, tokens) per sentence, full extraction chain. */
   def sentences(docs: Seq[Doc]): Seq[(String, String, Int, IndexedSeq[String])] =
     docs.flatMap { d =>
-      val text = TextExtract.extractText(CorpusGen.htmlFor(d.docId, d.text, d.lang, d.source))
+      val text = extractGeneratedPage(CorpusGen.htmlFor(d.docId, d.text, d.lang, d.source))
       TextExtract.sentences(text).zipWithIndex.map { case (toks, i) =>
         (url(d), d.lang, i, toks.toIndexedSeq)
       }
@@ -78,7 +109,9 @@ object SequentialTwin {
 
   def mentions(tagged: Seq[TaggedSent]): Seq[Mention] =
     tagged.flatMap { s =>
-      Bioes.spans(s.preds).map { sp =>
+      // PerlChunker: the perl scorer's literal transition tables, not the
+      // production Bioes condensation (GoldenTwinSpec proves them equal)
+      PerlChunker.spans(s.preds).map { sp =>
         Mention(s.url, s.lang, s.sentIdx, sp.begin, sp.end,
           s.tokens.slice(sp.begin, sp.end).mkString(" "), sp.tpe)
       }
@@ -157,7 +190,7 @@ object SequentialTwin {
     val lex = NerStage.defaultPredicateLexicon
     val best = dict.map { case (a, cands) => a -> bestEntity(cands) }
     tagged.flatMap { s =>
-      val sps = Bioes.spans(s.preds)
+      val sps = PerlChunker.spans(s.preds)
       val toks = s.tokens
       (0 until math.max(0, sps.length - 1)).flatMap { i =>
         val a = sps(i); val b = sps(i + 1)

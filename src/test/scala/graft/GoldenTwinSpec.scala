@@ -46,6 +46,58 @@ class GoldenTwinSpec extends SparkSpec {
     }
   }
 
+  test("perl-table chunker == production Bioes.spans (property + adversarial)") {
+    import graft.golden.PerlChunker
+    import graft.ner.Bioes
+    val prefixes = Seq("B", "I", "E", "S", "O")
+    val types = Seq("PER", "LOC", "ORG")
+    def randomTag(): String = {
+      val p = prefixes(rng.nextInt(prefixes.length))
+      if (p == "O") "O"
+      else if (rng.nextInt(10) == 0) types(rng.nextInt(types.length)) // bare raw tag
+      else s"$p-${types(rng.nextInt(types.length))}"
+    }
+    // random sequences cover the transition space; exhaustive pairs cover
+    // every table row (incl. same/different type on each side)
+    for (_ <- 1 to 300) {
+      val tags = IndexedSeq.fill(1 + rng.nextInt(12))(randomTag())
+      assert(PerlChunker.spans(tags) == Bioes.spans(tags), tags)
+    }
+    val allTags = (for (p <- prefixes.filterNot(_ == "O"); t <- types) yield s"$p-$t") ++
+      types ++ Seq("O")
+    for (a <- allTags; b <- allTags; c <- Seq("O", "I-PER")) {
+      val tags = IndexedSeq(a, b, c)
+      assert(PerlChunker.spans(tags) == Bioes.spans(tags), tags)
+    }
+  }
+
+  test("independent generated-page extractor == production on corpus + adversarial text") {
+    import spark.implicits._
+    import graft.gen.CorpusGen
+    import graft.text.TextExtract
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text", "lang", "source")
+      .as[(Long, String, String, String)].collect()
+    assert(docs.nonEmpty)
+    docs.foreach { case (id, text, lang, source) =>
+      val html = CorpusGen.htmlFor(id, text, lang, source)
+      assert(SequentialTwin.extractGeneratedPage(html) == TextExtract.extractText(html),
+        s"doc $id diverged")
+    }
+    // adversarial source texts: escaped entities, entity-lookalikes,
+    // tabs/NBSP whitespace, danda, unicode
+    val nasty = Seq(
+      "a < b & c > d", "&lt; literal entity text &amp;amp;", "x &#65; y",
+      "tab\tseparated stays one line", "nbsp run  collapses",
+      "danda। sentence ünïcödé €", "trailing space ", " leading", "&",
+      "a  double  spaced")
+    nasty.zipWithIndex.foreach { case (t, i) =>
+      val html = CorpusGen.htmlFor(9000L + i, t, "en", "s")
+      assert(SequentialTwin.extractGeneratedPage(html) == TextExtract.extractText(html),
+        s"adversarial '$t'")
+    }
+  }
+
   test("sparkRound matches Spark round() at scales 6 and 9") {
     import spark.implicits._
     val xs = (1 to 200).map(_ => (rng.nextDouble() * 2 - 1) * math.pow(10, rng.nextInt(6) - 3))
