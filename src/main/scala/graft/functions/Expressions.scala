@@ -102,12 +102,215 @@ object CosineSim {
   }
 }
 
+/** minhash_sigs(shingles array<string>, numHashes) -> array<long>:
+  * sig[i] = min over shingles s of xxhash64(i, s) — value-identical to the
+  * transform/aggregate HOF formulation (Spark chains xxhash64 left-to-right
+  * from seed 42, the Int hashed as a 4-byte block; graft.functions.Xxh64 is
+  * property-tested equal), but ONE compiled pass per row: the per-i seeds
+  * are precomputed once, each shingle's bytes are extracted once and hashed
+  * numHashes times in a tight loop. The HOF form re-evaluated an interpreted
+  * expression tree per (i, shingle) — the dominant cost of minhashLsh. */
+case class MinhashSigs(child: Expression, numHashes: Int) extends UnaryExpression {
+  import org.apache.spark.sql.types.ArrayType
+  require(numHashes > 0, "numHashes must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(StringType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"minhash_sigs requires array<string> input, got $t")
+  }
+  // seed[i] = xxhash64 chain state after hashing the int i from seed 42
+  private lazy val seeds: Array[Long] =
+    Array.tabulate(numHashes)(i => Xxh64.hashInt(i, Xxh64.SparkSeed))
+  override def nullSafeEval(v: Any): Any =
+    MinhashSigs.compute(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], seeds)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val seedsRef = ctx.addReferenceObj("minhashSeeds", seeds, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinhashSigs.compute($c, $seedsRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): MinhashSigs = copy(child = newChild)
+  override def prettyName: String = "minhash_sigs"
+}
+
+object MinhashSigs {
+  def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+              seeds: Array[Long]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val out = new Array[Long](seeds.length)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      // a null element leaves the chain at its seed (Spark hash functions
+      // skip null inputs) — cannot occur for shingle arrays, kept for parity
+      val isNull = arr.isNullAt(j)
+      val bytes = if (isNull) null else arr.getUTF8String(j).getBytes
+      var i = 0
+      while (i < seeds.length) {
+        val h = if (isNull) seeds(i) else Xxh64.hashBytes(bytes, seeds(i))
+        if (h < out(i)) out(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** simhash64(text string) -> long: 64-bit SimHash over the whitespace
+  * tokens — value-identical to the split/transform/aggregate HOF
+  * formulation (split(text, ' ') keep-all semantics, per-token xxhash64
+  * from seed 42, +1/-1 bit votes, sign -> bit), in one compiled pass. */
+case class Simhash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() = {
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires string input, got ${child.dataType}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    Simhash64.compute(v.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Simhash64.compute($c.toString())")
+  override protected def withNewChildInternal(newChild: Expression): Simhash64 = copy(newChild)
+  override def prettyName: String = "simhash64"
+}
+
+object Simhash64 {
+  def compute(text: String): Long = {
+    val toks = text.split(" ", -1) // Spark split(text, ' '): keeps empties
+    val votes = new Array[Int](64)
+    var t = 0
+    while (t < toks.length) {
+      val h = Xxh64.hashString(toks(t), Xxh64.SparkSeed)
+      var b = 0
+      while (b < 64) {
+        votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+        b += 1
+      }
+      t += 1
+    }
+    var sim = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sim |= (1L << b); b += 1 }
+    sim
+  }
+}
+
+/** signlsh_bits(embedding array<float>, weights) -> array<int>: the
+  * random-hyperplane sign bits — value-identical to the per-plane
+  * zip_with/aggregate HOF formulation (float product per element, double
+  * accumulation in array order, sign -> 1/0), all planes in one compiled
+  * pass over the vector. The weight matrix is a plan constant (hash-derived
+  * hyperplanes, a model artifact). */
+case class SignLshBits(child: Expression, weights: Array[Array[Float]]) extends UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType}
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(FloatType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"signlsh_bits requires array<float> input, got $t")
+  }
+  override def nullSafeEval(v: Any): Any =
+    SignLshBits.compute(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], weights)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("signLshWeights", weights, "float[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.SignLshBits.compute($c, $wRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): SignLshBits = copy(child = newChild)
+  override def prettyName: String = "signlsh_bits"
+}
+
+object SignLshBits {
+  def compute(v: org.apache.spark.sql.catalyst.util.ArrayData,
+              weights: Array[Array[Float]]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val out = new Array[Int](weights.length)
+    var p = 0
+    while (p < weights.length) {
+      val w = weights(p)
+      val n = math.min(v.numElements(), w.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        // float product THEN widen — the zip_with (x * wv) operand order
+        acc += (v.getFloat(i) * w(i)).toDouble
+        i += 1
+      }
+      out(p) = if (acc > 0) 1 else 0
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** word_shingles(tokens array<string>, n) -> array<string>: the distinct
+  * word n-grams (n tokens concatenated with no separator, first-occurrence
+  * order) — value-identical to the transform(sequence)/concat_ws +
+  * array_distinct HOF formulation for non-null input (null input yields
+  * null here vs empty array there; every call site filters/explodes, where
+  * the two behave identically). One compiled pass with UTF8String concat
+  * instead of an interpreted tree per gram — the shingling step dominated
+  * the Jaccard/minhash operators once their signatures went native. */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  import org.apache.spark.sql.types.ArrayType
+  require(n > 0, "shingle size must be positive")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(StringType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"word_shingles requires array<string> input, got $t")
+  }
+  override def nullSafeEval(v: Any): Any =
+    WordShingles.compute(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordShingles.compute($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): WordShingles = copy(child = newChild)
+  override def prettyName: String = "word_shingles"
+}
+
+object WordShingles {
+  def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+              n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val len = arr.numElements()
+    if (len < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
+    val seen = new java.util.LinkedHashSet[UTF8String]((len - n + 1) * 2)
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i <= len - n) {
+      var k = 0
+      while (k < n) {
+        // concat_ws("", ...) skips null parts; split output never has them
+        parts(k) = if (arr.isNullAt(i + k)) UTF8String.EMPTY_UTF8
+                   else arr.getUTF8String(i + k)
+        k += 1
+      }
+      seen.add(UTF8String.concat(parts: _*))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object GraftFunctions {
   import org.apache.spark.sql.graftbridge.Bridge
   def extract_text(c: Column): Column = Bridge.column(ExtractText(Bridge.expression(c)))
   def fingerprint64(c: Column): Column = Bridge.column(Fingerprint64(Bridge.expression(c)))
   def cosine_sim(a: Column, b: Column): Column =
     Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
+  def minhash_sigs(c: Column, numHashes: Int): Column =
+    Bridge.column(MinhashSigs(Bridge.expression(c), numHashes))
+  def simhash64(c: Column): Column = Bridge.column(Simhash64(Bridge.expression(c)))
+  def signlsh_bits(c: Column, weights: Array[Array[Float]]): Column =
+    Bridge.column(SignLshBits(Bridge.expression(c), weights))
+  def word_shingles(c: Column, n: Int): Column =
+    Bridge.column(WordShingles(Bridge.expression(c), n))
 
   /** Register for SQL use in an existing session. */
   def register(spark: SparkSession): Unit = {
@@ -117,6 +320,11 @@ object GraftFunctions {
       "fingerprint64", exprs => Fingerprint64(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSim(exprs.head, exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", exprs => Simhash64(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sigs", exprs =>
+        MinhashSigs(exprs.head, exprs(1).eval().asInstanceOf[Int]), "scala_udf")
   }
 }
 
@@ -136,5 +344,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSim(exprs.head, exprs(1))))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[Simhash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => Simhash64(exprs.head)))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinhashSigs].getName, "minhash_sigs"),
+      (exprs: Seq[Expression]) => MinhashSigs(exprs.head, exprs(1).eval().asInstanceOf[Int])))
   }
 }

@@ -79,16 +79,13 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
       .select(col("keep_id"), col("dup_cnt"))
 
-  /** Word n-gram shingles from a PRE-MATERIALIZED token-array column (pass
-    * an attribute, not an inline split(...) — Catalyst inlines expression
-    * arguments into every lambda use, re-running the split per element).
-    * element_at is O(1) per access; no per-element slice copies. */
-  def shinglesFromTokens(toks: Column, n: Int): Column = {
-    val grams = transform(sequence(lit(1), size(toks) - (n - 1)),
-      i => concat_ws("", (0 until n).map(k => element_at(toks, i + k)): _*))
-    array_distinct(
-      when(size(toks) >= n, grams).otherwise(array().cast("array<string>")))
-  }
+  /** Word n-gram shingles (distinct, first-occurrence order) from a token
+    * array — the native codegen'd expression (one compiled pass; the HOF
+    * transform/concat_ws/array_distinct form was interpreted per gram and
+    * dominated the Jaccard/minhash operators; parity-tested in
+    * FunctionsSpec). */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
+    graft.functions.GraftFunctions.word_shingles(toks, n)
 
   /** Convenience for small inputs/tests; production paths materialize the
     * token array first (see shinglesFromTokens). */
@@ -121,11 +118,12 @@ object Dedup {
       .select(col("doc_id"), shinglesFromTokens(col("toks"), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0))
     // signature(i) = min over shingles of xxhash64(i, shingle) — seeded hash
-    // family; no multiplicative arithmetic (ANSI-safe, no overflow).
+    // family, computed by the native codegen'd expression (one compiled
+    // pass per row; value-identical to the transform/aggregate HOF form,
+    // parity-tested in FunctionsSpec — the HOF form re-ran an interpreted
+    // tree per (i, shingle) and dominated the operator's cost).
     val sig = withShingles.withColumn("sig",
-      transform(sequence(lit(0), lit(numHashes - 1)), i =>
-        aggregate(col("sh"), lit(Long.MaxValue),
-          (acc, s) => least(acc, xxhash64(i, s)))))
+      graft.functions.GraftFunctions.minhash_sigs(col("sh"), numHashes))
     // pair on IDS ONLY (payloads join back later — carrying shingle arrays
     // through the K^2 bucket self-product explodes shuffle volume)
     val banded = sig.select(col("doc_id"),
@@ -246,18 +244,12 @@ object Dedup {
   }
 
   /** 64-bit SimHash per document: per-token hash bits vote +1/-1; the sign
-    * vector is the fingerprint. Computed with array expressions (codegen),
-    * no UDF. Returns (doc_id, simhash). */
-  def simhash(docs: DataFrame): DataFrame = {
-    // bit b of the final hash = sign of sum over tokens of (bit set ? 1 : -1)
-    docs
-      .select(col("doc_id"),
-        expr("transform(split(text, ' '), t -> xxhash64(t))").as("hs"))
-      .select(col("doc_id"), expr(
-        "aggregate(transform(sequence(0, 63), b -> " +
-          "IF(aggregate(hs, 0L, (acc, h) -> acc + IF((shiftright(h, b) & 1) = 1, 1L, -1L)) > 0, " +
-          "shiftleft(1L, b), 0L)), 0L, (a, v) -> a | v)").as("simhash"))
-  }
+    * vector is the fingerprint. Native codegen'd expression (one compiled
+    * pass; value-identical to the HOF bit-vote form, parity-tested in
+    * FunctionsSpec). Returns (doc_id, simhash). */
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.GraftFunctions.simhash64(col("text")).as("simhash"))
 
   /** SimHash near-dup candidates: docs sharing any of the four 16-bit
     * chunks (guaranteed to catch hamming distance <= 3), verified by true
@@ -318,6 +310,16 @@ object Dedup {
    * `100*min(gsz1,gsz2) >= minJaccardPct*max(gsz1,gsz2)` are pruned BEFORE
    * the (expensive) full-array verification — exactness preserved.
    *
+   * PPJoin POSITIONAL FILTER: a prefix match of A's rank-i gram with B's
+   * rank-j gram (global ranks under the canonical order) bounds the
+   * intersection by ub = 1 + min(|A| - i, |B| - j); for a true pair the
+   * FIRST common gram lies in both prefixes and yields the largest such
+   * bound, so filtering on max-over-matches(ub) * (100+pct) >=
+   * pct * (|A|+|B|)  (inter >= t/(1+t) * (|A|+|B|), integer form) keeps
+   * every true pair while discarding candidates that only share frequent
+   * tail-of-prefix grams — the bulk of the candidate set on templated
+   * corpora (measured 193k -> ~10^3 at sf0.1). Exactness preserved.
+   *
    * HOT-GRAM GUARD: a prefix gram whose posting list exceeds
    * `maxGramPostings` docs would still be an unguarded quadratic bucket in
    * the self-join (Zipfian corpora). Such grams are dropped LOUDLY (logged +
@@ -350,7 +352,7 @@ object Dedup {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <=
         col("gsz") - floor((col("gsz") * minJaccardPct + 99) / 100) + 1)
-      .select(col("gram"), col("doc_id"), col("gsz")))
+      .select(col("gram"), col("doc_id"), col("gsz"), col("rn")))
     // hot-gram guard: size every prefix posting list first (one counter per
     // gram, map-side partial agg); cached — it feeds both the gram filter
     // and the post-job drop report
@@ -359,14 +361,20 @@ object Dedup {
     val okGrams = postings.filter(col("psz").between(2, maxGramPostings))
       .select(col("gram"))
     val p1 = prefixes.join(okGrams, Seq("gram"))
-    val p2 = p1.select(col("gram"), col("doc_id").as("doc2"), col("gsz").as("gsz2"))
+    val p2 = p1.select(col("gram"), col("doc_id").as("doc2"),
+      col("gsz").as("gsz2"), col("rn").as("rn2"))
     val cands = p1.join(p2, Seq("gram"))
       .filter(col("doc_id") < col("doc2") &&
         // PPJoin length filter: prune before carrying pairs any further
         col("gsz") * 100 >= col("gsz2") * minJaccardPct &&
         col("gsz2") * 100 >= col("gsz") * minJaccardPct)
+      // positional filter: the pair dedup IS the per-pair aggregation, so
+      // the overlap upper bound rides the same shuffle for free
+      .groupBy(col("doc_id"), col("doc2"))
+      .agg(max(lit(1) + least(col("gsz") - col("rn"), col("gsz2") - col("rn2"))).as("ub"),
+        first(col("gsz")).as("g1sz"), first(col("gsz2")).as("g2sz"))
+      .filter(col("ub") * (100 + minJaccardPct) >= (col("g1sz") + col("g2sz")) * minJaccardPct)
       .select(col("doc_id").as("doc1"), col("doc2"))
-      .dropDuplicates("doc1", "doc2")
     val verified = cands
       .join(withG.withColumnRenamed("doc_id", "doc1").withColumnRenamed("g", "g1"), Seq("doc1"))
       .join(withG.withColumnRenamed("doc_id", "doc2").withColumnRenamed("g", "g2"), Seq("doc2"))
@@ -407,18 +415,17 @@ object Dedup {
       return emb.limit(0).select(col("vec_id").as("v1"), col("vec_id").as("v2"),
         lit(0.0d).as("cosine"))
     val dim = dimRow(0).getInt(0)
-    val planeW: Seq[Seq[Float]] = (0 until planes).map { p =>
-      (0 until dim).map { i =>
+    val planeW: Array[Array[Float]] = Array.tabulate(planes) { p =>
+      Array.tabulate(dim) { i =>
         val h = graft.functions.Xxh64.hashString(s"plane$p:$i", graft.functions.Xxh64.SparkSeed)
         (((h % 2 + 2) % 2) * 2 - 1).toFloat
       }
     }
-    val sigBits = array(planeW.map { w =>
-      when(aggregate(zip_with(col("embedding"), typedLit(w), (x, wv) => x * wv),
-        lit(0.0d), (acc, v) => acc + v) > 0, lit(1)).otherwise(lit(0))
-    }: _*)
-    // interpreted HOFs + reuse across bands: materialize bits once
-    val withSig = persistIntermediate(emb.select(col("vec_id"), sigBits.as("bits")))
+    // native codegen'd sign bits (one pass over the vector for all planes;
+    // value-identical to the per-plane zip_with/aggregate HOF form, parity-
+    // tested in FunctionsSpec); materialized once, reused across bands
+    val withSig = persistIntermediate(emb.select(col("vec_id"),
+      graft.functions.GraftFunctions.signlsh_bits(col("embedding"), planeW).as("bits")))
     val banded = withSig.select(col("vec_id").as("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
         aggregate(slice(col("bits"), b * lit(rows) + 1, lit(rows)),

@@ -62,6 +62,79 @@ class FunctionsSpec extends SparkSpec {
     assert(p.contains("WholeStageCodegen") || p.contains("*("), p.take(800))
   }
 
+  test("MinhashSigs expression == transform/aggregate HOF signatures") {
+    import spark.implicits._
+    val numHashes = 32
+    val texts = Seq("a b c d e f g", "w1 w2 w3 w4 w5 w6 w7 w8 w9",
+      "same same same same", "ünïcödé danda। tokens here x")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("sh", graft.ops.Dedup.shinglesFromTokens(col("toks"), 3))
+      .filter(size(col("sh")) > 0)
+    val rows = df.select(col("id"),
+        GraftFunctions.minhash_sigs(col("sh"), numHashes).as("native"),
+        transform(sequence(lit(0), lit(numHashes - 1)), i =>
+          aggregate(col("sh"), lit(Long.MaxValue),
+            (acc, s) => least(acc, xxhash64(i, s)))).as("hof"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"id=${r.getLong(0)}")
+    }
+  }
+
+  test("WordShingles expression == HOF transform/concat_ws/array_distinct") {
+    import spark.implicits._
+    val texts = Seq("a b c d e f g", "a b", "a b c", "same same same same same",
+      "ünï danda। x y z", "one", "", "p q p q p q p q")
+    for (n <- Seq(2, 3)) {
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+        .withColumn("toks", split(col("text"), " "))
+      val hof = array_distinct(
+        when(size(col("toks")) >= n,
+          transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+            i => concat_ws("", (0 until n).map(k => element_at(col("toks"), i + k)): _*)))
+          .otherwise(array().cast("array<string>")))
+      val rows = df.select(col("id"),
+          GraftFunctions.word_shingles(col("toks"), n).as("native"), hof.as("hof"))
+        .collect()
+      rows.foreach(r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2), s"n=$n id=${r.getLong(0)}"))
+    }
+  }
+
+  test("Simhash64 expression == HOF bit-vote simhash (incl. empty tokens)") {
+    import spark.implicits._
+    val texts = Seq("a b c", "", "one", "x  y", "trailing ", (1 to 40).map("t" + _).mkString(" "))
+    val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      .select(col("id"),
+        GraftFunctions.simhash64(col("text")).as("native"),
+        expr("aggregate(transform(sequence(0, 63), b -> " +
+          "IF(aggregate(transform(split(text, ' '), t -> xxhash64(t)), 0L, " +
+          "(acc, h) -> acc + IF((shiftright(h, b) & 1) = 1, 1L, -1L)) > 0, " +
+          "shiftleft(1L, b), 0L)), 0L, (a, v) -> a | v)").as("hof"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(1) == r.getLong(2), s"id=${r.getLong(0)}"))
+  }
+
+  test("SignLshBits expression == per-plane zip_with/aggregate HOF bits") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val dim = 16
+    val planeW: Array[Array[Float]] = Array.tabulate(8)(p =>
+      Array.tabulate(dim)(i => if ((p + i) % 2 == 0) 1f else -1f))
+    val vecs = (1L to 40L).map(i => (i, Array.fill(dim)((rng.nextDouble() * 2 - 1).toFloat)))
+    val hofBits = array(planeW.toSeq.map { w =>
+      when(aggregate(zip_with(col("v"), typedLit(w.toSeq), (x, wv) => x * wv),
+        lit(0.0d), (acc, x) => acc + x) > 0, lit(1)).otherwise(lit(0))
+    }: _*)
+    val rows = vecs.toDF("id", "v")
+      .select(col("id"),
+        GraftFunctions.signlsh_bits(col("v"), planeW).as("native"), hofBits.as("hof"))
+      .collect()
+    rows.foreach(r => assert(r.getSeq[Int](1) == r.getSeq[Int](2), s"id=${r.getLong(0)}"))
+  }
+
   test("native expressions stay inside whole-stage codegen (no ScalaUDF)") {
     // parquet-backed source so ConvertToLocalRelation can't constant-fold
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
