@@ -228,6 +228,21 @@ object SparkEntry {
     "q38_hash_sample" -> ((s, dir) =>
       TextStats.sampleByHash(s.read.parquet(t(dir, "documents")), col("doc_id"), 37)
         .select(col("doc_id"))),
+    // corpus-wide duplicated k-token SPAN detection (C4/Dolma primitive)
+    "q52_dup_spans" -> ((s, dir) =>
+      Dedup.dupSpans(s.read.parquet(t(dir, "documents")), k = 10)),
+    // benchmark decontamination: n-gram overlap vs a stand-in eval set
+    // (docs with doc_id % 97 == 0); benchmark grams broadcast, no corpus
+    // shuffle (plan-tested)
+    "q53_decontaminate" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+      Dedup.decontaminate(docs, docs.filter(pmod(col("doc_id"), lit(97)) === 0), k = 8)
+    }),
+    // deterministic source-mixture sampling (pretraining data mixing)
+    "q54_mixture_sample" -> ((s, dir) =>
+      TextStats.sampleBySourceRates(s.read.parquet(t(dir, "documents")),
+        Map("src0" -> 100, "src1" -> 80, "src2" -> 55, "src3" -> 30), defaultPct = 10)
+        .select(col("doc_id"), col("source"))),
     // ------------------------------------------------ KG pipeline (no SQL)
     "q40_extraction_invariant" -> ((s, dir) => {
       // native codegen'd Catalyst expression (graft.functions.ExtractText)
@@ -378,6 +393,28 @@ object SparkEntry {
     "q13_distinct_agg" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
          FROM events GROUP BY event_type""",
+    "q52_dup_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         wins AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ts) - 8),
+                    i -> array_to_string(ts[i:i+9], '')))) AS win FROM toks),
+         owners AS (SELECT win, count(DISTINCT doc_id) AS nd FROM wins GROUP BY win),
+         perdoc AS (SELECT doc_id, count(*) AS nw,
+                           sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS ndw
+                    FROM wins JOIN owners USING (win) GROUP BY doc_id)
+         SELECT d.doc_id, CAST(coalesce(nw, 0) AS BIGINT) AS n_windows,
+                CAST(coalesce(ndw, 0) AS BIGINT) AS n_dup_windows
+         FROM documents d LEFT JOIN perdoc USING (doc_id)""",
+    "q53_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         bg AS (SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(ts) - 6),
+                  i -> array_to_string(ts[i:i+7], '')))) AS g FROM toks WHERE doc_id % 97 = 0),
+         dg AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ts) - 6),
+                  i -> array_to_string(ts[i:i+7], '')))) AS g FROM toks),
+         hits AS (SELECT doc_id, count(*) AS nh FROM dg JOIN bg USING (g) GROUP BY doc_id)
+         SELECT d.doc_id, CAST(coalesce(nh, 0) AS BIGINT) AS n_hits,
+                coalesce(nh, 0) > 0 AS contaminated
+         FROM documents d LEFT JOIN hits USING (doc_id)""",
+    "q54_mixture_sample" -> golden("q54_mixture_sample"),
     "q20_vocab_trim" ->
       """SELECT token, count(*) AS cnt FROM (
            SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)

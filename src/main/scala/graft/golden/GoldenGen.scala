@@ -54,6 +54,10 @@ object GoldenGen {
     write("q51_sequence_packing", q51Pack(docs, budget = 512L),
       "doc_id", "n_tokens", "bucket", "pack_id")
     write("q38_hash_sample", q38HashSample(docs, pctKeep = 37).map(Tuple1(_)), "doc_id")
+    write("q54_mixture_sample",
+      q54MixtureSample(docs, Map("src0" -> 100, "src1" -> 80, "src2" -> 55, "src3" -> 30),
+        defaultPct = 10),
+      "doc_id", "source")
 
     // NER pipeline twins (NaiveKernel; one BiLSTM pass, both decoders)
     val models = graft.Pipeline.models(spark, sfDir)

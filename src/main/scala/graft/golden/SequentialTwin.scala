@@ -405,6 +405,16 @@ object SequentialTwin {
         }
       }.toSeq
 
+  /** q54 rows: (doc_id, source) kept by deterministic source-mixture
+    * sampling — per-source percent rates, `defaultPct` for unlisted
+    * sources, the q38 hash-keep rule per row. */
+  def q54MixtureSample(docs: Seq[Doc], rates: Map[String, Int],
+                       defaultPct: Int): Seq[(Long, String)] =
+    docs.filter { d =>
+      val pct = rates.getOrElse(d.source, defaultPct)
+      ((Xxh64.hashLong(d.docId, Xxh64.SparkSeed) % 100) + 100) % 100 < pct
+    }.map(d => (d.docId, d.source))
+
   /** q49 rows: the batched resize twin (image/video only, audio dropped). */
   def q49Resize(docs: Seq[Doc], box: Int = 256): Seq[Multimodal.Resized] =
     docs.flatMap { d =>

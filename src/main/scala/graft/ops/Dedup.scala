@@ -243,6 +243,63 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("keep_id"))
   }
 
+  /**
+   * Corpus-wide duplicated-SPAN detection (the C4/Dolma curation primitive:
+   * flag exact k-token windows that recur across documents, not just whole-
+   * document duplicates). Per document: `n_windows` distinct k-token
+   * windows and `n_dup_windows` of them whose exact text also occurs in at
+   * least one OTHER document. Docs shorter than k tokens report (0, 0).
+   *
+   * Plan: one window explode, one groupBy(window) counting DISTINCT owner
+   * docs (map-side partial agg), one join back, one per-doc agg — all
+   * shuffles keyed on the window text. At 100 TB, key the shuffle on
+   * sha2/xxhash64 of the window instead of the text (the `exact` vs
+   * `exactByText` trade); the text form is the oracle-checkable twin.
+   */
+  def dupSpans(docs: DataFrame, k: Int = 10): DataFrame = {
+    val wins = docs
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(shinglesFromTokens(col("toks"), k)).as("win"))
+    val owners = wins.groupBy(col("win"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    val perDoc = wins.join(owners, Seq("win"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup_windows"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+  }
+
+  /**
+   * Benchmark DECONTAMINATION (the training-data hygiene op: drop corpus
+   * documents that share any exact k-gram with an evaluation set, so the
+   * model is never trained on its own test data). Per document: `n_hits`
+   * distinct k-grams shared with the benchmark and the `contaminated`
+   * flag. The benchmark gram set is small by construction (eval sets are
+   * thousands of documents, not billions) — it is deduplicated and
+   * BROADCAST, so the corpus side is one scan with a map-side hash probe,
+   * no corpus shuffle at all.
+   */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, k: Int = 8): DataFrame = {
+    val bGrams = benchmark
+      .withColumn("toks", split(col("text"), " "))
+      .select(explode(shinglesFromTokens(col("toks"), k)).as("g"))
+      .distinct()
+    val dGrams = docs
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(shinglesFromTokens(col("toks"), k)).as("g"))
+    val hits = dGrams.join(broadcast(bGrams), Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    docs.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** 64-bit SimHash per document: per-token hash bits vote +1/-1; the sign
     * vector is the fingerprint. Native codegen'd expression (one compiled
     * pass; value-identical to the HOF bit-vote form, parity-tested in

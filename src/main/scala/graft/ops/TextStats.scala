@@ -95,6 +95,22 @@ object TextStats {
     df.filter(pmod(xxhash64(key), lit(100)) < pctKeep)
 
   /**
+   * Deterministic SOURCE-MIXTURE sampling (the pretraining data-mixing op:
+   * each source/domain contributes at its own rate — e.g. wiki 100%, web
+   * 30%). Keep a row iff pmod(xxhash64(doc_id), 100) < rate(source); same
+   * stability contract as `sampleByHash` (nested samples, partition- and
+   * cluster-size-invariant), and the rate lookup is a small CASE expression
+   * (codegen), not a join. Unknown sources fall back to `defaultPct`.
+   */
+  def sampleBySourceRates(docs: DataFrame, rates: Map[String, Int],
+                          defaultPct: Int = 0): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultPct)) { case (acc, (src, pct)) =>
+      when(col("source") === src, lit(pct)).otherwise(acc)
+    }
+    docs.filter(pmod(xxhash64(col("doc_id")), lit(100)) < rate)
+  }
+
+  /**
    * Deterministic SEQUENCE PACKING for pretraining-batch assembly: docs are
    * spread over `buckets` hash buckets (the parallelism unit — each bucket
    * packs independently, so the operator scales by executors), and within a

@@ -221,6 +221,58 @@ class OpsSpec extends SparkSpec {
     assert(Dedup.lastDropReport("ngramJaccardPairsPrefix") == ((0L, 0L)))
   }
 
+  test("dupSpans flags exactly the cross-document duplicated windows") {
+    import spark.implicits._
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ") // one shared 10-window
+    val d = docs(
+      1L -> (shared + " a b c"),           // windows: shared + 3 shifted ones
+      2L -> ("x y z " + shared),           // shares exactly the pure window
+      3L -> (1 to 12).map(i => s"u$i").mkString(" "), // unique, 3 windows
+      4L -> "too short")                   // < 10 tokens -> (0, 0)
+    val got = Dedup.dupSpans(d, k = 10).as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) == ((4L, 1L)), got(1L)) // 13 tokens -> 4 windows, 1 shared
+    assert(got(2L) == ((4L, 1L)), got(2L))
+    assert(got(3L) == ((3L, 0L)), got(3L))
+    assert(got(4L) == ((0L, 0L)), got(4L))
+  }
+
+  test("decontaminate flags benchmark n-gram overlap; plan broadcasts the benchmark") {
+    import spark.implicits._
+    val evalDoc = (1 to 8).map(i => s"e$i").mkString(" ")
+    val corpus = docs(
+      1L -> ("prefix tokens here " + evalDoc),  // contains the full 8-gram
+      2L -> (1 to 8).map(i => s"c$i").mkString(" "), // clean
+      3L -> evalDoc)                             // the benchmark doc itself
+    val bench = corpus.filter(col("doc_id") === 3L)
+    val res = Dedup.decontaminate(corpus, bench, k = 8)
+    val got = res.as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((1L, true)))
+    assert(got(2L) == ((0L, false)))
+    assert(got(3L) == ((1L, true)))
+    val p = res.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
+  test("sampleBySourceRates: per-source rates, default fallback, nested in sampleByHash") {
+    import spark.implicits._
+    val d = (1L to 2000L).map(i => (i, s"t$i words", s"src${i % 4}", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+    val rates = Map("src0" -> 100, "src1" -> 50, "src2" -> 0)
+    val kept = TextStats.sampleBySourceRates(d, rates, defaultPct = 10)
+      .select("doc_id", "source").as[(Long, String)].collect()
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc("src0") == 500)                       // 100% of 500
+    assert(!bySrc.contains("src2"))                    // 0%
+    assert(bySrc("src1") > 150 && bySrc("src1") < 350) // ~50%
+    assert(bySrc("src3") > 10 && bySrc("src3") < 120)  // default 10%
+    // mixture keeps are a SUBSET of the plain hash sample at the same pct
+    val plain50 = TextStats.sampleByHash(d, col("doc_id"), 50)
+      .select("doc_id").as[Long].collect().toSet
+    kept.filter(_._2 == "src1").foreach(k => assert(plain50.contains(k._1)))
+  }
+
   test("PPJoin length filter prunes candidates but never true pairs") {
     // mixed lengths around the bound: doc1 (10 grams) vs doc2 (30 grams)
     // can never reach J >= 0.5 (10/30 < 0.5) — the filter prunes the pair
