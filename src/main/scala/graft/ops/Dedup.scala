@@ -251,15 +251,22 @@ object Dedup {
    * least one OTHER document. Docs shorter than k tokens report (0, 0).
    *
    * Plan: one window explode, one groupBy(window) counting DISTINCT owner
-   * docs (map-side partial agg), one join back, one per-doc agg — all
-   * shuffles keyed on the window text. At 100 TB, key the shuffle on
-   * sha2/xxhash64 of the window instead of the text (the `exact` vs
-   * `exactByText` trade); the text form is the oracle-checkable twin.
+   * docs (map-side partial agg), one join back, one per-doc agg.
+   *
+   * `hashKeys = true` is the 100 TB path: both shuffles key on
+   * xxhash64(window) — 8 bytes instead of the ~10-token window text, an
+   * order-of-magnitude shuffle-volume cut (the `exact` vs `exactByText`
+   * trade). A 64-bit collision can only OVER-count a dup window (two
+   * different windows colliding), which at curation thresholds is noise;
+   * the text form (default) is exact and oracle-checkable, and the two are
+   * equality-tested at test scale.
    */
-  def dupSpans(docs: DataFrame, k: Int = 10): DataFrame = {
+  def dupSpans(docs: DataFrame, k: Int = 10, hashKeys: Boolean = false): DataFrame = {
+    val winKey = if (hashKeys) xxhash64(col("win0")) else col("win0")
     val wins = docs
       .withColumn("toks", split(col("text"), " "))
-      .select(col("doc_id"), explode(shinglesFromTokens(col("toks"), k)).as("win"))
+      .select(col("doc_id"), explode(shinglesFromTokens(col("toks"), k)).as("win0"))
+      .select(col("doc_id"), winKey.as("win"))
     val owners = wins.groupBy(col("win"))
       .agg(countDistinct(col("doc_id")).as("nd"))
     val perDoc = wins.join(owners, Seq("win"))

@@ -235,6 +235,10 @@ class OpsSpec extends SparkSpec {
     assert(got(2L) == ((4L, 1L)), got(2L))
     assert(got(3L) == ((3L, 0L)), got(3L))
     assert(got(4L) == ((0L, 0L)), got(4L))
+    // the 100 TB hash-keyed path (8-byte shuffle keys) counts identically
+    val hashed = Dedup.dupSpans(d, k = 10, hashKeys = true).as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(hashed == got)
   }
 
   test("decontaminate flags benchmark n-gram overlap; plan broadcasts the benchmark") {
