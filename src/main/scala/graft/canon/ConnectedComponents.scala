@@ -63,11 +63,23 @@ object ConnectedComponents {
   /**
    * Run to convergence (edge set stable) or maxIter. Returns the node ->
    * component mapping (component = min id reachable).
+   *
+   * ADAPTIVE SMALL-GRAPH PATH: dedup/alias edge sets are usually tiny
+   * relative to the corpus (pairs of near-duplicates, not the corpus
+   * itself). At or below `smallGraphThreshold` distinct edges the exact
+   * union-find runs on the driver in one pass — the AQE-broadcast analog
+   * for CC, saving ~2 shuffle rounds x O(log n) iterations of fixed job
+   * overhead. Above it, the alternating-star iteration runs distributed.
+   * Both produce the identical min-id labeling (spec-tested against each
+   * other and GraphX). The threshold bounds driver memory explicitly
+   * (100k edges ~ 2 MB); pass 0 to force the distributed path.
    */
-  def run(edgesIn: DataFrame, maxIter: Int = 20): DataFrame = {
+  def run(edgesIn: DataFrame, maxIter: Int = 20,
+          smallGraphThreshold: Long = 100000L): DataFrame = {
     val spark = edgesIn.sparkSession
     var edges = edgesIn.select(col("src").cast("long"), col("dst").cast("long"))
       .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    if (edges.count() <= smallGraphThreshold) return runDriverUnionFind(edges)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -87,6 +99,28 @@ object ConnectedComponents {
     nodes.join(edges.withColumnRenamed("src", "id").withColumnRenamed("dst", "component"),
         Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
+  /** Exact driver-side union-find over an already-materialized small edge
+    * set (see `run`'s smallGraphThreshold): path-compressed find, max root
+    * attached under min root, component = min node id — the same labeling
+    * contract as the distributed paths. */
+  private def runDriverUnionFind(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val pairs = edges.as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct
+    val compMin = nodes.groupBy(find).map { case (root, ns) => root -> ns.min }
+    nodes.toSeq.map(id => (id, compMin(find(id)))).toDF("id", "component")
   }
 
   /** Order-insensitive multiset fingerprint of the edge set (sum of row

@@ -24,8 +24,13 @@ class ConnectedComponentsSpec extends SparkSpec {
     import spark.implicits._
     val df = edges.toDF("src", "dst")
     val oracle = unionFind(edges)
-    val mine = ConnectedComponents.run(df).as[(Long, Long)].collect().toMap
+    // threshold 0 forces the distributed alternating-star path
+    val mine = ConnectedComponents.run(df, smallGraphThreshold = 0)
+      .as[(Long, Long)].collect().toMap
     assert(mine == oracle, s"large/small-star vs union-find on ${edges.size} edges")
+    // default threshold routes these small graphs to the driver path
+    val adaptive = ConnectedComponents.run(df).as[(Long, Long)].collect().toMap
+    assert(adaptive == oracle, "adaptive small-graph path vs union-find")
     val prop = ConnectedComponents.minLabelPropagation(df).as[(Long, Long)].collect().toMap
     assert(prop == oracle, "min-label propagation vs union-find")
     val gx = ConnectedComponents.runGraphX(df).as[(Long, Long)].collect().toMap
