@@ -384,9 +384,23 @@ object SequentialTwin {
 
   // --------------------------------------------------------- scalar ops
 
+  /** Independent fingerprint twin: the documented polynomial
+    * h' = (h*257 + c + 1) mod 2^61-1 in plain BigInt modular arithmetic —
+    * no 64-bit folding tricks shared with `TextStats.fingerprint64`
+    * (building this twin exposed a lost-carry edge case in the production
+    * fold, fixed in round 3; equality is property- and wrap-state-tested
+    * in GoldenTwinSpec). */
+  def fingerprintBigInt(text: String): Long = {
+    val M = BigInt(2).pow(61) - 1
+    var h = BigInt(0)
+    var i = 0
+    while (i < text.length) { h = (h * 257 + text.charAt(i).toInt + 1) % M; i += 1 }
+    h.toLong
+  }
+
   /** q33 rows: (doc_id, fingerprint). */
   def q33Fingerprints(docs: Seq[Doc]): Seq[(Long, Long)] =
-    docs.map(d => (d.docId, TextStats.fingerprint64(d.text)))
+    docs.map(d => (d.docId, fingerprintBigInt(d.text)))
 
   /** q51 rows: deterministic sequence packing (doc_id, n_tokens, bucket,
     * pack_id) — hash buckets, per-bucket doc_id order, cumulative budget. */

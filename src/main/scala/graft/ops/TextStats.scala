@@ -134,20 +134,31 @@ object TextStats {
       .select(col("doc_id"), col("n_tokens"), col("bucket"), col("pack_id"))
   }
 
-  /** Polynomial rolling-hash fingerprint (base 257 mod 2^61-1) over the raw
-    * text bytes — stable across partitionings and JVMs. */
-  def fingerprint64(text: String): Long = {
+  /** One fingerprint step: h' = (h*257 + c + 1) mod 2^61-1, computed in
+    * 64-bit arithmetic via the 2^64 ≡ 8 (mod 2^61-1) fold of the 128-bit
+    * product. The `+ c + 1` can itself wrap past 2^64 for ~2^16/2^64 of
+    * step states (found while building the independent BigInt golden twin —
+    * the pre-round-3 form silently dropped that carry, i.e. computed
+    * something 8 short of the documented polynomial on those states);
+    * the unsigned compare restores the lost 2^64 ≡ 8. Exercised directly
+    * on wrap states in GoldenTwinSpec. */
+  private[graft] def fpStep(h: Long, c: Int): Long = {
     val Mod = (1L << 61) - 1
+    val x0 = h * 257L
+    val x = x0 + c.toLong + 1L
+    val hi = Math.multiplyHigh(h, 257L)
+    val carry = if (java.lang.Long.compareUnsigned(x, x0) < 0) 8L else 0L
+    ((x & Mod) + ((hi << 3) | (x >>> 61)) + carry) % Mod
+  }
+
+  /** Polynomial rolling-hash fingerprint (base 257 mod 2^61-1) over the
+    * UTF-16 chars — stable across partitionings and JVMs; equal to the
+    * independent BigInt twin (`SequentialTwin.fingerprintBigInt`) on every
+    * input, including carry-wrap step states. */
+  def fingerprint64(text: String): Long = {
     var h = 0L
     var i = 0
-    while (i < text.length) {
-      // multiply mod 2^61-1 without overflow: use math.multiplyHigh
-      val x = h * 257L + text.charAt(i).toLong + 1L
-      val hi = Math.multiplyHigh(h, 257L)
-      // fold 128-bit (hi, x) into mod 2^61-1: (x & Mod) + (carry bits)
-      h = ((x & Mod) + ((hi << 3) | (x >>> 61))) % Mod
-      i += 1
-    }
+    while (i < text.length) { h = fpStep(h, text.charAt(i)); i += 1 }
     h
   }
 

@@ -98,6 +98,34 @@ class GoldenTwinSpec extends SparkSpec {
     }
   }
 
+  test("fingerprint: independent BigInt twin == production, incl. carry-wrap states") {
+    import graft.ops.TextStats
+    // random + structured strings
+    val strings = Seq("", "a", "the fast key order", "ünïcödé danda। €", "￿" * 40) ++
+      (1 to 100).map(_ => rng.alphanumeric.take(rng.nextInt(120)).mkString)
+    strings.foreach { s =>
+      assert(SequentialTwin.fingerprintBigInt(s) == TextStats.fingerprint64(s), s.take(30))
+    }
+    // adversarial step states where h*257 + c + 1 wraps past 2^64 (the
+    // pre-round-3 fold silently dropped the 2^64 ≡ 8 carry there): solve
+    // h = (2^64 - delta) * 257^-1 mod 2^64 and keep the ones < 2^61-1
+    val M = BigInt(2).pow(61) - 1
+    val two64 = BigInt(2).pow(64)
+    val inv = BigInt(257).modInverse(two64)
+    var wrapsExercised = 0
+    for (delta <- 1 to 200000 if wrapsExercised < 20) {
+      val h = ((two64 - delta) * inv).mod(two64)
+      if (h < M) {
+        for (c <- Seq(0, 'z'.toInt, 0xffff)) {
+          val expected = ((h * 257 + c + 1).mod(M)).toLong
+          assert(TextStats.fpStep(h.toLong, c) == expected, s"h=$h c=$c")
+          if (h * 257 % two64 + c + 1 >= two64) wrapsExercised += 1
+        }
+      }
+    }
+    assert(wrapsExercised >= 10, s"only $wrapsExercised wrap states exercised")
+  }
+
   test("sparkRound matches Spark round() at scales 6 and 9") {
     import spark.implicits._
     val xs = (1 to 200).map(_ => (rng.nextDouble() * 2 - 1) * math.pow(10, rng.nextInt(6) - 3))

@@ -114,12 +114,17 @@ class PlanSpec extends SparkSpec {
     // q39's operator is eager/self-cleaning by default (returns a
     // materialized checkpoint); lazy mode exposes the real plan to audit
     graft.ops.Dedup.withLazyPlans {
-      for (q <- Seq("q37_quality_filter", "q39_jaccard_prefix_filter")) {
+      for (q <- Seq("q37_quality_filter", "q39_jaccard_prefix_filter",
+                    "q52_dup_spans", "q53_decontaminate")) {
         val p = plan(SparkEntry.queries(q)(spark, sf))
         val readSchemas = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+        // every scan pruned to what it needs: doc_id always, text on the
+        // gram-producing scan, never lang/source (q52/q53's left-join-back
+        // scan legitimately reads doc_id alone)
         assert(readSchemas.nonEmpty && readSchemas.forall(rs =>
-          rs.contains("doc_id") && rs.contains("text") && !rs.contains("lang")),
+          rs.contains("doc_id") && !rs.contains("lang") && !rs.contains("source")),
           s"$q: $readSchemas")
+        assert(readSchemas.exists(_.contains("text")), s"$q: $readSchemas")
         // nothing may funnel the corpus through one task (the prefix-filter
         // join's canonical order is the (freq, gram) PAIR — no global rank)
         assert(!p.contains("SinglePartition"), s"$q has a single-partition exchange")
