@@ -131,10 +131,9 @@ object Dedup {
         xxhash64(concat_ws("_", lit("band"), b,
           concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))))))).as(Seq("band", "bucket")))
     val pairs = idPairsFromBuckets(banded, maxBucket, dropLabel = "minhashLsh")
-    val shingleTable = withShingles
     val verified = pairs
-      .join(shingleTable.withColumnRenamed("doc_id", "doc1").withColumnRenamed("sh", "sh1"), Seq("doc1"))
-      .join(shingleTable.withColumnRenamed("doc_id", "doc2").withColumnRenamed("sh", "sh2"), Seq("doc2"))
+      .join(withShingles.withColumnRenamed("doc_id", "doc1").withColumnRenamed("sh", "sh1"), Seq("doc1"))
+      .join(withShingles.withColumnRenamed("doc_id", "doc2").withColumnRenamed("sh", "sh2"), Seq("doc2"))
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
       .withColumn("uni", size(array_union(col("sh1"), col("sh2"))))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
