@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
+import graft.ops.{Dedup, Multimodal, Similarity, TextStats, Urls}
 
 /** Driver contract — queries (Spark) + oracleSql (DuckDB twin) per operator.
   * Column names/aliases match between both sides (the driver hash-compares
@@ -243,6 +243,26 @@ object SparkEntry {
       TextStats.sampleBySourceRates(s.read.parquet(t(dir, "documents")),
         Map("src0" -> 100, "src1" -> 80, "src2" -> 55, "src3" -> 30), defaultPct = 10)
         .select(col("doc_id"), col("source"))),
+    // Gopher-style repetition profile: top word-1/2/3-gram counts, zero
+    // shuffle (native codegen'd top_ngram_count — per-doc output, so the
+    // gram counting never leaves the row)
+    "q55_repetition" -> ((s, dir) =>
+      TextStats.repetitionProfile(s.read.parquet(t(dir, "documents")))),
+    // char-trigram LM rarity (perplexity-proxy quality signal): model table
+    // broadcast, one per-doc combine shuffle
+    "q56_lm_rarity" -> ((s, dir) =>
+      TextStats.lmRarity(s.read.parquet(t(dir, "documents")), n = 3)),
+    // PII redaction over deterministically injected emails/phones/IPs
+    // (documents carry no natural PII; the oracle reconstructs the same
+    // corpus independently from doc_id)
+    "q57_pii_redact" -> ((s, dir) =>
+      TextStats.redactPii(TextStats.syntheticPii(s.read.parquet(t(dir, "documents"))))),
+    // URL canonicalization (domain-level dedup primitive): the oracle
+    // CONSTRUCTS the expected canonical form independently from
+    // (source, doc_id) rather than re-running a canonicalizer
+    "q58_url_canonicalize" -> ((s, dir) =>
+      Urls.canonicalize(Urls.syntheticUrls(s.read.parquet(t(dir, "documents"))))
+        .select(col("doc_id"), col("url_canon"), col("domain"))),
     // ------------------------------------------------ KG pipeline (no SQL)
     "q40_extraction_invariant" -> ((s, dir) => {
       // native codegen'd Catalyst expression (graft.functions.ExtractText)
@@ -415,6 +435,57 @@ object SparkEntry {
                 coalesce(nh, 0) > 0 AS contaminated
          FROM documents d LEFT JOIN hits USING (doc_id)""",
     "q54_mixture_sample" -> golden("q54_mixture_sample"),
+    "q55_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         g1 AS (SELECT doc_id, unnest(ts) AS g FROM t),
+         g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+                  i -> ts[i] || ' ' || ts[i+1])) AS g FROM t),
+         g3 AS (SELECT doc_id, unnest(list_transform(range(1, len(ts) - 1),
+                  i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS g FROM t),
+         m1 AS (SELECT doc_id, max(c) AS top1 FROM (SELECT doc_id, g, count(*) AS c FROM g1 GROUP BY 1, 2) GROUP BY 1),
+         m2 AS (SELECT doc_id, max(c) AS top2 FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1),
+         m3 AS (SELECT doc_id, max(c) AS top3 FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2) GROUP BY 1)
+         SELECT t.doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+                CAST(coalesce(top1, 0) AS BIGINT) AS top1_count,
+                CAST(coalesce(top2, 0) AS BIGINT) AS top2_count,
+                CAST(coalesce(top3, 0) AS BIGINT) AS top3_count,
+                (coalesce(top1, 0) * 10 > len(ts) * 3
+                 OR coalesce(top2, 0) * 5 > greatest(len(ts) - 1, 0)
+                 OR coalesce(top3, 0) * 20 > greatest(len(ts) - 2, 0) * 3) AS repetitive
+         FROM t LEFT JOIN m1 USING (doc_id) LEFT JOIN m2 USING (doc_id) LEFT JOIN m3 USING (doc_id)""",
+    "q56_lm_rarity" ->
+      """WITH g AS (SELECT doc_id, unnest(list_transform(range(1, length(text) - 1),
+                      i -> substr(text, i::INT, 3))) AS gram FROM documents),
+         f AS (SELECT gram, count(*) AS cnt FROM g GROUP BY gram),
+         tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM f)
+         SELECT doc_id, count(*) AS n_grams, CAST(sum(cnt) AS BIGINT) AS freq_sum,
+                round(avg(ln(cnt / tot)), 6) AS lm_logprob
+         FROM g JOIN f USING (gram) CROSS JOIN tot GROUP BY doc_id""",
+    "q57_pii_redact" ->
+      """WITH p AS (SELECT doc_id, text ||
+           CASE WHEN doc_id % 5 = 0 THEN ' reach user' || doc_id || '@mail.example.com' ELSE '' END ||
+           CASE WHEN doc_id % 7 = 0 THEN ' call 555-01' || (doc_id % 10) || '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END ||
+           CASE WHEN doc_id % 11 = 0 THEN ' from 10.' || (doc_id % 256) || '.' || ((doc_id // 256) % 256) || '.7' ELSE '' END AS text
+         FROM documents)
+         SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS n_phones,
+           len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ips,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g'),
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS redacted
+         FROM p""",
+    // INDEPENDENT oracle: constructs the expected canonical form from
+    // (source, doc_id) directly — never re-runs a canonicalizer. Tracking
+    // params (utm_source, ref) vanish; surviving params byte-sorted
+    // ('id=' < 'z='); scheme/host lowercased; www., :443 and #frag dropped.
+    "q58_url_canonicalize" ->
+      """SELECT doc_id,
+           'https://' || lower(source) || '.example.com/p/' || doc_id ||
+             '?id=' || doc_id || '&z=' || (doc_id % 7) AS url_canon,
+           'example.com' AS domain
+         FROM documents""",
     "q20_vocab_trim" ->
       """SELECT token, count(*) AS cnt FROM (
            SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)

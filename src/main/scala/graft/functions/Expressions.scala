@@ -298,6 +298,95 @@ object WordShingles {
   }
 }
 
+/** char_ngrams(text string, n) -> array<string>: ALL character n-grams in
+  * document order (non-distinct — these feed frequency COUNTS, unlike
+  * word_shingles' distinct set semantics). One compiled pass; equals the
+  * transform(sequence)/substring HOF formulation for non-null input. */
+case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
+  import org.apache.spark.sql.types.ArrayType
+  require(n > 0, "ngram size must be positive")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes() = {
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"char_ngrams requires string input, got ${child.dataType}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    CharNgrams.compute(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CharNgrams.compute($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): CharNgrams = copy(child = newChild)
+  override def prettyName: String = "char_ngrams"
+}
+
+object CharNgrams {
+  /** Code-point-based substring windows (UTF8String.substring counts code
+    * points, matching both substring() in Spark SQL and DuckDB substr). */
+  def compute(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val len = s.numChars()
+    if (len < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
+    val out = new Array[Any](len - n + 1)
+    var i = 0
+    while (i <= len - n) {
+      out(i) = s.substringSQL(i + 1, n)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** top_ngram_count(tokens array<string>, n) -> long: the occurrence count of
+  * the MOST FREQUENT word n-gram (tokens joined with a single space) —
+  * Gopher-style repetition profiling as one compiled per-row pass with no
+  * explode/shuffle (the output is per-document, so distributing the gram
+  * counting would shuffle |corpus| * |doc| rows to recombine per doc). */
+case class TopNgramCount(child: Expression, n: Int) extends UnaryExpression {
+  import org.apache.spark.sql.types.ArrayType
+  require(n > 0, "ngram size must be positive")
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(StringType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"top_ngram_count requires array<string> input, got $t")
+  }
+  override def nullSafeEval(v: Any): Any =
+    TopNgramCount.compute(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TopNgramCount.compute($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): TopNgramCount = copy(child = newChild)
+  override def prettyName: String = "top_ngram_count"
+}
+
+object TopNgramCount {
+  def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData, n: Int): Long = {
+    val len = arr.numElements()
+    if (len < n) return 0L
+    val counts = new java.util.HashMap[UTF8String, Array[Long]]((len - n + 1) * 2)
+    val parts = new Array[UTF8String](2 * n - 1)
+    val space = UTF8String.fromString(" ")
+    var best = 0L
+    var i = 0
+    while (i <= len - n) {
+      var k = 0
+      while (k < n) {
+        parts(2 * k) = if (arr.isNullAt(i + k)) UTF8String.EMPTY_UTF8
+                       else arr.getUTF8String(i + k)
+        if (k < n - 1) parts(2 * k + 1) = space
+        k += 1
+      }
+      val gram = UTF8String.concat(parts: _*)
+      var c = counts.get(gram)
+      if (c == null) { c = Array(0L); counts.put(gram, c) }
+      c(0) += 1L
+      if (c(0) > best) best = c(0)
+      i += 1
+    }
+    best
+  }
+}
+
 object GraftFunctions {
   import org.apache.spark.sql.graftbridge.Bridge
   def extract_text(c: Column): Column = Bridge.column(ExtractText(Bridge.expression(c)))
@@ -311,6 +400,10 @@ object GraftFunctions {
     Bridge.column(SignLshBits(Bridge.expression(c), weights))
   def word_shingles(c: Column, n: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(c), n))
+  def char_ngrams(c: Column, n: Int): Column =
+    Bridge.column(CharNgrams(Bridge.expression(c), n))
+  def top_ngram_count(c: Column, n: Int): Column =
+    Bridge.column(TopNgramCount(Bridge.expression(c), n))
 
   /** Register for SQL use in an existing session. */
   def register(spark: SparkSession): Unit = {

@@ -134,6 +134,108 @@ object TextStats {
       .select(col("doc_id"), col("n_tokens"), col("bucket"), col("pack_id"))
   }
 
+  /**
+   * Gopher-style REPETITION profile: per-doc occurrence count of the most
+   * frequent word 1/2/3-gram plus the total gram counts, and a `repetitive`
+   * flag in exact integer arithmetic (Rae et al., Gopher §A1.1 use
+   * fraction-of-characters thresholds; the integer twin here flags a doc
+   * whose top 1-gram exceeds 30% of tokens, top 2-gram exceeds 20% of
+   * 2-grams, or top 3-gram exceeds 15% of 3-grams).
+   *
+   * Scale shape: the output is per-document, so the gram counting runs as
+   * one compiled per-row pass (`top_ngram_count`) — zero shuffle, unlike an
+   * explode + groupBy(doc, gram) + max re-aggregation which would shuffle
+   * every gram occurrence in the corpus three times.
+   */
+  def repetitionProfile(docs: DataFrame): DataFrame = {
+    import graft.functions.GraftFunctions.top_ngram_count
+    val t = toks(col("text"))
+    docs
+      .withColumn("toks", t)
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        top_ngram_count(col("toks"), 1).as("top1_count"),
+        top_ngram_count(col("toks"), 2).as("top2_count"),
+        top_ngram_count(col("toks"), 3).as("top3_count"))
+      .withColumn("repetitive",
+        (col("top1_count") * 10 > col("n_tokens") * 3) ||
+          (col("top2_count") * 5 > greatest(col("n_tokens") - 1, lit(0L))) ||
+          (col("top3_count") * 20 > greatest(col("n_tokens") - 2, lit(0L)) * 3))
+  }
+
+  /**
+   * Char-n-gram language-model RARITY score (the KenLM/CCNet-style
+   * perplexity-proxy quality signal, self-trained on the corpus): per doc,
+   * the mean log-probability of its character n-grams under the corpus
+   * unigram-of-n-grams model, plus the exact integer frequency sum.
+   *
+   * Scale shape: the model (distinct char n-grams + counts) is tiny
+   * relative to the corpus — a bounded-alphabet n-gram table — so it is
+   * BROADCAST onto the gram stream; the explode feeds a partial aggregate
+   * in the same codegen stage (nothing materializes |doc|*|corpus| rows),
+   * and the only shuffle is the per-doc combine. Training pass = one
+   * map-side-combined count aggregation.
+   */
+  def lmRarity(docs: DataFrame, n: Int = 3): DataFrame = {
+    import graft.functions.GraftFunctions.char_ngrams
+    val grams = docs.select(col("doc_id"), explode(char_ngrams(col("text"), n)).as("gram"))
+    val freq = grams.groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum(col("cnt")).cast("double").as("tot"))
+    grams
+      .join(broadcast(freq), Seq("gram"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(col("cnt")).as("freq_sum"),
+        round(avg(log(col("cnt").cast("double") / col("tot"))), 6).as("lm_logprob"))
+  }
+
+  /**
+   * PII REDACTION (emails, NANP-style phone numbers, IPv4 addresses):
+   * per-doc match counts plus the redacted text with each span replaced by
+   * a typed placeholder. Pure regexp column expressions (codegen, one scan);
+   * the patterns avoid lookaround/backrefs so they behave identically under
+   * Java regex (Spark) and RE2 (the DuckDB oracle). Email is redacted first
+   * so the address's host can never be re-matched as a bare IP.
+   */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+  val ipRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  def redactPii(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(emailRe)).as("n_emails"),
+      regexp_count(col("text"), lit(phoneRe)).as("n_phones"),
+      regexp_count(col("text"), lit(ipRe)).as("n_ips"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>"),
+        ipRe, "<IP>").as("redacted"))
+
+  /** Deterministic PII injection over the synthetic corpus (the documents
+    * table carries no natural PII), mirroring Multimodal.syntheticMedia:
+    * docs at doc_id % 5 == 0 gain an email, % 7 == 0 a phone, % 11 == 0 an
+    * IPv4 — all derived from doc_id, so the DuckDB oracle reconstructs the
+    * same corpus independently. */
+  def syntheticPii(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat(
+      col("text"),
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(lit(" reach user"), col("doc_id"), lit("@mail.example.com"))).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(lit(" call 555-01"),
+          lpad(pmod(col("doc_id"), lit(10)).cast("string"), 1, "0"),
+          lit("-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(11)) === 0,
+        concat(lit(" from 10."), pmod(col("doc_id"), lit(256)),
+          lit("."), pmod(floor(col("doc_id") / 256).cast("long"), lit(256)),
+          lit(".7"))).otherwise(lit(""))))
+
   /** One fingerprint step: h' = (h*257 + c + 1) mod 2^61-1, computed in
     * 64-bit arithmetic via the 2^64 ≡ 8 (mod 2^61-1) fold of the 128-bit
     * product. The `+ c + 1` can itself wrap past 2^64 for ~2^16/2^64 of

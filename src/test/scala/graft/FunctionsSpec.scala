@@ -147,6 +147,57 @@ class FunctionsSpec extends SparkSpec {
     assert(p.contains("fingerprint64"), p.take(800))
   }
 
+  test("CharNgrams expression == HOF transform/substring (non-distinct, in order)") {
+    import spark.implicits._
+    val texts = Seq("abcdef", "ab", "abc", "aaaa", "ünïcödé±", "", "x")
+    for (n <- Seq(2, 3)) {
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val hof2 = when(length(col("text")) >= n,
+        transform(sequence(lit(1), length(col("text")) - (n - 1)),
+          i => col("text").substr(i, lit(n))))
+        .otherwise(array().cast("array<string>"))
+      val rows = df.select(col("id"),
+          GraftFunctions.char_ngrams(col("text"), n).as("native"), hof2.as("hof"))
+        .collect()
+      rows.foreach(r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2), s"n=$n id=${r.getLong(0)}"))
+    }
+  }
+
+  test("TopNgramCount expression == explode/groupBy/max formulation") {
+    import spark.implicits._
+    val texts = Seq("a b a b a", "x", "", "s s s s", "p q r", "a a b b a a b b")
+    for (n <- Seq(1, 2, 3)) {
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+        .withColumn("toks", split(col("text"), " "))
+      val native = df.select(col("id"),
+        GraftFunctions.top_ngram_count(col("toks"), n).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val grams = df.select(col("id"), explode(
+        when(size(col("toks")) >= n,
+          transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+            i => concat_ws(" ", (0 until n).map(k => element_at(col("toks"), i + k)): _*)))
+          .otherwise(array().cast("array<string>"))).as("g"))
+      val viaAgg = grams.groupBy(col("id"), col("g")).count()
+        .groupBy(col("id")).agg(max(col("count")).as("m"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      texts.indices.foreach { i =>
+        assert(native(i.toLong) == viaAgg.getOrElse(i.toLong, 0L), s"n=$n id=$i")
+      }
+    }
+  }
+
+  test("char_ngrams/top_ngram_count stay inside whole-stage codegen") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(GraftFunctions.top_ngram_count(split(col("text"), " "), 2).as("c"),
+        size(GraftFunctions.char_ngrams(col("text"), 3)).as("g"))
+      .filter(col("c") >= 0L)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("ScalaUDF"), p.take(800))
+    assert(p.contains("WholeStageCodegen") || p.contains("*("), p.take(800))
+  }
+
   test("type checking rejects wrong input types") {
     import spark.implicits._
     val err = intercept[Exception] {

@@ -291,4 +291,44 @@ class OpsSpec extends SparkSpec {
     assert(got == naive, s"got=$got naive=$naive")
     assert(!got.contains((1L, 2L)))
   }
+
+  test("repetitionProfile flags repeated-ngram docs, passes diverse docs") {
+    val rep1 = ("spam " * 10).trim + " a b c"                 // top1 10/13 tokens
+    val rep2 = ("x y " * 10).trim + " p q r s t u v w"        // top2 'x y' 10x
+    val clean = (1 to 40).map(i => s"t$i").mkString(" ")
+    val got = TextStats.repetitionProfile(docs(1L -> rep1, 2L -> rep2, 3L -> clean))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)), r.getBoolean(5))).toMap
+    assert(got(1L)._1._1 == 10L && got(1L)._2, got.toString)   // top1=10, flagged
+    assert(got(2L)._1._2 == 10L && got(2L)._2, got.toString)   // top2=10, flagged
+    assert(got(3L)._1 == ((1L, 1L, 1L)) && !got(3L)._2, got.toString)
+  }
+
+  test("lmRarity: rare-gram docs score lower; n_grams = len - n + 1") {
+    // 9 docs share common text; 1 doc is unique chars -> rare trigrams
+    val common = (1L to 9L).map(i => i -> "abcabcabcabc")
+    val rare = Seq(10L -> "xqzwvyjkpfgh")
+    val rows = TextStats.lmRarity(docs(common ++ rare: _*), n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq
+    val byId = rows.map(r => r._1 -> r).toMap
+    rows.foreach { case (_, nGrams, _) => assert(nGrams == 10L) } // 12 - 3 + 1
+    assert(byId(10L)._3 < byId(1L)._3,
+      s"rare doc must score below common docs: ${byId(10L)._3} vs ${byId(1L)._3}")
+  }
+
+  test("redactPii counts and replaces emails, phones, IPs; leaves clean text") {
+    val d = docs(
+      1L -> "mail a.b-c_d@sub.example.org and x@y.co today",
+      2L -> "call 555-123-4567 or 555-000-1111 from 192.168.0.1",
+      3L -> "no pii here at all",
+      4L -> "ip 10.0.0.7 text 1.2.3.4")
+    val got = TextStats.redactPii(d).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3)), r.getString(4))).toMap
+    assert(got(1L)._1 == ((2, 0, 0)), got(1L).toString)
+    assert(got(1L)._2 == "mail <EMAIL> and <EMAIL> today")
+    assert(got(2L)._1 == ((0, 2, 1)), got(2L).toString)
+    assert(got(2L)._2 == "call <PHONE> or <PHONE> from <IP>")
+    assert(got(3L)._1 == ((0, 0, 0)) && got(3L)._2 == "no pii here at all")
+    assert(got(4L)._2 == "ip <IP> text <IP>")
+  }
 }
