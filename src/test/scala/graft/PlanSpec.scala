@@ -135,6 +135,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q55/q57/q58 run with ZERO exchanges; q56's model join is broadcast") {
+    // repetition profile, PII redaction and URL canonicalization are pure
+    // per-row passes — any Exchange in their plans is a regression
+    for (q <- Seq("q55_repetition", "q57_pii_redact", "q58_url_canonicalize")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(!p.contains("Exchange"), s"$q must not shuffle:\n${p.take(2000)}")
+      assert(!p.contains("ScalaUDF"), s"$q must stay codegen'd")
+    }
+    // LM rarity: the gram MODEL is broadcast onto the gram stream (never a
+    // sort-merge join of the stream against itself), the model-build count
+    // is partial-aggregated (shuffle volume = distinct grams, not gram
+    // occurrences), and the scoring side's only shuffle is the per-doc
+    // combine
+    val p56 = plan(SparkEntry.queries("q56_lm_rarity")(spark, sf))
+    assert(p56.contains("BroadcastHashJoin"), p56.take(2000))
+    assert(!p56.contains("SortMergeJoin"), p56.take(2000))
+    assert(p56.contains("partial_count"), p56.take(3000))
+    assert(p56.contains("hashpartitioning(doc_id"), p56.take(3000))
+  }
+
   test("AQE splits a skewed shuffle-join partition at runtime") {
     import spark.implicits._
     // one pathological key (20k rows) among 200 normal keys; thresholds
