@@ -320,16 +320,30 @@ case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
 }
 
 object CharNgrams {
-  /** Code-point-based substring windows (UTF8String.substring counts code
-    * points, matching both substring() in Spark SQL and DuckDB substr). */
+  /** Code-point-based windows (matching substring() in Spark SQL and DuckDB
+    * substr), computed in ONE linear byte walk: code-point boundaries are
+    * collected once, each gram is a byte-range slice. (substringSQL per
+    * window would rescan from the string head — O(len^2) per document.) */
   def compute(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
-    val len = s.numChars()
-    if (len < n)
+    val bytes = s.getBytes
+    val nb = bytes.length
+    // boundaries(k) = byte offset of code point k; boundaries(numChars) = nb
+    val boundaries = new Array[Int](nb + 1)
+    var chars = 0
+    var off = 0
+    while (off < nb) {
+      boundaries(chars) = off
+      off += UTF8String.numBytesForFirstByte(bytes(off))
+      chars += 1
+    }
+    boundaries(chars) = nb
+    if (chars < n)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
-    val out = new Array[Any](len - n + 1)
+    val out = new Array[Any](chars - n + 1)
     var i = 0
-    while (i <= len - n) {
-      out(i) = s.substringSQL(i + 1, n)
+    while (i <= chars - n) {
+      val start = boundaries(i)
+      out(i) = UTF8String.fromBytes(bytes, start, boundaries(i + n) - start)
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
