@@ -75,4 +75,51 @@ class BioesSpec extends AnyFunSuite {
     val perlAcc = m.group(1).toDouble
     assert(math.abs(acc - perlAcc) < 0.005, s"accuracy $acc vs perl $perlAcc")
   }
+
+  test("raw-tag corpora: spansPerl == perl scorer in default AND -r modes") {
+    val scorer = "/root/reference/NeuralNERMono/eval/conll03eval.v2"
+    assume(Files.exists(Paths.get(scorer)) && Files.exists(Paths.get("/usr/bin/perl")))
+    val rnd = new scala.util.Random(77)
+    // bare German-style raw tags mixed with IOBES — stresses both the
+    // dashless (prefix=tag, type="") parse and -r's unconditional B- rewrite
+    val pool = Vector("O", "O", "LOC", "PER", "ORG", "MISC",
+      "B-PER", "I-PER", "E-PER", "S-LOC")
+    val sentences = Vector.fill(80) {
+      val n = 1 + rnd.nextInt(10)
+      Vector.fill(n)(("w" + rnd.nextInt(40),
+        pool(rnd.nextInt(pool.length)), pool(rnd.nextInt(pool.length))))
+    }
+    val tmp = Files.createTempFile("conllraw", ".txt")
+    val content = sentences.map(_.map { case (t, g, p) => s"$t $g $p" }.mkString("\n"))
+      .mkString("\n\n") + "\n"
+    Files.write(tmp, content.getBytes("UTF-8"))
+    val header =
+      """processed (\d+) tokens with (\d+) phrases; found: (\d+) phrases; correct: (\d+)\.""".r
+    val overall =
+      """accuracy:\s+([0-9.]+)%; precision:\s+([0-9.]+)%; recall:\s+([0-9.]+)%; FB1:\s+([0-9.]+)""".r
+    for (raw <- Seq(false, true)) {
+      val cmd = if (raw) Seq("perl", scorer, "-r") else Seq("perl", scorer)
+      val proc = new ProcessBuilder(cmd: _*).redirectInput(tmp.toFile).start()
+      val out = scala.io.Source.fromInputStream(proc.getInputStream).mkString
+      proc.waitFor()
+      val h = header.findFirstMatchIn(out).getOrElse(fail(s"no scorer output (raw=$raw): $out"))
+      val m = overall.findFirstMatchIn(out).getOrElse(fail(s"no overall line (raw=$raw): $out"))
+      val got = Bioes.conllCounts(sentences.map(_.map { case (_, g, p) => (g, p) }), raw)
+      // EXACT integer parity with the perl scorer's own counters
+      assert(got.tokens == h.group(1).toLong, s"raw=$raw tokens: $got\n$out")
+      assert(got.foundCorrect == h.group(2).toLong, s"raw=$raw foundCorrect: $got\n$out")
+      assert(got.foundGuessed == h.group(3).toLong, s"raw=$raw foundGuessed: $got\n$out")
+      assert(got.correctChunk == h.group(4).toLong, s"raw=$raw correctChunk: $got\n$out")
+      assert(math.abs(100.0 * got.correctTags / got.tokens - m.group(1).toDouble) < 0.005)
+      assert(math.abs(got.precision - m.group(2).toDouble) < 0.005, s"raw=$raw $got")
+      assert(math.abs(got.recall - m.group(3).toDouble) < 0.005, s"raw=$raw $got")
+      assert(math.abs(got.fb1 - m.group(4).toDouble) < 0.005, s"raw=$raw $got")
+    }
+    // the documented deviation, side by side: the scorer's default-mode
+    // counting finds no phrase in a pure raw-tag run; Bioes.spans counts it
+    val run = Vector(IndexedSeq(("LOC", "LOC"), ("LOC", "LOC"), ("O", "O")))
+    assert(Bioes.conllCounts(run, raw = false).foundGuessed == 0L)
+    assert(Bioes.conllCounts(run, raw = true).foundGuessed == 2L) // -r: per-token chunks
+    assert(Bioes.spans(Vector("LOC", "LOC", "O")) == Vector(Bioes.Span(0, 2, "LOC")))
+  }
 }
