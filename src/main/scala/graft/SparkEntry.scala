@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.ops.{Dedup, Multimodal, Similarity, TextStats, Urls}
+import graft.ops.{Bpe, Dedup, Multimodal, Similarity, TextStats, Urls}
 
 /** Driver contract — queries (Spark) + oracleSql (DuckDB twin) per operator.
   * Column names/aliases match between both sides (the driver hash-compares
@@ -263,6 +263,15 @@ object SparkEntry {
     "q58_url_canonicalize" -> ((s, dir) =>
       Urls.canonicalize(Urls.syntheticUrls(s.read.parquet(t(dir, "documents"))))
         .select(col("doc_id"), col("url_canon"), col("domain"))),
+    // per-source corpus profile with EXACT percentiles (the oracled form;
+    // approx_percentile is the 100 TB path, property-tested against exact)
+    "q59_corpus_profile" -> ((s, dir) =>
+      TextStats.corpusProfile(s.read.parquet(t(dir, "documents")), exact = true)),
+    // distributed BPE vocabulary induction (tokenizer training): corpus
+    // aggregated once to the distinct-word table; per-merge argmax via
+    // TakeOrdered(1); golden-oracled vs an independent sequential BPE
+    "q60_bpe_merges" -> ((s, dir) =>
+      Bpe.train(s.read.parquet(t(dir, "documents")), numMerges = 20)),
     // ------------------------------------------------ KG pipeline (no SQL)
     "q40_extraction_invariant" -> ((s, dir) => {
       // native codegen'd Catalyst expression (graft.functions.ExtractText)
@@ -476,6 +485,14 @@ object SparkEntry {
              '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g'),
              '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS redacted
          FROM p""",
+    "q59_corpus_profile" ->
+      """SELECT source, count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           quantile_cont(len(string_split(text, ' ')), 0.5) AS p50_tokens,
+           quantile_cont(len(string_split(text, ' ')), 0.9) AS p90_tokens
+         FROM documents GROUP BY source""",
+    "q60_bpe_merges" -> golden("q60_bpe_merges"),
     // INDEPENDENT oracle: constructs the expected canonical form from
     // (source, doc_id) directly — never re-runs a canonicalizer. Tracking
     // params (utm_source, ref) vanish; surviving params byte-sorted

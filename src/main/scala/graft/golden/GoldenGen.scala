@@ -58,6 +58,8 @@ object GoldenGen {
       q54MixtureSample(docs, Map("src0" -> 100, "src1" -> 80, "src2" -> 55, "src3" -> 30),
         defaultPct = 10),
       "doc_id", "source")
+    write("q60_bpe_merges", q60BpeMerges(docs, numMerges = 20),
+      "rank", "left", "right", "freq")
 
     // NER pipeline twins (NaiveKernel; one BiLSTM pass, both decoders)
     val models = graft.Pipeline.models(spark, sfDir)

@@ -453,4 +453,57 @@ object SequentialTwin {
       val (_, _, nFrames, _) = Multimodal.decodeStub("video/mp4", blob)
       (d.docId, ((nFrames - 1) / stride + 1).toLong)
     }
+
+  /** q60 rows: textbook sequential BPE (Sennrich et al. get_stats /
+    * merge_vocab structure — INDEPENDENT of ops.Bpe: string-keyed word
+    * table, space-joined symbol strings, regex-free split merge), same
+    * deterministic tie-break (max freq, then smallest (left, right)). */
+  def q60BpeMerges(docs: Seq[Doc], numMerges: Int,
+                   minPairFreq: Long = 2L): Seq[(Int, String, String, Long)] = {
+    // vocab: word -> count, words represented as space-joined char symbols
+    var vocab = collection.mutable.HashMap.empty[String, Long]
+    for (d <- docs; w <- d.text.split(' ') if w.nonEmpty) {
+      val key = w.toCharArray.mkString(" ")
+      vocab(key) = vocab.getOrElse(key, 0L) + 1L
+    }
+    val out = collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 0
+    var done = false
+    while (rank < numMerges && !done) {
+      val stats = collection.mutable.HashMap.empty[(String, String), Long]
+      for ((word, c) <- vocab) {
+        val syms = word.split(' ')
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          stats(p) = stats.getOrElse(p, 0L) + c
+          i += 1
+        }
+      }
+      if (stats.isEmpty) done = true
+      else {
+        val ((l, r), f) = stats.minBy { case ((a, b), n) => (-n, a, b) }
+        if (f < minPairFreq) done = true
+        else {
+          out += ((rank, l, r, f))
+          val next = collection.mutable.HashMap.empty[String, Long]
+          for ((word, c) <- vocab) {
+            val syms = word.split(' ')
+            val merged = collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+                merged += l + r; i += 2
+              } else { merged += syms(i); i += 1 }
+            }
+            val key = merged.mkString(" ")
+            next(key) = next.getOrElse(key, 0L) + c
+          }
+          vocab = next
+          rank += 1
+        }
+      }
+    }
+    out.toSeq
+  }
 }

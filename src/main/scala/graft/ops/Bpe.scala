@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed BPE (byte-pair-encoding) VOCABULARY INDUCTION — the
+ * tokenizer-training step of an LLM data pipeline (Sennrich et al. 2016,
+ * "Neural Machine Translation of Rare Words with Subword Units", the
+ * algorithm behind GPT-2/sentencepiece-BPE vocabularies).
+ *
+ * Scale shape: the corpus is touched ONCE (a map-side-combined word-count
+ * aggregation — classic BPE trains on the distinct-word frequency table,
+ * not the raw token stream). Each merge iteration then runs over the
+ * DISTRIBUTED word table: one pair-count aggregation (partial aggs; pair
+ * table is alphabet^2-bounded) + a TakeOrdered(1) for the argmax (no
+ * global sort, one row to the driver) + a map-only merge application.
+ * The word table NEVER materializes on the driver — at web scale distinct
+ * words are ~10^8-9 rows, far past driver memory; only the single winning
+ * pair per iteration comes back. Lineage is truncated with a
+ * localCheckpoint every `checkpointEvery` merges (an iterative-algorithm
+ * necessity, like GraphX's).
+ *
+ * Determinism: symbols are UTF-16-char seeded; the winning pair is
+ * max-by (freq, then lexicographically smallest (left, right)) — a total
+ * order, so results are independent of partitioning and cluster size.
+ * Merge application replaces LEFTMOST-FIRST, non-overlapping (Sennrich's
+ * semantics); pair counting counts every adjacent occurrence (so "aaa"
+ * contributes (a,a) twice), also per Sennrich's get_stats.
+ */
+object Bpe {
+
+  final case class SymWord(syms: Seq[String], cnt: Long)
+  final case class Merge(rank: Int, left: String, right: String, freq: Long)
+
+  private[graft] def applyMerge(syms: Seq[String], l: String, r: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += l + r; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /**
+   * Learn `numMerges` BPE merges from the corpus; stops early when the best
+   * remaining pair's frequency falls below `minPairFreq`. Returns one row
+   * per merge: (rank, left, right, freq).
+   */
+  def train(docs: DataFrame, numMerges: Int, minPairFreq: Long = 2L,
+            checkpointEvery: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    var state: Dataset[SymWord] = words.as[(String, Long)]
+      .map { case (w, c) => SymWord(w.map(_.toString), c) }
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var k = 0
+    var exhausted = false
+    while (k < numMerges && !exhausted) {
+      val top = state
+        .flatMap(sw => sw.syms.iterator.zip(sw.syms.iterator.drop(1)).map(p => (p._1, p._2, sw.cnt)))
+        .toDF("l", "r", "c")
+        .groupBy(col("l"), col("r")).agg(sum(col("c")).as("freq"))
+        .orderBy(col("freq").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty || top(0).getLong(2) < minPairFreq) exhausted = true
+      else {
+        val (l, r, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += Merge(k, l, r, f)
+        val next = state.map(sw => SymWord(applyMerge(sw.syms, l, r), sw.cnt))
+        state = if ((k + 1) % checkpointEvery == 0) next.localCheckpoint() else next
+        k += 1
+      }
+    }
+    spark.createDataset(merges.toSeq).toDF("rank", "left", "right", "freq")
+  }
+
+  /** Segment each document's tokens with a learned merge list (the apply
+    * side of the tokenizer): map-only over the corpus, merges broadcast.
+    * Returns (doc_id, n_tokens, n_subwords). */
+  def segment(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges)
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .as[(Long, Seq[String])]
+      .map { case (id, toks) =>
+        val ms = bc.value
+        var nSub = 0L
+        toks.filter(_.nonEmpty).foreach { w =>
+          var syms: Seq[String] = w.map(_.toString)
+          ms.foreach { case (l, r) => syms = applyMerge(syms, l, r) }
+          nSub += syms.length
+        }
+        (id, toks.count(_.nonEmpty).toLong, nSub)
+      }
+      .toDF("doc_id", "n_tokens", "n_subwords")
+  }
+}

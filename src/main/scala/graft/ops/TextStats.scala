@@ -236,6 +236,31 @@ object TextStats {
           lit("."), pmod(floor(col("doc_id") / 256).cast("long"), lit(256)),
           lit(".7"))).otherwise(lit(""))))
 
+  /**
+   * Per-source corpus PROFILE (the data-mixing dashboard: how much of each
+   * source, how long its documents run): doc/token/char totals plus token
+   * percentiles. `exact = true` uses `percentile` (per-group sort — the
+   * oracle-checkable form); the default uses `approx_percentile`
+   * (t-digest, bounded memory — the 100 TB path; |approx - exact| is
+   * property-tested in OpsSpec).
+   */
+  def corpusProfile(docs: DataFrame, exact: Boolean = false): DataFrame = {
+    val base = docs.select(col("source"),
+      size(toks(col("text"))).cast("long").as("n_tokens"),
+      length(col("text")).cast("long").as("n_chars"))
+    val pct =
+      if (exact) expr("percentile(n_tokens, array(0.5D, 0.9D))")
+      else expr("approx_percentile(n_tokens, array(0.5D, 0.9D), 10000)")
+    base.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("total_tokens"),
+      sum(col("n_chars")).as("total_chars"),
+      pct.as("pcts"))
+      .select(col("source"), col("n_docs"), col("total_tokens"), col("total_chars"),
+        col("pcts").getItem(0).cast("double").as("p50_tokens"),
+        col("pcts").getItem(1).cast("double").as("p90_tokens"))
+  }
+
   /** One fingerprint step: h' = (h*257 + c + 1) mod 2^61-1, computed in
     * 64-bit arithmetic via the 2^64 ≡ 8 (mod 2^61-1) fold of the 128-bit
     * product. The `+ c + 1` can itself wrap past 2^64 for ~2^16/2^64 of

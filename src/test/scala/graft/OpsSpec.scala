@@ -292,6 +292,56 @@ class OpsSpec extends SparkSpec {
     assert(!got.contains((1L, 2L)))
   }
 
+  test("BPE train: classic merge sequence, deterministic tie-break, early stop") {
+    import graft.ops.Bpe
+    // hug x3, pug x2, bun x1: (u,g)=5 -> (h,ug)=3 -> (p,ug)=2 -> stop (<2)
+    val d = docs(1L -> "hug hug hug", 2L -> "pug pug bun")
+    val merges = Bpe.train(d, numMerges = 10)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(merges == Seq((0, "u", "g", 5L), (1, "h", "ug", 3L), (2, "p", "ug", 2L)), merges.toString)
+    // equal-frequency pairs resolve to the lexicographically smallest
+    val tie = Bpe.train(docs(1L -> "ab ab cd cd"), numMerges = 2)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(tie == Seq(("a", "b"), ("c", "d")), tie.toString)
+  }
+
+  test("BPE train is partition-invariant and equals the independent sequential twin") {
+    import graft.ops.Bpe
+    val parquet = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = Bpe.train(parquet, numMerges = 8).collect().toSeq
+    val b = Bpe.train(parquet.repartition(13), numMerges = 8).collect().toSeq
+    assert(a == b, s"partitioning changed the merges:\n$a\n$b")
+    import spark.implicits._
+    val seqDocs = parquet.select("doc_id", "text", "lang", "source")
+      .as[(Long, String, String, String)].collect().sortBy(_._1)
+      .map { case (id, t, l, s) => graft.golden.SequentialTwin.Doc(id, t, l, s) }.toSeq
+    val twin = graft.golden.SequentialTwin.q60BpeMerges(seqDocs, numMerges = 8)
+    val got = a.map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got == twin, s"distributed != twin:\n$got\n$twin")
+  }
+
+  test("BPE segment applies merges leftmost-first; counts tokens and subwords") {
+    import graft.ops.Bpe
+    val seg = Bpe.segment(docs(1L -> "hug bun", 2L -> "gg"),
+      merges = Seq(("u", "g"), ("h", "ug")))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(seg(1L) == ((2L, 4L)), seg.toString)  // [hug] + [b,u,n]
+    assert(seg(2L) == ((1L, 2L)), seg.toString)  // [g,g] (no 'u' to merge)
+  }
+
+  test("corpusProfile: exact percentiles correct; approx within tolerance of exact") {
+    val d = docs((1L to 9L).map(i => i -> (1L to i).map(j => s"t$j").mkString(" ")): _*)
+    val exact = TextStats.corpusProfile(d, exact = true).collect()
+    assert(exact.length == 1)
+    val r = exact(0)
+    assert(r.getLong(1) == 9L && r.getLong(2) == 45L)        // n_docs, total_tokens
+    assert(r.getDouble(4) == 5.0, r.toString)                // p50 of 1..9
+    assert(math.abs(r.getDouble(5) - 8.2) < 1e-9, r.toString) // p90 interpolated
+    val approx = TextStats.corpusProfile(d).collect()(0)
+    assert(math.abs(approx.getDouble(4) - r.getDouble(4)) <= 1.0)
+    assert(math.abs(approx.getDouble(5) - r.getDouble(5)) <= 1.0)
+  }
+
   test("repetitionProfile flags repeated-ngram docs, passes diverse docs") {
     val rep1 = ("spam " * 10).trim + " a b c"                 // top1 10/13 tokens
     val rep2 = ("x y " * 10).trim + " p q r s t u v w"        // top2 'x y' 10x
