@@ -64,13 +64,7 @@ object Bpe {
     var k = 0
     var exhausted = false
     while (k < numMerges && !exhausted) {
-      val top = state
-        .flatMap(sw => sw.syms.iterator.zip(sw.syms.iterator.drop(1)).map(p => (p._1, p._2, sw.cnt)))
-        .toDF("l", "r", "c")
-        .groupBy(col("l"), col("r")).agg(sum(col("c")).as("freq"))
-        .orderBy(col("freq").desc, col("l"), col("r"))
-        .limit(1)
-        .collect()
+      val top = topPair(state).collect()
       if (top.isEmpty || top(0).getLong(2) < minPairFreq) exhausted = true
       else {
         val (l, r, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
@@ -81,6 +75,21 @@ object Bpe {
       }
     }
     spark.createDataset(merges.toSeq).toDF("rank", "left", "right", "freq")
+  }
+
+  /** The per-iteration pair-count + argmax: partial-aggregated pair sums,
+    * winner via orderBy+limit(1) — Spark compiles that to
+    * TakeOrderedAndProject (per-partition top-1 + driver merge of one row
+    * per partition), NEVER a global sort of the pair table (plan-tested). */
+  private[graft] def topPair(state: Dataset[SymWord]): DataFrame = {
+    val spark = state.sparkSession
+    import spark.implicits._
+    state
+      .flatMap(sw => sw.syms.iterator.zip(sw.syms.iterator.drop(1)).map(p => (p._1, p._2, sw.cnt)))
+      .toDF("l", "r", "c")
+      .groupBy(col("l"), col("r")).agg(sum(col("c")).as("freq"))
+      .orderBy(col("freq").desc, col("l"), col("r"))
+      .limit(1)
   }
 
   /** Segment each document's tokens with a learned merge list (the apply

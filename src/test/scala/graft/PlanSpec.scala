@@ -155,6 +155,23 @@ class PlanSpec extends SparkSpec {
     assert(p56.contains("hashpartitioning(doc_id"), p56.take(3000))
   }
 
+  test("q60 BPE iteration: argmax is TakeOrdered(1), never a global sort") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, explode, lit, split}
+    val state = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)]
+      .map { case (w, c) => graft.ops.Bpe.SymWord(w.map(_.toString), c) }
+    val df = graft.ops.Bpe.topPair(state)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert(!p.contains("GlobalSort") && !p.linesIterator.exists(l =>
+      l.trim.startsWith("Sort ") || l.trim.startsWith("+- Sort ")), p.take(1500))
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"), p.take(1500))
+  }
+
   test("AQE splits a skewed shuffle-join partition at runtime") {
     import spark.implicits._
     // one pathological key (20k rows) among 200 normal keys; thresholds
