@@ -72,6 +72,66 @@ object StreamIngest {
       }
   }
 
+  /**
+   * Streaming NEAR-dup — the production `foreachBatch` pattern (a stateful
+   * one-pass operator cannot decide "any of my 4 simhash bands matched"
+   * inside a single per-key group, so the batch step runs real batch
+   * operators against a persistent state table instead). Per micro-batch:
+   *
+   *  1. within-batch TRANSITIVE clustering over verified simhash near-dup
+   *     pairs (connected components); representative = min doc_id;
+   *  2. representatives whose simhash lies within `maxHamming` of any
+   *     PREVIOUSLY-KEPT hash are dropped — a 16-bit-band equi-join against
+   *     the state table (pigeonhole: hamming <= 3 shares >= 1 of 4 bands),
+   *     verified by true hamming distance;
+   *  3. the surviving representatives' hashes append to the state table
+   *     CRASH-ATOMICALLY (`TableIO.writeResumable` partitioned by batch_id:
+   *     re-running a failed/replayed micro-batch is idempotent, the
+   *     exactly-once contract foreachBatch needs).
+   *
+   * Returns the kept rows of this batch. Deterministic (min-id reps,
+   * set-based drops). Documented divergence vs single-batch processing: a
+   * transitive chain crossing a batch boundary collapses only when the
+   * later doc lies within the radius of a KEPT representative — the
+   * standard incremental-dedup semantics.
+   */
+  def nearDupBatchStep(batch: DataFrame, stateRoot: String, batchId: Long,
+                       maxHamming: Int = 3): DataFrame = {
+    import graft.ops.Dedup
+    import graft.core.TableIO
+    val spark = batch.sparkSession
+    val sh = Dedup.simhash(batch).localCheckpoint()
+    val pairs = Dedup.simhashNearDup(batch, maxHamming)
+      .select(col("doc1").as("src"), col("doc2").as("dst"))
+    val comp = graft.canon.ConnectedComponents.run(pairs)
+    val reps = batch.select(col("doc_id"))
+      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .filter(coalesce(col("component"), col("doc_id")) === col("doc_id"))
+      .select(col("doc_id"))
+    val repsH = sh.join(reps, Seq("doc_id"))
+    def banded(df: DataFrame, idCols: org.apache.spark.sql.Column*) =
+      df.select(idCols :+ posexplode(expr(
+        "transform(sequence(0, 3), c -> shiftright(simhash, c * 16) & 65535)"))
+        .as(Seq("band", "bucket")): _*)
+    val stateExists = java.nio.file.Files.exists(java.nio.file.Paths.get(stateRoot, "data"))
+    val kept =
+      if (!stateExists) repsH
+      else {
+        val seen = TableIO.read(spark, stateRoot, "batch_id")
+          .select(col("simhash").as("seen_hash"), col("simhash"))
+        val dropped = banded(repsH, col("doc_id"), col("simhash").as("h"))
+          .join(banded(seen, col("seen_hash")), Seq("band", "bucket"))
+          .filter(bit_count(col("h").bitwiseXOR(col("seen_hash"))) <= maxHamming)
+          .select(col("doc_id")).distinct()
+        repsH.join(dropped, Seq("doc_id"), "left_anti")
+      }
+    val keptC = kept.localCheckpoint()
+    TableIO.writeResumable(
+      keptC.select(col("doc_id"), col("simhash"), lit(batchId).as("batch_id")),
+      stateRoot, "batch_id")
+    batch.join(keptC.select(col("doc_id")), Seq("doc_id"))
+  }
+
   def sha256Hex(s: String): String = {
     val d = java.security.MessageDigest.getInstance("SHA-256")
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -110,6 +110,48 @@ class StreamIngestSpec extends SparkSpec {
     assert(StreamIngest.sha256Hex("same text") == sparkHash)
   }
 
+  test("streaming near-dup (foreachBatch + TableIO state): drops within and across batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val other = (100 to 130).map(i => s"v$i").mkString(" ")
+    val fresh = (200 to 230).map(i => s"z$i").mkString(" ")
+    val stateRoot = java.nio.file.Files.createTempDirectory("neardup_state").toString
+    val stream = MemoryStream[(Long, String)]
+    val q = stream.toDS().toDF("doc_id", "text")
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        StreamIngest.nearDupBatchStep(b, stateRoot, id)
+          .write.mode("append").parquet(s"$stateRoot/../neardup_out")
+        ()
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+    // batch 1: docs 1+2 identical (transitive within-batch: keep 1), 3 distinct
+    stream.addData((1L, base), (2L, base), (3L, other))
+    q.processAllAvailable()
+    // batch 2: doc 4 duplicates batch 1's KEPT rep (cross-batch drop via the
+    // state table); doc 5 is new
+    stream.addData((4L, base), (5L, fresh))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.read.parquet(s"$stateRoot/../neardup_out")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 3L, 5L), kept.mkString(", "))
+    // single-batch processing agrees on this (direct-radius) corpus
+    val oneRoot = java.nio.file.Files.createTempDirectory("neardup_one").toString
+    val oneShot = StreamIngest.nearDupBatchStep(
+      Seq((1L, base), (2L, base), (3L, other), (4L, base), (5L, fresh)).toDF("doc_id", "text"),
+      oneRoot, 0L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(oneShot == Seq(1L, 3L, 5L), oneShot.mkString(", "))
+    // replaying a micro-batch is idempotent (writeResumable skips the
+    // committed batch_id partition): state row count is unchanged
+    val before = graft.core.TableIO.read(spark, stateRoot, "batch_id").count()
+    StreamIngest.nearDupBatchStep(Seq((9L, base)).toDF("doc_id", "text"), stateRoot, 1L)
+    val after = graft.core.TableIO.read(spark, stateRoot, "batch_id").count()
+    assert(before == after, s"replay must not grow state: $before -> $after")
+  }
+
   test("mapGroupsWithState running totals accumulate across micro-batches") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
