@@ -272,6 +272,15 @@ object SparkEntry {
     // TakeOrdered(1); golden-oracled vs an independent sequential BPE
     "q60_bpe_merges" -> ((s, dir) =>
       Bpe.train(s.read.parquet(t(dir, "documents")), numMerges = 20)),
+    // tokenizer APPLY side: segment the corpus with the learned merges
+    // (map-only, merges broadcast); golden-oracled vs the twin's own
+    // independently-trained-and-applied segmentation
+    "q61_bpe_segment" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+      val merges = Bpe.train(docs, numMerges = 20)
+        .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+      Bpe.segment(docs, merges)
+    }),
     // ------------------------------------------------ KG pipeline (no SQL)
     "q40_extraction_invariant" -> ((s, dir) => {
       // native codegen'd Catalyst expression (graft.functions.ExtractText)
@@ -493,6 +502,7 @@ object SparkEntry {
            quantile_cont(len(string_split(text, ' ')), 0.9) AS p90_tokens
          FROM documents GROUP BY source""",
     "q60_bpe_merges" -> golden("q60_bpe_merges"),
+    "q61_bpe_segment" -> golden("q61_bpe_segment"),
     // INDEPENDENT oracle: constructs the expected canonical form from
     // (source, doc_id) directly — never re-runs a canonicalizer. Tracking
     // params (utm_source, ref) vanish; surviving params byte-sorted

@@ -60,6 +60,8 @@ object GoldenGen {
       "doc_id", "source")
     write("q60_bpe_merges", q60BpeMerges(docs, numMerges = 20),
       "rank", "left", "right", "freq")
+    write("q61_bpe_segment", q61BpeSegment(docs, numMerges = 20),
+      "doc_id", "n_tokens", "n_subwords")
 
     // NER pipeline twins (NaiveKernel; one BiLSTM pass, both decoders)
     val models = graft.Pipeline.models(spark, sfDir)

@@ -506,4 +506,29 @@ object SequentialTwin {
     }
     out.toSeq
   }
+
+  /** q61 rows: (doc_id, n_tokens, n_subwords) after segmenting with the
+    * twin's OWN merge list (q60BpeMerges) — independent merge application
+    * (rank-ordered, leftmost-first, List-based). */
+  def q61BpeSegment(docs: Seq[Doc], numMerges: Int): Seq[(Long, Long, Long)] = {
+    val merges = q60BpeMerges(docs, numMerges).map { case (_, l, r, _) => (l, r) }
+    def applyAll(w: String): Int = {
+      var syms: List[String] = w.toCharArray.map(_.toString).toList
+      for ((l, r) <- merges) {
+        val b = List.newBuilder[String]
+        var rest = syms
+        while (rest.nonEmpty) rest match {
+          case a :: bb :: tail if a == l && bb == r => b += (l + r); rest = tail
+          case a :: tail => b += a; rest = tail
+          case Nil => ()
+        }
+        syms = b.result()
+      }
+      syms.length
+    }
+    docs.map { d =>
+      val words = d.text.split(' ').filter(_.nonEmpty)
+      (d.docId, words.length.toLong, words.map(applyAll).map(_.toLong).sum)
+    }
+  }
 }

@@ -117,12 +117,13 @@ class StreamIngestSpec extends SparkSpec {
     val other = (100 to 130).map(i => s"v$i").mkString(" ")
     val fresh = (200 to 230).map(i => s"z$i").mkString(" ")
     val stateRoot = java.nio.file.Files.createTempDirectory("neardup_state").toString
+    val outDir = java.nio.file.Files.createTempDirectory("neardup_out").toString + "/kept"
     val stream = MemoryStream[(Long, String)]
     val q = stream.toDS().toDF("doc_id", "text")
       .writeStream.outputMode("update")
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
         StreamIngest.nearDupBatchStep(b, stateRoot, id)
-          .write.mode("append").parquet(s"$stateRoot/../neardup_out")
+          .write.mode("append").parquet(outDir)
         ()
       }
       .trigger(Trigger.ProcessingTime(0)).start()
@@ -134,7 +135,7 @@ class StreamIngestSpec extends SparkSpec {
     stream.addData((4L, base), (5L, fresh))
     q.processAllAvailable()
     q.stop()
-    val kept = spark.read.parquet(s"$stateRoot/../neardup_out")
+    val kept = spark.read.parquet(outDir)
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(kept == Seq(1L, 3L, 5L), kept.mkString(", "))
     // single-batch processing agrees on this (direct-radius) corpus
