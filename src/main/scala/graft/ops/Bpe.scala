@@ -48,15 +48,71 @@ object Bpe {
    * Learn `numMerges` BPE merges from the corpus; stops early when the best
    * remaining pair's frequency falls below `minPairFreq`. Returns one row
    * per merge: (rank, left, right, freq).
+   *
+   * ADAPTIVE (the same driver-fallback pattern as the connected-components
+   * canonicalizer): when the distinct-word table fits comfortably on the
+   * driver (`<= driverVocabThreshold` rows — it is VOCAB-sized, not
+   * corpus-sized), the merge loop runs locally instead of paying
+   * numMerges x (Spark job latency) for kilobyte-scale aggregations; above
+   * the threshold the distributed iteration takes over (web-scale corpora
+   * have 10^8-9 distinct words). Both paths share the same argmax total
+   * order, so they produce IDENTICAL merges (equality-tested, plus the
+   * independent sequential twin).
    */
   def train(docs: DataFrame, numMerges: Int, minPairFreq: Long = 2L,
-            checkpointEvery: Int = 8): DataFrame = {
+            checkpointEvery: Int = 8, driverVocabThreshold: Int = 100000): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val words = docs
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val merges =
+        if (words.count() <= driverVocabThreshold)
+          trainDriver(words.as[(String, Long)].collect().map {
+            case (w, c) => (w.map(_.toString): Seq[String], c)
+          }, numMerges, minPairFreq)
+        else trainDistributed(words, numMerges, minPairFreq, checkpointEvery)
+      spark.createDataset(merges).toDF("rank", "left", "right", "freq")
+    } finally { words.unpersist(); () }
+  }
+
+  private def trainDriver(words0: Array[(Seq[String], Long)], numMerges: Int,
+                          minPairFreq: Long): Seq[Merge] = {
+    var ws = words0
+    val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var k = 0
+    var done = false
+    while (k < numMerges && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((syms, c) <- ws) {
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts(p) = counts.getOrElse(p, 0L) + c
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), f) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+        if (f < minPairFreq) done = true
+        else {
+          out += Merge(k, l, r, f)
+          ws = ws.map { case (syms, c) => (applyMerge(syms, l, r), c) }
+          k += 1
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  private def trainDistributed(words: DataFrame, numMerges: Int, minPairFreq: Long,
+                               checkpointEvery: Int): Seq[Merge] = {
+    val spark = words.sparkSession
+    import spark.implicits._
     var state: Dataset[SymWord] = words.as[(String, Long)]
       .map { case (w, c) => SymWord(w.map(_.toString), c) }
       .localCheckpoint()
@@ -74,7 +130,7 @@ object Bpe {
         k += 1
       }
     }
-    spark.createDataset(merges.toSeq).toDF("rank", "left", "right", "freq")
+    merges.toSeq
   }
 
   /** The per-iteration pair-count + argmax: partial-aggregated pair sums,

@@ -308,9 +308,14 @@ class OpsSpec extends SparkSpec {
   test("BPE train is partition-invariant and equals the independent sequential twin") {
     import graft.ops.Bpe
     val parquet = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    val a = Bpe.train(parquet, numMerges = 8).collect().toSeq
-    val b = Bpe.train(parquet.repartition(13), numMerges = 8).collect().toSeq
+    // threshold 0 forces the DISTRIBUTED iteration (the 100 TB path)
+    val a = Bpe.train(parquet, numMerges = 8, driverVocabThreshold = 0).collect().toSeq
+    val b = Bpe.train(parquet.repartition(13), numMerges = 8, driverVocabThreshold = 0)
+      .collect().toSeq
     assert(a == b, s"partitioning changed the merges:\n$a\n$b")
+    // the adaptive driver fast path produces the identical merge list
+    val drv = Bpe.train(parquet, numMerges = 8).collect().toSeq
+    assert(a == drv, s"driver fast path != distributed:\n$a\n$drv")
     import spark.implicits._
     val seqDocs = parquet.select("doc_id", "text", "lang", "source")
       .as[(Long, String, String, String)].collect().sortBy(_._1)
