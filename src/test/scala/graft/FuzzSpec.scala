@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+import graft.ops.{TextStats, Urls}
+
+/** Seeded randomized properties for the curation operators — every case is
+  * checked against an independent construction or a brute-force driver
+  * computation, never against the operator itself. */
+class FuzzSpec extends SparkSpec {
+
+  test("repetitionProfile == brute-force sliding-window counts on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(2024)
+    val vocab = Vector("a", "b", "c", "ab", "x")
+    val texts = Vector.fill(60) {
+      Vector.fill(1 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    }
+    def brute(toks: Vector[String], n: Int): Long =
+      if (toks.length < n) 0L
+      else toks.sliding(n).toSeq.groupBy(identity).values.map(_.size.toLong).max
+    val got = TextStats.repetitionProfile(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+        .withColumn("n_chars", length(col("text"))))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val toks = t.split(" ").toVector
+      val want = (brute(toks, 1), brute(toks, 2), brute(toks, 3))
+      assert(got(i.toLong) == want, s"doc $i '$t': got ${got(i.toLong)}, want $want")
+    }
+  }
+
+  test("redactPii counts planted PII exactly on random layouts") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val fillers = Vector("alpha", "beta", "gamma", "delta42", "x.y", "a-b", "10.5", "v2.0.1")
+    val cases = (0 until 50).map { i =>
+      val nE = rnd.nextInt(3); val nP = rnd.nextInt(3); val nI = rnd.nextInt(3)
+      val pii = Vector.fill(nE)(s"u${rnd.nextInt(99)}@ex${rnd.nextInt(9)}.example.org") ++
+        Vector.fill(nP)(f"${100 + rnd.nextInt(900)}%d-${100 + rnd.nextInt(900)}%d-${1000 + rnd.nextInt(9000)}%d") ++
+        Vector.fill(nI)(s"${1 + rnd.nextInt(223)}.${rnd.nextInt(256)}.${rnd.nextInt(256)}.${1 + rnd.nextInt(254)}")
+      val words = rnd.shuffle(pii ++ Vector.fill(4 + rnd.nextInt(6))(fillers(rnd.nextInt(fillers.length))))
+      (i.toLong, words.mkString(" "), nE, nP, nI)
+    }
+    val got = TextStats.redactPii(
+      cases.map { case (id, t, _, _, _) => (id, t) }.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    cases.foreach { case (id, t, nE, nP, nI) =>
+      assert(got(id) == ((nE, nP, nI)), s"doc $id '$t': got ${got(id)}, want ($nE,$nP,$nI)")
+    }
+  }
+
+  test("canonicalize inverts random messy-fications of a canonical URL") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val cases = (0 until 60).map { i =>
+      val host = s"h${rnd.nextInt(50)}.site${rnd.nextInt(9)}.org"
+      val path = s"/p${rnd.nextInt(100)}/x"
+      val realParams = (0 until rnd.nextInt(3)).map(j => s"k$j=${rnd.nextInt(100)}")
+      val canonical = s"https://$host$path" +
+        (if (realParams.nonEmpty) "?" + realParams.sorted.mkString("&") else "")
+      // mess it up: case, www, :443, tracking params, shuffled order, fragment
+      val tracking = (0 until rnd.nextInt(3)).map(j => s"utm_c$j=${rnd.nextInt(9)}") ++
+        (if (rnd.nextBoolean()) Seq(s"ref=r${rnd.nextInt(9)}") else Nil)
+      val allParams = rnd.shuffle(realParams ++ tracking)
+      val messyHost = (if (rnd.nextBoolean()) "WWW." else "") +
+        host.map(c => if (rnd.nextBoolean()) c.toUpper else c) +
+        (if (rnd.nextBoolean()) ":443" else "")
+      val messy = (if (rnd.nextBoolean()) "HTTPS" else "https") + s"://$messyHost$path" +
+        (if (allParams.nonEmpty) "?" + allParams.mkString("&") else "") +
+        (if (rnd.nextBoolean()) s"#f${rnd.nextInt(9)}" else "")
+      (i.toLong, messy, canonical)
+    }
+    val got = Urls.canonicalize(
+      cases.map { case (id, m, _) => (id, m) }.toDF("doc_id", "url"))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    cases.foreach { case (id, messy, canonical) =>
+      assert(got(id) == canonical, s"'$messy': got '${got(id)}', want '$canonical'")
+    }
+  }
+
+  test("char_ngrams == HOF substr on random unicode (multibyte + astral)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val alphabet = "abß語é😀𝔘-. "
+    val cps = alphabet.codePoints().toArray
+    val texts = Vector.fill(40) {
+      val n = rnd.nextInt(30)
+      val sb = new java.lang.StringBuilder
+      (0 until n).foreach(_ => sb.appendCodePoint(cps(rnd.nextInt(cps.length))))
+      sb.toString
+    }
+    for (n <- Seq(2, 3)) {
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val hof = when(length(col("text")) >= n,
+        transform(sequence(lit(1), length(col("text")) - (n - 1)),
+          i => col("text").substr(i, lit(n))))
+        .otherwise(array().cast("array<string>"))
+      df.select(col("id"), GraftFunctions.char_ngrams(col("text"), n).as("native"),
+          hof.as("hof"))
+        .collect()
+        .foreach(r => assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"n=$n id=${r.getLong(0)} '${texts(r.getLong(0).toInt)}'"))
+    }
+  }
+
+  test("conllCounts == perl scorer across random seeds and modes") {
+    val scorer = "/root/reference/NeuralNERMono/eval/conll03eval.v2"
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(scorer)))
+    val pool = Vector("O", "O", "LOC", "PER", "B-PER", "I-PER", "E-PER", "S-LOC", "MISC")
+    for (seed <- Seq(1, 2, 3); raw <- Seq(false, true)) {
+      val rnd = new scala.util.Random(seed)
+      val sentences = Vector.fill(40) {
+        Vector.fill(1 + rnd.nextInt(8))(("w" + rnd.nextInt(30),
+          pool(rnd.nextInt(pool.length)), pool(rnd.nextInt(pool.length))))
+      }
+      val tmp = java.nio.file.Files.createTempFile("fuzzconll", ".txt")
+      java.nio.file.Files.write(tmp,
+        (sentences.map(_.map { case (t, g, p) => s"$t $g $p" }.mkString("\n"))
+          .mkString("\n\n") + "\n").getBytes("UTF-8"))
+      val cmd = if (raw) Seq("perl", scorer, "-r") else Seq("perl", scorer)
+      val proc = new ProcessBuilder(cmd: _*).redirectInput(tmp.toFile).start()
+      val out = scala.io.Source.fromInputStream(proc.getInputStream).mkString
+      proc.waitFor()
+      val h = """processed (\d+) tokens with (\d+) phrases; found: (\d+) phrases; correct: (\d+)\.""".r
+        .findFirstMatchIn(out).getOrElse(fail(s"no output seed=$seed raw=$raw"))
+      val got = graft.ner.Bioes.conllCounts(
+        sentences.map(_.map { case (_, g, p) => (g, p) }), raw)
+      assert((got.tokens, got.foundCorrect, got.foundGuessed, got.correctChunk) ==
+        ((h.group(1).toLong, h.group(2).toLong, h.group(3).toLong, h.group(4).toLong)),
+        s"seed=$seed raw=$raw: $got vs ${h.matched}")
+    }
+  }
+}
