@@ -263,6 +263,10 @@ object SparkEntry {
     "q58_url_canonicalize" -> ((s, dir) =>
       Urls.canonicalize(Urls.syntheticUrls(s.read.parquet(t(dir, "documents"))))
         .select(col("doc_id"), col("url_canon"), col("domain"))),
+    // deterministic per-source cap (C4/RefinedWeb per-domain cap): md5-
+    // ordered nested subsets, SQL-oracled bit-for-bit
+    "q62_domain_cap" -> ((s, dir) =>
+      TextStats.capPerSource(s.read.parquet(t(dir, "documents")), k = 12)),
     // per-source corpus profile with EXACT percentiles (the oracled form;
     // approx_percentile is the 100 TB path, property-tested against exact)
     "q59_corpus_profile" -> ((s, dir) =>
@@ -502,6 +506,12 @@ object SparkEntry {
            quantile_cont(len(string_split(text, ' ')), 0.9) AS p90_tokens
          FROM documents GROUP BY source""",
     "q60_bpe_merges" -> golden("q60_bpe_merges"),
+    "q62_domain_cap" ->
+      """SELECT doc_id, source, rnk FROM (
+           SELECT doc_id, source,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY md5(source || ':' || doc_id), doc_id) AS BIGINT) AS rnk
+           FROM documents) WHERE rnk <= 12""",
     "q61_bpe_segment" -> golden("q61_bpe_segment"),
     // INDEPENDENT oracle: constructs the expected canonical form from
     // (source, doc_id) directly — never re-runs a canonicalizer. Tracking

@@ -237,6 +237,28 @@ object TextStats {
           lit(".7"))).otherwise(lit(""))))
 
   /**
+   * Deterministic PER-SOURCE CAP (the C4/RefinedWeb "per-domain cap"
+   * primitive: no single domain may contribute more than `k` documents).
+   * The kept subset is hash-ordered — md5("source:doc_id") then doc_id —
+   * so it is stable across runs, partitionings and cluster sizes, and a
+   * larger cap's subset always CONTAINS a smaller cap's (nested, like
+   * `sampleByHash`). md5 (not xxhash64) so the oracle can reproduce the
+   * order bit-for-bit in DuckDB.
+   *
+   * Scale shape: one window partitioned by source (the shuffle key); a
+   * pathological mega-domain lands on one reducer — at that skew, pre-trim
+   * with `sampleByHash` to ~k*fanout survivors first, then cap exactly.
+   */
+  def capPerSource(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(concat(col("source"), lit(":"), col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("source")).orderBy(h, col("doc_id"))
+    docs.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("source"), col("rnk").cast("long").as("rnk"))
+  }
+
+  /**
    * Per-source corpus PROFILE (the data-mixing dashboard: how much of each
    * source, how long its documents run): doc/token/char totals plus token
    * percentiles. `exact = true` uses `percentile` (per-group sort — the

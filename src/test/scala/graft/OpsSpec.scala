@@ -347,6 +347,20 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(approx.getDouble(5) - r.getDouble(5)) <= 1.0)
   }
 
+  test("capPerSource: exact cap, partition-invariant, nested subsets") {
+    val parquet = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val c5 = TextStats.capPerSource(parquet, 5).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val c12 = TextStats.capPerSource(parquet, 12).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val perSource = c5.groupBy(_._2).map { case (s, v) => s -> v.size }
+    assert(perSource.values.forall(_ <= 5), perSource.toString)
+    assert(c5.subsetOf(c12), "smaller cap must be nested in the larger")
+    val repart = TextStats.capPerSource(parquet.repartition(13), 5).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(repart == c5, "cap subset must be partition-invariant")
+  }
+
   test("repetitionProfile flags repeated-ngram docs, passes diverse docs") {
     val rep1 = ("spam " * 10).trim + " a b c"                 // top1 10/13 tokens
     val rep2 = ("x y " * 10).trim + " p q r s t u v w"        // top2 'x y' 10x
