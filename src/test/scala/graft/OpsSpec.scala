@@ -361,6 +361,25 @@ class OpsSpec extends SparkSpec {
     assert(repart == c5, "cap subset must be partition-invariant")
   }
 
+  test("capPerSourceSkewAware == capPerSource with a mega-source; window input bounded") {
+    import spark.implicits._
+    // one 20k-doc mega-source + two small ones
+    val rows = (1L to 20000L).map(i => (i, "mega")) ++
+      (30001L to 30020L).map(i => (i, "small1")) ++ Seq((40001L, "tiny"))
+    val d = rows.toDF("doc_id", "source")
+      .withColumn("text", concat(lit("t"), col("doc_id")))
+      .withColumn("lang", lit("en")).withColumn("n_chars", lit(5L))
+    val plain = TextStats.capPerSource(d, 10).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val skew = TextStats.capPerSourceSkewAware(d, 10, fanout = 8, skewThreshold = 1000L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(skew == plain, s"skew-aware diverged: ${skew.diff(plain)} / ${plain.diff(skew)}")
+    // and with an absurd threshold that forces the fallback guard
+    val tight = TextStats.capPerSourceSkewAware(d, 10, fanout = 1, skewThreshold = 10L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(tight == plain, "fallback guard must preserve exactness")
+  }
+
   test("repetitionProfile flags repeated-ngram docs, passes diverse docs") {
     val rep1 = ("spam " * 10).trim + " a b c"                 // top1 10/13 tokens
     val rep2 = ("x y " * 10).trim + " p q r s t u v w"        // top2 'x y' 10x
