@@ -454,6 +454,22 @@ object SequentialTwin {
       (d.docId, ((nFrames - 1) / stride + 1).toLong)
     }
 
+  /** CODE-POINT lexicographic string order — equals UTF-8 byte order (the
+    * tie-break the distributed argmax uses via Spark's string sort), but
+    * derived independently: code points compared numerically, not bytes. */
+  private val cpOrdering: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      val x = a.codePoints().toArray
+      val y = b.codePoints().toArray
+      var i = 0
+      while (i < x.length && i < y.length) {
+        if (x(i) != y(i)) return Integer.compare(x(i), y(i))
+        i += 1
+      }
+      Integer.compare(x.length, y.length)
+    }
+  }
+
   /** q60 rows: textbook sequential BPE (Sennrich et al. get_stats /
     * merge_vocab structure — INDEPENDENT of ops.Bpe: string-keyed word
     * table, space-joined symbol strings, regex-free split merge), same
@@ -463,7 +479,17 @@ object SequentialTwin {
     // vocab: word -> count, words represented as space-joined char symbols
     var vocab = collection.mutable.HashMap.empty[String, Long]
     for (d <- docs; w <- d.text.split(' ') if w.nonEmpty) {
-      val key = w.toCharArray.mkString(" ")
+      // independent code-point split (surrogate-pair walk, not codePoints())
+      val sb = new StringBuilder
+      var i = 0
+      while (i < w.length) {
+        if (i > 0) sb.append(' ')
+        if (Character.isHighSurrogate(w.charAt(i)) && i + 1 < w.length &&
+            Character.isLowSurrogate(w.charAt(i + 1))) {
+          sb.append(w.charAt(i)).append(w.charAt(i + 1)); i += 2
+        } else { sb.append(w.charAt(i)); i += 1 }
+      }
+      val key = sb.toString
       vocab(key) = vocab.getOrElse(key, 0L) + 1L
     }
     val out = collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
@@ -482,7 +508,8 @@ object SequentialTwin {
       }
       if (stats.isEmpty) done = true
       else {
-        val ((l, r), f) = stats.minBy { case ((a, b), n) => (-n, a, b) }
+        val ((l, r), f) = stats.minBy { case ((a, b), n) => (-n, a, b) }(
+          Ordering.Tuple3(Ordering.Long, cpOrdering, cpOrdering))
         if (f < minPairFreq) done = true
         else {
           out += ((rank, l, r, f))
@@ -513,7 +540,16 @@ object SequentialTwin {
   def q61BpeSegment(docs: Seq[Doc], numMerges: Int): Seq[(Long, Long, Long)] = {
     val merges = q60BpeMerges(docs, numMerges).map { case (_, l, r, _) => (l, r) }
     def applyAll(w: String): Int = {
-      var syms: List[String] = w.toCharArray.map(_.toString).toList
+      var syms: List[String] = {
+        val b = List.newBuilder[String]
+        var i = 0
+        while (i < w.length) {
+          val n = if (Character.isHighSurrogate(w.charAt(i)) && i + 1 < w.length &&
+            Character.isLowSurrogate(w.charAt(i + 1))) 2 else 1
+          b += w.substring(i, i + n); i += n
+        }
+        b.result()
+      }
       for ((l, r) <- merges) {
         val b = List.newBuilder[String]
         var rest = syms

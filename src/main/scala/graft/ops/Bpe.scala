@@ -21,8 +21,12 @@ import org.apache.spark.sql.functions._
  * localCheckpoint every `checkpointEvery` merges (an iterative-algorithm
  * necessity, like GraphX's).
  *
- * Determinism: symbols are UTF-16-char seeded; the winning pair is
- * max-by (freq, then lexicographically smallest (left, right)) — a total
+ * Determinism: symbols are CODE-POINT seeded (UTF-16-char seeding would
+ * split astral characters into lone surrogates, which do not survive
+ * Spark's UTF-8 string representation — two distinct lone surrogates
+ * byte-collapse to the same replacement char and would merge as one group
+ * key); the winning pair is max-by (freq, then UTF-8-byte-lexicographically
+ * smallest (left, right), matching Spark's own string sort) — a total
  * order, so results are independent of partitioning and cluster size.
  * Merge application replaces LEFTMOST-FIRST, non-overlapping (Sennrich's
  * semantics); pair counting counts every adjacent occurrence (so "aaa"
@@ -32,6 +36,18 @@ object Bpe {
 
   final case class SymWord(syms: Seq[String], cnt: Long)
   final case class Merge(rank: Int, left: String, right: String, freq: Long)
+
+  /** Code-point symbol seeding (see header). */
+  private[graft] def seedSymbols(w: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.toSeq
+  }
 
   private[graft] def applyMerge(syms: Seq[String], l: String, r: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -72,12 +88,35 @@ object Bpe {
       val merges =
         if (words.count() <= driverVocabThreshold)
           trainDriver(words.as[(String, Long)].collect().map {
-            case (w, c) => (w.map(_.toString): Seq[String], c)
+            case (w, c) => (seedSymbols(w), c)
           }, numMerges, minPairFreq)
         else trainDistributed(words, numMerges, minPairFreq, checkpointEvery)
       spark.createDataset(merges).toDF("rank", "left", "right", "freq")
     } finally { words.unpersist(); () }
   }
+
+  /** The argmax tie-break compares symbols in UTF-8 BYTE order — what
+    * Spark's string orderBy uses (UTF8String unsigned byte compare), NOT
+    * Scala's default UTF-16 code-unit order. The two differ exactly when a
+    * tie pits an astral-plane symbol against a BMP char above the surrogate
+    * range (U+E000..U+FFFF): surrogate code units sort low in UTF-16 while
+    * 4-byte UTF-8 sequences sort high. Tested on such a tie. */
+  private def cmpUtf8(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private val pairOrd: Ordering[((String, String), Long)] =
+    new Ordering[((String, String), Long)] {
+      def compare(x: ((String, String), Long), y: ((String, String), Long)): Int = {
+        val c0 = java.lang.Long.compare(y._2, x._2) // freq desc
+        if (c0 != 0) c0
+        else {
+          val c1 = cmpUtf8(x._1._1, y._1._1)
+          if (c1 != 0) c1 else cmpUtf8(x._1._2, y._1._2)
+        }
+      }
+    }
 
   private def trainDriver(words0: Array[(Seq[String], Long)], numMerges: Int,
                           minPairFreq: Long): Seq[Merge] = {
@@ -97,7 +136,7 @@ object Bpe {
       }
       if (counts.isEmpty) done = true
       else {
-        val ((l, r), f) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+        val ((l, r), f) = counts.min(pairOrd)
         if (f < minPairFreq) done = true
         else {
           out += Merge(k, l, r, f)
@@ -114,7 +153,7 @@ object Bpe {
     val spark = words.sparkSession
     import spark.implicits._
     var state: Dataset[SymWord] = words.as[(String, Long)]
-      .map { case (w, c) => SymWord(w.map(_.toString), c) }
+      .map { case (w, c) => SymWord(seedSymbols(w), c) }
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var k = 0
@@ -161,7 +200,7 @@ object Bpe {
         val ms = bc.value
         var nSub = 0L
         toks.filter(_.nonEmpty).foreach { w =>
-          var syms: Seq[String] = w.map(_.toString)
+          var syms: Seq[String] = seedSymbols(w)
           ms.foreach { case (l, r) => syms = applyMerge(syms, l, r) }
           nSub += syms.length
         }

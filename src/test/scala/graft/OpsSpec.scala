@@ -303,6 +303,21 @@ class OpsSpec extends SparkSpec {
     val tie = Bpe.train(docs(1L -> "ab ab cd cd"), numMerges = 2)
       .collect().map(r => (r.getString(1), r.getString(2))).toSeq
     assert(tie == Seq(("a", "b"), ("c", "d")), tie.toString)
+    // UTF-8-BYTE tie-break order (Spark's string sort), where UTF-16 order
+    // would differ: U+FFFA (3 UTF-8 bytes) sorts BELOW U+1F600 (4 bytes)
+    // byte-wise, but above its surrogates code-unit-wise. Symbols are
+    // code-point seeded, so the astral char is one symbol on every path.
+    val e = new String(Character.toChars(0x1F600)); val x = "￺"
+    for (thr <- Seq(0, 100000)) { // distributed and driver paths
+      val m = Bpe.train(docs(1L -> s"a$e a$e a$x a$x"), numMerges = 2,
+        driverVocabThreshold = thr)
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      assert(m == Seq(("a", x), ("a", e)), s"thr=$thr: $m")
+    }
+    val twinTie = graft.golden.SequentialTwin.q60BpeMerges(
+      Seq(graft.golden.SequentialTwin.Doc(1L, s"a$e a$e a$x a$x", "en", "s")),
+      numMerges = 2).map { case (_, l, r, _) => (l, r) }
+    assert(twinTie == Seq(("a", x), ("a", e)), twinTie.toString)
   }
 
   test("BPE train is partition-invariant and equals the independent sequential twin") {
