@@ -33,15 +33,20 @@ object Curation {
 
   /** The curated corpus as a DataFrame:
     * (doc_id, lang, source, n_tokens, lm_logprob, bucket, pack_id, text)
-    * with `text` already PII-redacted. Also returns per-stage counts. */
+    * with `text` already PII-redacted. Also returns per-stage counts.
+    *
+    * Shuffle budget: the per-row stages (quality, repetition, redaction)
+    * are in-place predicate FILTERS — no join against a keep-set, no
+    * shuffle. Only the inherently relational stages join: the two dedups
+    * (hash/LSH aggregations) and decontamination (broadcast benchmark
+    * grams), plus the final rarity/packing annotations (one combine
+    * aggregation and one bucketed window). */
   def curatedWithCounts(spark: SparkSession, sfDir: String,
                         budget: Long = 512L): (DataFrame, Report) = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").localCheckpoint()
     val docsIn = docs.count()
 
-    val quality = docs.join(
-      TextStats.curate(docs).filter(col("keep")).select(col("doc_id")), Seq("doc_id"))
-      .localCheckpoint()
+    val quality = docs.filter(TextStats.keepPredicate(col("text"))).localCheckpoint()
     val nQuality = quality.count()
 
     val exactKeep = quality.join(
@@ -63,22 +68,19 @@ object Curation {
       .localCheckpoint()
     val nClean = clean.count()
 
-    val unrepetitive = clean.join(
-      TextStats.repetitionProfile(clean).filter(!col("repetitive"))
-        .select(col("doc_id")), Seq("doc_id"))
-      .localCheckpoint()
+    val unrepetitive = clean
+      .filter(!TextStats.repetitivePredicate(col("text"))).localCheckpoint()
     val nUnrep = unrepetitive.count()
 
-    val redacted = TextStats.redactPii(unrepetitive)
-      .select(col("doc_id"), col("redacted").as("text"))
     val rarity = TextStats.lmRarity(unrepetitive)
       .select(col("doc_id"), col("lm_logprob"))
     val packed = TextStats.packByTokenBudget(unrepetitive, budget)
       .select(col("doc_id"), col("n_tokens"), col("bucket"), col("pack_id"))
-    val out = unrepetitive.select(col("doc_id"), col("lang"), col("source"))
+    val out = unrepetitive
+      .select(col("doc_id"), col("lang"), col("source"),
+        TextStats.redactedText(col("text")).as("text"))
       .join(packed, Seq("doc_id"))
       .join(rarity, Seq("doc_id"))
-      .join(redacted, Seq("doc_id"))
 
     (out, Report(docsIn, nQuality, nExact, nNear, nClean, nUnrep, Nil))
   }

@@ -87,6 +87,20 @@ object TextStats {
         (col("n_punct") * 5 <= col("n_chars")))
   }
 
+  /** `curate`'s keep rule as a pure predicate on the text column — for
+    * pipelines that filter in place (one codegen'd pass, no join against a
+    * keep-set). Value-identical to `curate(...)("keep")`. */
+  def keepPredicate(text: Column): Column = {
+    val t = toks(text)
+    val nTokens = size(t)
+    val nChars = length(text)
+    val nStop = size(filter(t, x => x.isin(stopwords.map(_.asInstanceOf[Any]): _*)))
+    val nPunct = nChars - length(regexp_replace(text, "[.,;:!?]", ""))
+    nTokens.between(5, 100000) &&
+      (nChars >= nTokens * 2) && (nChars <= nTokens * 12) &&
+      (nStop * 100 >= nTokens) && (nPunct * 5 <= nChars)
+  }
+
   /** Deterministic hash sampling for corpus curation: keep a row iff
     * xxhash64(key) mod 100 < pctKeep — stable across runs, partitionings
     * and cluster sizes (unlike TABLESAMPLE/rand()), so a 10% sample drawn
@@ -164,6 +178,18 @@ object TextStats {
           (col("top3_count") * 20 > greatest(col("n_tokens") - 2, lit(0L)) * 3))
   }
 
+  /** `repetitionProfile`'s flag as a pure predicate on the text column
+    * (in-place filtering, no join). Value-identical to the profile's
+    * `repetitive` column. */
+  def repetitivePredicate(text: Column): Column = {
+    import graft.functions.GraftFunctions.top_ngram_count
+    val t = toks(text)
+    val n = size(t).cast("long")
+    (top_ngram_count(t, 1) * 10 > n * 3) ||
+      (top_ngram_count(t, 2) * 5 > greatest(n - 1, lit(0L))) ||
+      (top_ngram_count(t, 3) * 20 > greatest(n - 2, lit(0L)) * 3)
+  }
+
   /**
    * Char-n-gram language-model RARITY score (the KenLM/CCNet-style
    * perplexity-proxy quality signal, self-trained on the corpus): per doc,
@@ -204,17 +230,21 @@ object TextStats {
   val phoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
   val ipRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 
+  /** The redaction itself as a pure column expression (in-place use). */
+  def redactedText(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>"),
+      ipRe, "<IP>")
+
   def redactPii(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
       regexp_count(col("text"), lit(emailRe)).as("n_emails"),
       regexp_count(col("text"), lit(phoneRe)).as("n_phones"),
       regexp_count(col("text"), lit(ipRe)).as("n_ips"),
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(col("text"), emailRe, "<EMAIL>"),
-          phoneRe, "<PHONE>"),
-        ipRe, "<IP>").as("redacted"))
+      redactedText(col("text")).as("redacted"))
 
   /** Deterministic PII injection over the synthetic corpus (the documents
     * table carries no natural PII), mirroring Multimodal.syntheticMedia:

@@ -362,6 +362,24 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(approx.getDouble(5) - r.getDouble(5)) <= 1.0)
   }
 
+  test("keepPredicate/repetitivePredicate == their column twins on the corpus") {
+    val parquet = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val viaProfile = TextStats.curate(parquet)
+      .select(col("doc_id"), col("keep")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val viaPred = parquet.select(col("doc_id"),
+      TextStats.keepPredicate(col("text")).as("keep")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(viaProfile == viaPred)
+    val repProfile = TextStats.repetitionProfile(parquet)
+      .select(col("doc_id"), col("repetitive")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val repPred = parquet.select(col("doc_id"),
+      TextStats.repetitivePredicate(col("text")).as("r")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(repProfile == repPred)
+  }
+
   test("capPerSource: exact cap, partition-invariant, nested subsets") {
     val parquet = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val c5 = TextStats.capPerSource(parquet, 5).collect()
