@@ -231,6 +231,11 @@ object SparkEntry {
     // corpus-wide duplicated k-token SPAN detection (C4/Dolma primitive)
     "q52_dup_spans" -> ((s, dir) =>
       Dedup.dupSpans(s.read.parquet(t(dir, "documents")), k = 10)),
+    // duplicated-span REMOVAL (Lee et al. 2022): excise every non-first
+    // occurrence of a duplicated k-token window; golden-oracled vs an
+    // independent two-pass sequential twin
+    "q63_remove_dup_spans" -> ((s, dir) =>
+      Dedup.removeDupSpans(s.read.parquet(t(dir, "documents")), k = 10)),
     // benchmark decontamination: n-gram overlap vs a stand-in eval set
     // (docs with doc_id % 97 == 0); benchmark grams broadcast, no corpus
     // shuffle (plan-tested)
@@ -506,6 +511,8 @@ object SparkEntry {
            quantile_cont(len(string_split(text, ' ')), 0.9) AS p90_tokens
          FROM documents GROUP BY source""",
     "q60_bpe_merges" -> golden("q60_bpe_merges"),
+    "q63_remove_dup_spans" -> golden("q63_remove_dup_spans"),
+    "q63_remove_dup_spans" -> golden("q63_remove_dup_spans"),
     "q62_domain_cap" ->
       """SELECT doc_id, source, rnk FROM (
            SELECT doc_id, source,

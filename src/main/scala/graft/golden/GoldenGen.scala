@@ -62,6 +62,8 @@ object GoldenGen {
       "rank", "left", "right", "freq")
     write("q61_bpe_segment", q61BpeSegment(docs, numMerges = 20),
       "doc_id", "n_tokens", "n_subwords")
+    write("q63_remove_dup_spans", q63RemoveDupSpans(docs, k = 10),
+      "doc_id", "n_tokens", "n_removed", "text_clean")
 
     // NER pipeline twins (NaiveKernel; one BiLSTM pass, both decoders)
     val models = graft.Pipeline.models(spark, sfDir)

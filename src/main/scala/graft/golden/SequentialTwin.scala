@@ -454,6 +454,33 @@ object SequentialTwin {
       (d.docId, ((nFrames - 1) / stride + 1).toLong)
     }
 
+  /** q63 rows: (doc_id, n_tokens, n_removed, text_clean) — duplicated-span
+    * removal twin. Independent shape: two sequential passes with a HashMap
+    * (first-occurrence wins under ascending (doc_id, pos) iteration order,
+    * which equals the production min-struct aggregate), position marking
+    * with a boolean array. */
+  def q63RemoveDupSpans(docs: Seq[Doc], k: Int): Seq[(Long, Long, Long, String)] = {
+    val sorted = docs.sortBy(_.docId)
+    val firstAt = collection.mutable.HashMap.empty[String, (Long, Int)]
+    val occs = collection.mutable.HashMap.empty[String, Long]
+    def windows(toks: Array[String]): Iterator[(Int, String)] =
+      (0 to toks.length - k).iterator.map(p => p -> toks.slice(p, p + k).mkString(""))
+    for (d <- sorted; (p, w) <- windows(splitKeepAll(d.text))) {
+      occs(w) = occs.getOrElse(w, 0L) + 1L
+      if (!firstAt.contains(w)) firstAt(w) = (d.docId, p)
+    }
+    sorted.map { d =>
+      val toks = splitKeepAll(d.text)
+      val removed = new Array[Boolean](toks.length)
+      for ((p, w) <- windows(toks)
+           if occs(w) > 1L && firstAt(w) != ((d.docId, p));
+           i <- p until p + k) removed(i) = true
+      val kept = toks.indices.filterNot(removed).map(toks)
+      (d.docId, toks.length.toLong, removed.count(identity).toLong,
+        if (removed.exists(identity)) kept.mkString(" ") else d.text)
+    }
+  }
+
   /** CODE-POINT lexicographic string order — equals UTF-8 byte order (the
     * tie-break the distributed argmax uses via Spark's string sort), but
     * derived independently: code points compared numerically, not bytes. */

@@ -306,6 +306,61 @@ object Dedup {
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /**
+   * Duplicated-span REMOVAL — the cut-it-out companion of `dupSpans`
+   * (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+   * Better": repeated long substrings are excised from all but one
+   * occurrence rather than dropping whole documents). Token-granular, one
+   * pass (no cascade: removals that create new adjacencies are not
+   * re-examined, per the paper's single-pass semantics):
+   *
+   *  - every k-token window occurrence is keyed by its exact text (tokens
+   *    joined with U+0001 — an unambiguous separator, unlike the
+   *    flagging-only '' join in `dupSpans`);
+   *  - the KEEPER of a window value is its globally-first occurrence
+   *    (min (doc_id, pos) — one min-struct aggregate, map-side combined);
+   *  - every other occurrence marks its k positions for removal; a doc's
+   *    removal set is the UNION of marked positions (overlapping windows
+   *    merge for free — it is a position set, not an interval list);
+   *  - surviving tokens rejoin in order.
+   *
+   * Returns (doc_id, n_tokens, n_removed, text_clean). Deterministic
+   * (min-struct keeper, set semantics). Shuffles: one window-value
+   * aggregation, one per-doc position collect, one join back to the corpus.
+   */
+  def removeDupSpans(docs: DataFrame, k: Int = 10): DataFrame = {
+    val sep = "\u0001"
+    val toks = split(col("text"), " ")
+    val wins = docs
+      .withColumn("toks", toks)
+      .withColumn("nt", size(col("toks")))
+      .select(col("doc_id"), col("nt"),
+        posexplode(
+          when(col("nt") >= k,
+            transform(sequence(lit(1), col("nt") - (k - 1)),
+              i => concat_ws(sep, slice(col("toks"), i, lit(k)))))
+            .otherwise(array().cast("array<string>"))).as(Seq("pos", "win")))
+    val keepers = wins.groupBy(col("win"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("keep"),
+        count(lit(1)).as("occ"))
+    val removable = wins.join(keepers, Seq("win"))
+      .filter(col("occ") > 1 &&
+        !(col("doc_id") === col("keep.doc_id") && col("pos") === col("keep.pos")))
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (k - 1))).as("tp"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_set(col("tp"))).as("removed"))
+    docs
+      .withColumn("toks", toks)
+      .join(removable, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        coalesce(size(col("removed")), lit(0)).cast("long").as("n_removed"),
+        when(col("removed").isNull, col("text"))
+          .otherwise(concat_ws(" ",
+            filter(col("toks"), (x, i) => !array_contains(col("removed"), i))))
+          .as("text_clean"))
+  }
+
   /** 64-bit SimHash per document: per-token hash bits vote +1/-1; the sign
     * vector is the fingerprint. Native codegen'd expression (one compiled
     * pass; value-identical to the HOF bit-vote form, parity-tested in

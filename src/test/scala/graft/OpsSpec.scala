@@ -362,6 +362,33 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(approx.getDouble(5) - r.getDouble(5)) <= 1.0)
   }
 
+  test("removeDupSpans: excises non-first occurrences, keeps the global first") {
+    val span = (1 to 10).map(i => s"A$i").mkString(" ")        // 10-token span
+    val d = docs(
+      1L -> s"$span x y z",                                    // keeper (pos 0)
+      2L -> s"p q $span r",                                    // cross-doc dup
+      3L -> s"$span $span",                                    // within-doc dup
+      4L -> "u v w")                                           // untouched
+    val got = Dedup.removeDupSpans(d, k = 10).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((13L, 0L, s"$span x y z")), got(1L).toString)
+    assert(got(2L) == ((13L, 10L, "p q r")), got(2L).toString)
+    // doc 1 is the global keeper of the span, so BOTH of doc 3's
+    // occurrences are non-first and the whole doc is excised
+    assert(got(3L) == ((20L, 20L, "")), got(3L).toString)
+    assert(got(4L) == ((3L, 0L, "u v w")), got(4L).toString)
+    // within-doc first-occurrence keeping, no cross-doc keeper
+    val solo = Dedup.removeDupSpans(docs(7L -> s"$span $span"), k = 10).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(3))).head
+    assert(solo == ((20L, 10L, span)), solo.toString)
+    // twin agreement on the same corpus
+    val twin = graft.golden.SequentialTwin.q63RemoveDupSpans(
+      Seq((1L, s"$span x y z"), (2L, s"p q $span r"), (3L, s"$span $span"), (4L, "u v w"))
+        .map { case (id, t) => graft.golden.SequentialTwin.Doc(id, t, "en", "s") }, k = 10)
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(twin == got, s"twin=$twin got=$got")
+  }
+
   test("keepPredicate/repetitivePredicate == their column twins on the corpus") {
     val parquet = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val viaProfile = TextStats.curate(parquet)
