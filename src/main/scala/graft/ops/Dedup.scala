@@ -327,10 +327,19 @@ object Dedup {
    * Returns (doc_id, n_tokens, n_removed, text_clean). Deterministic
    * (min-struct keeper, set semantics). Shuffles: one window-value
    * aggregation, one per-doc position collect, one join back to the corpus.
+   *
+   * `hashKeys = true` is the 100 TB path (the `dupSpans` trade): the
+   * keeper aggregation keys on xxhash64(window) — 8 bytes instead of k
+   * tokens of text. A 64-bit collision can only OVER-remove (two distinct
+   * windows merging into one keeper group); the text form (default) is
+   * exact and golden-oracled, and the two are equality-tested at test
+   * scale.
    */
-  def removeDupSpans(docs: DataFrame, k: Int = 10): DataFrame = {
+  def removeDupSpans(docs: DataFrame, k: Int = 10,
+                     hashKeys: Boolean = false): DataFrame = {
     val sep = "\u0001"
     val toks = split(col("text"), " ")
+    val winKey = if (hashKeys) xxhash64(col("win0")) else col("win0")
     val wins = docs
       .withColumn("toks", toks)
       .withColumn("nt", size(col("toks")))
@@ -339,7 +348,8 @@ object Dedup {
           when(col("nt") >= k,
             transform(sequence(lit(1), col("nt") - (k - 1)),
               i => concat_ws(sep, slice(col("toks"), i, lit(k)))))
-            .otherwise(array().cast("array<string>"))).as(Seq("pos", "win")))
+            .otherwise(array().cast("array<string>"))).as(Seq("pos", "win0")))
+      .select(col("doc_id"), col("nt"), col("pos"), winKey.as("win"))
     val keepers = wins.groupBy(col("win"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("keep"),
         count(lit(1)).as("occ"))

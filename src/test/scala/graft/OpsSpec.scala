@@ -387,6 +387,13 @@ class OpsSpec extends SparkSpec {
         .map { case (id, t) => graft.golden.SequentialTwin.Doc(id, t, "en", "s") }, k = 10)
       .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
     assert(twin == got, s"twin=$twin got=$got")
+    // the hash-keyed 100 TB shuffle variant agrees on the corpus
+    val parquet = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val byText = Dedup.removeDupSpans(parquet, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSet
+    val byHash = Dedup.removeDupSpans(parquet, k = 10, hashKeys = true).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSet
+    assert(byText == byHash)
   }
 
   test("keepPredicate/repetitivePredicate == their column twins on the corpus") {
