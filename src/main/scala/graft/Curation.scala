@@ -42,8 +42,12 @@ object Curation {
     * grams), plus the final rarity/packing annotations (one combine
     * aggregation and one bucketed window). */
   def curatedWithCounts(spark: SparkSession, sfDir: String,
-                        budget: Long = 512L): (DataFrame, Report) = {
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet").localCheckpoint()
+                        budget: Long = 512L): (DataFrame, Report) =
+    curatedWithCounts(spark.read.parquet(s"$sfDir/documents.parquet"), budget)
+
+  /** DataFrame-input core (the overload above reads the sf dir). */
+  def curatedWithCounts(docsIn0: DataFrame, budget: Long): (DataFrame, Report) = {
+    val docs = docsIn0.localCheckpoint()
     val docsIn = docs.count()
 
     val quality = docs.filter(TextStats.keepPredicate(col("text"))).localCheckpoint()
