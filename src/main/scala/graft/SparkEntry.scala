@@ -512,7 +512,6 @@ object SparkEntry {
          FROM documents GROUP BY source""",
     "q60_bpe_merges" -> golden("q60_bpe_merges"),
     "q63_remove_dup_spans" -> golden("q63_remove_dup_spans"),
-    "q63_remove_dup_spans" -> golden("q63_remove_dup_spans"),
     "q62_domain_cap" ->
       """SELECT doc_id, source, rnk FROM (
            SELECT doc_id, source,

@@ -102,21 +102,36 @@ object ConnectedComponents {
   }
 
   /** Exact driver-side union-find over an already-materialized small edge
-    * set (see `run`'s smallGraphThreshold): path-compressed find, max root
-    * attached under min root, component = min node id — the same labeling
-    * contract as the distributed paths. */
+    * set (see `run`'s smallGraphThreshold): ITERATIVE find (walk to root,
+    * then one compression pass — no recursion, so a path-shaped edge set at
+    * the 100k threshold cannot overflow the stack) with union-by-size
+    * (trees stay O(log n) deep even before compression). The component
+    * label is still the MIN node id — computed per root afterwards, so the
+    * union heuristic is free to pick either root. Same labeling contract as
+    * the distributed paths; chain-at-threshold exercised in
+    * ConnectedComponentsSpec. */
   private def runDriverUnionFind(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val pairs = edges.as[(Long, Long)].collect()
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    val sz = scala.collection.mutable.HashMap.empty[Long, Int]
     def find(x: Long): Long = {
-      val p = parent.getOrElse(x, x)
-      if (p == x) x else { val r = find(p); parent(x) = r; r }
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (c != r) { val next = parent(c); parent(c) = r; c = next }
+      r
     }
     pairs.foreach { case (a, b) =>
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      val ra = find(a)
+      val rb = find(b)
+      if (ra != rb) {
+        val (sa, sb) = (sz.getOrElse(ra, 1), sz.getOrElse(rb, 1))
+        val (big, small) = if (sa >= sb) (ra, rb) else (rb, ra)
+        parent(small) = big
+        sz(big) = sa + sb
+      }
     }
     val nodes = pairs.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct
     val compMin = nodes.groupBy(find).map { case (root, ns) => root -> ns.min }

@@ -202,7 +202,9 @@ object Simhash64 {
   * zip_with/aggregate HOF formulation (float product per element, double
   * accumulation in array order, sign -> 1/0), all planes in one compiled
   * pass over the vector. The weight matrix is a plan constant (hash-derived
-  * hyperplanes, a model artifact). */
+  * hyperplanes, a model artifact). Throws on a vector whose dimension
+  * differs from the plane width (ragged embedding tables fail loudly
+  * instead of hashing a truncated projection). */
 case class SignLshBits(child: Expression, weights: Array[Array[Float]]) extends UnaryExpression {
   import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType}
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -229,7 +231,15 @@ object SignLshBits {
     var p = 0
     while (p < weights.length) {
       val w = weights(p)
-      val n = math.min(v.numElements(), w.length)
+      // fail LOUDLY on ragged embedding tables: a partial dot product would
+      // silently produce sign bits of a truncated projection (the plane
+      // width is probed from one arbitrary row, so a dimension mismatch is
+      // a data error, not a configuration choice)
+      if (v.numElements() != w.length)
+        throw new IllegalArgumentException(
+          s"signlsh_bits: embedding dimension ${v.numElements()} != plane width ${w.length} " +
+            "(ragged embedding table — all vectors must share one dimension)")
+      val n = w.length
       var acc = 0.0
       var i = 0
       while (i < n) {

@@ -59,6 +59,20 @@ class ConnectedComponentsSpec extends SparkSpec {
     check((0L until 40L).map(i => (i, i + 1)))
   }
 
+  test("deep chain at the driver threshold: iterative find survives 100k-deep paths") {
+    import spark.implicits._
+    // edges (i, i-1) processed with i DESCENDING — the adversarial order
+    // that builds a maximally deep parent chain under naive max-under-min
+    // union. 99,999 edges stays at/below smallGraphThreshold, so this runs
+    // the driver union-find; a recursive find (or no union-by-size) would
+    // StackOverflowError on the first labeling pass.
+    val n = 100000L
+    val edges = (n - 1 to 1L by -1).map(i => (i, i - 1))
+    val got = ConnectedComponents.run(edges.toDF("src", "dst")).as[(Long, Long)].collect()
+    assert(got.length == n)
+    assert(got.forall(_._2 == 0L), got.filter(_._2 != 0L).take(3).mkString(","))
+  }
+
   test("100k-degree hub: pair-emission form survives a celebrity node") {
     import spark.implicits._
     // one node connected to 100k others (+ a separate component) — the

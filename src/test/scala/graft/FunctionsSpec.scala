@@ -135,6 +135,19 @@ class FunctionsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getSeq[Int](1) == r.getSeq[Int](2), s"id=${r.getLong(0)}"))
   }
 
+  test("SignLshBits fails loudly on a ragged embedding table (dim != plane width)") {
+    import spark.implicits._
+    val planeW: Array[Array[Float]] = Array.tabulate(4)(p => Array.fill(8)(if (p % 2 == 0) 1f else -1f))
+    val vecs = Seq((1L, Array.fill(8)(0.5f)), (2L, Array.fill(5)(0.5f))) // row 2 is ragged
+    val err = intercept[Exception] {
+      vecs.toDF("id", "v").select(GraftFunctions.signlsh_bits(col("v"), planeW)).collect()
+    }
+    // Spark wraps executor exceptions; the root message must name the mismatch
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(err).exists(m => m.contains("signlsh_bits") && m.contains("5")), messages(err))
+  }
+
   test("native expressions stay inside whole-stage codegen (no ScalaUDF)") {
     // parquet-backed source so ConvertToLocalRelation can't constant-fold
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
