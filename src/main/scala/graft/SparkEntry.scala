@@ -282,13 +282,31 @@ object SparkEntry {
     "q60_bpe_merges" -> ((s, dir) =>
       Bpe.train(s.read.parquet(t(dir, "documents")), numMerges = 20)),
     // tokenizer APPLY side: segment the corpus with the learned merges
-    // (map-only, merges broadcast); golden-oracled vs the twin's own
+    // (map-only, merges broadcast, greedy rank-indexed apply emitting the
+    // REAL subword sequence); golden-oracled vs the twin's own
     // independently-trained-and-applied segmentation
     "q61_bpe_segment" -> ((s, dir) => {
       val docs = s.read.parquet(t(dir, "documents"))
       val merges = Bpe.train(docs, numMerges = 20)
         .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
       Bpe.segment(docs, merges)
+        .select(col("doc_id"), col("n_tokens"), col("n_subwords"),
+          concat_ws(" ", col("subwords")).as("subword_str"))
+    }),
+    // production-DEPTH tokenizer apply: 2,000 learned merges over the
+    // deterministically enriched vocabulary (syntheticRichText — the base
+    // corpus has only ~31 distinct tokens). The rank-indexed greedy apply
+    // prices this the same as the 20-merge case (cost independent of
+    // |merges|); the incremental driver trainer makes the 2k-merge training
+    // itself cheap. Golden-oracled vs the twin's naive recount trainer +
+    // min-scan greedy apply.
+    "q64_bpe_segment_2k" -> ((s, dir) => {
+      val docs = Bpe.syntheticRichText(s.read.parquet(t(dir, "documents")))
+      val merges = Bpe.train(docs, numMerges = 2000, minPairFreq = 1L)
+        .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+      Bpe.segment(docs, merges)
+        .select(col("doc_id"), col("n_tokens"), col("n_subwords"),
+          concat_ws(" ", col("subwords")).as("subword_str"))
     }),
     // ------------------------------------------------ KG pipeline (no SQL)
     "q40_extraction_invariant" -> ((s, dir) => {
@@ -519,6 +537,7 @@ object SparkEntry {
                ORDER BY md5(source || ':' || doc_id), doc_id) AS BIGINT) AS rnk
            FROM documents) WHERE rnk <= 12""",
     "q61_bpe_segment" -> golden("q61_bpe_segment"),
+    "q64_bpe_segment_2k" -> golden("q64_bpe_segment_2k"),
     // INDEPENDENT oracle: constructs the expected canonical form from
     // (source, doc_id) directly — never re-runs a canonicalizer. Tracking
     // params (utm_source, ref) vanish; surviving params byte-sorted

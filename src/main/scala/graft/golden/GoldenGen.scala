@@ -61,7 +61,9 @@ object GoldenGen {
     write("q60_bpe_merges", q60BpeMerges(docs, numMerges = 20),
       "rank", "left", "right", "freq")
     write("q61_bpe_segment", q61BpeSegment(docs, numMerges = 20),
-      "doc_id", "n_tokens", "n_subwords")
+      "doc_id", "n_tokens", "n_subwords", "subword_str")
+    write("q64_bpe_segment_2k", q64BpeSegment2k(docs),
+      "doc_id", "n_tokens", "n_subwords", "subword_str")
     write("q63_remove_dup_spans", q63RemoveDupSpans(docs, k = 10),
       "doc_id", "n_tokens", "n_removed", "text_clean")
 

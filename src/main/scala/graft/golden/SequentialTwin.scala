@@ -561,23 +561,29 @@ object SequentialTwin {
     out.toSeq
   }
 
-  /** q61 rows: (doc_id, n_tokens, n_subwords) after segmenting with the
-    * twin's OWN merge list (q60BpeMerges) — independent merge application
-    * (rank-ordered, leftmost-first, List-based). */
-  def q61BpeSegment(docs: Seq[Doc], numMerges: Int): Seq[(Long, Long, Long)] = {
-    val merges = q60BpeMerges(docs, numMerges).map { case (_, l, r, _) => (l, r) }
-    def applyAll(w: String): Int = {
-      var syms: List[String] = {
-        val b = List.newBuilder[String]
-        var i = 0
-        while (i < w.length) {
-          val n = if (Character.isHighSurrogate(w.charAt(i)) && i + 1 < w.length &&
-            Character.isLowSurrogate(w.charAt(i + 1))) 2 else 1
-          b += w.substring(i, i + n); i += n
-        }
-        b.result()
+  /** Greedy rank-indexed BPE apply — the same spec as production
+    * `Bpe.segmentWordGreedy` (merge the present pair with the SMALLEST
+    * learned rank, all non-overlapping occurrences leftmost-first; repeat
+    * until no adjacent pair has a rank), implemented independently:
+    * immutable List + a full min-scan per pass, no memoization, no
+    * rank-array indexing. */
+  private def greedyApplyBpe(w: String, rank: Map[(String, String), Int]): List[String] = {
+    var syms: List[String] = {
+      val b = List.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        val n = if (Character.isHighSurrogate(w.charAt(i)) && i + 1 < w.length &&
+          Character.isLowSurrogate(w.charAt(i + 1))) 2 else 1
+        b += w.substring(i, i + n); i += n
       }
-      for ((l, r) <- merges) {
+      b.result()
+    }
+    var continue = syms.lengthCompare(1) > 0
+    while (continue) {
+      val present = syms.zip(syms.tail).flatMap(p => rank.get(p).map(r => (r, p)))
+      if (present.isEmpty) continue = false
+      else {
+        val (_, (l, r)) = present.minBy(_._1)
         val b = List.newBuilder[String]
         var rest = syms
         while (rest.nonEmpty) rest match {
@@ -586,12 +592,44 @@ object SequentialTwin {
           case Nil => ()
         }
         syms = b.result()
+        continue = syms.lengthCompare(1) > 0
       }
-      syms.length
     }
+    syms
+  }
+
+  /** q61/q64 rows: (doc_id, n_tokens, n_subwords, subword_str) after
+    * segmenting with the twin's OWN merge list (q60BpeMerges) via the
+    * greedy apply above. */
+  def q61BpeSegment(docs: Seq[Doc], numMerges: Int,
+                    minPairFreq: Long = 2L): Seq[(Long, Long, Long, String)] = {
+    val merges = q60BpeMerges(docs, numMerges, minPairFreq).map { case (_, l, r, _) => (l, r) }
+    val rank = merges.zipWithIndex.toMap
     docs.map { d =>
       val words = d.text.split(' ').filter(_.nonEmpty)
-      (d.docId, words.length.toLong, words.map(applyAll).map(_.toLong).sum)
+      val segs = words.map(w => greedyApplyBpe(w, rank))
+      (d.docId, words.length.toLong, segs.iterator.map(_.length.toLong).sum,
+        segs.iterator.flatten.mkString(" "))
     }
   }
+
+  /** Vocabulary-enrichment twin of `Bpe.syntheticRichText`: every token
+    * occurrence (INCLUDING empties from repeated spaces — Spark's transform
+    * runs over split's keep-all output) gains the 1-2 hex-char suffix
+    * hex(pmod(xxhash64(doc_id, i), 256)). */
+  def enrichRichText(d: Doc): Doc = {
+    val toks = splitKeepAll(d.text)
+    val out = toks.zipWithIndex.map { case (t, i) =>
+      val h = Xxh64.sparkChain(Seq[Any](d.docId, i))
+      t + java.lang.Long.toHexString(((h % 256L) + 256L) % 256L)
+        .toUpperCase(java.util.Locale.ROOT)
+    }
+    d.copy(text = out.mkString(" "))
+  }
+
+  /** q64 rows: the 2,000-merge production-scale tokenizer apply over the
+    * enriched corpus (minPairFreq = 1 so the merge list reaches tokenizer
+    * depth on the bounded synthetic vocabulary). */
+  def q64BpeSegment2k(docs: Seq[Doc], numMerges: Int = 2000): Seq[(Long, Long, Long, String)] =
+    q61BpeSegment(docs.map(enrichRichText), numMerges, minPairFreq = 1L)
 }

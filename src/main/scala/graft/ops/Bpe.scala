@@ -60,6 +60,51 @@ object Bpe {
     out.toSeq
   }
 
+  private[graft] def applyMergeArr(syms: Array[String], l: String, r: String): Array[String] = {
+    val out = new Array[String](syms.length)
+    var i = 0
+    var k = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out(k) = l + r; i += 2
+      } else { out(k) = syms(i); i += 1 }
+      k += 1
+    }
+    if (k == syms.length) syms else java.util.Arrays.copyOf(out, k)
+  }
+
+  /**
+   * Tokenizer-APPLY semantics (the standard GPT-2/sentencepiece-BPE encode,
+   * Sennrich's apply_bpe): repeatedly select the adjacent pair with the
+   * SMALLEST merge rank present in the word and merge ALL its
+   * non-overlapping occurrences leftmost-first; stop when no adjacent pair
+   * has a learned rank. Rank-indexed: cost is O(passes * |word|) with
+   * passes <= |word| — INDEPENDENT of |merges| (the round-3 form ran every
+   * learned merge as its own full pass, O(|merges| * |word|) per word: a
+   * ~1,600x blow-up at a production 32k-merge vocabulary).
+   */
+  private[graft] def segmentWordGreedy(w: String, rank: Map[(String, String), Int],
+                                       mergeAt: Array[(String, String)]): Array[String] = {
+    var syms: Array[String] = seedSymbols(w).toArray
+    var more = syms.length > 1
+    while (more) {
+      var best = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = rank.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < best) best = r
+        i += 1
+      }
+      if (best == Int.MaxValue) more = false
+      else {
+        val (l, r) = mergeAt(best)
+        syms = applyMergeArr(syms, l, r)
+        more = syms.length > 1
+      }
+    }
+    syms
+  }
+
   /**
    * Learn `numMerges` BPE merges from the corpus; stops early when the best
    * remaining pair's frequency falls below `minPairFreq`. Returns one row
@@ -118,31 +163,88 @@ object Bpe {
       }
     }
 
+  /**
+   * Driver merge loop, INCREMENTAL (the Sennrich learn_bpe optimization
+   * that makes thousands of merges cheap): pair counts and a pair -> word
+   * index are maintained across merges, so merge k only re-counts the words
+   * that actually CONTAIN the winning pair — the round-3 form recounted the
+   * whole vocabulary every merge, O(|vocab| * len) per merge, which priced
+   * a 2k-merge training run out entirely. The argmax is a lazy-deletion
+   * priority queue under the same total order as the distributed path
+   * (freq desc, then UTF-8-byte-smallest (left, right)): every count
+   * change pushes a fresh entry; popped entries are valid only if their
+   * frequency still matches the live count, so the top valid entry IS the
+   * argmax. Identical merges to the recount form by construction
+   * (equality-tested against the independent naive twin and the
+   * distributed iteration in OpsSpec).
+   */
   private def trainDriver(words0: Array[(Seq[String], Long)], numMerges: Int,
                           minPairFreq: Long): Seq[Merge] = {
-    var ws = words0
+    val words: Array[Array[String]] = words0.map(_._1.toArray)
+    val wCnt: Array[Long] = words0.map(_._2)
+    val stats = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val where = scala.collection.mutable.HashMap.empty[(String, String),
+      scala.collection.mutable.HashSet[Int]]
+    val touched = scala.collection.mutable.HashSet.empty[(String, String)]
+    def adjustWord(wi: Int, sign: Long): Unit = {
+      val syms = words(wi)
+      val c = wCnt(wi) * sign
+      var i = 0
+      while (i < syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        val nv = stats.getOrElse(p, 0L) + c
+        if (nv == 0L) stats.remove(p) else stats(p) = nv
+        touched += p
+        if (sign > 0L)
+          where.getOrElseUpdate(p, scala.collection.mutable.HashSet.empty) += wi
+        // sign < 0: stale `where` entries are tolerated — merge time
+        // re-checks that the word still contains the pair
+        i += 1
+      }
+    }
+    var wi = 0
+    while (wi < words.length) { adjustWord(wi, 1L); wi += 1 }
+    // ascending under pairOrd = (freq desc, utf8(l), utf8(r)) -> head is best
+    val heap = scala.collection.mutable.PriorityQueue.empty[((String, String), Long)](
+      pairOrd.reverse)
+    stats.foreach(heap += _)
     val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var k = 0
     var done = false
     while (k < numMerges && !done) {
-      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
-      for ((syms, c) <- ws) {
-        var i = 0
-        while (i < syms.length - 1) {
-          val p = (syms(i), syms(i + 1))
-          counts(p) = counts.getOrElse(p, 0L) + c
-          i += 1
-        }
+      // pop until a live entry (frequency matches the current count)
+      var top: ((String, String), Long) = null
+      while (top == null && heap.nonEmpty) {
+        val cand = heap.dequeue()
+        if (stats.get(cand._1).contains(cand._2)) top = cand
       }
-      if (counts.isEmpty) done = true
+      if (top == null || top._2 < minPairFreq) done = true
       else {
-        val ((l, r), f) = counts.min(pairOrd)
-        if (f < minPairFreq) done = true
-        else {
-          out += Merge(k, l, r, f)
-          ws = ws.map { case (syms, c) => (applyMerge(syms, l, r), c) }
-          k += 1
+        val ((l, r), f) = top
+        out += Merge(k, l, r, f)
+        touched.clear()
+        val affected = where.getOrElse((l, r), scala.collection.mutable.HashSet.empty)
+          .toArray.sorted
+        var j = 0
+        while (j < affected.length) {
+          val w = affected(j)
+          val syms = words(w)
+          var has = false
+          var i = 0
+          while (!has && i < syms.length - 1) {
+            has = syms(i) == l && syms(i + 1) == r
+            i += 1
+          }
+          if (has) {
+            adjustWord(w, -1L)
+            words(w) = applyMergeArr(syms, l, r)
+            adjustWord(w, 1L)
+          }
+          j += 1
         }
+        where.remove((l, r))
+        touched.foreach(p => stats.get(p).foreach(c => heap += ((p, c))))
+        k += 1
       }
     }
     out.toSeq
@@ -187,25 +289,64 @@ object Bpe {
       .limit(1)
   }
 
-  /** Segment each document's tokens with a learned merge list (the apply
-    * side of the tokenizer): map-only over the corpus, merges broadcast.
-    * Returns (doc_id, n_tokens, n_subwords). */
+  /**
+   * Segment each document's tokens with a learned merge list — the apply
+   * side of the tokenizer, emitting the ACTUAL subword sequence (what a
+   * pretraining pipeline feeds to packing), not just counts. Map-only over
+   * the corpus, merges broadcast; rank-indexed greedy merging per word
+   * (`segmentWordGreedy` — cost independent of |merges|, so a production
+   * 32k-merge vocabulary prices the same as a 20-merge test one); a
+   * per-partition word -> subwords memo exploits the Zipfian repetition of
+   * corpus words (the GPT-2 encoder's cache), so each DISTINCT word is
+   * segmented once per partition.
+   *
+   * Returns (doc_id, n_tokens, n_subwords, subwords array<string>).
+   */
   def segment(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(merges)
     docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .as[(Long, Seq[String])]
-      .map { case (id, toks) =>
-        val ms = bc.value
-        var nSub = 0L
-        toks.filter(_.nonEmpty).foreach { w =>
-          var syms: Seq[String] = seedSymbols(w)
-          ms.foreach { case (l, r) => syms = applyMerge(syms, l, r) }
-          nSub += syms.length
+      .mapPartitions { it =>
+        val ms = bc.value.toArray
+        val rank: Map[(String, String), Int] =
+          ms.iterator.zipWithIndex.map { case (p, i) => p -> i }.toMap
+        val memo = new java.util.HashMap[String, Array[String]]()
+        it.map { case (id, toks) =>
+          var nTok = 0L
+          var nSub = 0L
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          toks.foreach { w =>
+            if (w.nonEmpty) {
+              nTok += 1L
+              var subs = memo.get(w)
+              if (subs == null) {
+                subs = segmentWordGreedy(w, rank, ms)
+                memo.put(w, subs)
+              }
+              nSub += subs.length
+              out ++= subs
+            }
+          }
+          (id, nTok, nSub, out.toSeq)
         }
-        (id, toks.count(_.nonEmpty).toLong, nSub)
       }
-      .toDF("doc_id", "n_tokens", "n_subwords")
+      .toDF("doc_id", "n_tokens", "n_subwords", "subwords")
   }
+
+  /**
+   * Deterministic vocabulary ENRICHMENT for tokenizer-scale tests: the
+   * synthetic corpus has only ~31 distinct whitespace tokens (nowhere near
+   * enough adjacent-pair diversity to learn a production-sized merge list),
+   * so each token occurrence gains a 1-2 hex-char suffix derived from
+   * (doc_id, token position) — the vocabulary becomes ~|base vocab| x 256
+   * distinct words while staying EXACTLY reproducible by the sequential
+   * twin from (doc_id, text) alone (the syntheticPii pattern). Pure column
+   * expressions; token count per document is preserved.
+   */
+  def syntheticRichText(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      concat_ws(" ", transform(split(col("text"), " "),
+        (x, i) => concat(x, hex(pmod(xxhash64(col("doc_id"), i), lit(256)))))))
 }

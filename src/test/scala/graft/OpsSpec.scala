@@ -340,13 +340,60 @@ class OpsSpec extends SparkSpec {
     assert(got == twin, s"distributed != twin:\n$got\n$twin")
   }
 
-  test("BPE segment applies merges leftmost-first; counts tokens and subwords") {
+  test("BPE segment: greedy rank-indexed apply, emits the subword sequence") {
     import graft.ops.Bpe
     val seg = Bpe.segment(docs(1L -> "hug bun", 2L -> "gg"),
       merges = Seq(("u", "g"), ("h", "ug")))
-      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-    assert(seg(1L) == ((2L, 4L)), seg.toString)  // [hug] + [b,u,n]
-    assert(seg(2L) == ((1L, 2L)), seg.toString)  // [g,g] (no 'u' to merge)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getSeq[String](3))))
+      .toMap
+    assert(seg(1L) == ((2L, 4L, Seq("hug", "b", "u", "n"))), seg.toString)
+    assert(seg(2L) == ((1L, 2L, Seq("g", "g"))), seg.toString) // no 'u' to merge
+    // rank order decides, not list scan order: with ranks [(b,c), (a,b)],
+    // "abc" must merge (b,c) FIRST (rank 0), leaving [a, bc] — a sequential
+    // pass-per-merge in list order would produce the same here, but a
+    // leftmost-pair-first strategy would wrongly merge (a,b)
+    val ranked = Bpe.segment(docs(1L -> "abc"), merges = Seq(("b", "c"), ("a", "b")))
+      .collect().map(r => r.getSeq[String](3)).head
+    assert(ranked == Seq("a", "bc"), ranked.toString)
+    // a later merge's output feeds an earlier-created symbol's merges:
+    // ranks [(a,b)->ab, (ab,c)->abc]: "abc" -> [ab, c] -> [abc]
+    val chained = Bpe.segment(docs(1L -> "abc"), merges = Seq(("a", "b"), ("ab", "c")))
+      .collect().map(r => r.getSeq[String](3)).head
+    assert(chained == Seq("abc"), chained.toString)
+  }
+
+  test("BPE incremental driver trainer == naive recount twin at tokenizer depth") {
+    import graft.ops.Bpe
+    import spark.implicits._
+    val parquet = Bpe.syntheticRichText(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    val mine = Bpe.train(parquet, numMerges = 300, minPairFreq = 1L).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(mine.size == 300, s"corpus exhausted at ${mine.size} merges")
+    val seqDocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text", "lang", "source")
+      .as[(Long, String, String, String)].collect().sortBy(_._1)
+      .map { case (id, t, l, s) => graft.golden.SequentialTwin.Doc(id, t, l, s) }.toSeq
+      .map(graft.golden.SequentialTwin.enrichRichText)
+    val twin = graft.golden.SequentialTwin.q60BpeMerges(seqDocs, numMerges = 300,
+      minPairFreq = 1L)
+    assert(mine == twin, s"first diff at ${mine.zip(twin).indexWhere(p => p._1 != p._2)}")
+  }
+
+  test("syntheticRichText enrichment: Spark column form == twin, vocab widens") {
+    import graft.ops.Bpe
+    import spark.implicits._
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = Bpe.syntheticRichText(base).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    val twin = base.select("doc_id", "text", "lang", "source")
+      .as[(Long, String, String, String)].collect()
+      .map { case (id, t, l, s) => graft.golden.SequentialTwin.Doc(id, t, l, s) }
+      .map(graft.golden.SequentialTwin.enrichRichText)
+    twin.foreach(d => assert(got(d.docId) == d.text, s"doc ${d.docId}"))
+    val vocab = twin.flatMap(_.text.split(' ')).distinct.length
+    assert(vocab > 2000, s"enriched vocab only $vocab distinct words")
   }
 
   test("corpusProfile: exact percentiles correct; approx within tolerance of exact") {
