@@ -49,7 +49,7 @@ object Dedup {
     try f finally { eagerOps = true; reset() }
   }
 
-  private def persistIntermediate(df: DataFrame): DataFrame = {
+  private[graft] def persistIntermediate(df: DataFrame): DataFrame = {
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
     if (!eagerOps) lazyCached.add(p)
     p
@@ -58,7 +58,7 @@ object Dedup {
   /** Terminal step of each candidate-generating operator: eager mode
     * materializes the (small) result once and unpersists the operator's
     * cached intermediates; lazy mode returns the plan untouched. */
-  private def finish(out: DataFrame, intermediates: DataFrame*): DataFrame = {
+  private[graft] def finish(out: DataFrame, intermediates: DataFrame*): DataFrame = {
     if (eagerOps) {
       val ck = out.localCheckpoint(true)
       intermediates.foreach(_.unpersist(false))

@@ -203,19 +203,71 @@ object TextStats {
    * and the only shuffle is the per-doc combine. Training pass = one
    * map-side-combined count aggregation.
    */
-  def lmRarity(docs: DataFrame, n: Int = 3): DataFrame = {
+  def lmRarity(docs: DataFrame, n: Int = 3): DataFrame =
+    lmScore(docs, lmTrain(docs, n), n)
+
+  /**
+   * TRAIN side of the rarity model (the CCNet split: train once on a
+   * reference-domain corpus, score any corpus against it): the char
+   * n-gram unigram table (gram, cnt, tot) with `tot` carried as a constant
+   * column — `tot` is the count sum BEFORE flooring, so dropped grams
+   * still weigh in the denominator and a floored model scores identically
+   * to an unfloored one on every RETAINED gram.
+   *
+   * MODEL-SIZE BOUND: grams with cnt < `minCount` are dropped from the
+   * table (they score through `lmScore`'s floor instead), so the model has
+   * at most tot/minCount rows regardless of corpus size or alphabet — the
+   * knob that keeps a multilingual 100 TB model broadcastable (CJK
+   * char-trigram vocabularies reach 10^8+ distinct grams; minCount=100 at
+   * 10^14 total grams bounds the table at 10^12/tot-fraction scale, and in
+   * practice Zipf puts the mass in the head). minCount=1 keeps every gram
+   * (exact self-scoring, the q56 contract).
+   *
+   * Persist with df.write.parquet / TableIO — round-tripped in OpsSpec.
+   */
+  def lmTrain(docs: DataFrame, n: Int = 3, minCount: Long = 1L): DataFrame = {
     import graft.functions.GraftFunctions.char_ngrams
-    val grams = docs.select(col("doc_id"), explode(char_ngrams(col("text"), n)).as("gram"))
-    val freq = grams.groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+    val freq = docs.select(explode(char_ngrams(col("text"), n)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
     val total = freq.agg(sum(col("cnt")).cast("double").as("tot"))
-    grams
-      .join(broadcast(freq), Seq("gram"))
-      .crossJoin(broadcast(total))
+    freq.filter(col("cnt") >= minCount).crossJoin(broadcast(total))
+  }
+
+  /**
+   * SCORE side: per doc, the mean log-probability of its char n-grams
+   * under `model` (from `lmTrain` — possibly a DIFFERENT corpus's), plus
+   * gram counts. Grams absent from the model take the smoothing floor
+   * `floorCount` (they were rarer than minCount in training, or unseen).
+   *
+   * Scale shape: the model joins onto the gram stream BROADCAST when it is
+   * small enough (<= `broadcastRows`), and as a plain shuffle hash join
+   * above that — an unconditional broadcast of an unbounded gram table was
+   * round 3's scale defect. The explode feeds a partial aggregate in the
+   * same stage; the only corpus shuffle is the per-doc combine.
+   */
+  def lmScore(docs: DataFrame, model: DataFrame, n: Int = 3, floorCount: Long = 1L,
+              broadcastRows: Long = 4000000L): DataFrame = {
+    import graft.functions.GraftFunctions.char_ngrams
+    val m = graft.ops.Dedup.persistIntermediate(model)
+    val useBroadcast = m.count() <= broadcastRows
+    // tot is a model CONSTANT (one tiny job over the cached model), so the
+    // scoring expression folds it as a literal — no crossJoin re-aggregation
+    val totV = Option(m.agg(max(col("tot"))).head.get(0))
+      .map(_.asInstanceOf[Double]).getOrElse(1.0)
+    val mJoin0 = m.select(col("gram"), col("cnt"))
+    // above the bound: an explicit shuffle-hash hint — without it Catalyst's
+    // size estimate of the cached model could still pick broadcast
+    val mJoin = if (useBroadcast) broadcast(mJoin0) else mJoin0.hint("shuffle_hash")
+    val grams = docs.select(col("doc_id"), explode(char_ngrams(col("text"), n)).as("gram"))
+    val out = grams
+      .join(mJoin, Seq("gram"), "left")
+      .select(col("doc_id"), coalesce(col("cnt"), lit(floorCount)).as("ecnt"))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_grams"),
-        sum(col("cnt")).as("freq_sum"),
-        round(avg(log(col("cnt").cast("double") / col("tot"))), 6).as("lm_logprob"))
+        sum(col("ecnt")).as("freq_sum"),
+        round(avg(log(col("ecnt").cast("double") / lit(totV))), 6).as("lm_logprob"))
+    graft.ops.Dedup.finish(out, m)
   }
 
   /**

@@ -518,6 +518,47 @@ class OpsSpec extends SparkSpec {
       s"rare doc must score below common docs: ${byId(10L)._3} vs ${byId(1L)._3}")
   }
 
+  test("lmTrain/lmScore split: cross-corpus scoring, floored model, persistence") {
+    import spark.implicits._
+    // corpus B's model scores corpus A: grams unseen in B take the floor
+    val corpusB = docs((1L to 5L).map(i => i -> "abcabcabc"): _*)
+    val corpusA = docs(100L -> "abcabc", 101L -> "xyzxyz")
+    val model = TextStats.lmTrain(corpusB, n = 3)
+    val scored = TextStats.lmScore(corpusA, model, n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // B's gram table: abc x15? no: "abcabcabc" has 7 trigrams x 5 docs = 35 total
+    // doc 100 "abcabc": 4 grams, all present in B; doc 101: 4 grams, none present
+    assert(scored(100L)._1 == 4L && scored(101L)._1 == 4L, scored.toString)
+    assert(scored(101L)._3 < scored(100L)._3,
+      s"out-of-domain doc must score lower: ${scored(101L)._3} vs ${scored(100L)._3}")
+    // floor semantics: every unseen gram scores ln(floorCount/tot)
+    val tot = model.agg(org.apache.spark.sql.functions.max(col("tot"))).head.getDouble(0)
+    assert(math.abs(scored(101L)._3 - BigDecimal(math.log(1.0 / tot))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9, scored(101L).toString)
+    // model-size bound: minCount floors rare grams OUT of the table while
+    // tot still counts them, so retained grams score unchanged
+    val mixed = docs((1L to 9L).map(i => i -> "abcabcabcabc") :+ (10L -> "xqzwvyjkpfgh"): _*)
+    val full = TextStats.lmTrain(mixed, n = 3)
+    val floored = TextStats.lmTrain(mixed, n = 3, minCount = 2L)
+    assert(floored.count() < full.count(), "flooring must shrink the model")
+    assert(floored.agg(org.apache.spark.sql.functions.max(col("tot"))).head.getDouble(0) ==
+      full.agg(org.apache.spark.sql.functions.max(col("tot"))).head.getDouble(0))
+    val sFull = TextStats.lmScore(docs(50L -> "abcabc"), full, n = 3).head
+    val sFloored = TextStats.lmScore(docs(50L -> "abcabc"), floored, n = 3).head
+    assert(sFull == sFloored, s"$sFull vs $sFloored")
+    // persistence round-trip: a saved+reloaded model scores identically
+    val dir = java.nio.file.Files.createTempDirectory("lmmodel").toString
+    model.write.mode("overwrite").parquet(dir)
+    val reScored = TextStats.lmScore(corpusA, spark.read.parquet(dir), n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(reScored == scored, s"$reScored vs $scored")
+    // self-composition == the one-shot operator (the q56 contract)
+    val oneShot = TextStats.lmRarity(mixed, n = 3).collect().map(_.toSeq).toSet
+    val composed = TextStats.lmScore(mixed, TextStats.lmTrain(mixed, 3), 3)
+      .collect().map(_.toSeq).toSet
+    assert(oneShot == composed)
+  }
+
   test("redactPii counts and replaces emails, phones, IPs; leaves clean text") {
     val d = docs(
       1L -> "mail a.b-c_d@sub.example.org and x@y.co today",
