@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.broadcast.Broadcast
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.GroupState
 import graft.core.{Mention, Page, Sentence}
@@ -80,14 +80,24 @@ object StreamIngest {
    *
    *  1. within-batch TRANSITIVE clustering over verified simhash near-dup
    *     pairs (connected components); representative = min doc_id;
-   *  2. representatives whose simhash lies within `maxHamming` of any
-   *     PREVIOUSLY-KEPT hash are dropped — a 16-bit-band equi-join against
+   *  2. representatives whose simhash lies within `maxHamming` of any hash
+   *     kept by a PRIOR batch are dropped — a 16-bit-band equi-join against
    *     the state table (pigeonhole: hamming <= 3 shares >= 1 of 4 bands),
-   *     verified by true hamming distance;
-   *  3. the surviving representatives' hashes append to the state table
-   *     CRASH-ATOMICALLY (`TableIO.writeResumable` partitioned by batch_id:
-   *     re-running a failed/replayed micro-batch is idempotent, the
-   *     exactly-once contract foreachBatch needs).
+   *     verified by true hamming distance. The state is stored PRE-BANDED
+   *     (band, bucket, simhash, doc_id, batch_id — 4 rows per kept hash),
+   *     so a micro-batch joins on (band, bucket) WITHOUT re-computing the
+   *     band explode over the entire kept history (the round-3 form
+   *     re-banded the full state every batch — per-batch transform cost
+   *     grew with corpus age); only rows with `batch_id < batchId` are
+   *     read (partition-pruned), which also makes a CRASH REPLAY exact:
+   *     a re-run batch can never match its own previously-committed
+   *     hashes (which would drop every row and lose the batch at the sink);
+   *  3. the surviving representatives' banded hashes append to the state
+   *     table CRASH-ATOMICALLY (`TableIO.writeResumable` partitioned by
+   *     batch_id: re-running a failed/replayed micro-batch is idempotent —
+   *     same kept set, same state partition — the exactly-once contract
+   *     foreachBatch needs). Long-lived streams bound the state file count
+   *     with `compactState` (TableIO.compact over the banded table).
    *
    * Returns the kept rows of this batch. Deterministic (min-id reps,
    * set-based drops). Documented divergence vs single-batch processing: a
@@ -109,28 +119,47 @@ object StreamIngest {
       .filter(coalesce(col("component"), col("doc_id")) === col("doc_id"))
       .select(col("doc_id"))
     val repsH = sh.join(reps, Seq("doc_id"))
-    def banded(df: DataFrame, idCols: org.apache.spark.sql.Column*) =
-      df.select(idCols :+ posexplode(expr(
-        "transform(sequence(0, 3), c -> shiftright(simhash, c * 16) & 65535)"))
-        .as(Seq("band", "bucket")): _*)
     val stateExists = java.nio.file.Files.exists(java.nio.file.Paths.get(stateRoot, "data"))
     val kept =
       if (!stateExists) repsH
       else {
-        val seen = TableIO.read(spark, stateRoot, "batch_id")
-          .select(col("simhash").as("seen_hash"), col("simhash"))
-        val dropped = banded(repsH, col("doc_id"), col("simhash").as("h"))
-          .join(banded(seen, col("seen_hash")), Seq("band", "bucket"))
+        val seen = priorBandedState(spark, stateRoot, batchId)
+          .select(col("band"), col("bucket"), col("simhash").as("seen_hash"))
+        val dropped = bandExplode(repsH, col("doc_id"), col("simhash").as("h"))
+          .join(seen, Seq("band", "bucket"))
           .filter(bit_count(col("h").bitwiseXOR(col("seen_hash"))) <= maxHamming)
           .select(col("doc_id")).distinct()
         repsH.join(dropped, Seq("doc_id"), "left_anti")
       }
     val keptC = kept.localCheckpoint()
     TableIO.writeResumable(
-      keptC.select(col("doc_id"), col("simhash"), lit(batchId).as("batch_id")),
+      bandExplode(keptC, col("doc_id"), col("simhash"))
+        .withColumn("batch_id", lit(batchId)),
       stateRoot, "batch_id")
     batch.join(keptC.select(col("doc_id")), Seq("doc_id"))
   }
+
+  /** The 4 x 16-bit band rows of each (id..., simhash) row — computed ONCE
+    * at state-write time; reads join the stored bands directly. */
+  private def bandExplode(df: DataFrame, idCols: org.apache.spark.sql.Column*): DataFrame =
+    df.select(idCols :+ posexplode(expr(
+      "transform(sequence(0, 3), c -> shiftright(simhash, c * 16) & 65535)"))
+      .as(Seq("band", "bucket")): _*)
+
+  /** Snapshot-consistent read of the banded dedup state as visible to
+    * `batchId`: PRIOR batches only (replay exactness), no re-banding
+    * transform — the plan is a pruned scan of the stored band rows
+    * (asserted in StreamIngestSpec). */
+  def priorBandedState(spark: SparkSession, stateRoot: String, batchId: Long): DataFrame =
+    graft.core.TableIO.read(spark, stateRoot, "batch_id")
+      .filter(col("batch_id") < batchId)
+
+  /** Periodic state housekeeping for long-lived streams: rewrite state
+    * partitions that accumulated many small files (one per executor per
+    * batch). Run between batches (single-writer maintenance window). */
+  def compactState(spark: SparkSession, stateRoot: String,
+                   maxFilesPerPartition: Int = 8): Seq[String] =
+    graft.core.TableIO.compact(spark, stateRoot, "batch_id", maxFilesPerPartition)
 
   def sha256Hex(s: String): String = {
     val d = java.security.MessageDigest.getInstance("SHA-256")

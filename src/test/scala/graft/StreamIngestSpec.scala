@@ -145,12 +145,38 @@ class StreamIngestSpec extends SparkSpec {
       oneRoot, 0L)
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(oneShot == Seq(1L, 3L, 5L), oneShot.mkString(", "))
-    // replaying a micro-batch is idempotent (writeResumable skips the
-    // committed batch_id partition): state row count is unchanged
+    // REPLAY of batch 1 with its ORIGINAL rows (the foreachBatch crash
+    // contract: state committed, sink write lost, batch re-runs): must
+    // return the SAME kept rows — doc 5 may not match its own batch-1
+    // state hash (the round-3 defect dropped the whole replayed batch)
+    val replayed = StreamIngest.nearDupBatchStep(
+      Seq((4L, base), (5L, fresh)).toDF("doc_id", "text"), stateRoot, 1L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(replayed == Seq(5L), s"replay must re-emit the kept rows, got: $replayed")
+    // ...and is idempotent (writeResumable skips the committed partition)
     val before = graft.core.TableIO.read(spark, stateRoot, "batch_id").count()
     StreamIngest.nearDupBatchStep(Seq((9L, base)).toDF("doc_id", "text"), stateRoot, 1L)
     val after = graft.core.TableIO.read(spark, stateRoot, "batch_id").count()
     assert(before == after, s"replay must not grow state: $before -> $after")
+    // state is PRE-BANDED: 4 band rows per kept hash, stored (not derived)
+    val state = graft.core.TableIO.read(spark, stateRoot, "batch_id")
+    assert(Seq("band", "bucket", "simhash", "doc_id", "batch_id")
+      .forall(state.columns.contains), state.columns.mkString(","))
+    val perDoc = state.groupBy("doc_id", "batch_id").count().collect()
+    assert(perDoc.nonEmpty && perDoc.forall(_.getLong(2) == 4L),
+      perDoc.take(3).mkString(","))
+    // the read side joins stored bands: no Generate (band explode) and no
+    // re-hash of history in the state-scan plan, and prior-batch pruning
+    val seenPlan = StreamIngest.priorBandedState(spark, stateRoot, 1L)
+      .queryExecution.optimizedPlan.toString
+    assert(!seenPlan.contains("Generate"), seenPlan.take(1500))
+    assert(!seenPlan.contains("simhash64"), seenPlan.take(1500))
+    // compaction housekeeping keeps rows intact (re-read after the rewrite:
+    // the pre-compaction DataFrame's file listing is stale by design)
+    val rowsBefore = state.count()
+    StreamIngest.compactState(spark, stateRoot, maxFilesPerPartition = 0)
+    val rowsAfter = graft.core.TableIO.read(spark, stateRoot, "batch_id").count()
+    assert(rowsAfter == rowsBefore, s"compaction changed row count: $rowsBefore -> $rowsAfter")
   }
 
   test("mapGroupsWithState running totals accumulate across micro-batches") {
