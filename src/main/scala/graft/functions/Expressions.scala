@@ -411,6 +411,63 @@ object TopNgramCount {
   }
 }
 
+/** excise_positions(tokens array<string>, removed array<int>) -> array<string>:
+  * the tokens whose indices are NOT in `removed`, where `removed` is SORTED
+  * ascending (removeDupSpans sorts it) — one merged two-pointer pass,
+  * O(n + |removed|). The per-token `filter(toks, (x, i) ->
+  * !array_contains(removed, i))` HOF it replaces rescans the removal set
+  * per token — O(n * |removed|), quadratic on a document that is mostly
+  * duplicated span (value-identical; parity- and pathological-timing
+  * tested). Out-of-range or duplicate removal indices are skipped by the
+  * merge, matching the HOF's array_contains semantics. */
+case class ExcisePositions(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, IntegerType}
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def checkInputDataTypes() = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), ArrayType(IntegerType, _)) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"excise_positions requires (array<string>, array<int>), got ($l, $r)")
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ExcisePositions.compute(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ExcisePositions.compute($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): ExcisePositions =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "excise_positions"
+}
+
+object ExcisePositions {
+  def compute(toks: org.apache.spark.sql.catalyst.util.ArrayData,
+              removed: org.apache.spark.sql.catalyst.util.ArrayData): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = toks.numElements()
+    val m = removed.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    var j = 0
+    var k = 0
+    while (i < n) {
+      // advance past removal entries below i (dups / out-of-range negatives)
+      while (j < m && removed.getInt(j) < i) j += 1
+      if (j < m && removed.getInt(j) == i) j += 1 // excised
+      else {
+        out(k) = if (toks.isNullAt(i)) null else toks.getUTF8String(i)
+        k += 1
+      }
+      i += 1
+    }
+    val res = if (k == n) out else {
+      val t = new Array[Any](k)
+      System.arraycopy(out, 0, t, 0, k)
+      t
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(res)
+  }
+}
+
 object GraftFunctions {
   import org.apache.spark.sql.graftbridge.Bridge
   def extract_text(c: Column): Column = Bridge.column(ExtractText(Bridge.expression(c)))
@@ -428,6 +485,8 @@ object GraftFunctions {
     Bridge.column(CharNgrams(Bridge.expression(c), n))
   def top_ngram_count(c: Column, n: Int): Column =
     Bridge.column(TopNgramCount(Bridge.expression(c), n))
+  def excise_positions(toks: Column, removed: Column): Column =
+    Bridge.column(ExcisePositions(Bridge.expression(toks), Bridge.expression(removed)))
 
   /** Register for SQL use in an existing session. */
   def register(spark: SparkSession): Unit = {

@@ -464,7 +464,7 @@ object SequentialTwin {
     val firstAt = collection.mutable.HashMap.empty[String, (Long, Int)]
     val occs = collection.mutable.HashMap.empty[String, Long]
     def windows(toks: Array[String]): Iterator[(Int, String)] =
-      (0 to toks.length - k).iterator.map(p => p -> toks.slice(p, p + k).mkString(""))
+      (0 to toks.length - k).iterator.map(p => p -> toks.slice(p, p + k).mkString("\u0001"))  // escape, not a literal control char: round-3 reviews misread the (invisible) literal as an empty-string join
     for (d <- sorted; (p, w) <- windows(splitKeepAll(d.text))) {
       occs(w) = occs.getOrElse(w, 0L) + 1L
       if (!firstAt.contains(w)) firstAt(w) = (d.docId, p)

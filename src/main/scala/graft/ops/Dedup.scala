@@ -367,7 +367,10 @@ object Dedup {
         coalesce(size(col("removed")), lit(0)).cast("long").as("n_removed"),
         when(col("removed").isNull, col("text"))
           .otherwise(concat_ws(" ",
-            filter(col("toks"), (x, i) => !array_contains(col("removed"), i))))
+            // sorted-merge excision: O(n + |removed|) per doc — the
+            // per-token array_contains HOF was O(n * |removed|), quadratic
+            // on a doc that is mostly duplicated span (parity-tested)
+            graft.functions.GraftFunctions.excise_positions(col("toks"), col("removed"))))
           .as("text_clean"))
   }
 

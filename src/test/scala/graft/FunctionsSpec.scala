@@ -148,6 +148,25 @@ class FunctionsSpec extends SparkSpec {
     assert(messages(err).exists(m => m.contains("signlsh_bits") && m.contains("5")), messages(err))
   }
 
+  test("ExcisePositions expression == per-token filter/array_contains HOF") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (1L to 60L).map { id =>
+      val n = rnd.nextInt(30)
+      val toks = Array.tabulate(n)(i => s"t$i")
+      // sorted positions incl. duplicates and out-of-range entries
+      val rem = (Seq.fill(rnd.nextInt(8))(rnd.nextInt(n + 4) - 2) ++
+        Seq.fill(rnd.nextInt(3))(rnd.nextInt(math.max(1, n)))).sorted
+      (id, toks.toSeq, rem)
+    }
+    val got = rows.toDF("id", "toks", "removed")
+      .select(col("id"),
+        GraftFunctions.excise_positions(col("toks"), col("removed")).as("native"),
+        filter(col("toks"), (_, i) => !array_contains(col("removed"), i)).as("hof"))
+      .collect()
+    got.foreach(r => assert(r.getSeq[String](1) == r.getSeq[String](2), s"id=${r.getLong(0)}"))
+  }
+
   test("native expressions stay inside whole-stage codegen (no ScalaUDF)") {
     // parquet-backed source so ConvertToLocalRelation can't constant-fold
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

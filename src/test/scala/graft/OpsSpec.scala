@@ -443,6 +443,23 @@ class OpsSpec extends SparkSpec {
     assert(byText == byHash)
   }
 
+  test("removeDupSpans pathological doc (90% duplicated) is not quadratic") {
+    // one mostly-duplicated long doc: |removed| ~ n, so the per-token
+    // array_contains form cost n * |removed| ~ 16k^2 per doc; the sorted-
+    // merge excision is O(n + |removed|). Timed bound (generous for a
+    // bursty co-tenant host) regression-guards the quadratic form.
+    val span = (1 to 10).map(i => s"D$i").mkString(" ")
+    val big = Seq.fill(1600)(span).mkString(" ")              // 16k tokens, all dup
+    val d = docs(1L -> s"$span keep tail", 2L -> big, 3L -> big)
+    val t0 = System.nanoTime()
+    val got = Dedup.removeDupSpans(d, k = 10).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(got(2L)._1 == 16000L && got(2L)._2 == 16000L, got(2L).toString)
+    assert(got(3L)._1 == 16000L && got(3L)._2 == 16000L, got(3L).toString)
+    assert(secs < 30.0, s"pathological doc took ${secs}s — quadratic regression?")
+  }
+
   test("keepPredicate/repetitivePredicate == their column twins on the corpus") {
     val parquet = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val viaProfile = TextStats.curate(parquet)
