@@ -308,6 +308,18 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"), col("n_subwords"),
           concat_ws(" ", col("subwords")).as("subword_str"))
     }),
+    // sequence packing budgeted in BPE SUBWORD units (context windows are
+    // sized in tokenizer units, not whitespace words): Bpe.segment's
+    // n_subwords feeds the same bucket-local packing window as q51
+    "q65_packing_subwords" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+      val merges = Bpe.train(docs, numMerges = 20)
+        .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+      TextStats.packByCounts(
+        Bpe.segment(docs, merges)
+          .select(col("doc_id"), col("n_subwords").as("n_tokens")),
+        budget = 512L)
+    }),
     // ------------------------------------------------ KG pipeline (no SQL)
     "q40_extraction_invariant" -> ((s, dir) => {
       // native codegen'd Catalyst expression (graft.functions.ExtractText)
@@ -538,6 +550,7 @@ object SparkEntry {
            FROM documents) WHERE rnk <= 12""",
     "q61_bpe_segment" -> golden("q61_bpe_segment"),
     "q64_bpe_segment_2k" -> golden("q64_bpe_segment_2k"),
+    "q65_packing_subwords" -> golden("q65_packing_subwords"),
     // INDEPENDENT oracle: constructs the expected canonical form from
     // (source, doc_id) directly — never re-runs a canonicalizer. Tracking
     // params (utm_source, ref) vanish; surviving params byte-sorted

@@ -64,6 +64,8 @@ object GoldenGen {
       "doc_id", "n_tokens", "n_subwords", "subword_str")
     write("q64_bpe_segment_2k", q64BpeSegment2k(docs),
       "doc_id", "n_tokens", "n_subwords", "subword_str")
+    write("q65_packing_subwords", q65PackBySubwords(docs),
+      "doc_id", "n_tokens", "bucket", "pack_id")
     write("q63_remove_dup_spans", q63RemoveDupSpans(docs, k = 10),
       "doc_id", "n_tokens", "n_removed", "text_clean")
 

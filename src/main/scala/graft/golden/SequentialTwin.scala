@@ -6,7 +6,6 @@ import graft.gen.CorpusGen
 import graft.link.EntityLink
 import graft.ner.{Models, NerStage}
 import graft.ops.{Multimodal, TextStats}
-import graft.text.TextExtract
 
 /**
  * Sequential, single-threaded oracle twins of the distributed queries — the
@@ -70,11 +69,39 @@ object SequentialTwin {
       .mkString("\n")
   }
 
-  /** (url, lang, sentIdx, tokens) per sentence, full extraction chain. */
+  /**
+   * INDEPENDENT sentence splitter — the production rules re-derived from
+   * `TextExtract.sentences`' SPEC, not its code: a newline always ends a
+   * sentence; within a line, a token ending in '.', '!', '?' or the
+   * devanagari danda ends the sentence; tokens come from splitting on
+   * single spaces with empties dropped; blank lines contribute nothing.
+   * Implemented as regex split + terminator-regex fold (vs production's
+   * allocation-light char scans); GoldenTwinSpec proves equality on the
+   * full corpus and adversarial strings, closing the last golden-twin
+   * circularity (the NER fixtures no longer touch production splitting).
+   */
+  def twinSentences(text: String): Seq[Seq[String]] =
+    if (text.isEmpty) Nil
+    else {
+      val term = java.util.regex.Pattern.compile(".*[.!?।]$")
+      text.split("\n", -1).toSeq.filter(_.nonEmpty).flatMap { line =>
+        val out = Vector.newBuilder[Vector[String]]
+        var cur = Vector.empty[String]
+        line.split(" ", -1).iterator.filter(_.nonEmpty).foreach { t =>
+          cur = cur :+ t
+          if (term.matcher(t).matches()) { out += cur; cur = Vector.empty }
+        }
+        if (cur.nonEmpty) out += cur
+        out.result()
+      }
+    }
+
+  /** (url, lang, sentIdx, tokens) per sentence, full extraction chain —
+    * twin extractor + twin splitter (no production code on this path). */
   def sentences(docs: Seq[Doc]): Seq[(String, String, Int, IndexedSeq[String])] =
     docs.flatMap { d =>
       val text = extractGeneratedPage(CorpusGen.htmlFor(d.docId, d.text, d.lang, d.source))
-      TextExtract.sentences(text).zipWithIndex.map { case (toks, i) =>
+      twinSentences(text).zipWithIndex.map { case (toks, i) =>
         (url(d), d.lang, i, toks.toIndexedSeq)
       }
     }
@@ -402,13 +429,13 @@ object SequentialTwin {
   def q33Fingerprints(docs: Seq[Doc]): Seq[(Long, Long)] =
     docs.map(d => (d.docId, fingerprintBigInt(d.text)))
 
-  /** q51 rows: deterministic sequence packing (doc_id, n_tokens, bucket,
-    * pack_id) — hash buckets, per-bucket doc_id order, cumulative budget. */
-  def q51Pack(docs: Seq[Doc], budget: Long, buckets: Int = 64): Seq[(Long, Long, Int, Long)] =
-    docs.map { d =>
-      val h = Xxh64.hashLong(d.docId, Xxh64.SparkSeed)
-      val bucket = (((h % buckets) + buckets) % buckets).toInt
-      (d.docId, splitKeepAll(d.text).length.toLong, bucket)
+  /** Generic packing twin over (doc_id, count) pairs: hash buckets,
+    * per-bucket doc_id order, cumulative budget. */
+  def packCounts(idCounts: Seq[(Long, Long)], budget: Long,
+                 buckets: Int = 64): Seq[(Long, Long, Int, Long)] =
+    idCounts.map { case (id, n) =>
+      val h = Xxh64.hashLong(id, Xxh64.SparkSeed)
+      (id, n, (((h % buckets) + buckets) % buckets).toInt)
     }
       .groupBy(_._3).valuesIterator.flatMap { group =>
         var before = 0L
@@ -418,6 +445,16 @@ object SequentialTwin {
           row
         }
       }.toSeq
+
+  /** q51 rows: whitespace-token packing. */
+  def q51Pack(docs: Seq[Doc], budget: Long, buckets: Int = 64): Seq[(Long, Long, Int, Long)] =
+    packCounts(docs.map(d => d.docId -> splitKeepAll(d.text).length.toLong), budget, buckets)
+
+  /** q65 rows: packs budgeted in BPE SUBWORD units (the twin's own
+    * 20-merge segmentation supplies the counts). */
+  def q65PackBySubwords(docs: Seq[Doc], numMerges: Int = 20,
+                        budget: Long = 512L): Seq[(Long, Long, Int, Long)] =
+    packCounts(q61BpeSegment(docs, numMerges).map(r => r._1 -> r._3), budget)
 
   /** q54 rows: (doc_id, source) kept by deterministic source-mixture
     * sampling — per-source percent rates, `defaultPct` for unlisted

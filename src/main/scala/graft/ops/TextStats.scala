@@ -136,10 +136,18 @@ object TextStats {
    * The window is keyed by bucket — no global sort; at 10^12 docs each
    * bucket's running sum is an independent partition-local scan.
    */
-  def packByTokenBudget(docs: DataFrame, budget: Long, buckets: Int = 64): DataFrame = {
+  def packByTokenBudget(docs: DataFrame, budget: Long, buckets: Int = 64): DataFrame =
+    packByCounts(docs.select(col("doc_id"),
+      size(toks(col("text"))).cast("long").as("n_tokens")), budget, buckets)
+
+  /** Packing over an ARBITRARY per-document token count (doc_id, n_tokens) —
+    * so packs can budget the units that matter: BPE subword counts from
+    * `Bpe.segment` (a model's context window is sized in tokenizer units,
+    * not whitespace words), character counts, anything. Same determinism
+    * contract and bucket-local window as `packByTokenBudget`. */
+  def packByCounts(counted: DataFrame, budget: Long, buckets: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val t = docs.select(col("doc_id"),
-      size(toks(col("text"))).cast("long").as("n_tokens"),
+    val t = counted.select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
       pmod(xxhash64(col("doc_id")), lit(buckets)).cast("int").as("bucket"))
     val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -98,6 +98,30 @@ class GoldenTwinSpec extends SparkSpec {
     }
   }
 
+  test("independent sentence splitter == production on corpus + adversarial text") {
+    import spark.implicits._
+    import graft.gen.CorpusGen
+    import graft.text.TextExtract
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text", "lang", "source")
+      .as[(Long, String, String, String)].collect()
+    assert(docs.nonEmpty)
+    docs.foreach { case (id, text, lang, source) =>
+      val extracted = TextExtract.extractText(CorpusGen.htmlFor(id, text, lang, source))
+      assert(SequentialTwin.twinSentences(extracted) == TextExtract.sentences(extracted),
+        s"doc $id diverged")
+    }
+    val nasty = Seq(
+      "", "one", "a b. c", "ends mid sentence", "two. lines.\nmore here",
+      "bang! quest? dot. danda। mix", "..", "multi.\n\n\nblank lines", "!",
+      "a.b.c inside stays", "\n\nleading blanks", "trail.\n", "token.। both",
+      "only। danda", "a ?  b", "x!")
+    nasty.foreach { t =>
+      assert(SequentialTwin.twinSentences(t) == TextExtract.sentences(t),
+        s"adversarial '$t'")
+    }
+  }
+
   test("fingerprint: independent BigInt twin == production, incl. carry-wrap states") {
     import graft.ops.TextStats
     // random + structured strings

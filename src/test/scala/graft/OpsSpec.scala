@@ -535,6 +535,29 @@ class OpsSpec extends SparkSpec {
       s"rare doc must score below common docs: ${byId(10L)._3} vs ${byId(1L)._3}")
   }
 
+  test("packByCounts budgets arbitrary units: subword packing == twin") {
+    import graft.ops.Bpe
+    import spark.implicits._
+    val parquet = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val merges = Bpe.train(parquet, numMerges = 20)
+      .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    val got = TextStats.packByCounts(
+      Bpe.segment(parquet, merges).select(col("doc_id"), col("n_subwords").as("n_tokens")),
+      budget = 512L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    val seqDocs = parquet.select("doc_id", "text", "lang", "source")
+      .as[(Long, String, String, String)].collect().sortBy(_._1)
+      .map { case (id, t, l, s) => graft.golden.SequentialTwin.Doc(id, t, l, s) }.toSeq
+    val twin = graft.golden.SequentialTwin.q65PackBySubwords(seqDocs).toSet
+    assert(got == twin, s"sym diff: ${(got diff twin).take(3)} / ${(twin diff got).take(3)}")
+    // subword budgets differ from whitespace budgets (the packing is
+    // actually driven by the counts column, not re-derived from text)
+    val ws = TextStats.packByTokenBudget(parquet, budget = 512L)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    val bySub = got.map(r => r._1 -> r._4).toMap
+    assert(ws != bySub, "subword packs must differ from whitespace packs")
+  }
+
   test("lmTrain/lmScore split: cross-corpus scoring, floored model, persistence") {
     import spark.implicits._
     // corpus B's model scores corpus A: grams unseen in B take the floor
