@@ -693,11 +693,8 @@ object SparkEntry {
       """SELECT 'broadcast_minus_salted' AS side, CAST(0 AS BIGINT) AS n
          UNION ALL
          SELECT 'salted_minus_broadcast' AS side, CAST(0 AS BIGINT) AS n""",
-    "q34_multimodal_meta" ->
-      """SELECT doc_id,
-         CASE WHEN doc_id % 3 = 0 THEN 'image/png'
-              WHEN doc_id % 3 = 1 THEN 'audio/wav' ELSE 'video/mp4' END AS media_type,
-         octet_length(encode(text)) AS n_bytes
-         FROM documents"""
+    // image rows carry a REAL PNG (n_bytes not SQL-expressible): the twin
+    // constructs its own PNG from the analytic pixel spec and sizes it
+    "q34_multimodal_meta" -> golden("q34_multimodal_meta")
   )
 }

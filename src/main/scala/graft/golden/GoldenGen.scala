@@ -51,6 +51,7 @@ object GoldenGen {
     write("q41_sentences", q41Sentences(docs), "url", "sentIdx", "n_tokens")
     write("q36_dedup_clusters", q36DedupClusters(docs), "doc_id", "keep_id")
     write("q49_media_resize", q49Resize(docs))
+    write("q34_multimodal_meta", q34MultimodalMeta(docs), "doc_id", "media_type", "n_bytes")
     write("q51_sequence_packing", q51Pack(docs, budget = 512L),
       "doc_id", "n_tokens", "bucket", "pack_id")
     write("q38_hash_sample", q38HashSample(docs, pctKeep = 37).map(Tuple1(_)), "doc_id")

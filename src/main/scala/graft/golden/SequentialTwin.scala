@@ -466,7 +466,51 @@ object SequentialTwin {
       ((Xxh64.hashLong(d.docId, Xxh64.SparkSeed) % 100) + 100) % 100 < pct
     }.map(d => (d.docId, d.source))
 
-  /** q49 rows: the batched resize twin (image/video only, audio dropped). */
+  // ---- synthetic-image twin: the PNG spec re-derived ANALYTICALLY --------
+  // (dims + pixel formula written independently of Multimodal.synthPixelRgb;
+  // the twin never decodes a PNG — it knows the source pixels in closed
+  // form, so agreement exercises production's real ImageIO decode path.
+  // The PNG container encoding itself is the JDK's ImageIO on both sides.)
+
+  def twinImageDims(docId: Long): (Int, Int) =
+    ((16L + docId % 48L).toInt, (16L + docId % 32L).toInt) // corpus ids >= 0
+
+  def twinPixel(docId: Long, x: Int, y: Int): Int = {
+    val r = ((7L * x + 13L * y + docId) % 256L).toInt
+    val g = ((3L * x + 5L * y + 2L * docId) % 256L).toInt
+    val b = ((x.toLong + y.toLong + 3L * docId) % 256L).toInt
+    (r << 16) | (g << 8) | b
+  }
+
+  private def pngEncode(w: Int, h: Int, rgbAt: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgbAt(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  def twinPngBytes(docId: Long): Array[Byte] = {
+    val (w, h) = twinImageDims(docId)
+    pngEncode(w, h, (x, y) => twinPixel(docId, x, y))
+  }
+
+  /** q34 rows: (doc_id, media_type, n_bytes) — image rows sized by the
+    * twin's own PNG construction, audio/video by the UTF-8 text bytes. */
+  def q34MultimodalMeta(docs: Seq[Doc]): Seq[(Long, String, Long)] =
+    docs.map { d =>
+      (d.docId % 3) match {
+        case 0 => (d.docId, "image/png", twinPngBytes(d.docId).length.toLong)
+        case 1 => (d.docId, "audio/wav",
+          d.text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong)
+        case _ => (d.docId, "video/mp4",
+          d.text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong)
+      }
+    }
+
+  /** q49 rows: the batched resize twin — image rows via the ANALYTIC
+    * pixel spec (own aspect-fit + nearest-neighbor sampling of the closed-
+    * form source, no decode anywhere); video rows via the disclosed stub. */
   def q49Resize(docs: Seq[Doc], box: Int = 256): Seq[Multimodal.Resized] =
     docs.flatMap { d =>
       val mt = (d.docId % 3) match {
@@ -475,7 +519,15 @@ object SequentialTwin {
         case _ => "video/mp4"
       }
       if (mt.startsWith("audio")) None
-      else {
+      else if (mt == "image/png") {
+        val (w, h) = twinImageDims(d.docId)
+        val scale = math.min(1.0, box.toDouble / math.max(w, h))
+        val ow = math.max(1, math.round(w * scale).toInt)
+        val oh = math.max(1, math.round(h * scale).toInt)
+        val thumb = pngEncode(ow, oh,
+          (ox, oy) => twinPixel(d.docId, ox * w / ow, oy * h / oh))
+        Some(Multimodal.Resized(d.docId, mt, w, h, ow, oh, thumb))
+      } else {
         val blob = d.text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         val (w, h, _, _) = Multimodal.decodeStub(mt, blob)
         val (ow, oh, thumb) = Multimodal.resizeStub(blob, w, h, box)

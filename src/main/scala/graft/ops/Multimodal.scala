@@ -28,15 +28,92 @@ final case class MediaMeta(
  */
 object Multimodal {
 
-  /** Deterministic synthetic media blobs derived from document text bytes —
-    * stand-ins for crawl image/audio payloads. */
-  def syntheticMedia(docs: DataFrame): DataFrame = {
-    docs.select(col("doc_id"),
-      when(pmod(col("doc_id"), lit(3)) === 0, lit("image/png"))
-        .when(pmod(col("doc_id"), lit(3)) === 1, lit("audio/wav"))
-        .otherwise(lit("video/mp4")).as("media_type"),
-      encode(col("text"), "UTF-8").cast("binary").as("blob"))
+  /** Synthetic-image SPEC (the contract the twin re-derives independently):
+    * dims w = 16 + doc_id mod 48, h = 16 + doc_id mod 32; pixel (x, y) has
+    * r = (7x + 13y + doc_id) mod 256, g = (3x + 5y + 2 doc_id) mod 256,
+    * b = (x + y + 3 doc_id) mod 256. */
+  def synthImageDims(docId: Long): (Int, Int) =
+    (16 + Math.floorMod(docId, 48L).toInt, 16 + Math.floorMod(docId, 32L).toInt)
+
+  def synthPixelRgb(docId: Long, x: Int, y: Int): Int = {
+    val r = Math.floorMod(7L * x + 13L * y + docId, 256L).toInt
+    val g = Math.floorMod(3L * x + 5L * y + 2L * docId, 256L).toInt
+    val b = Math.floorMod(x.toLong + y + 3L * docId, 256L).toInt
+    (r << 16) | (g << 8) | b
   }
+
+  /** A REAL deterministic PNG for image rows (javax.imageio — in the JDK,
+    * no external codec dep), pixels per `synthPixelRgb`. */
+  def pngFor(docId: Long): Array[Byte] = {
+    val (w, h) = synthImageDims(docId)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, synthPixelRgb(docId, x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private[graft] def isPng(blob: Array[Byte]): Boolean =
+    blob.length >= 8 && (blob(0) & 0xff) == 0x89 && blob(1) == 'P' && blob(2) == 'N' && blob(3) == 'G'
+
+  /** Deterministic synthetic media blobs — image rows carry a REAL PNG
+    * (decoded by the real `javax.imageio` path downstream); audio/video
+    * rows carry opaque text-derived bytes for the disclosed stub codec. */
+  def syntheticMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val mt = Math.floorMod(id, 3L) match {
+            case 0L => "image/png"
+            case 1L => "audio/wav"
+            case _  => "video/mp4"
+          }
+          val blob =
+            if (mt == "image/png") pngFor(id)
+            else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          (id, mt, blob)
+        }
+      }
+      .toDF("doc_id", "media_type", "blob")
+  }
+
+  /** Dispatching codec: REAL PNG decode via javax.imageio for image rows
+    * (dimensions read from the actual bitstream; 8-dim feature = mean
+    * R/G/B over the pixels (÷255) then w/256, h/256, and the corner pixel's
+    * R/G/B (÷255) — a deterministic stand-in for a learned embedding);
+    * the disclosed stub for audio/video (no codecs ship in this
+    * container). */
+  def decode(mediaType: String, blob: Array[Byte]): (Int, Int, Int, Array[Float]) =
+    if (mediaType == "image/png" && isPng(blob)) {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+      val (w, h) = (img.getWidth, img.getHeight)
+      var sr = 0.0; var sg = 0.0; var sb = 0.0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w.toLong * h).toDouble * 255.0
+      val corner = img.getRGB(w - 1, h - 1)
+      val feat = Array(
+        (sr / n).toFloat, (sg / n).toFloat, (sb / n).toFloat,
+        w / 256f, h / 256f,
+        ((corner >> 16) & 0xff) / 255f, ((corner >> 8) & 0xff) / 255f,
+        (corner & 0xff) / 255f)
+      (w, h, 1, feat)
+    } else decodeStub(mediaType, blob)
 
   /** STUB codec: a real implementation would decode the container and
     * return pixel/sample planes. This stand-in derives metadata and an
@@ -70,7 +147,7 @@ object Multimodal {
       .mapPartitions { batch =>
         // codec init would happen here, once per partition
         batch.map { case (id, mt, blob) =>
-          val (w, h, f, feat) = decodeStub(mt, blob)
+          val (w, h, f, feat) = decode(mt, blob)
           MediaMeta(id, mt, blob.length.toLong, w, h, f, feat)
         }
       }
@@ -89,14 +166,45 @@ object Multimodal {
       thumb: Array[Byte]
   )
 
+  /** Aspect-preserving fit of (w, h) into `box` x `box`, never upscaling —
+    * shared by the real and stub resize kernels (and re-derived by the
+    * twin). */
+  def fitBox(w: Int, h: Int, box: Int): (Int, Int) = {
+    val scale = math.min(1.0, box.toDouble / math.max(w, h))
+    (math.max(1, math.round(w * scale).toInt), math.max(1, math.round(h * scale).toInt))
+  }
+
+  /** REAL resize kernel for PNG: decode, NEAREST-NEIGHBOR sample (out
+    * pixel (ox, oy) reads source pixel (ox*w/ow, oy*h/oh), integer floor —
+    * an explicitly specified kernel, not Graphics2D's unspecified filter
+    * chain, so the sequential twin can reproduce the bytes from the pixel
+    * spec alone), re-encode as PNG. */
+  def resizePng(blob: Array[Byte], box: Int): (Int, Int, Int, Int, Array[Byte]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+    val (w, h) = (img.getWidth, img.getHeight)
+    val (ow, oh) = fitBox(w, h, box)
+    val out = new java.awt.image.BufferedImage(ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var oy = 0
+    while (oy < oh) {
+      val sy = (oy.toLong * h / oh).toInt
+      var ox = 0
+      while (ox < ow) {
+        out.setRGB(ox, oy, img.getRGB((ox.toLong * w / ow).toInt, sy))
+        ox += 1
+      }
+      oy += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", bos)
+    (w, h, ow, oh, bos.toByteArray)
+  }
+
   /** STUB resize kernel: fits (w, h) into `box` x `box` preserving aspect
     * ratio (never upscales), and derives the rendition bytes
     * deterministically from the source bytes + target dims — a real
     * implementation swaps in the decoder/scaler, the shape stays. */
   def resizeStub(blob: Array[Byte], w: Int, h: Int, box: Int): (Int, Int, Array[Byte]) = {
-    val scale = math.min(1.0, box.toDouble / math.max(w, h))
-    val ow = math.max(1, math.round(w * scale).toInt)
-    val oh = math.max(1, math.round(h * scale).toInt)
+    val (ow, oh) = fitBox(w, h, box)
     var s = 0xcbf29ce484222325L
     var i = 0
     while (i < blob.length) { s ^= blob(i); s *= 0x100000001b3L; i += 1 }
@@ -124,7 +232,10 @@ object Multimodal {
         // scaler init would happen here, once per partition
         batch.flatMap { case (id, mt, blob) =>
           if (!mt.startsWith("image") && !mt.startsWith("video")) Iterator.empty
-          else {
+          else if (mt == "image/png" && isPng(blob)) {
+            val (w, h, ow, oh, thumb) = resizePng(blob, box)
+            Iterator.single(Resized(id, mt, w, h, ow, oh, thumb))
+          } else {
             val (w, h, _, _) = decodeStub(mt, blob)
             val (ow, oh, thumb) = resizeStub(blob, w, h, box)
             Iterator.single(Resized(id, mt, w, h, ow, oh, thumb))

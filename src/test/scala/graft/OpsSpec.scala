@@ -155,12 +155,39 @@ class OpsSpec extends SparkSpec {
       val srcAspect = r.src_w.toDouble / r.src_h
       val outAspect = r.out_w.toDouble / r.out_h
       assert(math.abs(srcAspect - outAspect) / srcAspect < 0.05, s"$r")
-      assert(r.thumb.length == 64)
+      // image rows carry a real PNG rendition; video rows the 64-byte stub
+      if (r.media_type == "image/png")
+        assert((r.thumb(0) & 0xff) == 0x89 && r.thumb(1) == 'P', s"${r.doc_id}: not a PNG")
+      else assert(r.thumb.length == 64)
     }
     // deterministic across invocations
     val again = graft.ops.Multimodal.resize(graft.ops.Multimodal.syntheticMedia(d), box = 100)
       .collect().map(r => r.doc_id -> r.thumb.toSeq).toMap
     out.foreach { case (id, r) => assert(again(id) == r.thumb.toSeq) }
+  }
+
+  test("real PNG path: decode reads true dims; resize bytes == analytic twin") {
+    import spark.implicits._
+    import graft.golden.SequentialTwin
+    // production decodes the actual bitstream; the twin never decodes —
+    // it predicts dims and pixels in closed form
+    for (id <- Seq(0L, 3L, 21L, 96L, 141L)) {
+      val blob = Multimodal.pngFor(id)
+      val (w, h, frames, feat) = Multimodal.decode("image/png", blob)
+      assert((w, h) == SequentialTwin.twinImageDims(id), s"id=$id dims")
+      assert(frames == 1 && feat.length == 8)
+      val (sw, sh, ow, oh, thumb) = Multimodal.resizePng(blob, box = 24)
+      assert((sw, sh) == ((w, h)) && math.max(ow, oh) <= 24)
+      val twin = SequentialTwin.q49Resize(
+        Seq(SequentialTwin.Doc(id, "body", "en", "s")), box = 24).head
+      assert((twin.out_w, twin.out_h) == ((ow, oh)), s"id=$id fit")
+      assert(twin.thumb.toSeq == thumb.toSeq, s"id=$id rendition bytes diverge")
+    }
+    // the distributed plumbing carries the real PNG end-to-end
+    val meta = Multimodal.extract(Multimodal.syntheticMedia(docs(0L -> "x", 3L -> "y")))
+      .collect().sortBy(_.doc_id)
+    assert(meta.map(m => (m.width, m.height)).toSeq ==
+      Seq(SequentialTwin.twinImageDims(0L), SequentialTwin.twinImageDims(3L)))
   }
 
   test("multimodal extract: deterministic stub metadata, batch plumbing") {
