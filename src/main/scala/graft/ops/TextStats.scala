@@ -257,11 +257,12 @@ object TextStats {
               broadcastRows: Long = 4000000L): DataFrame = {
     import graft.functions.GraftFunctions.char_ngrams
     val m = graft.ops.Dedup.persistIntermediate(model)
-    val useBroadcast = m.count() <= broadcastRows
-    // tot is a model CONSTANT (one tiny job over the cached model), so the
-    // scoring expression folds it as a literal — no crossJoin re-aggregation
-    val totV = Option(m.agg(max(col("tot"))).head.get(0))
-      .map(_.asInstanceOf[Double]).getOrElse(1.0)
+    // ONE stats job over the cached model: row count (join-strategy choice)
+    // and tot (a model constant, folded into the scoring expression as a
+    // literal — no crossJoin re-aggregation)
+    val st = m.agg(count(lit(1)), max(col("tot"))).head
+    val useBroadcast = st.getLong(0) <= broadcastRows
+    val totV = if (st.isNullAt(1)) 1.0 else st.getDouble(1)
     val mJoin0 = m.select(col("gram"), col("cnt"))
     // above the bound: an explicit shuffle-hash hint — without it Catalyst's
     // size estimate of the cached model could still pick broadcast
