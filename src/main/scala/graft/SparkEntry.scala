@@ -182,6 +182,11 @@ object SparkEntry {
       Similarity.bruteForceTopK(s.read.parquet(t(dir, "embeddings")), col("vec_id") < 20, 10)),
     "q31_ann_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(s.read.parquet(t(dir, "embeddings")), col("vec_id") < 20, 10)),
+    // IVF under a TRAINED coarse quantizer: distributed k-means (Lloyd)
+    // with the deterministic hierarchical mean fold; golden-oracled vs an
+    // independent sequential k-means + probe/rank twin
+    "q66_ann_ivf_trained" -> ((s, dir) =>
+      Similarity.ivfTopKTrained(s.read.parquet(t(dir, "embeddings")), col("vec_id") < 20, 10)),
     "q32_embedding_neardup" -> ((s, dir) =>
       // 0.4: the synthetic embeddings' most-similar pairs sit around
       // 0.45-0.6 cosine; 0.95-style near-dup recall is property-tested on
@@ -551,6 +556,7 @@ object SparkEntry {
     "q61_bpe_segment" -> golden("q61_bpe_segment"),
     "q64_bpe_segment_2k" -> golden("q64_bpe_segment_2k"),
     "q65_packing_subwords" -> golden("q65_packing_subwords"),
+    "q66_ann_ivf_trained" -> golden("q66_ann_ivf_trained"),
     // INDEPENDENT oracle: constructs the expected canonical form from
     // (source, doc_id) directly — never re-runs a canonicalizer. Tracking
     // params (utm_source, ref) vanish; surviving params byte-sorted

@@ -67,6 +67,8 @@ object GoldenGen {
       "doc_id", "n_tokens", "n_subwords", "subword_str")
     write("q65_packing_subwords", q65PackBySubwords(docs),
       "doc_id", "n_tokens", "bucket", "pack_id")
+    write("q66_ann_ivf_trained", q66IvfTrained(vecs),
+      "query_id", "neighbor_id", "rank")
     write("q63_remove_dup_spans", q63RemoveDupSpans(docs, k = 10),
       "doc_id", "n_tokens", "n_removed", "text_clean")
 

@@ -409,6 +409,64 @@ object SequentialTwin {
     }
   }
 
+  /** q66 rows: IVF top-k under a TRAINED coarse quantizer — independent
+    * sequential k-means to the same spec as `Similarity.kmeansCodebook`
+    * (stride init, cosine assignment with first-max tie-break, centroid
+    * mean folded in the FIXED hierarchical order: per id-mod-fanout salt
+    * group ascending by vec_id, then salt groups ascending; empty clusters
+    * keep their centroid), then the assignment/probe/rank replication. */
+  def q66IvfTrained(vecs: Seq[(Long, Array[Float])], queryMax: Long = 20L,
+                    k: Int = 10, nList: Int = 16, nProbe: Int = 4,
+                    iters: Int = 3, fanout: Int = 16): Seq[(Long, Long, Int)] = {
+    if (vecs.isEmpty) return Nil
+    val maxId = vecs.map(_._1).max
+    val stride = math.max(1L, (maxId + 1) / nList)
+    var cents: Seq[(Long, Array[Float])] =
+      vecs.filter(_._1 % stride == 0).sortBy(_._1).take(nList)
+    def nearest(v: Array[Float]): Long = {
+      var bestId = cents.head._1
+      var best = Double.NegativeInfinity
+      for ((cid, cv) <- cents) {
+        val s = cosine(v, cv)
+        if (s > best) { best = s; bestId = cid }
+      }
+      bestId
+    }
+    for (_ <- 1 to iters) {
+      val assign = vecs.map { case (id, v) => (id, v, nearest(v)) }
+      cents = cents.map { case (cid, cv) =>
+        val members = assign.filter(_._3 == cid)
+        if (members.isEmpty) (cid, cv)
+        else {
+          val dim = cv.length
+          val total = new Array[Double](dim)
+          for (salt <- members.map(_._1 % fanout).distinct.sorted) {
+            val part = new Array[Double](dim)
+            for ((_, v, _) <- members.filter(_._1 % fanout == salt).sortBy(_._1)) {
+              var i = 0
+              while (i < dim) { part(i) += v(i).toDouble; i += 1 }
+            }
+            var i = 0
+            while (i < dim) { total(i) += part(i); i += 1 }
+          }
+          (cid, total.map(x => (x / members.length).toFloat))
+        }
+      }
+    }
+    val assigned = vecs.map { case (id, v) => (id, v, nearest(v)) }
+    vecs.filter(_._1 < queryMax).flatMap { case (qid, qv) =>
+      val probes = cents.map { case (cid, cv) => (cosine(qv, cv), cid) }
+        .sortBy { case (s, cid) => (-s, cid) }.take(nProbe).map(_._2).toSet
+      assigned.iterator
+        .filter(a => probes.contains(a._3) && a._1 != qid)
+        .map { case (nid, nv, _) => (cosine(qv, nv), nid) }
+        .toSeq
+        .sortBy { case (s, nid) => (-s, nid) }
+        .take(k).zipWithIndex
+        .map { case ((_, nid), r) => (qid, nid, r + 1) }
+    }
+  }
+
   // --------------------------------------------------------- scalar ops
 
   /** Independent fingerprint twin: the documented polynomial

@@ -139,12 +139,96 @@ object Similarity {
    * `list_id` (nList distinct keys would cap parallelism at nList and skew).
    */
   def ivfTopK(emb: DataFrame, queryFilter: Column, k: Int,
-              nList: Int = 16, nProbe: Int = 4): DataFrame = {
+              nList: Int = 16, nProbe: Int = 4): DataFrame =
+    ivfWithCodebook(emb, queryFilter, k, nProbe, centroidCodebook(emb, nList))
+
+  /**
+   * IVF with a TRAINED coarse quantizer: distributed k-means (Lloyd) from
+   * the deterministic stride init — the production codebook path (stride
+   * centroids are the k-means-free stand-in; real deployments train). Same
+   * probe/scan machinery and output schema as `ivfTopK`.
+   */
+  def ivfTopKTrained(emb: DataFrame, queryFilter: Column, k: Int,
+                     nList: Int = 16, nProbe: Int = 4, iters: Int = 3,
+                     fanout: Int = 16): DataFrame =
+    ivfWithCodebook(emb, queryFilter, k, nProbe,
+      kmeansCodebook(emb, nList, iters, fanout))
+
+  /**
+   * Distributed k-means (Lloyd) training of the coarse quantizer: cosine
+   * assignment (the IVF probe metric), centroid update = per-cluster MEAN
+   * of member vectors; empty clusters keep their previous centroid;
+   * centroid LABELS stay the init's ids (stable, ascending).
+   *
+   * DETERMINISM AT SCALE: float summation order changes a mean bit-wise,
+   * and Spark's partial-aggregation order is run-dependent — so the update
+   * step sums in a FIXED hierarchical order instead: members group by
+   * (cluster, salt = vec_id mod `fanout`); each salt-group folds its
+   * vectors in ascending vec_id order into a double[] partial; the cluster
+   * folds its partials in ascending salt order. Aggregation buffers are
+   * bounded by the salt-group size, so a mega-cluster never materializes
+   * in one buffer (the celebrity-node discipline of the CC operator), and
+   * the result is bit-identical across runs, partitionings and cluster
+   * sizes (partition-invariance + sequential-twin equality tested; q66
+   * golden-oracled end-to-end).
+   */
+  def kmeansCodebook(emb: DataFrame, nList: Int, iters: Int = 3,
+                     fanout: Int = 16): Array[Centroid] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    var cents = centroidCodebook(emb, nList)
+    if (cents.isEmpty) return cents
+    val vecs = emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    var it = 0
+    while (it < iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val partials = vecs
+        .mapPartitions { rows =>
+          val cs = bc.value
+          rows.map { case (id, v) => (nearestList(v, cs), id % fanout, id, v) }
+        }
+        .groupByKey { case (list, salt, _, _) => (list, salt) }
+        .mapGroups { (key: (Long, Long), rows: Iterator[(Long, Long, Long, Array[Float])]) =>
+          val buf = rows.toArray.sortBy(_._3) // ascending vec_id: fixed fold order
+          val dim = buf(0)._4.length
+          val sum = new Array[Double](dim)
+          buf.foreach { case (_, _, _, v) =>
+            var i = 0
+            while (i < dim) { sum(i) += v(i).toDouble; i += 1 }
+          }
+          (key._1, key._2, sum, buf.length.toLong)
+        }
+      val updated = partials
+        .groupByKey(_._1)
+        .mapGroups { (list: Long, ps: Iterator[(Long, Long, Array[Double], Long)]) =>
+          val sorted = ps.toArray.sortBy(_._2) // ascending salt: fixed fold order
+          val dim = sorted(0)._3.length
+          val sum = new Array[Double](dim)
+          var n = 0L
+          sorted.foreach { case (_, _, s, c) =>
+            var i = 0
+            while (i < dim) { sum(i) += s(i); i += 1 }
+            n += c
+          }
+          (list, sum.map(x => (x / n).toFloat))
+        }
+        .collect().toMap[Long, Array[Float]]
+      cents = cents.map(c => updated.get(c.id) match {
+        case Some(v) => Centroid(c.id, v, normScalar(v))
+        case None    => c // empty cluster keeps its previous centroid
+      })
+      bc.destroy()
+      it += 1
+    }
+    cents
+  }
+
+  private def ivfWithCodebook(emb: DataFrame, queryFilter: Column, k: Int,
+                              nProbe: Int, cents: Array[Centroid]): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     // NOTE: building the codebook runs Spark jobs at construction time (a
     // deployment passes a trained codebook artifact instead).
-    val cents = centroidCodebook(emb, nList)
     if (cents.isEmpty)
       return emb.limit(0).select(col("vec_id").as("query_id"),
         col("vec_id").as("neighbor_id"), lit(1).as("rank"))

@@ -562,6 +562,45 @@ class OpsSpec extends SparkSpec {
       s"rare doc must score below common docs: ${byId(10L)._3} vs ${byId(1L)._3}")
   }
 
+  test("kmeansCodebook: partition-invariant, bit-equal to the sequential twin, clusters converge") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = Similarity.kmeansCodebook(emb, nList = 16, iters = 3)
+    val b = Similarity.kmeansCodebook(emb.repartition(13), nList = 16, iters = 3)
+    assert(a.map(_.id).toSeq == b.map(_.id).toSeq)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.v.toSeq == y.v.toSeq, s"centroid ${x.id} differs across partitionings")
+    }
+    // the twin's own k-means (q66 path) produces bit-identical centroids:
+    // re-derive them by running the twin with iters only (probe internals
+    // are exercised by the q66 golden compare; here compare end-to-end rows)
+    val vecs = emb.select("vec_id", "embedding").as[(Long, Array[Float])]
+      .collect().sortBy(_._1).toSeq
+    val got = Similarity.ivfTopKTrained(emb, col("vec_id") < 20, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val twin = graft.golden.SequentialTwin.q66IvfTrained(vecs).toSet
+    assert(got == twin, s"sym diff: ${(got diff twin).take(3)} / ${(twin diff got).take(3)}")
+    // planted tight clusters: after training, members assign to their own
+    // cluster's centroid (the stride init starts badly on purpose)
+    val dim = 8
+    // block-contiguous clusters (i / 16) so the stride init (ids 0/16/32/48)
+    // seeds one centroid per true cluster — Lloyd then has to TIGHTEN them
+    val planted = (0L until 64L).map { i =>
+      val c = (i / 16).toInt
+      (i, Array.tabulate(dim)(d => (if (d == c * 2) 10f else 0.1f) + (i % 7) * 0.01f))
+    }
+    val pdf = planted.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCodebook(pdf, nList = 4, iters = 5)
+    val byCluster = planted.groupBy(_._1 / 16).view.mapValues { vs =>
+      vs.map(v => Similarity.nearestList(v._2, cents)).distinct
+    }.toMap
+    byCluster.foreach { case (c, assigns) =>
+      assert(assigns.size == 1, s"planted cluster $c split across centroids: $assigns")
+    }
+    assert(byCluster.values.flatten.toSet.size == 4, "distinct centroids per planted cluster")
+  }
+
   test("packByCounts budgets arbitrary units: subword packing == twin") {
     import graft.ops.Bpe
     import spark.implicits._
