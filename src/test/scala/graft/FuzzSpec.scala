@@ -132,4 +132,67 @@ class FuzzSpec extends SparkSpec {
         s"seed=$seed raw=$raw: $got vs ${h.matched}")
     }
   }
+
+  test("greedy BPE apply invariants on random corpora: lossless, rank-consistent") {
+    import spark.implicits._
+    import graft.ops.Bpe
+    val rnd = new scala.util.Random(515)
+    val alpha = "abcde"
+    for (trial <- 1 to 4) {
+      val texts = Vector.fill(40)(Vector.fill(1 + rnd.nextInt(8))(
+        Vector.fill(1 + rnd.nextInt(9))(alpha(rnd.nextInt(alpha.length))).mkString).mkString(" "))
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val merges = Bpe.train(df, numMerges = 10 + rnd.nextInt(20), minPairFreq = 1L)
+        .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+      val rank = merges.zipWithIndex.toMap
+      val rows = Bpe.segment(df, merges).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getSeq[String](3))).toSeq
+      rows.foreach { case (id, nTok, nSub, subs) =>
+        val words = texts(id.toInt).split(" ").filter(_.nonEmpty)
+        // LOSSLESS: subwords concatenate back to the original words in order
+        assert(subs.mkString == words.mkString, s"trial $trial doc $id lossy")
+        assert(nTok == words.length.toLong && nSub == subs.length.toLong)
+        // RANK-CONSISTENT (fixpoint): no adjacent subword pair inside one
+        // word still has a learned rank (greedy apply must exhaust merges).
+        // Reconstruct per-word boundaries by walking lengths.
+        var si = 0
+        words.foreach { w =>
+          val b = Vector.newBuilder[String]
+          var len = 0
+          while (len < w.length) { b += subs(si); len += subs(si).length; si += 1 }
+          val ws = b.result()
+          ws.zip(ws.drop(1)).foreach { p =>
+            assert(!rank.contains(p), s"trial $trial doc $id '$w': unapplied merge $p in $ws")
+          }
+        }
+      }
+      // twin agreement on the same random corpus (merge lists trained equal)
+      val seqDocs = texts.zipWithIndex.map { case (t, i) =>
+        graft.golden.SequentialTwin.Doc(i.toLong, t, "en", "s") }
+      val twin = graft.golden.SequentialTwin
+        .q61BpeSegment(seqDocs, numMerges = merges.length, minPairFreq = 1L)
+        .map(t => (t._1, t._2, t._3, t._4)).toSet
+      val gotSet = rows.map { case (id, nT, nS, subs) => (id, nT, nS, subs.mkString(" ")) }.toSet
+      assert(gotSet == twin, s"trial $trial twin divergence")
+    }
+  }
+
+  test("excise_positions == driver filter on random removal sets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val rows = (0L until 80L).map { id =>
+      val n = rnd.nextInt(40)
+      val toks = Vector.tabulate(n)(i => s"w$i")
+      val rem = Vector.fill(rnd.nextInt(12))(rnd.nextInt(n + 6) - 3).sorted
+      (id, toks, rem)
+    }
+    val got = rows.toDF("id", "toks", "removed")
+      .select(col("id"),
+        GraftFunctions.excise_positions(col("toks"), col("removed")).as("out"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    rows.foreach { case (id, toks, rem) =>
+      val want = toks.zipWithIndex.collect { case (t, i) if !rem.contains(i) => t }
+      assert(got(id) == want, s"id=$id rem=$rem")
+    }
+  }
 }
