@@ -187,6 +187,12 @@ object SparkEntry {
     // independent sequential k-means + probe/rank twin
     "q66_ann_ivf_trained" -> ((s, dir) =>
       Similarity.ivfTopKTrained(s.read.parquet(t(dir, "embeddings")), col("vec_id") < 20, 10)),
+    // SemDeDup (Abbas et al. 2023): k-means clusters -> exact within-cluster
+    // cosine pairs (triangle-blocked all-pairs join) -> CC duplicate groups,
+    // keep the least-centroid-similar representative; golden-oracled vs an
+    // independent sequential twin (own union-find, unblocked O(c^2) scan)
+    "q67_semdedup" -> ((s, dir) =>
+      Similarity.semDedup(s.read.parquet(t(dir, "embeddings")), threshold = 0.4)),
     "q32_embedding_neardup" -> ((s, dir) =>
       // 0.4: the synthetic embeddings' most-similar pairs sit around
       // 0.45-0.6 cosine; 0.95-style near-dup recall is property-tested on
@@ -241,6 +247,12 @@ object SparkEntry {
     // independent two-pass sequential twin
     "q63_remove_dup_spans" -> ((s, dir) =>
       Dedup.removeDupSpans(s.read.parquet(t(dir, "documents")), k = 10)),
+    // CCNet first-stage paragraph dedup (Wenzek et al. 2020) over the
+    // deterministic multi-paragraph enrichment: corpus-wide first
+    // occurrence of each distinct paragraph wins; golden-oracled vs an
+    // independent two-pass sequential twin
+    "q68_paragraph_dedup" -> ((s, dir) =>
+      Dedup.dedupParagraphs(Dedup.syntheticParagraphs(s.read.parquet(t(dir, "documents"))))),
     // benchmark decontamination: n-gram overlap vs a stand-in eval set
     // (docs with doc_id % 97 == 0); benchmark grams broadcast, no corpus
     // shuffle (plan-tested)
@@ -262,6 +274,14 @@ object SparkEntry {
     // broadcast, one per-doc combine shuffle
     "q56_lm_rarity" -> ((s, dir) =>
       TextStats.lmRarity(s.read.parquet(t(dir, "documents")), n = 3)),
+    // DSIR importance resampling (Xie et al. 2023): target = the English
+    // subset, raw = the full corpus; summed n-gram log-likelihood-ratio
+    // weights, deterministic gumbel top-k; golden-oracled vs a sequential
+    // twin with spec-re-derived char-n-gram models
+    "q69_dsir_select" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+      TextStats.dsirSelect(docs, docs.filter(col("lang") === "en"), k = 100)
+    }),
     // PII redaction over deterministically injected emails/phones/IPs
     // (documents carry no natural PII; the oracle reconstructs the same
     // corpus independently from doc_id)
@@ -297,6 +317,18 @@ object SparkEntry {
       Bpe.segment(docs, merges)
         .select(col("doc_id"), col("n_tokens"), col("n_subwords"),
           concat_ws(" ", col("subwords")).as("subword_str"))
+    }),
+    // tokenizer ENCODE: subword ids under the induced GPT-2-shaped
+    // vocabulary (base symbols UTF-8-ordered, then merge outputs by
+    // rank); golden-oracled vs the twin's independently derived
+    // vocabulary + its own greedy segmentation
+    "q70_bpe_encode" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+      val merges = Bpe.train(docs, numMerges = 20)
+        .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+      Bpe.encodeIds(docs, merges, Bpe.vocabulary(merges, Bpe.baseSymbols(docs)))
+        .select(col("doc_id"), col("n_subwords"),
+          array_join(transform(col("ids"), i => i.cast("string")), " ").as("ids_str"))
     }),
     // production-DEPTH tokenizer apply: 2,000 learned merges over the
     // deterministically enriched vocabulary (syntheticRichText — the base
@@ -403,6 +435,7 @@ object SparkEntry {
     "q38_hash_sample" -> golden("q38_hash_sample"),
     "q29_simhash_neardup" -> golden("q29_simhash_neardup"),
     "q32_embedding_neardup" -> golden("q32_embedding_neardup"),
+    "q67_semdedup" -> golden("q67_semdedup"),
     "q33_fingerprint" -> golden("q33_fingerprint"),
     "q35_frame_sample" -> golden("q35_frame_sample"),
     "q41_sentences" -> golden("q41_sentences"),
@@ -547,6 +580,9 @@ object SparkEntry {
          FROM documents GROUP BY source""",
     "q60_bpe_merges" -> golden("q60_bpe_merges"),
     "q63_remove_dup_spans" -> golden("q63_remove_dup_spans"),
+    "q68_paragraph_dedup" -> golden("q68_paragraph_dedup"),
+    "q69_dsir_select" -> golden("q69_dsir_select"),
+    "q70_bpe_encode" -> golden("q70_bpe_encode"),
     "q62_domain_cap" ->
       """SELECT doc_id, source, rnk FROM (
            SELECT doc_id, source,

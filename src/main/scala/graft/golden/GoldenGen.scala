@@ -69,6 +69,11 @@ object GoldenGen {
       "doc_id", "n_tokens", "bucket", "pack_id")
     write("q66_ann_ivf_trained", q66IvfTrained(vecs),
       "query_id", "neighbor_id", "rank")
+    write("q67_semdedup", q67SemDedup(vecs), "vec_id", "group_id", "keep")
+    write("q68_paragraph_dedup", q68ParagraphDedup(docs),
+      "doc_id", "n_paras", "n_dropped", "text_clean")
+    write("q69_dsir_select", q69Dsir(docs), "doc_id", "log_w", "rank")
+    write("q70_bpe_encode", q70BpeEncode(docs), "doc_id", "n_subwords", "ids_str")
     write("q63_remove_dup_spans", q63RemoveDupSpans(docs, k = 10),
       "doc_id", "n_tokens", "n_removed", "text_clean")
 

@@ -415,25 +415,31 @@ object SequentialTwin {
     * mean folded in the FIXED hierarchical order: per id-mod-fanout salt
     * group ascending by vec_id, then salt groups ascending; empty clusters
     * keep their centroid), then the assignment/probe/rank replication. */
-  def q66IvfTrained(vecs: Seq[(Long, Array[Float])], queryMax: Long = 20L,
-                    k: Int = 10, nList: Int = 16, nProbe: Int = 4,
-                    iters: Int = 3, fanout: Int = 16): Seq[(Long, Long, Int)] = {
-    if (vecs.isEmpty) return Nil
+  /** First-max nearest centroid over an id-ascending codebook: (cid, sim). */
+  private def twinNearest(v: Array[Float],
+                          cents: Seq[(Long, Array[Float])]): (Long, Double) = {
+    var bestId = cents.head._1
+    var best = Double.NegativeInfinity
+    for ((cid, cv) <- cents) {
+      val s = cosine(v, cv)
+      if (s > best) { best = s; bestId = cid }
+    }
+    (bestId, best)
+  }
+
+  /** Sequential k-means to the `Similarity.kmeansCodebook` spec (stride
+    * init, cosine assignment with first-max tie-break, centroid mean
+    * folded in the FIXED hierarchical order: per id-mod-fanout salt group
+    * ascending by vec_id, then salt groups ascending; empty clusters keep
+    * their centroid) — shared by the q66 and q67 twins. */
+  def twinKmeans(vecs: Seq[(Long, Array[Float])], nList: Int, iters: Int,
+                 fanout: Int): Seq[(Long, Array[Float])] = {
     val maxId = vecs.map(_._1).max
     val stride = math.max(1L, (maxId + 1) / nList)
     var cents: Seq[(Long, Array[Float])] =
       vecs.filter(_._1 % stride == 0).sortBy(_._1).take(nList)
-    def nearest(v: Array[Float]): Long = {
-      var bestId = cents.head._1
-      var best = Double.NegativeInfinity
-      for ((cid, cv) <- cents) {
-        val s = cosine(v, cv)
-        if (s > best) { best = s; bestId = cid }
-      }
-      bestId
-    }
     for (_ <- 1 to iters) {
-      val assign = vecs.map { case (id, v) => (id, v, nearest(v)) }
+      val assign = vecs.map { case (id, v) => (id, v, twinNearest(v, cents)._1) }
       cents = cents.map { case (cid, cv) =>
         val members = assign.filter(_._3 == cid)
         if (members.isEmpty) (cid, cv)
@@ -453,7 +459,15 @@ object SequentialTwin {
         }
       }
     }
-    val assigned = vecs.map { case (id, v) => (id, v, nearest(v)) }
+    cents
+  }
+
+  def q66IvfTrained(vecs: Seq[(Long, Array[Float])], queryMax: Long = 20L,
+                    k: Int = 10, nList: Int = 16, nProbe: Int = 4,
+                    iters: Int = 3, fanout: Int = 16): Seq[(Long, Long, Int)] = {
+    if (vecs.isEmpty) return Nil
+    val cents = twinKmeans(vecs, nList, iters, fanout)
+    val assigned = vecs.map { case (id, v) => (id, v, twinNearest(v, cents)._1) }
     vecs.filter(_._1 < queryMax).flatMap { case (qid, qv) =>
       val probes = cents.map { case (cid, cv) => (cosine(qv, cv), cid) }
         .sortBy { case (s, cid) => (-s, cid) }.take(nProbe).map(_._2).toSet
@@ -465,6 +479,124 @@ object SequentialTwin {
         .take(k).zipWithIndex
         .map { case ((_, nid), r) => (qid, nid, r + 1) }
     }
+  }
+
+  /** q67 rows: SemDeDup — k-means clusters (twinKmeans), exact all-pairs
+    * cosine >= threshold WITHIN each cluster (plain O(c^2) scan — no
+    * blocking; the production triangle-blocked join is the part under
+    * test), duplicate groups = union-find components of the pair graph,
+    * keeper = the member LEAST similar to its cluster centroid (ties to
+    * min vec_id). Output (vec_id, group_id = component min id, keep). */
+  def q67SemDedup(vecs: Seq[(Long, Array[Float])], threshold: Double = 0.4,
+                  nList: Int = 16, iters: Int = 3,
+                  fanout: Int = 16): Seq[(Long, Long, Boolean)] = {
+    if (vecs.isEmpty) return Nil
+    val cents = twinKmeans(vecs, nList, iters, fanout)
+    val assign = vecs.map { case (id, v) =>
+      val (cid, sim) = twinNearest(v, cents); (id, v, cid, sim)
+    }
+    val edges = assign.groupBy(_._3).valuesIterator.flatMap { members =>
+      val m = members.sortBy(_._1).toIndexedSeq
+      for {
+        i <- m.indices.iterator
+        j <- (i + 1 until m.length).iterator
+        if cosine(m(i)._2, m(j)._2) >= threshold
+      } yield (m(i)._1, m(j)._1)
+    }.toSeq
+    // union-find, min-id component labels
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val byRoot = parent.keys.toSeq.groupBy(find)
+    val label = byRoot.flatMap { case (_, ms) =>
+      val g = ms.min; ms.map(_ -> g)
+    }
+    val centCos = assign.map(a => a._1 -> a._4).toMap
+    val keeper = byRoot.values.map { ms =>
+      ms.minBy(id => (centCos(id), id))
+    }.toSet
+    assign.sortBy(_._1).map { case (id, _, _, _) =>
+      label.get(id) match {
+        case Some(g) => (id, g, keeper.contains(id))
+        case None    => (id, id, true)
+      }
+    }
+  }
+
+  /** q68 rows: CCNet-style paragraph dedup over the synthetic paragraph
+    * enrichment — both re-derived from spec: paragraphs = chunks of
+    * `4 + docId % 5` tokens space-joined; the corpus-wide FIRST occurrence
+    * of each distinct paragraph (by doc_id, then position) survives, every
+    * other occurrence (including later ones in the same doc) is excised.
+    * Independent two-pass HashMap algorithm (no shared production code). */
+  def q68ParagraphDedup(docs: Seq[Doc]): Seq[(Long, Long, Long, String)] = {
+    val enriched = docs.sortBy(_.docId).map { d =>
+      val cs = (4 + (d.docId % 5)).toInt
+      (d.docId, splitKeepAll(d.text).grouped(cs).map(_.mkString(" ")).toVector)
+    }
+    val first = scala.collection.mutable.HashMap[String, (Long, Int)]()
+    enriched.foreach { case (id, ps) =>
+      ps.zipWithIndex.foreach { case (p, i) =>
+        if (!first.contains(p)) first(p) = (id, i)
+      }
+    }
+    enriched.map { case (id, ps) =>
+      val kept = ps.zipWithIndex.collect { case (p, i) if first(p) == ((id, i)) => p }
+      (id, ps.length.toLong, (ps.length - kept.length).toLong, kept.mkString("\n"))
+    }
+  }
+
+  /** q69 rows: DSIR gumbel top-k selection. Char-n-gram models re-derived
+    * from the expression spec (code-point windows); counts/totals per the
+    * lmTrain contract (total counted BEFORE min-count flooring; unseen
+    * grams take floor count 1); mean logprob rounded to 6 decimals — the
+    * rounding absorbs summation-order differences, and every downstream
+    * number (`log_w = (lp_t - lp_r) * n_grams`, the gumbel key) is then
+    * bit-deterministic from the rounded values. Gumbel noise re-derives
+    * the production xxhash64(doc_id, seed) -> uniform -> -ln(-ln(u))
+    * chain with StrictMath (Spark's Log uses StrictMath.log). */
+  def q69Dsir(docs: Seq[Doc], targetLang: String = "en", k: Int = 100,
+              n: Int = 3, minCount: Long = 1L,
+              seed: Long = 7L): Seq[(Long, Double, Int)] = {
+    def grams(t: String): IndexedSeq[String] = {
+      val cps = t.codePoints.toArray
+      if (cps.length < n) IndexedSeq.empty
+      else (0 to cps.length - n).map(i => new String(cps, i, n))
+    }
+    def model(ds: Seq[Doc]): (Map[String, Long], Double) = {
+      val cnt = scala.collection.mutable.HashMap.empty[String, Long].withDefaultValue(0L)
+      ds.foreach(d => grams(d.text).foreach(g => cnt(g) += 1))
+      val tot = cnt.valuesIterator.sum.toDouble
+      (cnt.filter(_._2 >= minCount).toMap, tot)
+    }
+    val (mT, totT) = model(docs.filter(_.lang == targetLang))
+    val (mR, totR) = model(docs)
+    def lp(gs: IndexedSeq[String], m: Map[String, Long], tot: Double): Double =
+      sparkRound(gs.iterator.map(g =>
+        StrictMath.log(m.getOrElse(g, 1L).toDouble / tot)).sum / gs.length, 6)
+    val scored = docs.iterator
+      .map(d => (d, grams(d.text))).filter(_._2.nonEmpty)
+      .map { case (d, gs) =>
+        val logW = (lp(gs, mT, totT) - lp(gs, mR, totR)) * gs.length
+        val pm = {
+          val h = Xxh64.sparkChain(Seq[Any](d.docId, seed))
+          ((h % 1000000000L) + 1000000000L) % 1000000000L
+        }
+        val u = (pm.toDouble + 0.5) / 1.0e9
+        (d.docId, logW, logW - StrictMath.log(-StrictMath.log(u)))
+      }.toVector
+    scored.sortBy { case (id, _, gk) => (-gk, id) }.take(k).zipWithIndex
+      .map { case ((id, w, _), i) => (id, sparkRound(w, 6), i + 1) }
   }
 
   // --------------------------------------------------------- scalar ops
@@ -779,4 +911,29 @@ object SequentialTwin {
     * depth on the bounded synthetic vocabulary). */
   def q64BpeSegment2k(docs: Seq[Doc], numMerges: Int = 2000): Seq[(Long, Long, Long, String)] =
     q61BpeSegment(docs.map(enrichRichText), numMerges, minPairFreq = 1L)
+
+  /** q70 rows: tokenizer ENCODE — the twin derives its OWN vocabulary
+    * (base code points of the corpus minus the space separator, in
+    * code-point order = UTF-8 byte order; then merge outputs by rank,
+    * first occurrence keeps the id) and maps its own greedy segmentation
+    * to ids. Returns (doc_id, n_subwords, ids_str space-joined). */
+  def q70BpeEncode(docs: Seq[Doc], numMerges: Int = 20,
+                   minPairFreq: Long = 2L): Seq[(Long, Long, String)] = {
+    val merges = q60BpeMerges(docs, numMerges, minPairFreq)
+      .map { case (_, l, r, _) => (l, r) }
+    val rank = merges.zipWithIndex.toMap
+    val base = scala.collection.mutable.SortedSet.empty[String](cpOrdering)
+    docs.foreach(_.text.codePoints().forEach { cp =>
+      if (cp != ' ') base += new String(Character.toChars(cp))
+    })
+    val vocab = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    (base.toSeq ++ merges.map { case (l, r) => l + r })
+      .foreach(s => if (!vocab.contains(s)) vocab(s) = vocab.size)
+    docs.map { d =>
+      val segs = d.text.split(' ').filter(_.nonEmpty)
+        .flatMap(w => greedyApplyBpe(w, rank))
+      (d.docId, segs.length.toLong,
+        segs.map(s => vocab.getOrElse(s, -1)).mkString(" "))
+    }
+  }
 }

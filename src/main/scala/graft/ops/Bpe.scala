@@ -335,6 +335,50 @@ object Bpe {
       .toDF("doc_id", "n_tokens", "n_subwords", "subwords")
   }
 
+  /** Distinct single-code-point base symbols of the corpus (space — the
+    * word separator — excluded), collected to the driver: alphabet-
+    * bounded (bytes for Latin corpora, <= ~1M code points for full-
+    * Unicode web text), never corpus-sized. */
+  def baseSymbols(docs: DataFrame): Seq[String] =
+    docs.select(explode(
+        graft.functions.GraftFunctions.char_ngrams(col("text"), 1)).as("s"))
+      .filter(col("s") =!= " ").distinct()
+      .collect().map(_.getString(0)).toSeq
+
+  /** Closed subword vocabulary induced by a merge list — the GPT-2
+    * vocab.json shape: base symbols first in UTF-8 byte order (the
+    * train-side tie-break order; ids 0..S-1), then each merge's OUTPUT
+    * symbol in rank order. A string reachable by two different merge
+    * paths keeps its FIRST id and ids stay dense. */
+  def vocabulary(merges: Seq[(String, String)], base: Seq[String]): Map[String, Int] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    (base.distinct.sortWith(cmpUtf8(_, _) < 0) ++ merges.map { case (l, r) => l + r })
+      .foreach(s => if (!m.contains(s)) m(s) = m.size)
+    m.toMap
+  }
+
+  /** Tokenizer ENCODE: `segment` + vocabulary lookup -> subword ids (the
+    * reference's token-to-id step — NeuralNERMono/utils/utilsLocal.py:318-324
+    * — re-expressed for subword units; every training pipeline feeds ids,
+    * not strings). Symbols absent from `vocab` (possible only when
+    * encoding under a FOREIGN corpus's vocabulary) take `unkId`.
+    * Returns (doc_id, n_subwords, ids array<int>); map-only, vocab
+    * broadcast — the same scale shape as `segment`. */
+  def encodeIds(docs: DataFrame, merges: Seq[(String, String)],
+                vocab: Map[String, Int], unkId: Int = -1): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vb = spark.sparkContext.broadcast(vocab)
+    segment(docs, merges)
+      .select(col("doc_id"), col("n_subwords"), col("subwords"))
+      .as[(Long, Long, Seq[String])]
+      .mapPartitions { it =>
+        val v = vb.value
+        it.map { case (id, n, subs) => (id, n, subs.map(s => v.getOrElse(s, unkId))) }
+      }
+      .toDF("doc_id", "n_subwords", "ids")
+  }
+
   /**
    * Deterministic vocabulary ENRICHMENT for tokenizer-scale tests: the
    * synthetic corpus has only ~31 distinct whitespace tokens (nowhere near

@@ -374,6 +374,68 @@ object Dedup {
           .as("text_clean"))
   }
 
+  /** Deterministic multi-paragraph enrichment for the paragraph-dedup
+    * tests/benchmarks: the corpus has single-line texts, so chunk each
+    * document's tokens into paragraphs of `4 + doc_id % 5` tokens joined
+    * by \n. Twin-reproducible from (doc_id, text) alone — the sequential
+    * twin re-derives it from this spec (chunk size, 0-based chunks,
+    * space-joined) without sharing code. */
+  def syntheticParagraphs(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val cs = lit(4) + pmod(col("doc_id"), lit(5L)).cast("int")
+    docs.withColumn("text",
+      concat_ws("\n",
+        transform(
+          sequence(lit(0), floor((size(toks) + cs - lit(1)) / cs).cast("int") - 1),
+          i => concat_ws(" ", slice(toks, i * cs + lit(1), cs)))))
+  }
+
+  /**
+   * Paragraph-level exact deduplication (the CCNet first stage, Wenzek et
+   * al. 2020, arXiv:1911.00359): split each document into \n-paragraphs,
+   * keep only the corpus-wide FIRST occurrence of each distinct paragraph
+   * (order = (doc_id, position)), excise the rest, and reassemble.
+   * Returns (doc_id, n_paras, n_dropped, text_clean) for every input doc.
+   *
+   * 100 TB shape (`hashKeys = true`): the keeper aggregation keys on
+   * xxhash64(paragraph) — the corpus text never rides the dedup shuffle,
+   * only 8-byte keys + (doc_id, pos); a 64-bit collision can only
+   * OVER-drop (two distinct paragraphs sharing a keeper), and the two
+   * modes are equality-tested at test scale. The drop-list join back to
+   * the corpus is keyed by doc_id and carries only int positions for the
+   * (typically small) subset of docs that lose a paragraph — untouched
+   * docs pass through the left join with their text unshuffled, and a
+   * boilerplate paragraph duplicated across 10^9 docs is a wide join
+   * partition (AQE-splittable), never a collect_list buffer. Excision
+   * reuses the sorted-merge `excise_positions` expression (O(paras +
+   * dropped) per doc).
+   */
+  def dedupParagraphs(docs: DataFrame, hashKeys: Boolean = false): DataFrame = {
+    val paras = split(col("text"), "\n")
+    val pKey = if (hashKeys) xxhash64(col("p0")) else col("p0")
+    val ex = docs
+      .select(col("doc_id"), posexplode(paras).as(Seq("pos", "p0")))
+      .select(col("doc_id"), col("pos"), pKey.as("p"))
+    val keepers = ex.groupBy(col("p"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("keep"),
+        count(lit(1)).as("occ"))
+    val dropped = ex.join(keepers, Seq("p"))
+      .filter(col("occ") > 1 &&
+        !(col("doc_id") === col("keep.doc_id") && col("pos") === col("keep.pos")))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_set(col("pos"))).as("removed"))
+    docs
+      .withColumn("paras", paras)
+      .join(dropped, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("paras")).cast("long").as("n_paras"),
+        coalesce(size(col("removed")), lit(0)).cast("long").as("n_dropped"),
+        when(col("removed").isNull, col("text"))
+          .otherwise(concat_ws("\n",
+            graft.functions.GraftFunctions.excise_positions(col("paras"), col("removed"))))
+          .as("text_clean"))
+  }
+
   /** 64-bit SimHash per document: per-token hash bits vote +1/-1; the sign
     * vector is the fingerprint. Native codegen'd expression (one compiled
     * pass; value-identical to the HOF bit-vote form, parity-tested in

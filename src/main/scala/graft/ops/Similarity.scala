@@ -103,7 +103,14 @@ object Similarity {
 
   /** Nearest-centroid id for one vector: max cosine, ties to the smaller
     * centroid id (codebook is id-ascending; strict > keeps the first). */
-  def nearestList(v: Array[Float], cents: Array[Centroid]): Long = {
+  def nearestList(v: Array[Float], cents: Array[Centroid]): Long =
+    nearestListSim(v, cents)._1
+
+  /** Nearest centroid id AND its cosine — same loop, same first-max
+    * tie-break as `nearestList` (which delegates here). The cosine is the
+    * exact double `dot / (|v| * |c|)` in array order, bit-identical to
+    * `cosineScalar` on the same operands. */
+  def nearestListSim(v: Array[Float], cents: Array[Centroid]): (Long, Double) = {
     val vn = normScalar(v)
     var bestId = cents(0).id
     var bestSim = Double.NegativeInfinity
@@ -116,7 +123,7 @@ object Similarity {
       if (sim > bestSim) { bestSim = sim; bestId = c.id }
       ci += 1
     }
-    bestId
+    (bestId, bestSim)
   }
 
   /** Top-`nProbe` centroid ids for a query vector (cosine desc, id asc). */
@@ -261,5 +268,99 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
+  }
+
+  /**
+   * SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+   * deduplication over the embedding table. Cluster with the trained
+   * k-means coarse quantizer (`kmeansCodebook` — deterministic Lloyd),
+   * find EXACT cosine pairs `>= threshold` WITHIN each cluster, take
+   * connected components of that pair graph as duplicate groups, and keep
+   * ONE representative per group — the member LEAST similar to its
+   * cluster centroid (the paper's low-centroid-similarity keeper, §3;
+   * ties to the smaller vec_id). Cross-cluster near-dups are out of
+   * contract (the paper's approximation): recall rises as `nList` falls
+   * (bigger clusters), while within-cluster cost rises quadratically.
+   *
+   * Returns (vec_id, group_id, keep): group_id = min vec_id of the
+   * duplicate group (own id for singletons); keep = true for singletons
+   * and representatives.
+   *
+   * 100 TB shape: the within-cluster all-pairs join is TRIANGLE-BLOCKED.
+   * Each vector lands in block `vec_id mod blocks` and replicates to the
+   * `blocks` block-pair reducers containing its block, so pair tasks key
+   * on (list_id, blockLo, blockHi) — nList * B(B+1)/2 distinct keys
+   * instead of nList, and a mega-cluster becomes B(B+1)/2 tasks of
+   * (c/B)^2 work instead of one c^2 task (pick B so (c/B)^2 pairs fit a
+   * task; cost is B-fold replication of the vector column through one
+   * shuffle). Exact-within-cluster is the operator's contract, so there
+   * is no silent candidate cap — skew relief comes from nList (smaller
+   * clusters) and B (finer tasks). At deployment the assignment is a
+   * persisted fact table (computed once, reused across thresholds); here
+   * it is cached for the operator's own three uses and self-cleaned via
+   * the Dedup eager/lazy discipline.
+   */
+  /** The triangle-blocked within-cluster pair generation (see `semDedup`):
+    * a row in block `b = vec_id mod blocks` participates in exactly the
+    * `blocks` reducers {(min(b,x), max(b,x)) : x in 0..B-1}; a cross-block
+    * pair shares exactly ONE reducer, a same-block pair shares all of its
+    * row's reducers — the (lo,hi)==(min,max) filter pins each pair to its
+    * home reducer so it is generated exactly once. Every pair-producing
+    * Exchange is keyed on (list_id, bp), never list_id alone
+    * (plan-tested): parallelism is nList*B(B+1)/2, not nList.
+    * `assigned`: (vec_id, embedding, list_id). Returns (src, dst). */
+  private[graft] def semDedupEdges(assigned: DataFrame, threshold: Double,
+                                   blocks: Int): DataFrame = {
+    val exploded = assigned
+      .withColumn("block", pmod(col("vec_id"), lit(blocks.toLong)).cast("int"))
+      .withColumn("bp", explode(transform(sequence(lit(0), lit(blocks - 1)),
+        x => struct(least(col("block"), x).as("lo"),
+                    greatest(col("block"), x).as("hi")))))
+    val l = exploded.select(col("list_id"), col("bp"),
+      col("vec_id").as("v1"), col("block").as("b1"), col("embedding").as("e1"))
+    val r = exploded.select(col("list_id"), col("bp"),
+      col("vec_id").as("v2"), col("block").as("b2"), col("embedding").as("e2"))
+    l.join(r, Seq("list_id", "bp"))
+      .filter(col("v1") < col("v2"))
+      .filter(col("bp.lo") === least(col("b1"), col("b2")) &&
+              col("bp.hi") === greatest(col("b1"), col("b2")))
+      .filter(cosine(col("e1"), col("e2")) >= lit(threshold))
+      .select(col("v1").as("src"), col("v2").as("dst"))
+  }
+
+  def semDedup(emb: DataFrame, threshold: Double = 0.7, nList: Int = 16,
+               iters: Int = 3, fanout: Int = 16, blocks: Int = 4): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents = kmeansCodebook(emb, nList, iters, fanout)
+    if (cents.isEmpty)
+      return emb.limit(0).select(col("vec_id"),
+        col("vec_id").as("group_id"), lit(true).as("keep"))
+    val bcCents = spark.sparkContext.broadcast(cents)
+    // assignment + cosine-to-centroid in one partition-local pass
+    val assigned = Dedup.persistIntermediate(
+      emb.select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])]
+        .mapPartitions { it =>
+          val cs = bcCents.value
+          it.map { case (id, v) =>
+            val (lid, sim) = nearestListSim(v, cs)
+            (id, v, lid, sim)
+          }
+        }.toDF("vec_id", "embedding", "list_id", "cent_cos"))
+    val comps = graft.canon.ConnectedComponents.run(
+      semDedupEdges(assigned, threshold, blocks)) // (id, component)
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("cent_cos").asc, col("id").asc)
+    val reps = comps
+      .join(assigned.select(col("vec_id").as("id"), col("cent_cos")), Seq("id"))
+      .withColumn("rn", row_number().over(w))
+    val out = assigned.select(col("vec_id"))
+      .join(reps.select(col("id").as("vec_id"), col("component"), col("rn")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("component"), col("vec_id")).as("group_id"),
+        coalesce(col("rn") === 1, lit(true)).as("keep"))
+    Dedup.finish(out, assigned)
   }
 }

@@ -280,6 +280,43 @@ object TextStats {
   }
 
   /**
+   * DSIR-style importance resampling (Xie et al. 2023, arXiv:2302.03169):
+   * score every raw doc under a TARGET-domain char-n-gram LM and under
+   * the raw-corpus LM (both `lmTrain`/`lmScore`); the importance
+   * log-weight is the summed n-gram log-likelihood ratio
+   * `(lp_target - lp_raw) * n_grams` (lp = the rounded mean logprob from
+   * lmScore, so the weight is bit-deterministic); select `k` docs by
+   * GUMBEL TOP-K — Gumbel noise `-ln(-ln(u))` with u derived from
+   * xxhash64(doc_id, seed), so the selection IS sampling without
+   * replacement proportional to exp(log_w) yet reproducible bit-for-bit.
+   * Returns (doc_id, log_w, rank); docs shorter than n chars have no
+   * grams and are never candidates (no lmScore row — they carry no
+   * evidence either way).
+   *
+   * Scale shape: two lmScore passes (model join + per-doc combine each),
+   * a doc-keyed join of the two slim score tables, and a global
+   * TakeOrdered(k) — no full sort; only k rows pass the final rank
+   * window (single tiny partition by construction).
+   */
+  def dsirSelect(raw: DataFrame, target: DataFrame, k: Int, n: Int = 3,
+                 minCount: Long = 1L, seed: Long = 7L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sT = lmScore(raw, lmTrain(target, n, minCount), n)
+      .select(col("doc_id"), col("n_grams"), col("lm_logprob").as("lp_t"))
+    val sR = lmScore(raw, lmTrain(raw, n, minCount), n)
+      .select(col("doc_id"), col("lm_logprob").as("lp_r"))
+    val u = (pmod(xxhash64(col("doc_id"), lit(seed)), lit(1000000000L))
+      .cast("double") + lit(0.5)) / lit(1.0e9)
+    val top = sT.join(sR, Seq("doc_id"))
+      .withColumn("log_w", (col("lp_t") - col("lp_r")) * col("n_grams"))
+      .withColumn("gkey", col("log_w") - log(-log(u)))
+      .orderBy(col("gkey").desc, col("doc_id").asc).limit(k)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("gkey").desc, col("doc_id").asc)))
+      .select(col("doc_id"), round(col("log_w"), 6).as("log_w"), col("rank"))
+  }
+
+  /**
    * PII REDACTION (emails, NANP-style phone numbers, IPv4 addresses):
    * per-doc match counts plus the redacted text with each span replaced by
    * a typed placeholder. Pure regexp column expressions (codegen, one scan);

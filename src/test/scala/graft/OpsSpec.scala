@@ -601,6 +601,142 @@ class OpsSpec extends SparkSpec {
     assert(byCluster.values.flatten.toSet.size == 4, "distinct centroids per planted cluster")
   }
 
+  test("encodeIds: GPT-2-shaped vocab, unk under foreign vocab, twin-equal") {
+    import spark.implicits._
+    import graft.ops.Bpe
+    // vocabulary shape: base symbols UTF-8-ordered, then merge outputs by
+    // rank; a duplicate-path output keeps its first id, ids stay dense
+    val v = Bpe.vocabulary(
+      Seq(("a", "b"), ("ab", "c"), ("b", "c"), ("a", "bc")),
+      Seq("c", "a", "b"))
+    assert(v("a") == 0 && v("b") == 1 && v("c") == 2)
+    assert(v("ab") == 3 && v("abc") == 4 && v("bc") == 5)
+    assert(v.size == 6 && v.values.toSeq.sorted == (0 to 5))
+    // encode round-trip on a tiny corpus: ids map back to the segmentation
+    val tiny = Seq((1L, "abc ab c x")).toDF("doc_id", "text")
+    val merges = Seq(("a", "b"), ("ab", "c"))
+    val tinyVocab = Bpe.vocabulary(merges, Seq("a", "b", "c", "x"))
+    val enc = Bpe.encodeIds(tiny, merges, tinyVocab).collect().head
+    assert(enc.getLong(1) == 4L) // abc, ab, c, x
+    val rev = tinyVocab.map(_.swap)
+    assert(enc.getSeq[Int](2).map(rev) == Seq("abc", "ab", "c", "x"))
+    // foreign vocabulary: unseen base symbol takes unkId
+    val foreign = Bpe.encodeIds(Seq((2L, "z ab")).toDF("doc_id", "text"),
+      merges, tinyVocab).collect().head
+    assert(foreign.getSeq[Int](2).head == -1 && foreign.getSeq[Int](2)(1) == tinyVocab("ab"))
+    // corpus: production encode == independent twin (own vocab derivation)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpusMerges = Bpe.train(docs, numMerges = 20)
+      .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    val got = Bpe.encodeIds(docs, corpusMerges,
+        Bpe.vocabulary(corpusMerges, Bpe.baseSymbols(docs)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2).mkString(" "))).toSet
+    val seqDocs = docs.select("doc_id", "text", "lang", "source")
+      .as[(Long, String, String, String)].collect().sortBy(_._1)
+      .map { case (id, t, l, s) => graft.golden.SequentialTwin.Doc(id, t, l, s) }.toSeq
+    val twin = graft.golden.SequentialTwin.q70BpeEncode(seqDocs).toSet
+    assert(got == twin, s"sym diff: ${(got diff twin).take(2)} / ${(twin diff got).take(2)}")
+  }
+
+  test("dsirSelect: twin-equal, target-lean docs rank high, deterministic") {
+    import spark.implicits._
+    val raw = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSet
+    val got = rows(TextStats.dsirSelect(raw, raw.filter(col("lang") === "en"), k = 100))
+    val seqDocs = raw.select("doc_id", "text", "lang", "source")
+      .as[(Long, String, String, String)].collect().sortBy(_._1)
+      .map { case (id, t, l, s) => graft.golden.SequentialTwin.Doc(id, t, l, s) }.toSeq
+    val twin = graft.golden.SequentialTwin.q69Dsir(seqDocs).toSet
+    assert(got == twin, s"sym diff: ${(got diff twin).take(3)} / ${(twin diff got).take(3)}")
+    assert(got.size == 100 && got.map(_._3) == (1 to 100).toSet)
+    // partition-invariant (selection rides rounded scores + hash noise)
+    assert(rows(TextStats.dsirSelect(raw.repartition(11),
+      raw.filter(col("lang") === "en"), k = 100)) == got)
+    // planted: target trigrams boost a matching raw doc above a mismatched
+    // one with overwhelming probability mass (importance weight sign)
+    val target = Seq((100L, "xxx yyy zzz xxx yyy zzz", "en", "t"))
+      .toDF("doc_id", "text", "lang", "source")
+    val mixed = Seq(
+      (1L, "xxx yyy zzz xxx yyy", "en", "s"),
+      (2L, "aaa bbb ccc ddd eee", "en", "s")
+    ).toDF("doc_id", "text", "lang", "source")
+    val sel = TextStats.dsirSelect(mixed, target, k = 2).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(sel(1L) > sel(2L),
+      s"target-resembling doc must out-weigh the mismatch: $sel")
+  }
+
+  test("dedupParagraphs: first occurrence wins, hash-key parity, twin-equal") {
+    import spark.implicits._
+    // planted: cross-doc and within-doc shared paragraphs
+    val planted = Seq(
+      (1L, "a b\nc d\ne f"),
+      (2L, "c d\ng h"),      // "c d" loses to doc1 pos1
+      (3L, "a b\na b\nz z"), // both "a b" lose to doc1 pos0
+      (4L, "q r")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupParagraphs(planted).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 3L, 0L, "a b\nc d\ne f"),
+      (2L, 2L, 1L, "g h"),
+      (3L, 3L, 2L, "z z"),
+      (4L, 1L, 0L, "q r")))
+    // corpus: hash-keyed (100 TB) mode and partitioning change nothing
+    val docs = Dedup.syntheticParagraphs(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val exact = rows(Dedup.dedupParagraphs(docs))
+    assert(rows(Dedup.dedupParagraphs(docs, hashKeys = true)) == exact)
+    assert(rows(Dedup.dedupParagraphs(docs.repartition(7))) == exact)
+    // independent twin (enrichment + dedup re-derived from spec)
+    val seqDocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text", "lang", "source")
+      .as[(Long, String, String, String)].collect().sortBy(_._1)
+      .map { case (id, t, l, s) => graft.golden.SequentialTwin.Doc(id, t, l, s) }.toSeq
+    val twin = graft.golden.SequentialTwin.q68ParagraphDedup(seqDocs).toSet
+    assert(exact == twin,
+      s"sym diff: ${(exact diff twin).take(2)} / ${(twin diff exact).take(2)}")
+  }
+
+  test("semDedup: twin-equal, block/partition-invariant, planted dups grouped") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val got = rows(Similarity.semDedup(emb, threshold = 0.4))
+    val vecs = emb.select("vec_id", "embedding").as[(Long, Array[Float])]
+      .collect().sortBy(_._1).toSeq
+    val twin = graft.golden.SequentialTwin.q67SemDedup(vecs, threshold = 0.4).toSet
+    assert(got == twin, s"sym diff: ${(got diff twin).take(3)} / ${(twin diff got).take(3)}")
+    // blocking factor and input partitioning change nothing
+    assert(rows(Similarity.semDedup(emb.repartition(13), threshold = 0.4, blocks = 1)) == got)
+    assert(rows(Similarity.semDedup(emb.repartition(3), threshold = 0.4, blocks = 7)) == got)
+    // planted duplicate groups: pairs of near-identical vectors plus
+    // orthogonal singletons; every pair becomes one group keeping exactly
+    // the least-centroid-similar member, singletons keep themselves
+    val dim = 8
+    val planted = (0L until 40L).map { i =>
+      val base = (i / 2).toInt % 4
+      val jitter = if (i % 2 == 1) 0.05f else 0f // dup of the even twin
+      (i, Array.tabulate(dim)(d => (if (d == base * 2) 10f else 0.2f) + jitter + (i / 8) * 0.001f))
+    }
+    val pres = Similarity.semDedup(planted.toDF("vec_id", "embedding"),
+      threshold = 0.999, nList = 4, blocks = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val groups = pres.groupBy(_._2)
+    groups.foreach { case (g, ms) =>
+      assert(ms.count(_._3) == 1, s"group $g keeps ${ms.count(_._3)} members: ${ms.toSeq}")
+      assert(g == ms.map(_._1).min, s"group label $g is not the min member id")
+    }
+    assert(pres.length == 40 && pres.count(_._3) < 40, "planted dups must drop rows")
+    // empty input: schema preserved, zero rows
+    val empty = Similarity.semDedup(emb.filter(col("vec_id") < 0))
+    assert(empty.columns.toSeq == Seq("vec_id", "group_id", "keep") && empty.count() == 0)
+  }
+
   test("packByCounts budgets arbitrary units: subword packing == twin") {
     import graft.ops.Bpe
     import spark.implicits._

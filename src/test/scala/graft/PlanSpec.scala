@@ -183,6 +183,40 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum") || p.contains("HashAggregate"), p.take(1500))
   }
 
+  test("round-4 ops: semDedup exchanges keyed (list_id, bp); DSIR TakeOrdered; q68 pruned + hashed keys") {
+    import spark.implicits._
+    // semDedup pair generation: parallelism must come from the block-pair
+    // key — an Exchange keyed on the nList-valued list_id ALONE would cap
+    // tasks at nList and skew on mega-clusters
+    val assigned = (0L until 64L).map(i => (i, Array.fill(4)(i.toFloat + 1f), i % 3))
+      .toDF("vec_id", "embedding", "list_id")
+    // tiny inputs legitimately broadcast; force the shuffle path to audit
+    // the at-scale exchange keys
+    val bcThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val pe = plan(graft.ops.Similarity.semDedupEdges(assigned, 0.5, 4))
+      val parts = pe.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+      assert(parts.nonEmpty, pe.take(2000))
+      parts.filter(_.contains("list_id")).foreach(l0 =>
+        assert(l0.contains("bp"), s"exchange keyed on list_id without bp: $l0"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcThreshold)
+    // DSIR: the global k-selection is TakeOrdered, never Sort+GlobalLimit
+    graft.ops.Dedup.withLazyPlans {
+      val p69 = plan(SparkEntry.queries("q69_dsir_select")(spark, sf))
+      assert(p69.contains("TakeOrderedAndProject"), p69.take(3000))
+    }
+    // paragraph dedup, 100 TB mode: scans pruned past lang/source and the
+    // keeper aggregation keys on xxhash64 (text never rides that shuffle)
+    val docs = graft.ops.Dedup.syntheticParagraphs(
+      spark.read.parquet(s"$sf/documents.parquet"))
+    val p68 = plan(graft.ops.Dedup.dedupParagraphs(docs, hashKeys = true))
+    assert(p68.contains("xxhash64"), p68.take(3000))
+    val rs = p68.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(rs.nonEmpty && rs.forall(r => !r.contains("lang") && !r.contains("source")),
+      rs.toString)
+  }
+
   test("AQE splits a skewed shuffle-join partition at runtime") {
     import spark.implicits._
     // one pathological key (20k rows) among 200 normal keys; thresholds
