@@ -293,27 +293,56 @@ object TextStats {
    * grams and are never candidates (no lmScore row — they carry no
    * evidence either way).
    *
-   * Scale shape: two lmScore passes (model join + per-doc combine each),
-   * a doc-keyed join of the two slim score tables, and a global
-   * TakeOrdered(k) — no full sort; only k rows pass the final rank
-   * window (single tiny partition by construction).
+   * Scale shape: ONE gram pass over the raw corpus — both models join
+   * onto the same explode (broadcast below `broadcastRows`, shuffle-hash
+   * above, the lmScore discipline) and both mean logprobs come out of the
+   * same per-doc combine — then a global TakeOrdered(k): no full sort,
+   * and only k rows pass the final rank window (single tiny partition by
+   * construction). The per-model rounding is exactly lmScore's, so the
+   * result is unchanged vs composing two lmScore calls.
    */
   def dsirSelect(raw: DataFrame, target: DataFrame, k: Int, n: Int = 3,
-                 minCount: Long = 1L, seed: Long = 7L): DataFrame = {
+                 minCount: Long = 1L, seed: Long = 7L,
+                 broadcastRows: Long = 4000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sT = lmScore(raw, lmTrain(target, n, minCount), n)
-      .select(col("doc_id"), col("n_grams"), col("lm_logprob").as("lp_t"))
-    val sR = lmScore(raw, lmTrain(raw, n, minCount), n)
-      .select(col("doc_id"), col("lm_logprob").as("lp_r"))
+    import graft.functions.GraftFunctions.char_ngrams
+    import graft.ops.Dedup.{persistIntermediate, finish}
+    // both models join onto ONE gram explode of the raw corpus (a second
+    // lmScore pass would re-scan + re-explode 100 TB for no new
+    // information); per-model mean logprobs come out of the same per-doc
+    // combine, each rounded exactly as lmScore rounds (the q56 contract)
+    val mT = persistIntermediate(lmTrain(target, n, minCount))
+    val mR = persistIntermediate(lmTrain(raw, n, minCount))
+    def side(m: DataFrame, cntAs: String): (DataFrame, Double) = {
+      val st = m.agg(count(lit(1)), max(col("tot"))).head
+      val tot = if (st.isNullAt(1)) 1.0 else st.getDouble(1)
+      val j0 = m.select(col("gram"), col("cnt").as(cntAs))
+      (if (st.getLong(0) <= broadcastRows) broadcast(j0)
+       else j0.hint("shuffle_hash"), tot)
+    }
+    val (mTj, totT) = side(mT, "cnt_t")
+    val (mRj, totR) = side(mR, "cnt_r")
+    val scored = raw
+      .select(col("doc_id"), explode(char_ngrams(col("text"), n)).as("gram"))
+      .join(mTj, Seq("gram"), "left")
+      .join(mRj, Seq("gram"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cnt_t"), lit(1L)).as("et"),
+        coalesce(col("cnt_r"), lit(1L)).as("er"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        round(avg(log(col("et").cast("double") / lit(totT))), 6).as("lp_t"),
+        round(avg(log(col("er").cast("double") / lit(totR))), 6).as("lp_r"))
     val u = (pmod(xxhash64(col("doc_id"), lit(seed)), lit(1000000000L))
       .cast("double") + lit(0.5)) / lit(1.0e9)
-    val top = sT.join(sR, Seq("doc_id"))
+    val top = scored
       .withColumn("log_w", (col("lp_t") - col("lp_r")) * col("n_grams"))
       .withColumn("gkey", col("log_w") - log(-log(u)))
       .orderBy(col("gkey").desc, col("doc_id").asc).limit(k)
-    top.withColumn("rank",
+    val out = top.withColumn("rank",
         row_number().over(Window.orderBy(col("gkey").desc, col("doc_id").asc)))
       .select(col("doc_id"), round(col("log_w"), 6).as("log_w"), col("rank"))
+    finish(out, mT, mR)
   }
 
   /**

@@ -154,6 +154,80 @@ object StreamIngest {
     graft.core.TableIO.read(spark, stateRoot, "batch_id")
       .filter(col("batch_id") < batchId)
 
+  /**
+   * Streaming PARAGRAPH dedup — the foreachBatch twin of
+   * `Dedup.dedupParagraphs` for a continuously-landing crawl: a paragraph
+   * survives only at its corpus-HISTORY-wide first occurrence (prior
+   * batches' kept hashes take priority, then this batch's (doc_id, pos)
+   * order). Per micro-batch:
+   *
+   *  1. within-batch winners: min (doc_id, pos) per paragraph hash; every
+   *     other occurrence is excised;
+   *  2. winners whose hash a PRIOR batch kept are excised too — the state
+   *     read is partition-pruned to `batch_id < batchId`, so a crash
+   *     REPLAY recomputes the same kept set (it can never match its own
+   *     committed hashes);
+   *  3. hashes NEW to the state append crash-atomically
+   *     (`TableIO.writeResumable` partitioned by batch_id — a replayed
+   *     batch's write is a no-op);
+   *  4. pages reassemble in place via the sorted-merge `excise_positions`.
+   *
+   * The state stores the 8-byte xxhash64 of each kept paragraph (the
+   * `hashKeys` trade of the batch operator: a 64-bit collision can only
+   * OVER-drop) — text never enters the state table, so state size is
+   * 8 bytes + ids per DISTINCT paragraph ever kept; bound file counts
+   * with `compactState`. Returns (doc_id, n_paras, n_dropped, text_clean)
+   * for this batch's rows.
+   */
+  def paragraphDedupBatchStep(batch: DataFrame, stateRoot: String,
+                              batchId: Long): DataFrame = {
+    import graft.core.TableIO
+    val spark = batch.sparkSession
+    val paras = split(col("text"), "\n")
+    val ex = batch
+      .select(col("doc_id"), posexplode(paras).as(Seq("pos", "p0")))
+      .select(col("doc_id"), col("pos"), xxhash64(col("p0")).as("h"))
+      .localCheckpoint()
+    val keepers = ex.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("keep"))
+      .localCheckpoint()
+    val stateExists = java.nio.file.Files.exists(java.nio.file.Paths.get(stateRoot, "data"))
+    val prior =
+      if (!stateExists) null
+      else TableIO.read(spark, stateRoot, "batch_id")
+        .filter(col("batch_id") < batchId).select(col("h"))
+    // batch-internal non-winners
+    val losers = ex.join(keepers, Seq("h"))
+      .filter(!(col("doc_id") === col("keep.doc_id") && col("pos") === col("keep.pos")))
+      .select(col("doc_id"), col("pos"))
+    // winners of hashes the history already kept
+    val dropped0 =
+      if (prior == null) losers
+      else losers.union(
+        keepers.join(prior, Seq("h"), "left_semi")
+          .select(col("keep.doc_id").as("doc_id"), col("keep.pos").as("pos")))
+    // materialize BEFORE the state append below (the lazy state scan's
+    // file listing would go stale once this batch's partition lands)
+    val droppedPos = dropped0
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_set(col("pos"))).as("removed"))
+      .localCheckpoint()
+    val newKept0 = keepers.select(col("h"))
+    val newKept = if (prior == null) newKept0
+                  else newKept0.join(prior, Seq("h"), "left_anti")
+    TableIO.writeResumable(newKept.withColumn("batch_id", lit(batchId)),
+      stateRoot, "batch_id")
+    batch.withColumn("paras", paras)
+      .join(droppedPos, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("paras")).cast("long").as("n_paras"),
+        coalesce(size(col("removed")), lit(0)).cast("long").as("n_dropped"),
+        when(col("removed").isNull, col("text"))
+          .otherwise(concat_ws("\n",
+            graft.functions.GraftFunctions.excise_positions(col("paras"), col("removed"))))
+          .as("text_clean"))
+  }
+
   /** Periodic state housekeeping for long-lived streams: rewrite state
     * partitions that accumulated many small files (one per executor per
     * batch). Run between batches (single-writer maintenance window). */

@@ -177,6 +177,55 @@ class FuzzSpec extends SparkSpec {
     }
   }
 
+  test("dedupParagraphs == two-pass driver twin on random paragraph corpora") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    val rnd = new scala.util.Random(727)
+    for (trial <- 1 to 3) {
+      val docs = (0L until 60L).map { id =>
+        val paras = Vector.fill(1 + rnd.nextInt(6))(
+          Vector.fill(1 + rnd.nextInt(4))("p" + rnd.nextInt(12)).mkString(" "))
+        (id, paras.mkString("\n"))
+      }
+      val df = docs.toDF("doc_id", "text")
+      def rows(x: org.apache.spark.sql.DataFrame) = x.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      val first = scala.collection.mutable.HashMap.empty[String, (Long, Int)]
+      docs.foreach { case (id, t) =>
+        t.split("\n", -1).zipWithIndex.foreach { case (p, i) =>
+          if (!first.contains(p)) first(p) = (id, i)
+        }
+      }
+      val want = docs.map { case (id, t) =>
+        val ps = t.split("\n", -1)
+        val kept = ps.zipWithIndex.collect { case (p, i) if first(p) == ((id, i)) => p }
+        (id, ps.length.toLong, (ps.length - kept.length).toLong, kept.mkString("\n"))
+      }.toSet
+      assert(rows(Dedup.dedupParagraphs(df)) == want, s"trial $trial exact mode")
+      assert(rows(Dedup.dedupParagraphs(df.repartition(5), hashKeys = true)) == want,
+        s"trial $trial hash mode")
+    }
+  }
+
+  test("semDedup == sequential twin on random embeddings across thresholds and blockings") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(31337)
+    for ((threshold, blocks) <- Seq((0.9, 2), (0.7, 3), (0.5, 5))) {
+      val vecs = (0L until 80L).map { i =>
+        val base = rnd.nextInt(6)
+        (i, Array.tabulate(8)(d => (if (d == base) 5f else 0f) + rnd.nextFloat() * 0.8f))
+      }
+      val got = Similarity.semDedup(vecs.toDF("vec_id", "embedding"),
+          threshold = threshold, nList = 8, blocks = blocks)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      val twin = graft.golden.SequentialTwin
+        .q67SemDedup(vecs, threshold = threshold, nList = 8).toSet
+      assert(got == twin,
+        s"t=$threshold B=$blocks: ${(got diff twin).take(3)} / ${(twin diff got).take(3)}")
+    }
+  }
+
   test("excise_positions == driver filter on random removal sets") {
     import spark.implicits._
     val rnd = new scala.util.Random(99)

@@ -179,6 +179,53 @@ class StreamIngestSpec extends SparkSpec {
     assert(rowsAfter == rowsBefore, s"compaction changed row count: $rowsBefore -> $rowsAfter")
   }
 
+  test("streaming paragraph dedup (foreachBatch + TableIO state): history-wide first occurrence, exact replay") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val stateRoot = java.nio.file.Files.createTempDirectory("paradedup_state").toString
+    val outDir = java.nio.file.Files.createTempDirectory("paradedup_out").toString + "/clean"
+    val b1 = Seq((1L, "a b\nc d\ne f"), (2L, "c d\ng h"))
+    val b2 = Seq((3L, "a b\nz z"), (4L, "z z\nz z\nq r"))
+    val stream = MemoryStream[(Long, String)]
+    val q = stream.toDS().toDF("doc_id", "text")
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        StreamIngest.paragraphDedupBatchStep(b, stateRoot, id)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+    stream.addData(b1: _*)
+    q.processAllAvailable()
+    stream.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val got = rows(spark.read.parquet(outDir))
+    // batch order == doc_id order here, so streaming == the batch operator
+    // over the full history
+    val want = rows(graft.ops.Dedup.dedupParagraphs((b1 ++ b2).toDF("doc_id", "text")))
+    assert(got == want, s"streaming vs batch: ${got diff want} / ${want diff got}")
+    // cross-batch drop: doc 3 loses "a b" to batch 1; within-batch: doc 4's
+    // "z z"s lose to doc 3's
+    assert(got.contains((3L, 2L, 1L, "z z")) && got.contains((4L, 3L, 2L, "q r")), got.toString)
+    // REPLAY of batch 1 (state committed, sink lost): same rows back,
+    // and the state append is a no-op
+    val replayed = rows(StreamIngest.paragraphDedupBatchStep(
+      b2.toDF("doc_id", "text"), stateRoot, 1L))
+    assert(replayed == got.filter(r => r._1 == 3L || r._1 == 4L),
+      s"replay must re-emit the same rows: $replayed")
+    val before = graft.core.TableIO.read(spark, stateRoot, "batch_id").count()
+    StreamIngest.paragraphDedupBatchStep(
+      Seq((9L, "a b")).toDF("doc_id", "text"), stateRoot, 1L)
+    val after = graft.core.TableIO.read(spark, stateRoot, "batch_id").count()
+    assert(before == after, s"replay must not grow state: $before -> $after")
+    // state carries 8-byte hashes + batch ids only — never paragraph text
+    val state = graft.core.TableIO.read(spark, stateRoot, "batch_id")
+    assert(state.columns.sorted.toSeq == Seq("batch_id", "h"), state.columns.mkString(","))
+  }
+
   test("mapGroupsWithState running totals accumulate across micro-batches") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
