@@ -330,6 +330,22 @@ object SparkEntry {
         .select(col("doc_id"), col("n_subwords"),
           array_join(transform(col("ids"), i => i.cast("string")), " ").as("ids_str"))
     }),
+    // pretraining PACK ASSEMBLY (the pipeline's last mile): BPE-encode to
+    // ids -> subword-budget packing -> per-pack concatenated id sequences,
+    // with the tokenizer round-tripped through its saved parquet artifact
+    // (train -> save -> load -> encode); golden-oracled vs the twin's own
+    // encode + packing composition
+    "q71_packed_ids" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+      val trained = Bpe.train(docs, numMerges = 20)
+        .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+      val root = java.nio.file.Files.createTempDirectory("tokenizer_artifact").toString
+      Bpe.saveTokenizer(s, trained, Bpe.vocabulary(trained, Bpe.baseSymbols(docs)), root)
+      val (merges, vocab) = Bpe.loadTokenizer(s, root)
+      Bpe.packedIds(docs, merges, vocab, budget = 512L)
+        .select(col("bucket"), col("pack_id"), col("n_docs"), col("n_subwords"),
+          array_join(transform(col("ids"), i => i.cast("string")), " ").as("ids_str"))
+    }),
     // production-DEPTH tokenizer apply: 2,000 learned merges over the
     // deterministically enriched vocabulary (syntheticRichText — the base
     // corpus has only ~31 distinct tokens). The rank-indexed greedy apply
@@ -583,6 +599,7 @@ object SparkEntry {
     "q68_paragraph_dedup" -> golden("q68_paragraph_dedup"),
     "q69_dsir_select" -> golden("q69_dsir_select"),
     "q70_bpe_encode" -> golden("q70_bpe_encode"),
+    "q71_packed_ids" -> golden("q71_packed_ids"),
     "q62_domain_cap" ->
       """SELECT doc_id, source, rnk FROM (
            SELECT doc_id, source,

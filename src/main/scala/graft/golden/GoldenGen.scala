@@ -74,6 +74,8 @@ object GoldenGen {
       "doc_id", "n_paras", "n_dropped", "text_clean")
     write("q69_dsir_select", q69Dsir(docs), "doc_id", "log_w", "rank")
     write("q70_bpe_encode", q70BpeEncode(docs), "doc_id", "n_subwords", "ids_str")
+    write("q71_packed_ids", q71PackedIds(docs),
+      "bucket", "pack_id", "n_docs", "n_subwords", "ids_str")
     write("q63_remove_dup_spans", q63RemoveDupSpans(docs, k = 10),
       "doc_id", "n_tokens", "n_removed", "text_clean")
 

@@ -936,4 +936,21 @@ object SequentialTwin {
         segs.map(s => vocab.getOrElse(s, -1)).mkString(" "))
     }
   }
+
+  /** q71 rows: pretraining pack assembly — the twin composes its OWN
+    * encode (q70BpeEncode) and packing (packCounts) and concatenates each
+    * pack's ids in ascending doc_id order. Returns
+    * (bucket, pack_id, n_docs, n_subwords, ids_str). */
+  def q71PackedIds(docs: Seq[Doc], numMerges: Int = 20, budget: Long = 512L,
+                   buckets: Int = 64): Seq[(Int, Long, Long, Long, String)] = {
+    val enc = q70BpeEncode(docs, numMerges)
+    val byId = enc.map(e => e._1 -> e._3).toMap
+    packCounts(enc.map(e => e._1 -> e._2), budget, buckets)
+      .groupBy(r => (r._3, r._4)).toSeq
+      .map { case ((bucket, pack), rows) =>
+        val sorted = rows.sortBy(_._1)
+        (bucket, pack, rows.size.toLong, rows.iterator.map(_._2).sum,
+          sorted.map(r => byId(r._1)).filter(_.nonEmpty).mkString(" "))
+      }
+  }
 }

@@ -379,6 +379,60 @@ object Bpe {
       .toDF("doc_id", "n_subwords", "ids")
   }
 
+  /** Persist a trained tokenizer (merge list + id vocabulary) as two
+    * deterministic single-file parquet tables under `root` — the
+    * tokenizer.json artifact analog (`ner.ModelStore` is the NER-weights
+    * counterpart). Layout: root/merges.parquet (rank, left, right) and
+    * root/vocab.parquet (token, id); each table overwrites whole. */
+  def saveTokenizer(spark: org.apache.spark.sql.SparkSession,
+                    merges: Seq[(String, String)], vocab: Map[String, Int],
+                    root: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((l, r), i) => (i, l, r) }
+      .toDF("rank", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/merges.parquet")
+    vocab.toSeq.sortBy(_._2).toDF("token", "id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/vocab.parquet")
+  }
+
+  /** Load a tokenizer saved by `saveTokenizer`: (merges in rank order,
+    * token -> id). Round-trips bit-identically (tested). */
+  def loadTokenizer(spark: org.apache.spark.sql.SparkSession,
+                    root: String): (Seq[(String, String)], Map[String, Int]) = {
+    val merges = spark.read.parquet(s"$root/merges.parquet").collect()
+      .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    val vocab = spark.read.parquet(s"$root/vocab.parquet").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    (merges, vocab)
+  }
+
+  /**
+   * Pretraining SAMPLE ASSEMBLY — the pipeline's last mile: encode every
+   * document to subword ids (`encodeIds`), pack documents by subword
+   * budget (`TextStats.packByCounts` — hash-bucketed, no global sort),
+   * and emit ONE row per pack with the concatenated id sequence (documents
+   * in ascending doc_id order inside a pack, the same deterministic order
+   * the packing window uses). Returns
+   * (bucket, pack_id, n_docs, n_subwords, ids array<int>).
+   *
+   * Scale shape: the collect_list buffer is per (bucket, pack_id) and
+   * bounded by `budget` subwords + one document overhang — pack size is
+   * the model's context-window budget, never corpus-scaled. */
+  def packedIds(docs: DataFrame, merges: Seq[(String, String)],
+                vocab: Map[String, Int], budget: Long,
+                buckets: Int = 64): DataFrame = {
+    val enc = encodeIds(docs, merges, vocab)
+    val packs = graft.ops.TextStats.packByCounts(
+      enc.select(col("doc_id"), col("n_subwords").as("n_tokens")), budget, buckets)
+    packs.join(enc.select(col("doc_id"), col("ids")), Seq("doc_id"))
+      .groupBy(col("bucket"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_subwords"),
+        flatten(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("ids")))),
+          x => x.getField("ids"))).as("ids"))
+  }
+
   /**
    * Deterministic vocabulary ENRICHMENT for tokenizer-scale tests: the
    * synthetic corpus has only ~31 distinct whitespace tokens (nowhere near

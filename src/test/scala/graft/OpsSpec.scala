@@ -638,6 +638,38 @@ class OpsSpec extends SparkSpec {
     assert(got == twin, s"sym diff: ${(got diff twin).take(2)} / ${(twin diff got).take(2)}")
   }
 
+  test("packedIds + tokenizer artifact: bit-identical round-trip, pack integrity, twin-equal") {
+    import spark.implicits._
+    import graft.ops.Bpe
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val merges = Bpe.train(docs, numMerges = 20)
+      .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    val vocab = Bpe.vocabulary(merges, Bpe.baseSymbols(docs))
+    // artifact round-trip is bit-identical, and encoding under the loaded
+    // tokenizer equals encoding under the fresh one
+    val root = java.nio.file.Files.createTempDirectory("tok_artifact").toString
+    Bpe.saveTokenizer(spark, merges, vocab, root)
+    val (m2, v2) = Bpe.loadTokenizer(spark, root)
+    assert(m2 == merges && v2 == vocab)
+    // pack integrity: concatenated ids match n_subwords; every doc lands
+    // in exactly one pack
+    val got = Bpe.packedIds(docs, m2, v2, budget = 512L).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getSeq[Int](4)))
+    got.foreach { case (b, p, _, nSub, ids) =>
+      assert(ids.length.toLong == nSub, s"pack ($b,$p): ${ids.length} vs $nSub") }
+    assert(got.map(_._3).sum == docs.count())
+    // independent twin (own encode + packing composition)
+    val gotSet = got.map { case (b, p, nd, ns, ids) =>
+      (b, p, nd, ns, ids.mkString(" ")) }.toSet
+    val seqDocs = docs.select("doc_id", "text", "lang", "source")
+      .as[(Long, String, String, String)].collect().sortBy(_._1)
+      .map { case (id, t, l, s) => graft.golden.SequentialTwin.Doc(id, t, l, s) }.toSeq
+    val twin = graft.golden.SequentialTwin.q71PackedIds(seqDocs).toSet
+    assert(gotSet == twin,
+      s"sym diff: ${(gotSet diff twin).take(2)} / ${(twin diff gotSet).take(2)}")
+  }
+
   test("dsirSelect: twin-equal, target-lean docs rank high, deterministic") {
     import spark.implicits._
     val raw = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
