@@ -3,7 +3,6 @@ package graft.golden
 import graft.functions.Xxh64
 import graft.core.{LinkEdge, Mention, Triple}
 import graft.gen.CorpusGen
-import graft.link.EntityLink
 import graft.ner.{Models, NerStage}
 import graft.ops.{Multimodal, TextStats}
 
@@ -152,6 +151,23 @@ object SequentialTwin {
 
   // ------------------------------------------------- alias dict / link / KG
 
+  /** The twin's OWN alias machinery, re-derived from the documented spec
+    * rather than shared with `link.EntityLink` (equality proven in
+    * GoldenTwinSpec): plural stem drops a trailing 's' from words longer
+    * than 4; prefix stem is the first 4 code units; entity id is standard
+    * FNV-1a 64 (offset 0xcbf29ce484222325, prime 0x100000001b3) over the
+    * UTF-16 units of "ent:" + candidate, sign-masked. */
+  def twinStem(s: String): String =
+    if (s.length > 4 && s.endsWith("s")) s.dropRight(1) else s
+
+  def twinPrefixStem(s: String): String = s.take(4)
+
+  def twinEntityId(surface: String): Long = {
+    var h = java.lang.Long.parseUnsignedLong("cbf29ce484222325", 16)
+    ("ent:" + surface).foreach { c => h ^= c; h *= 0x100000001b3L }
+    h & Long.MaxValue
+  }
+
   /** Alias dictionary twin of EntityLink.aliasDict: per distinct lowercased
     * corpus token, candidates (self 1.0, stem 0.5, prefix-stem 0.25). */
   def aliasDict(docs: Seq[Doc]): scala.collection.SeqMap[String, Seq[(Long, Double)]] = {
@@ -162,11 +178,11 @@ object SequentialTwin {
     val b = scala.collection.immutable.VectorMap.newBuilder[String, Seq[(Long, Double)]]
     aliases.foreach { a =>
       val cands = scala.collection.mutable.LinkedHashMap(a -> 1.0)
-      val st = EntityLink.stem(a)
+      val st = twinStem(a)
       if (!cands.contains(st)) cands(st) = 0.5
-      val pf = EntityLink.prefixStem(a)
+      val pf = twinPrefixStem(a)
       if (!cands.contains(pf)) cands(pf) = 0.25
-      b += a -> cands.iterator.map { case (c, p) => (EntityLink.entityId(c), p) }.toSeq
+      b += a -> cands.iterator.map { case (c, p) => (twinEntityId(c), p) }.toSeq
     }
     b.result()
   }
@@ -719,17 +735,55 @@ object SequentialTwin {
         Some(Multimodal.Resized(d.docId, mt, w, h, ow, oh, thumb))
       } else {
         val blob = d.text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        val (w, h, _, _) = Multimodal.decodeStub(mt, blob)
-        val (ow, oh, thumb) = Multimodal.resizeStub(blob, w, h, box)
+        val (w, h, _) = twinStubDims(mt, blob)
+        val (ow, oh, thumb) = twinStubResize(blob, w, h, box)
         Some(Multimodal.Resized(d.docId, mt, w, h, ow, oh, thumb))
       }
     }
+
+  /** The twin's OWN re-derivation of the DISCLOSED stub codec spec
+    * (`Multimodal.decodeStub`/`resizeStub` scaladoc) — no shared code
+    * (equality proven in GoldenTwinSpec): standard FNV-1a 64 over the
+    * blob bytes (sign-extended, per the spec), width/height = 64 + 10-bit
+    * hash windows, video frames = 1 + floorMod(h >>> 20, 240); rendition
+    * bytes from the documented xorshift64 (13/7/17, zero-guarded) seeded
+    * by hash XOR packed output dims; aspect fit = round(min(1, box/max)
+    * scale), floored at 1. */
+  def twinStubDims(mt: String, blob: Array[Byte]): (Int, Int, Int) = {
+    val h = twinFnvBytes(blob)
+    (64 + Math.floorMod(h, 1024L).toInt,
+      64 + Math.floorMod(h >>> 10, 1024L).toInt,
+      if (mt.startsWith("video")) 1 + Math.floorMod(h >>> 20, 240L).toInt else 1)
+  }
+
+  def twinStubResize(blob: Array[Byte], w: Int, h: Int, box: Int): (Int, Int, Array[Byte]) = {
+    val scale = math.min(1.0, box.toDouble / math.max(w, h))
+    val ow = math.max(1, math.round(w * scale).toInt)
+    val oh = math.max(1, math.round(h * scale).toInt)
+    var s = twinFnvBytes(blob) ^ ((ow.toLong << 32) | (oh.toLong & 0xffffffffL))
+    val out = new Array[Byte](64)
+    var k = 0
+    while (k < 64) { s = twinXorshift(s); out(k) = (s >>> 56).toByte; k += 1 }
+    (ow, oh, out)
+  }
+
+  private def twinFnvBytes(blob: Array[Byte]): Long = {
+    var h = java.lang.Long.parseUnsignedLong("cbf29ce484222325", 16)
+    blob.foreach { b => h ^= b; h *= 0x100000001b3L }
+    h
+  }
+
+  private def twinXorshift(x0: Long): Long = {
+    var x = if (x0 == 0L) java.lang.Long.parseUnsignedLong("9e3779b97f4a7c15", 16) else x0
+    x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+    x
+  }
 
   /** q35 rows: (doc_id, n_sampled) for video docs (doc_id % 3 == 2). */
   def q35FrameSamples(docs: Seq[Doc], stride: Int = 10): Seq[(Long, Long)] =
     docs.filter(d => d.docId % 3 == 2).map { d =>
       val blob = d.text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val (_, _, nFrames, _) = Multimodal.decodeStub("video/mp4", blob)
+      val (_, _, nFrames) = twinStubDims("video/mp4", blob)
       (d.docId, ((nFrames - 1) / stride + 1).toLong)
     }
 

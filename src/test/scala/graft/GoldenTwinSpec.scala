@@ -122,6 +122,38 @@ class GoldenTwinSpec extends SparkSpec {
     }
   }
 
+  test("twin alias machinery and stub codec == production (spec re-derivations)") {
+    import graft.golden.SequentialTwin
+    import graft.link.EntityLink
+    import graft.ops.Multimodal
+    // strings: corpus tokens + adversarial (empty, unicode, exactly-4/5,
+    // trailing-s, surrogate pair)
+    val strings = Seq("", "s", "ss", "cats", "catss", "words", "word",
+      "élèves", "😀abc", "abcd", "abcde", "a b",
+      "danda।") ++
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("text").collect().flatMap(_.getString(0).split(' ')).distinct.take(200)
+    strings.foreach { s =>
+      assert(SequentialTwin.twinStem(s) == EntityLink.stem(s), s"stem($s)")
+      assert(SequentialTwin.twinPrefixStem(s) == EntityLink.prefixStem(s), s"prefixStem($s)")
+      assert(SequentialTwin.twinEntityId(s) == EntityLink.entityId(s), s"entityId($s)")
+    }
+    // stub codec: adversarial blobs (empty, all 0x00, all 0xFF — the
+    // sign-extension case — and corpus-derived bytes)
+    val blobs = Seq(Array.empty[Byte], Array.fill(8)(0.toByte),
+      Array.fill(8)(0xFF.toByte), Array.tabulate(255)(_.toByte)) ++
+      strings.take(40).map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    for (blob <- blobs; mt <- Seq("video/mp4", "audio/wav", "image/jpeg")) {
+      val (w, h, f, _) = Multimodal.decodeStub(mt, blob)
+      assert(SequentialTwin.twinStubDims(mt, blob) == ((w, h, f)), s"dims($mt)")
+      for (box <- Seq(64, 256, 4096)) {
+        val (ow, oh, thumb) = Multimodal.resizeStub(blob, w, h, box)
+        val (tw, th, tt) = SequentialTwin.twinStubResize(blob, w, h, box)
+        assert(tw == ow && th == oh && tt.toSeq == thumb.toSeq, s"resize($mt,$box)")
+      }
+    }
+  }
+
   test("fingerprint: independent BigInt twin == production, incl. carry-wrap states") {
     import graft.ops.TextStats
     // random + structured strings
