@@ -274,6 +274,10 @@ object SparkEntry {
     // broadcast, one per-doc combine shuffle
     "q56_lm_rarity" -> ((s, dir) =>
       TextStats.lmRarity(s.read.parquet(t(dir, "documents")), n = 3)),
+    // corpus-wide word-trigram counts, top-100 (count desc, gram asc):
+    // explode -> partial-agg combine -> TakeOrdered; full SQL twin
+    "q72_ngram_counts" -> ((s, dir) =>
+      TextStats.ngramCounts(s.read.parquet(t(dir, "documents")), n = 3, topK = 100)),
     // DSIR importance resampling (Xie et al. 2023): target = the English
     // subset, raw = the full corpus; summed n-gram log-likelihood-ratio
     // weights, deterministic gumbel top-k; golden-oracled vs a sequential
@@ -600,6 +604,13 @@ object SparkEntry {
     "q69_dsir_select" -> golden("q69_dsir_select"),
     "q70_bpe_encode" -> golden("q70_bpe_encode"),
     "q71_packed_ids" -> golden("q71_packed_ids"),
+    "q72_ngram_counts" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS ts FROM documents),
+         g AS (SELECT array_to_string(ts[i : i+2], ' ') AS gram
+               FROM (SELECT ts, unnest(range(1, len(ts) - 1)) AS i
+                     FROM toks WHERE len(ts) >= 3))
+         SELECT gram, COUNT(*) AS cnt FROM g
+         GROUP BY gram ORDER BY cnt DESC, gram LIMIT 100""",
     "q62_domain_cap" ->
       """SELECT doc_id, source, rnk FROM (
            SELECT doc_id, source,

@@ -279,6 +279,25 @@ object TextStats {
     graft.ops.Dedup.finish(out, m)
   }
 
+  /** Corpus-wide word n-gram counts, top-k by (count desc, gram asc) —
+    * the corpus-statistics primitive behind stopword lists, n-gram LMs
+    * and contamination audits (the Google-n-grams shape). Plan: the
+    * window explode feeds a map-side partial aggregate keyed by the gram
+    * string, then a global TakeOrdered(k) — no full sort, and nothing
+    * driver-side beyond k rows. Token windows keep split()'s empties
+    * (exactly what the SQL oracle's string_split sees). */
+  def ngramCounts(docs: DataFrame, n: Int = 3, topK: Int = 100): DataFrame = {
+    val toks = split(col("text"), " ")
+    docs.select(explode(
+        when(size(toks) >= n,
+          transform(sequence(lit(1), size(toks) - (n - 1)),
+            i => concat_ws(" ", slice(toks, i, lit(n)))))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram").asc)
+      .limit(topK)
+  }
+
   /**
    * DSIR-style importance resampling (Xie et al. 2023, arXiv:2302.03169):
    * score every raw doc under a TARGET-domain char-n-gram LM and under

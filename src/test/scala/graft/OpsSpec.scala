@@ -638,6 +638,23 @@ class OpsSpec extends SparkSpec {
     assert(got == twin, s"sym diff: ${(got diff twin).take(2)} / ${(twin diff got).take(2)}")
   }
 
+  test("ngramCounts: exact counts, top-k tie-break, TakeOrdered plan") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c a b c"), (2L, "a b c"), (3L, "x y")).toDF("doc_id", "text")
+    val got = TextStats.ngramCounts(d, n = 3, topK = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a b c", 3L), ("b c a", 1L), ("c a b", 1L)), got.toString)
+    // the k-boundary tie breaks lexically, deterministic across engines
+    val top2 = TextStats.ngramCounts(d, 3, 2).collect().map(_.getString(0)).toSeq
+    assert(top2 == Seq("a b c", "b c a"))
+    // global selection is TakeOrdered, never Sort+GlobalLimit
+    val p = TextStats.ngramCounts(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"), 3, 100)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
   test("packedIds + tokenizer artifact: bit-identical round-trip, pack integrity, twin-equal") {
     import spark.implicits._
     import graft.ops.Bpe
