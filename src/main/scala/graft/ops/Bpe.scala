@@ -420,18 +420,20 @@ object Bpe {
    * the model's context-window budget, never corpus-scaled. */
   def packedIds(docs: DataFrame, merges: Seq[(String, String)],
                 vocab: Map[String, Int], budget: Long,
-                buckets: Int = 64): DataFrame = {
-    val enc = encodeIds(docs, merges, vocab)
-    val packs = graft.ops.TextStats.packByCounts(
-      enc.select(col("doc_id"), col("n_subwords").as("n_tokens")), budget, buckets)
-    packs.join(enc.select(col("doc_id"), col("ids")), Seq("doc_id"))
+                buckets: Int = 64): DataFrame =
+    // the ids ride the ONE packing-window shuffle (packRows passthrough);
+    // the groupBy reuses its bucket partitioning — no join, no second
+    // exchange, and the corpus is encoded exactly once
+    graft.ops.TextStats.packRows(
+        encodeIds(docs, merges, vocab)
+          .select(col("doc_id"), col("n_subwords").as("n_tokens"), col("ids")),
+        budget, buckets)
       .groupBy(col("bucket"), col("pack_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_subwords"),
         flatten(transform(
           array_sort(collect_list(struct(col("doc_id"), col("ids")))),
           x => x.getField("ids"))).as("ids"))
-  }
 
   /**
    * Deterministic vocabulary ENRICHMENT for tokenizer-scale tests: the

@@ -145,15 +145,27 @@ object TextStats {
     * `Bpe.segment` (a model's context window is sized in tokenizer units,
     * not whitespace words), character counts, anything. Same determinism
     * contract and bucket-local window as `packByTokenBudget`. */
-  def packByCounts(counted: DataFrame, budget: Long, buckets: Int = 64): DataFrame = {
+  def packByCounts(counted: DataFrame, budget: Long, buckets: Int = 64): DataFrame =
+    packRows(counted.select(col("doc_id"), col("n_tokens")), budget, buckets)
+      .select(col("doc_id"), col("n_tokens"), col("bucket"), col("pack_id"))
+
+  /** The packing window with PASSTHROUGH columns: assigns (bucket,
+    * pack_id) from the `n_tokens` running sum while keeping every other
+    * input column — so a payload (e.g. the subword ids `Bpe.packedIds`
+    * assembles) rides the ONE bucket shuffle instead of re-deriving and
+    * re-joining (the downstream groupBy(bucket, pack_id) reuses the
+    * bucket hash partitioning — no second exchange). Same pack
+    * assignment as `packByCounts` (which is a projection of this). */
+  def packRows(counted: DataFrame, budget: Long, buckets: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val t = counted.select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
-      pmod(xxhash64(col("doc_id")), lit(buckets)).cast("int").as("bucket"))
+    val t = counted
+      .withColumn("n_tokens", col("n_tokens").cast("long"))
+      .withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(buckets)).cast("int"))
     val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     t.withColumn("tokens_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .withColumn("pack_id", floor(col("tokens_before") / budget).cast("long"))
-      .select(col("doc_id"), col("n_tokens"), col("bucket"), col("pack_id"))
+      .drop("tokens_before")
   }
 
   /**

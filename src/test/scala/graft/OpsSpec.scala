@@ -748,6 +748,11 @@ class OpsSpec extends SparkSpec {
     val twin = graft.golden.SequentialTwin.q68ParagraphDedup(seqDocs).toSet
     assert(exact == twin,
       s"sym diff: ${(exact diff twin).take(2)} / ${(twin diff exact).take(2)}")
+    // a doc whose EVERY paragraph is a duplicate survives as empty text
+    val wiped = Dedup.dedupParagraphs(
+        Seq((1L, "a b\nc d"), (2L, "a b\nc d")).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(wiped(2L) == ((2L, "")), wiped.toString)
   }
 
   test("semDedup: twin-equal, block/partition-invariant, planted dups grouped") {
@@ -781,6 +786,15 @@ class OpsSpec extends SparkSpec {
       assert(g == ms.map(_._1).min, s"group label $g is not the min member id")
     }
     assert(pres.length == 40 && pres.count(_._3) < 40, "planted dups must drop rows")
+    // degenerate: ALL vectors identical -> one corpus-wide group under the
+    // first centroid, exactly one keeper (the mega-cluster shape the
+    // triangle blocking exists for)
+    val same = (0L until 50L).map(i => (i, Array.fill(8)(1f)))
+    val sres = Similarity.semDedup(same.toDF("vec_id", "embedding"),
+        threshold = 0.99, nList = 4, blocks = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(sres.length == 50 && sres.forall(_._2 == 0L) && sres.count(_._3) == 1,
+      sres.take(5).toSeq.toString)
     // empty input: schema preserved, zero rows
     val empty = Similarity.semDedup(emb.filter(col("vec_id") < 0))
     assert(empty.columns.toSeq == Seq("vec_id", "group_id", "keep") && empty.count() == 0)
