@@ -206,6 +206,13 @@ class PlanSpec extends SparkSpec {
       val p69 = plan(SparkEntry.queries("q69_dsir_select")(spark, sf))
       assert(p69.contains("TakeOrderedAndProject"), p69.take(3000))
     }
+    // q71 pack assembly: the ids ride the packRows bucket window and the
+    // per-pack groupBy reuses that partitioning — NO join anywhere, and
+    // exactly one Exchange in the whole plan
+    val p71 = plan(SparkEntry.queries("q71_packed_ids")(spark, sf))
+    assert(!p71.contains("Join"), p71.take(3000))
+    val exchanges = p71.linesIterator.count(_.trim.matches("\\(\\d+\\) Exchange.*"))
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n${p71.take(3000)}")
     // paragraph dedup, 100 TB mode: scans pruned past lang/source and the
     // keeper aggregation keys on xxhash64 (text never rides that shuffle)
     val docs = graft.ops.Dedup.syntheticParagraphs(
