@@ -338,7 +338,7 @@ object Similarity {
         col("vec_id").as("group_id"), lit(true).as("keep"))
     val bcCents = spark.sparkContext.broadcast(cents)
     // assignment + cosine-to-centroid in one partition-local pass
-    val assigned = Dedup.persistIntermediate(
+    val assigned =
       emb.select(col("vec_id"), col("embedding"))
         .as[(Long, Array[Float])]
         .mapPartitions { it =>
@@ -347,7 +347,20 @@ object Similarity {
             val (lid, sim) = nearestListSim(v, cs)
             (id, v, lid, sim)
           }
-        }.toDF("vec_id", "embedding", "list_id", "cent_cos"))
+        }.toDF("vec_id", "embedding", "list_id", "cent_cos")
+    semDedupAssigned(assigned, threshold, blocks)
+  }
+
+  /**
+   * SemDeDup over a PRECOMPUTED assignment table
+   * (vec_id, embedding, list_id, cent_cos) — the deployment path: the
+   * k-means assignment is a one-time fact-table write (like the IVF
+   * list assignment), reused across threshold sweeps and re-runs;
+   * `semDedup` composes training + assignment + this. Semantics and
+   * output schema identical to `semDedup` (equality-tested). */
+  def semDedupAssigned(assignedIn: DataFrame, threshold: Double,
+                       blocks: Int = 4): DataFrame = {
+    val assigned = Dedup.persistIntermediate(assignedIn)
     val comps = graft.canon.ConnectedComponents.run(
       semDedupEdges(assigned, threshold, blocks)) // (id, component)
     val w = Window.partitionBy(col("component"))

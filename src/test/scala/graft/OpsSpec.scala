@@ -768,6 +768,13 @@ class OpsSpec extends SparkSpec {
     // blocking factor and input partitioning change nothing
     assert(rows(Similarity.semDedup(emb.repartition(13), threshold = 0.4, blocks = 1)) == got)
     assert(rows(Similarity.semDedup(emb.repartition(3), threshold = 0.4, blocks = 7)) == got)
+    // the deployment path: a precomputed assignment fact table feeds
+    // semDedupAssigned and yields the identical result
+    val cents = Similarity.kmeansCodebook(emb, nList = 16, iters = 3)
+    val assignedRows = vecs.map { case (id, v) =>
+      val (lid, sim) = Similarity.nearestListSim(v, cents); (id, v, lid, sim)
+    }.toDF("vec_id", "embedding", "list_id", "cent_cos")
+    assert(rows(Similarity.semDedupAssigned(assignedRows, threshold = 0.4)) == got)
     // planted duplicate groups: pairs of near-identical vectors plus
     // orthogonal singletons; every pair becomes one group keeping exactly
     // the least-centroid-similar member, singletons keep themselves
