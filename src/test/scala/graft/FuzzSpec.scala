@@ -174,6 +174,35 @@ class FuzzSpec extends SparkSpec {
         .map(t => (t._1, t._2, t._3, t._4)).toSet
       val gotSet = rows.map { case (id, nT, nS, subs) => (id, nT, nS, subs.mkString(" ")) }.toSet
       assert(gotSet == twin, s"trial $trial twin divergence")
+      // VOCABULARY CLOSURE: encoding the training corpus under its own
+      // induced vocabulary never produces an unknown id
+      val vocab = Bpe.vocabulary(merges, Bpe.baseSymbols(df))
+      val encoded = Bpe.encodeIds(df, merges, vocab).collect()
+        .flatMap(_.getSeq[Int](2))
+      assert(encoded.nonEmpty && !encoded.contains(-1),
+        s"trial $trial: unknown id under the corpus's own vocabulary")
+    }
+  }
+
+  test("ngramCounts == brute-force sliding-window counts on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(808)
+    for (trial <- 1 to 3) {
+      val n = 1 + rnd.nextInt(3)
+      val texts = Vector.fill(50)(
+        Vector.fill(rnd.nextInt(12))("t" + rnd.nextInt(7)).mkString(" "))
+      val brute = scala.collection.mutable.HashMap.empty[String, Long].withDefaultValue(0L)
+      texts.foreach { t =>
+        val toks = t.split(" ", -1)
+        if (toks.length >= n)
+          toks.sliding(n).foreach(w => brute(w.mkString(" ")) += 1L)
+      }
+      val want = brute.toSeq.sortBy { case (g, c) => (-c, g) }.take(20)
+      val got = TextStats.ngramCounts(
+          texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
+          n, topK = 20)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got == want, s"trial $trial n=$n: $got vs $want")
     }
   }
 
