@@ -278,6 +278,11 @@ object SparkEntry {
     // explode -> partial-agg combine -> TakeOrdered; full SQL twin
     "q72_ngram_counts" -> ((s, dir) =>
       TextStats.ngramCounts(s.read.parquet(t(dir, "documents")), n = 3, topK = 100)),
+    // CCNet head/middle/tail quality terciles per language: LM logprobs +
+    // broadcast percentile thresholds (no per-lang sort); full SQL twin
+    // (the q56 gram pipeline composed with quantile_cont thresholds)
+    "q73_ccnet_buckets" -> ((s, dir) =>
+      TextStats.ccnetBuckets(s.read.parquet(t(dir, "documents")), n = 3)),
     // DSIR importance resampling (Xie et al. 2023): target = the English
     // subset, raw = the full corpus; summed n-gram log-likelihood-ratio
     // weights, deterministic gumbel top-k; golden-oracled vs a sequential
@@ -604,6 +609,21 @@ object SparkEntry {
     "q69_dsir_select" -> golden("q69_dsir_select"),
     "q70_bpe_encode" -> golden("q70_bpe_encode"),
     "q71_packed_ids" -> golden("q71_packed_ids"),
+    "q73_ccnet_buckets" ->
+      """WITH g AS (SELECT doc_id, unnest(list_transform(range(1, length(text) - 1),
+                      i -> substr(text, i::INT, 3))) AS gram FROM documents),
+         f AS (SELECT gram, count(*) AS cnt FROM g GROUP BY gram),
+         tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM f),
+         s AS (SELECT doc_id, round(avg(ln(cnt / tot)), 6) AS lm_logprob
+               FROM g JOIN f USING (gram) CROSS JOIN tot GROUP BY doc_id),
+         sl AS (SELECT d.doc_id, d.lang, s.lm_logprob FROM documents d JOIN s USING (doc_id)),
+         th AS (SELECT lang, quantile_cont(lm_logprob, 2.0/3) AS t_head,
+                       quantile_cont(lm_logprob, 1.0/3) AS t_mid
+                FROM sl GROUP BY lang)
+         SELECT doc_id, lang, lm_logprob,
+           CASE WHEN lm_logprob >= t_head THEN 'head'
+                WHEN lm_logprob >= t_mid THEN 'middle' ELSE 'tail' END AS bucket
+         FROM sl JOIN th USING (lang)""",
     "q72_ngram_counts" ->
       """WITH toks AS (SELECT string_split(text, ' ') AS ts FROM documents),
          g AS (SELECT array_to_string(ts[i : i+2], ' ') AS gram

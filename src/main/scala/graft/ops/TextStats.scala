@@ -291,6 +291,40 @@ object TextStats {
     graft.ops.Dedup.finish(out, m)
   }
 
+  /** CCNet head/middle/tail QUALITY BUCKETING (Wenzek et al. 2020 §4.3):
+    * score every doc under the char-n-gram LM (`lmRarity`), then split
+    * each language into terciles of the logprob distribution — `head` =
+    * most fluent third. Returns (doc_id, lang, lm_logprob, bucket); docs
+    * shorter than n chars have no grams and no row (as lmScore).
+    *
+    * Scale shape: thresholds are a lang-cardinality aggregate BROADCAST
+    * back for a comparison-only bucket assignment — never an ntile/window
+    * over a per-language global sort (which would cap parallelism at
+    * |langs| and sort 100 TB). `exact=true` (the oracle contract) uses
+    * exact `percentile`; at deployment scale pass exact=false for the
+    * t-digest `approx_percentile` (the corpusProfile trade). Cross-engine
+    * boundary safety: thresholds at integer rank positions ARE data
+    * values (no interpolation arithmetic), and interpolated thresholds
+    * fall strictly between adjacent distinct values — either way the
+    * >= comparisons agree between engines on the rounded-6 logprobs. */
+  def ccnetBuckets(docs: DataFrame, n: Int = 3,
+                   exact: Boolean = true): DataFrame = {
+    val scored = lmRarity(docs, n).select(col("doc_id"), col("lm_logprob"))
+    val withLang = docs.select(col("doc_id"), col("lang")).join(scored, Seq("doc_id"))
+    val pHead = if (exact) "percentile(lm_logprob, 2.0D/3.0D)"
+                else "approx_percentile(lm_logprob, 2.0D/3.0D, 10000)"
+    val pMid = if (exact) "percentile(lm_logprob, 1.0D/3.0D)"
+               else "approx_percentile(lm_logprob, 1.0D/3.0D, 10000)"
+    val th = withLang.groupBy(col("lang"))
+      .agg(expr(pHead).as("t_head"), expr(pMid).as("t_mid"))
+    withLang.join(broadcast(th), Seq("lang"))
+      .withColumn("bucket",
+        when(col("lm_logprob") >= col("t_head"), lit("head"))
+          .when(col("lm_logprob") >= col("t_mid"), lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col("doc_id"), col("lang"), col("lm_logprob"), col("bucket"))
+  }
+
   /** Corpus-wide word n-gram counts, top-k by (count desc, gram asc) —
     * the corpus-statistics primitive behind stopword lists, n-gram LMs
     * and contamination audits (the Google-n-grams shape). Plan: the

@@ -638,6 +638,32 @@ class OpsSpec extends SparkSpec {
     assert(got == twin, s"sym diff: ${(got diff twin).take(2)} / ${(twin diff got).take(2)}")
   }
 
+  test("ccnetBuckets: per-lang terciles, monotone thresholds, approx close to exact") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rows = TextStats.ccnetBuckets(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+    assert(rows.length == docs.count())
+    // every language has all three buckets, and buckets respect the
+    // logprob order: min(head) >= max(tail) per lang
+    rows.groupBy(_._2).foreach { case (lang, rs) =>
+      val byB = rs.groupBy(_._4)
+      assert(Set("head", "middle", "tail").subsetOf(byB.keySet), s"$lang: ${byB.keySet}")
+      assert(byB("head").map(_._3).min >= byB("tail").map(_._3).max, lang)
+      // terciles: each bucket holds between 1/6 and 1/2 of the lang's docs
+      // (exact thirds up to threshold ties)
+      byB.foreach { case (b, brs) =>
+        assert(brs.size >= rs.size / 6 && brs.size <= rs.size / 2 + 1, s"$lang/$b: ${brs.size}/${rs.size}")
+      }
+    }
+    // the t-digest path agrees with exact on >= 95% of docs (the 100 TB
+    // trade; boundaries may shift within approximation error)
+    val approx = TextStats.ccnetBuckets(docs, exact = false).collect()
+      .map(r => (r.getLong(0), r.getString(3))).toMap
+    val agree = rows.count { case (id, _, _, b) => approx(id) == b }
+    assert(agree >= (rows.length * 95) / 100, s"$agree/${rows.length}")
+  }
+
   test("ngramCounts: exact counts, top-k tie-break, TakeOrdered plan") {
     import spark.implicits._
     val d = Seq((1L, "a b c a b c"), (2L, "a b c"), (3L, "x y")).toDF("doc_id", "text")
