@@ -205,6 +205,12 @@ class PlanSpec extends SparkSpec {
     graft.ops.Dedup.withLazyPlans {
       val p69 = plan(SparkEntry.queries("q69_dsir_select")(spark, sf))
       assert(p69.contains("TakeOrderedAndProject"), p69.take(3000))
+      // CCNet buckets: comparison-only assignment — the lang-cardinality
+      // threshold table joins BROADCAST and there is no ntile/Window (a
+      // per-lang window would cap parallelism at |langs| and global-sort)
+      val p73 = plan(SparkEntry.queries("q73_ccnet_buckets")(spark, sf))
+      assert(!p73.linesIterator.exists(_.trim.matches("\\(\\d+\\) Window")), p73.take(3000))
+      assert(p73.contains("BroadcastHashJoin"), p73.take(3000))
     }
     // q71 pack assembly: the ids ride the packRows bucket window and the
     // per-pack groupBy reuses that partitioning — NO join anywhere, and
