@@ -218,6 +218,10 @@ class OpsSpec extends SparkSpec {
     Dedup.ngramJaccardPairsPrefix(df, n = 3, minJaccardPct = 50).count()
     Dedup.embeddingNearDup(emb, threshold = 0.4).count()
     Dedup.dedupClusters(df).count()
+    // round-4 wave: the new persistIntermediate users self-clean too
+    Similarity.semDedup(emb, threshold = 0.9, nList = 4, blocks = 2).count()
+    TextStats.dsirSelect(df, df.filter(col("doc_id") === 1L), k = 2).count()
+    TextStats.lmScore(df, TextStats.lmTrain(df)).count()
     assert(org.apache.spark.sql.graftbridge.Bridge.cacheManagerIsEmpty(spark),
       "dedup/similarity operators left persisted plans in the CacheManager")
   }
