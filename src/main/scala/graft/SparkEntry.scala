@@ -283,6 +283,21 @@ object SparkEntry {
     // (the q56 gram pipeline composed with quantile_cont thresholds)
     "q73_ccnet_buckets" -> ((s, dir) =>
       TextStats.ccnetBuckets(s.read.parquet(t(dir, "documents")), n = 3)),
+    // XLM temperature-scaled source mixing (alpha-sampling): derived
+    // per-source keep rates + the deterministic hash rule, over a
+    // deterministically SKEWED source map (doc_id % 4 != 0 -> 'web', so
+    // one source holds 75% of the corpus and flattening actually fires);
+    // golden-oracled (the hash rule has no DuckDB analog, as q54/q38)
+    "q74_temperature_mixture" -> ((s, dir) =>
+      TextStats.temperatureMixture(
+        s.read.parquet(t(dir, "documents")).withColumn("source",
+          when(pmod(col("doc_id"), lit(4)) === 0, col("source")).otherwise(lit("web"))),
+        alpha = 0.3)
+        .select(col("doc_id"), col("source"), col("pct"))),
+    // fixed-window document chunking for context-length-bounded training
+    // (maxTokens 16, overlap 4); full SQL twin (integer chunk arithmetic)
+    "q75_chunk_docs" -> ((s, dir) =>
+      TextStats.chunkDocs(s.read.parquet(t(dir, "documents")), maxTokens = 16, overlap = 4)),
     // DSIR importance resampling (Xie et al. 2023): target = the English
     // subset, raw = the full corpus; summed n-gram log-likelihood-ratio
     // weights, deterministic gumbel top-k; golden-oracled vs a sequential
@@ -609,6 +624,18 @@ object SparkEntry {
     "q69_dsir_select" -> golden("q69_dsir_select"),
     "q70_bpe_encode" -> golden("q70_bpe_encode"),
     "q71_packed_ids" -> golden("q71_packed_ids"),
+    "q74_temperature_mixture" -> golden("q74_temperature_mixture"),
+    "q75_chunk_docs" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         n AS (SELECT doc_id, ts, len(ts) AS nt FROM toks),
+         c AS (SELECT doc_id, ts,
+                 CASE WHEN nt <= 16 THEN 1 ELSE (nt - 16 + 11) // 12 + 1 END AS nc
+               FROM n),
+         e AS (SELECT doc_id, ts, unnest(range(nc)) AS ci FROM c)
+         SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+           CAST(len(ts[ci*12+1 : ci*12+16]) AS BIGINT) AS n_tokens,
+           array_to_string(ts[ci*12+1 : ci*12+16], ' ') AS chunk
+         FROM e""",
     "q73_ccnet_buckets" ->
       """WITH g AS (SELECT doc_id, unnest(list_transform(range(1, length(text) - 1),
                       i -> substr(text, i::INT, 3))) AS gram FROM documents),

@@ -76,6 +76,10 @@ object GoldenGen {
     write("q70_bpe_encode", q70BpeEncode(docs), "doc_id", "n_subwords", "ids_str")
     write("q71_packed_ids", q71PackedIds(docs),
       "bucket", "pack_id", "n_docs", "n_subwords", "ids_str")
+    write("q74_temperature_mixture",
+      q74TemperatureMixture(docs.map(d =>
+        if (d.docId % 4 == 0) d else d.copy(source = "web"))),
+      "doc_id", "source", "pct")
     write("q63_remove_dup_spans", q63RemoveDupSpans(docs, k = 10),
       "doc_id", "n_tokens", "n_removed", "text_clean")
 

@@ -662,6 +662,24 @@ object SequentialTwin {
                         budget: Long = 512L): Seq[(Long, Long, Int, Long)] =
     packCounts(q61BpeSegment(docs, numMerges).map(r => r._1 -> r._3), budget)
 
+  /** q74 rows: temperature-scaled source mixing — per-source counts,
+    * pct = max(1, HALF_UP(100 * (n/n_min)^(alpha-1))) (Math.pow on the
+    * same JVM, sparkRound-style HALF_UP over the decimal form), then the
+    * q38 hash-keep rule. (doc_id, source, pct). */
+  def q74TemperatureMixture(docs: Seq[Doc],
+                            alpha: Double = 0.3): Seq[(Long, String, Int)] = {
+    val counts = docs.groupBy(_.source).view.mapValues(_.size.toLong).toMap
+    val nMin = counts.values.min.toDouble
+    val rates = counts.map { case (s, n0) =>
+      s -> math.max(1L,
+        java.math.BigDecimal.valueOf(100.0 * math.pow(n0 / nMin, alpha - 1))
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue()).toInt
+    }
+    docs.filter { d =>
+      ((Xxh64.hashLong(d.docId, Xxh64.SparkSeed) % 100) + 100) % 100 < rates(d.source)
+    }.map(d => (d.docId, d.source, rates(d.source)))
+  }
+
   /** q54 rows: (doc_id, source) kept by deterministic source-mixture
     * sampling — per-source percent rates, `defaultPct` for unlisted
     * sources, the q38 hash-keep rule per row. */

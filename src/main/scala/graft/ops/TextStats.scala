@@ -124,6 +124,59 @@ object TextStats {
     docs.filter(pmod(xxhash64(col("doc_id")), lit(100)) < rate)
   }
 
+  /** TEMPERATURE-scaled source mixing (the XLM/mBERT multinomial
+    * alpha-sampling, Conneau & Lample 2019 §3.1: flatten the source-size
+    * distribution by sampling with probability proportional to
+    * corpus-share^alpha). Keep rates derive from per-source counts:
+    * `pct_i = max(1, round(100 * (n_i / n_min)^(alpha-1)))` — for
+    * alpha < 1 the SMALLEST source keeps 100% and larger sources
+    * down-sample toward the flattened distribution (expected kept counts
+    * proportional to n_i^alpha); alpha = 1 keeps everything. The
+    * per-source count aggregate is source-cardinality (tiny) and the
+    * sampling is the deterministic q54 hash rule — no sort, no join.
+    * Returns the kept rows plus the applied `pct`. */
+  def temperatureMixture(docs: DataFrame, alpha: Double = 0.3): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0,1], got $alpha")
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty) return docs.withColumn("pct", lit(0))
+    val nMin = counts.values.min.toDouble
+    val rates = counts.map { case (src, n0) =>
+      src -> math.max(1L,
+        java.math.BigDecimal.valueOf(100.0 * math.pow(n0 / nMin, alpha - 1))
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue()).toInt
+    }
+    val rate = rates.foldLeft(lit(0)) { case (acc, (src, pct)) =>
+      when(col("source") === src, lit(pct)).otherwise(acc)
+    }
+    docs.withColumn("pct", rate)
+      .filter(pmod(xxhash64(col("doc_id")), lit(100)) < col("pct"))
+  }
+
+  /** Fixed-window document CHUNKING for context-length-bounded training:
+    * chunk c covers tokens [c*stride, c*stride + maxTokens) with
+    * stride = maxTokens - overlap; a doc of nt tokens yields
+    * 1 + ceil(max(0, nt - maxTokens) / stride) chunks (integer
+    * arithmetic, exactly reproducible in SQL). Emits
+    * (doc_id, chunk_idx, n_tokens, chunk) — pure column expressions,
+    * no shuffle (plan: one projection + generate). */
+  def chunkDocs(docs: DataFrame, maxTokens: Int, overlap: Int = 0): DataFrame = {
+    require(overlap >= 0 && overlap < maxTokens, s"overlap $overlap vs maxTokens $maxTokens")
+    val stride = maxTokens - overlap
+    val toks = split(col("text"), " ")
+    val nt = size(toks)
+    val nChunks = when(nt <= maxTokens, lit(1))
+      .otherwise((nt - maxTokens + (stride - 1)).cast("long") / lit(stride) + 1)
+    docs
+      .withColumn("toks", toks)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), floor(nChunks).cast("int") - 1),
+          c => concat_ws(" ", slice(col("toks"), c * stride + 1, lit(maxTokens)))))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(split(col("chunk"), " ")).cast("long").as("n_tokens"), col("chunk"))
+  }
+
   /**
    * Deterministic SEQUENCE PACKING for pretraining-batch assembly: docs are
    * spread over `buckets` hash buckets (the parallelism unit — each bucket

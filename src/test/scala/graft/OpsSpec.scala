@@ -642,6 +642,40 @@ class OpsSpec extends SparkSpec {
     assert(got == twin, s"sym diff: ${(got diff twin).take(2)} / ${(twin diff got).take(2)}")
   }
 
+  test("temperatureMixture: twin-equal, alpha=1 identity, flattening direction; chunkDocs windows") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = TextStats.temperatureMixture(docs, alpha = 0.3)
+      .select("doc_id", "source", "pct").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val seqDocs = docs.select("doc_id", "text", "lang", "source")
+      .as[(Long, String, String, String)].collect().sortBy(_._1)
+      .map { case (id, t, l, s) => graft.golden.SequentialTwin.Doc(id, t, l, s) }.toSeq
+    val twin = graft.golden.SequentialTwin.q74TemperatureMixture(seqDocs).toSet
+    assert(got == twin, s"sym diff: ${(got diff twin).take(3)} / ${(twin diff got).take(3)}")
+    // alpha = 1: proportional sampling degenerates to keep-everything
+    assert(TextStats.temperatureMixture(docs, alpha = 1.0).count() == docs.count())
+    // flattening direction on a skewed corpus: the small source keeps 100%,
+    // the big one down-samples
+    val skew = ((1L to 90L).map(i => (i, "t", "en", "big")) ++
+      (91L to 100L).map(i => (i, "t", "en", "small")))
+      .toDF("doc_id", "text", "lang", "source")
+    val pcts = TextStats.temperatureMixture(skew, alpha = 0.3)
+      .select("source", "pct").distinct()
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(pcts("small") == 100 && pcts.get("big").forall(_ < 100), pcts.toString)
+    // chunkDocs: exact overlapping windows; short docs pass through whole
+    val d = Seq((1L, (1 to 20).map("w" + _).mkString(" ")), (2L, "a b"))
+      .toDF("doc_id", "text")
+    val ch = TextStats.chunkDocs(d, maxTokens = 8, overlap = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+    val d1 = ch.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(_._4).toSeq == Seq(1 to 8, 7 to 14, 13 to 20)
+      .map(r => r.map("w" + _).mkString(" ")), d1.mkString("; "))
+    assert(d1.map(_._3).toSeq == Seq(8L, 8L, 8L))
+    assert(ch.filter(_._1 == 2L).map(_._4).toSeq == Seq("a b"))
+  }
+
   test("ccnetBuckets: per-lang terciles, monotone thresholds, approx close to exact") {
     import spark.implicits._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
