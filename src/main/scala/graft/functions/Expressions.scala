@@ -360,6 +360,63 @@ object CharNgrams {
   }
 }
 
+/** word_ngrams(text string, n) -> array<string>: ALL space-joined n-token
+  * windows of `split(text, ' ')` (keep-all split semantics — consecutive
+  * spaces yield empty tokens, exactly like the HOF
+  * transform/slice/concat_ws form it replaces; value-parity-tested).
+  * Unlike `word_shingles` this keeps DUPLICATE windows (counting
+  * semantics, not set semantics). One linear byte walk collects token
+  * boundaries; each gram is a byte-range slice of the ORIGINAL text
+  * (token separators are single 0x20 bytes by construction of the split,
+  * so the slice equals the space-rejoin). */
+case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+  import org.apache.spark.sql.types.ArrayType
+  require(n > 0, "ngram size must be positive")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes() = {
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"word_ngrams requires string input, got ${child.dataType}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    WordNgrams.compute(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordNgrams.compute($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams = copy(child = newChild)
+  override def prettyName: String = "word_ngrams"
+}
+
+object WordNgrams {
+  def compute(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bytes = s.getBytes
+    val nb = bytes.length
+    // token k spans [starts(k), ends(k)); separators are single 0x20 bytes
+    var nTokens = 1
+    var off = 0
+    while (off < nb) { if (bytes(off) == ' '.toByte) nTokens += 1; off += 1 }
+    val starts = new Array[Int](nTokens)
+    val ends = new Array[Int](nTokens)
+    var tok = 0
+    starts(0) = 0
+    off = 0
+    while (off < nb) {
+      if (bytes(off) == ' '.toByte) { ends(tok) = off; tok += 1; starts(tok) = off + 1 }
+      off += 1
+    }
+    ends(tok) = nb
+    if (nTokens < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
+    val out = new Array[Any](nTokens - n + 1)
+    var i = 0
+    while (i <= nTokens - n) {
+      val start = starts(i)
+      out(i) = UTF8String.fromBytes(bytes, start, ends(i + n - 1) - start)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** top_ngram_count(tokens array<string>, n) -> long: the occurrence count of
   * the MOST FREQUENT word n-gram (tokens joined with a single space) —
   * Gopher-style repetition profiling as one compiled per-row pass with no
@@ -483,6 +540,8 @@ object GraftFunctions {
     Bridge.column(WordShingles(Bridge.expression(c), n))
   def char_ngrams(c: Column, n: Int): Column =
     Bridge.column(CharNgrams(Bridge.expression(c), n))
+  def word_ngrams(c: Column, n: Int): Column =
+    Bridge.column(WordNgrams(Bridge.expression(c), n))
   def top_ngram_count(c: Column, n: Int): Column =
     Bridge.column(TopNgramCount(Bridge.expression(c), n))
   def excise_positions(toks: Column, removed: Column): Column =

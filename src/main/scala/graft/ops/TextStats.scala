@@ -381,21 +381,18 @@ object TextStats {
   /** Corpus-wide word n-gram counts, top-k by (count desc, gram asc) —
     * the corpus-statistics primitive behind stopword lists, n-gram LMs
     * and contamination audits (the Google-n-grams shape). Plan: the
-    * window explode feeds a map-side partial aggregate keyed by the gram
-    * string, then a global TakeOrdered(k) — no full sort, and nothing
-    * driver-side beyond k rows. Token windows keep split()'s empties
-    * (exactly what the SQL oracle's string_split sees). */
-  def ngramCounts(docs: DataFrame, n: Int = 3, topK: Int = 100): DataFrame = {
-    val toks = split(col("text"), " ")
+    * native codegen'd `word_ngrams` explode (one byte walk per doc — the
+    * interpreted transform/slice/concat_ws HOF chain it replaced is its
+    * parity-tested twin) feeds a map-side partial aggregate keyed by the
+    * gram string, then a global TakeOrdered(k) — no full sort, and
+    * nothing driver-side beyond k rows. Token windows keep split()'s
+    * empties (exactly what the SQL oracle's string_split sees). */
+  def ngramCounts(docs: DataFrame, n: Int = 3, topK: Int = 100): DataFrame =
     docs.select(explode(
-        when(size(toks) >= n,
-          transform(sequence(lit(1), size(toks) - (n - 1)),
-            i => concat_ws(" ", slice(toks, i, lit(n)))))
-          .otherwise(array().cast("array<string>"))).as("gram"))
+        graft.functions.GraftFunctions.word_ngrams(col("text"), n)).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("gram").asc)
       .limit(topK)
-  }
 
   /**
    * DSIR-style importance resampling (Xie et al. 2023, arXiv:2302.03169):

@@ -196,6 +196,26 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("WordNgrams expression == HOF transform/slice/concat_ws (all occurrences, in order)") {
+    import spark.implicits._
+    val texts = Seq("a b c a b c", "x", "", " ", "a  b", "  ", "single",
+      "é ü 漢 字 test", "w1 w2 w3 w4 w5", "a b a b a b")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val toks = split(col("text"), " ")
+      val hof = when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+      val rows = df.select(col("id"),
+        GraftFunctions.word_ngrams(col("text"), n).as("native"), hof.as("hof"))
+        .collect()
+      rows.foreach(r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"n=$n id=${r.getLong(0)}: ${r.getSeq[String](1)} vs ${r.getSeq[String](2)}"))
+    }
+  }
+
   test("TopNgramCount expression == explode/groupBy/max formulation") {
     import spark.implicits._
     val texts = Seq("a b a b a", "x", "", "s s s s", "p q r", "a a b b a a b b")
