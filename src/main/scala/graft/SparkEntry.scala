@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.ops.{Bpe, Dedup, Multimodal, Similarity, TextStats, Urls}
+import graft.ops.{Bloom, Bpe, Dedup, Multimodal, Similarity, TextStats, Urls}
 
 /** Driver contract — queries (Spark) + oracleSql (DuckDB twin) per operator.
   * Column names/aliases match between both sides (the driver hash-compares
@@ -253,6 +253,16 @@ object SparkEntry {
     // independent two-pass sequential twin
     "q68_paragraph_dedup" -> ((s, dir) =>
       Dedup.dedupParagraphs(Dedup.syntheticParagraphs(s.read.parquet(t(dir, "documents"))))),
+    // Dolma-style Bloom-filter dedup of an incoming snapshot (doc_id % 3
+    // == 0) against the base corpus: filter built once from base
+    // paragraphs, probe is a shuffle-free codegen'd per-row filter;
+    // golden-oracled vs a twin that re-derives the double-hashing formula
+    "q76_bloom_dedup" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+      Bloom.dedupAgainst(
+        Dedup.syntheticParagraphs(docs.filter(pmod(col("doc_id"), lit(3L)) =!= 0)),
+        Dedup.syntheticParagraphs(docs.filter(pmod(col("doc_id"), lit(3L)) === 0)))
+    }),
     // benchmark decontamination: n-gram overlap vs a stand-in eval set
     // (docs with doc_id % 97 == 0); benchmark grams broadcast, no corpus
     // shuffle (plan-tested)
@@ -621,6 +631,7 @@ object SparkEntry {
     "q60_bpe_merges" -> golden("q60_bpe_merges"),
     "q63_remove_dup_spans" -> golden("q63_remove_dup_spans"),
     "q68_paragraph_dedup" -> golden("q68_paragraph_dedup"),
+    "q76_bloom_dedup" -> golden("q76_bloom_dedup"),
     "q69_dsir_select" -> golden("q69_dsir_select"),
     "q70_bpe_encode" -> golden("q70_bpe_encode"),
     "q71_packed_ids" -> golden("q71_packed_ids"),

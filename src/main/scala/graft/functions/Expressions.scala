@@ -525,6 +525,99 @@ object ExcisePositions {
   }
 }
 
+/** Shared Bloom-filter hash math (Kirsch–Mitzenmacher double hashing):
+  * pos_i = floorMod(h1 + i*h2, m) for i in 0..k-1 with
+  * h1 = xxhash64(key, seed), h2 = xxhash64(key, seed+1). Long arithmetic
+  * wraps in Java (deterministic), which is exactly why this lives in
+  * compiled code and not Column arithmetic — Spark 4's ANSI mode would
+  * throw ARITHMETIC_OVERFLOW on the h1 + i*h2 mix. */
+object BloomHash {
+  def positions(keyBytes: Array[Byte], mBits: Long, k: Int, seed: Long): Array[Long] = {
+    val h1 = Xxh64.hashBytes(keyBytes, seed)
+    val h2 = Xxh64.hashBytes(keyBytes, seed + 1L)
+    val out = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      out(i) = java.lang.Math.floorMod(h1 + i.toLong * h2, mBits)
+      i += 1
+    }
+    out
+  }
+}
+
+/** bloom_positions(key string) -> array<long>: the k Bloom bit positions of
+  * `key` in an m-bit filter (BloomHash formula). The build side of Bloom
+  * dedup: explode -> word/bit split -> bit_or aggregation, all codegen'd. */
+case class BloomPositions(child: Expression, mBits: Long, k: Int, seed: Long)
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.ArrayType
+  require(mBits > 0 && mBits % 64 == 0, "mBits must be a positive multiple of 64")
+  require(k > 0, "k must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() = {
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"bloom_positions requires string input, got ${child.dataType}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    BloomPositions.compute(v.asInstanceOf[UTF8String], mBits, k, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.BloomPositions.compute($c, ${mBits}L, $k, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): BloomPositions = copy(child = newChild)
+  override def prettyName: String = "bloom_positions"
+}
+
+object BloomPositions {
+  def compute(s: UTF8String, mBits: Long, k: Int, seed: Long): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val pos = BloomHash.positions(s.getBytes, mBits, k, seed)
+    val out = new Array[Any](k)
+    var i = 0
+    while (i < k) { out(i) = pos(i); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** bloom_contains(key string) -> boolean: true iff all k Bloom bit positions
+  * of `key` are set in `bits` (m = bits.length * 64). The probe side of
+  * Bloom dedup: a broadcast-constant filter predicate — zero shuffle, one
+  * compiled pass, O(m/8) bytes of state per executor regardless of how many
+  * keys the filter was built from. False positives possible (deterministic
+  * given the formula), false negatives impossible. */
+case class BloomContains(child: Expression, bits: Array[Long], k: Int, seed: Long)
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.BooleanType
+  require(bits.nonEmpty, "empty bloom bit array")
+  require(k > 0, "k must be positive")
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes() = {
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"bloom_contains requires string input, got ${child.dataType}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    BloomContains.compute(v.asInstanceOf[UTF8String], bits, k, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bitsRef = ctx.addReferenceObj("bloomBits", bits, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.BloomContains.compute($c, $bitsRef, $k, ${seed}L)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BloomContains = copy(child = newChild)
+  override def prettyName: String = "bloom_contains"
+}
+
+object BloomContains {
+  def compute(s: UTF8String, bits: Array[Long], k: Int, seed: Long): Boolean = {
+    val m = bits.length.toLong * 64L
+    val pos = BloomHash.positions(s.getBytes, m, k, seed)
+    var i = 0
+    while (i < k) {
+      val p = pos(i)
+      if ((bits((p >>> 6).toInt) & (1L << (p & 63L))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+}
+
 object GraftFunctions {
   import org.apache.spark.sql.graftbridge.Bridge
   def extract_text(c: Column): Column = Bridge.column(ExtractText(Bridge.expression(c)))
@@ -546,6 +639,10 @@ object GraftFunctions {
     Bridge.column(TopNgramCount(Bridge.expression(c), n))
   def excise_positions(toks: Column, removed: Column): Column =
     Bridge.column(ExcisePositions(Bridge.expression(toks), Bridge.expression(removed)))
+  def bloom_positions(c: Column, mBits: Long, k: Int, seed: Long): Column =
+    Bridge.column(BloomPositions(Bridge.expression(c), mBits, k, seed))
+  def bloom_contains(c: Column, bits: Array[Long], k: Int, seed: Long): Column =
+    Bridge.column(BloomContains(Bridge.expression(c), bits, k, seed))
 
   /** Register for SQL use in an existing session. */
   def register(spark: SparkSession): Unit = {

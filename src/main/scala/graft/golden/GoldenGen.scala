@@ -72,6 +72,8 @@ object GoldenGen {
     write("q67_semdedup", q67SemDedup(vecs), "vec_id", "group_id", "keep")
     write("q68_paragraph_dedup", q68ParagraphDedup(docs),
       "doc_id", "n_paras", "n_dropped", "text_clean")
+    write("q76_bloom_dedup", q76BloomDedup(docs),
+      "doc_id", "n_paras", "n_dropped", "text_clean")
     write("q69_dsir_select", q69Dsir(docs), "doc_id", "log_w", "rank")
     write("q70_bpe_encode", q70BpeEncode(docs), "doc_id", "n_subwords", "ids_str")
     write("q71_packed_ids", q71PackedIds(docs),

@@ -572,6 +572,35 @@ object SequentialTwin {
     }
   }
 
+  /** q76 rows: Bloom-filter dedup of the incoming snapshot (docId % 3 == 0)
+    * against the base corpus (docId % 3 != 0), paragraphs re-derived from
+    * the q68 enrichment spec. The filter is re-implemented from the
+    * documented formula alone — Kirsch–Mitzenmacher double hashing,
+    * pos_i = floorMod(xxhash64(p, seed) + i * xxhash64(p, seed+1), m) —
+    * over a plain long-array bitset; shares only the Xxh64 primitive with
+    * production. An incoming paragraph is excised iff all k bits are set
+    * (false positives and all). */
+  def q76BloomDedup(docs: Seq[Doc], mBits: Int = 1 << 22, k: Int = 7,
+                    seed: Long = 42L): Seq[(Long, Long, Long, String)] = {
+    def paras(d: Doc): Vector[String] =
+      splitKeepAll(d.text).grouped((4 + (d.docId % 5)).toInt).map(_.mkString(" ")).toVector
+    def positions(p: String): IndexedSeq[Long] = {
+      val b = p.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val h1 = Xxh64.hashBytes(b, seed)
+      val h2 = Xxh64.hashBytes(b, seed + 1L)
+      (0 until k).map(i => java.lang.Math.floorMod(h1 + i.toLong * h2, mBits.toLong))
+    }
+    val bits = new Array[Long](mBits / 64)
+    docs.filter(_.docId % 3 != 0).foreach(d => paras(d).foreach(p =>
+      positions(p).foreach(pos => bits((pos >>> 6).toInt) |= 1L << (pos & 63L))))
+    docs.filter(_.docId % 3 == 0).sortBy(_.docId).map { d =>
+      val ps = paras(d)
+      val kept = ps.filterNot(p =>
+        positions(p).forall(pos => (bits((pos >>> 6).toInt) & (1L << (pos & 63L))) != 0L))
+      (d.docId, ps.length.toLong, (ps.length - kept.length).toLong, kept.mkString("\n"))
+    }
+  }
+
   /** q69 rows: DSIR gumbel top-k selection. Char-n-gram models re-derived
     * from the expression spec (code-point windows); counts/totals per the
     * lmTrain contract (total counted BEFORE min-count flooring; unseen
