@@ -275,6 +275,13 @@ object SparkEntry {
       TextStats.sampleBySourceRates(s.read.parquet(t(dir, "documents")),
         Map("src0" -> 100, "src1" -> 80, "src2" -> 55, "src3" -> 30), defaultPct = 10)
         .select(col("doc_id"), col("source"))),
+    // model-based quality filter (GPT-3/CCNet/LLaMA shape): linear
+    // classifier over hashed word uni+bigram features — one codegen'd
+    // per-row pass, zero shuffle, the weight table a broadcast plan
+    // constant; integer logits, golden-oracled vs an independent twin
+    "q77_quality_classifier" -> ((s, dir) =>
+      TextStats.qualityClassifier(s.read.parquet(t(dir, "documents")),
+        TextStats.classifierWeights(1 << 18))),
     // Gopher-style repetition profile: top word-1/2/3-gram counts, zero
     // shuffle (native codegen'd top_ngram_count — per-doc output, so the
     // gram counting never leaves the row)
@@ -632,6 +639,7 @@ object SparkEntry {
     "q63_remove_dup_spans" -> golden("q63_remove_dup_spans"),
     "q68_paragraph_dedup" -> golden("q68_paragraph_dedup"),
     "q76_bloom_dedup" -> golden("q76_bloom_dedup"),
+    "q77_quality_classifier" -> golden("q77_quality_classifier"),
     "q69_dsir_select" -> golden("q69_dsir_select"),
     "q70_bpe_encode" -> golden("q70_bpe_encode"),
     "q71_packed_ids" -> golden("q71_packed_ids"),

@@ -618,6 +618,76 @@ object BloomContains {
   }
 }
 
+/** hashed_gram_logit(text string) -> array<long> [n_grams, logit]: linear
+  * classifier score over hashed word uni+bigram features — the GPT-3 /
+  * CCNet-style model-based quality filter (Brown et al. 2020 App. A,
+  * Wenzek et al. 2020 §4.3) as ONE codegen'd per-row pass with zero
+  * shuffle: the weight table (the trained model; here any int array, F =
+  * weights.length buckets) rides the plan as a broadcast constant.
+  *
+  * Formula (value-identical to the Spark-SQL form, parity-tested):
+  * tokens = single-space split (WordNgrams semantics); grams = every
+  * unigram and bigram occurrence (space-joined — contiguous byte spans of
+  * the input, so no gram string is materialized); bucket(g) =
+  * floorMod(xxhash64(g), F) i.e. pmod(xxhash64(g), F); logit =
+  * sum(weights(bucket(g))); n_grams = 2 * n_tokens - 1. The sum is exact
+  * long arithmetic — |logit| <= n_grams * max|w|, overflow-free for any
+  * real document. */
+case class HashedGramLogit(child: Expression, weights: Array[Int])
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.ArrayType
+  require(weights.nonEmpty, "empty weight table")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() = {
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"hashed_gram_logit requires string input, got ${child.dataType}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    HashedGramLogit.compute(v.asInstanceOf[UTF8String], weights)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("gramWeights", weights, "int[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashedGramLogit.compute($c, $wRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): HashedGramLogit = copy(child = newChild)
+  override def prettyName: String = "hashed_gram_logit"
+}
+
+object HashedGramLogit {
+  def compute(s: UTF8String, weights: Array[Int]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bytes = s.getBytes
+    val nb = bytes.length
+    val f = weights.length.toLong
+    // token k spans [starts(k), ends(k)); separators are single 0x20 bytes
+    var nTokens = 1
+    var off = 0
+    while (off < nb) { if (bytes(off) == ' '.toByte) nTokens += 1; off += 1 }
+    val starts = new Array[Int](nTokens)
+    val ends = new Array[Int](nTokens)
+    var tok = 0
+    starts(0) = 0
+    off = 0
+    while (off < nb) {
+      if (bytes(off) == ' '.toByte) { ends(tok) = off; tok += 1; starts(tok) = off + 1 }
+      off += 1
+    }
+    ends(tok) = nb
+    var logit = 0L
+    def add(start: Int, end: Int): Unit = {
+      val h = Xxh64.hashBytes(java.util.Arrays.copyOfRange(bytes, start, end), Xxh64.SparkSeed)
+      logit += weights(java.lang.Math.floorMod(h, f).toInt)
+    }
+    var i = 0
+    while (i < nTokens) {
+      add(starts(i), ends(i))                        // unigram
+      if (i + 1 < nTokens) add(starts(i), ends(i + 1)) // bigram (space-joined span)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Any]((2L * nTokens - 1L), logit))
+  }
+}
+
 object GraftFunctions {
   import org.apache.spark.sql.graftbridge.Bridge
   def extract_text(c: Column): Column = Bridge.column(ExtractText(Bridge.expression(c)))
@@ -643,6 +713,8 @@ object GraftFunctions {
     Bridge.column(BloomPositions(Bridge.expression(c), mBits, k, seed))
   def bloom_contains(c: Column, bits: Array[Long], k: Int, seed: Long): Column =
     Bridge.column(BloomContains(Bridge.expression(c), bits, k, seed))
+  def hashed_gram_logit(c: Column, weights: Array[Int]): Column =
+    Bridge.column(HashedGramLogit(Bridge.expression(c), weights))
 
   /** Register for SQL use in an existing session. */
   def register(spark: SparkSession): Unit = {

@@ -74,6 +74,8 @@ object GoldenGen {
       "doc_id", "n_paras", "n_dropped", "text_clean")
     write("q76_bloom_dedup", q76BloomDedup(docs),
       "doc_id", "n_paras", "n_dropped", "text_clean")
+    write("q77_quality_classifier", q77QualityClassifier(docs),
+      "doc_id", "n_grams", "logit", "keep")
     write("q69_dsir_select", q69Dsir(docs), "doc_id", "log_w", "rank")
     write("q70_bpe_encode", q70BpeEncode(docs), "doc_id", "n_subwords", "ids_str")
     write("q71_packed_ids", q71PackedIds(docs),

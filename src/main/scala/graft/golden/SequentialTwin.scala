@@ -601,6 +601,28 @@ object SequentialTwin {
     }
   }
 
+  /** q77 rows: hashed-gram linear quality classifier, re-derived from the
+    * documented formula (single-space tokens; every unigram and space-
+    * joined bigram occurrence; bucket = floorMod(xxhash64(gram), F);
+    * weight = floorMod(xxhash64("w", bucket-as-long... ) — see
+    * TextStats.classifierWeights), independent per-doc gram loop over
+    * materialized gram STRINGS (production hashes byte spans in place). */
+  def q77QualityClassifier(docs: Seq[Doc], numBuckets: Int = 1 << 18)
+      : Seq[(Long, Long, Long, Boolean)] = {
+    val wBase = Xxh64.hashString("w", Xxh64.SparkSeed)
+    def weight(bucket: Long): Long =
+      Math.floorMod(Xxh64.hashLong(bucket, wBase), 2001L) - 1000L
+    docs.sortBy(_.docId).map { d =>
+      val ts = splitKeepAll(d.text)
+      val grams = ts.toIndexedSeq ++
+        (0 until ts.length - 1).map(i => ts(i) + " " + ts(i + 1))
+      val logit = grams.foldLeft(0L) { (acc, g) =>
+        acc + weight(Math.floorMod(Xxh64.hashString(g, Xxh64.SparkSeed), numBuckets.toLong))
+      }
+      (d.docId, (2L * ts.length - 1L), logit, logit > 0L)
+    }
+  }
+
   /** q69 rows: DSIR gumbel top-k selection. Char-n-gram models re-derived
     * from the expression spec (code-point windows); counts/totals per the
     * lmTrain contract (total counted BEFORE min-count flooring; unseen

@@ -628,4 +628,34 @@ object TextStats {
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       graft.functions.GraftFunctions.fingerprint64(col("text")).as("fingerprint"))
+
+  /** Deterministic stand-in weight table for [[qualityClassifier]]:
+    * w(j) = pmod(xxhash64("w", j), 2001) - 1000, an int in [-1000, 1000].
+    * The shape (F hashed-feature buckets -> int weight) is exactly what a
+    * trained fastText / logistic-regression quality model exports; swap in
+    * real weights at deployment. F = 2^18 costs 1 MB — a production 2M-
+    * bucket model is 8 MB, still a plan constant. */
+  def classifierWeights(numBuckets: Int): Array[Int] = {
+    val base = graft.functions.Xxh64.hashString("w", graft.functions.Xxh64.SparkSeed)
+    Array.tabulate(numBuckets) { j =>
+      (Math.floorMod(graft.functions.Xxh64.hashLong(j.toLong, base), 2001L) - 1000L).toInt
+    }
+  }
+
+  /** Model-based quality filtering (GPT-3, Brown et al. 2020 App. A;
+    * CCNet, Wenzek et al. 2020 §4.3; LLaMA): a linear classifier over
+    * hashed word uni+bigram features. ZERO shuffle — the whole score is
+    * one codegen'd per-row pass (`hashed_gram_logit`), the model a
+    * broadcast plan constant; at 100 TB this is a pure map stage that
+    * scales with input splits. Integer logits (exact, oracle-friendly;
+    * sigmoid is monotone so `keep = logit > 0` is the classifier's
+    * decision). Returns (doc_id, n_grams, logit, keep). */
+  def qualityClassifier(docs: DataFrame, weights: Array[Int]): DataFrame =
+    docs
+      .withColumn("hl",
+        graft.functions.GraftFunctions.hashed_gram_logit(col("text"), weights))
+      .select(col("doc_id"),
+        col("hl").getItem(0).as("n_grams"),
+        col("hl").getItem(1).as("logit"),
+        (col("hl").getItem(1) > 0).as("keep"))
 }

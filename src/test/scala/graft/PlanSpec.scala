@@ -138,7 +138,8 @@ class PlanSpec extends SparkSpec {
   test("q55/q57/q58 run with ZERO exchanges; q56's model join is broadcast") {
     // repetition profile, PII redaction and URL canonicalization are pure
     // per-row passes — any Exchange in their plans is a regression
-    for (q <- Seq("q55_repetition", "q57_pii_redact", "q58_url_canonicalize")) {
+    for (q <- Seq("q55_repetition", "q57_pii_redact", "q58_url_canonicalize",
+                  "q77_quality_classifier")) {
       val p = plan(SparkEntry.queries(q)(spark, sf))
       assert(!p.contains("Exchange"), s"$q must not shuffle:\n${p.take(2000)}")
       assert(!p.contains("ScalaUDF"), s"$q must stay codegen'd")
