@@ -228,6 +228,64 @@ object StreamIngest {
           .as("text_clean"))
   }
 
+  /**
+   * Streaming BLOOM dedup — the foreachBatch twin of `Bloom.dedupAgainst`
+   * for a continuously-landing crawl (the Dolma ingestion shape): each
+   * micro-batch's paragraphs are probed against the Bloom filter of every
+   * PRIOR batch's paragraphs, and the batch then adds its own bits to the
+   * state. Versus `paragraphDedupBatchStep` (exact), the state is BOUNDED:
+   * at most m/64 longs ever, regardless of corpus age — the trade is the
+   * filter's deterministic false-positive rate (over-drop only).
+   *
+   *  - State table: (w int, b long, batch_id) — the bit WORDS each batch
+   *    sets (bit_or-folded on read; the OR is idempotent and order-free).
+   *    Appended crash-atomically (`TableIO.writeResumable`); a replayed
+   *    batch's write is a no-op.
+   *  - The probe reads `batch_id < batchId` only, so a crash replay
+   *    recomputes the same kept set (it never matches its own bits).
+   *  - Within-batch duplicates are NOT dropped (order-free semantics, as
+   *    in the batch operator); compose `paragraphDedupBatchStep` upstream
+   *    when self-dedup is wanted.
+   *
+   * Returns (doc_id, n_paras, n_dropped, text_clean) for this batch.
+   */
+  def bloomDedupBatchStep(batch: DataFrame, stateRoot: String, batchId: Long,
+                          mBits: Long = 1L << 22, k: Int = 7,
+                          seed: Long = 42L): DataFrame = {
+    import graft.core.TableIO
+    import graft.functions.GraftFunctions
+    require(mBits > 0 && mBits % 64 == 0 && mBits / 64 <= Int.MaxValue,
+      "mBits must be a positive multiple of 64 with mBits/64 an Int")
+    val spark = batch.sparkSession
+    val paras = split(col("text"), "\n")
+    val stateExists = java.nio.file.Files.exists(java.nio.file.Paths.get(stateRoot, "data"))
+    val bits = new Array[Long]((mBits / 64).toInt)
+    if (stateExists)
+      TableIO.read(spark, stateRoot, "batch_id")
+        .filter(col("batch_id") < batchId)
+        .groupBy(col("w")).agg(bit_or(col("b")).as("bits"))
+        .collect()
+        .foreach(r => bits(r.getInt(0)) = r.getLong(1))
+    // this batch's word contributions (all its paragraphs — the OR makes
+    // re-adding known ones idempotent), appended crash-atomically
+    val words = batch
+      .select(explode(paras).as("p"))
+      .select(explode(
+        GraftFunctions.bloom_positions(col("p"), mBits, k, seed)).as("pos"))
+      .select(shiftright(col("pos"), 6).cast("int").as("w"),
+        expr("shiftleft(1L, cast(pos & 63 as int))").as("b"))
+      .groupBy(col("w")).agg(bit_or(col("b")).as("b"))
+    TableIO.writeResumable(words.withColumn("batch_id", lit(batchId)),
+      stateRoot, "batch_id")
+    batch.withColumn("paras", paras)
+      .withColumn("kept",
+        filter(col("paras"), p => !GraftFunctions.bloom_contains(p, bits, k, seed)))
+      .select(col("doc_id"),
+        size(col("paras")).cast("long").as("n_paras"),
+        (size(col("paras")) - size(col("kept"))).cast("long").as("n_dropped"),
+        concat_ws("\n", col("kept")).as("text_clean"))
+  }
+
   /** Periodic state housekeeping for long-lived streams: rewrite state
     * partitions that accumulated many small files (one per executor per
     * batch). Run between batches (single-writer maintenance window). */

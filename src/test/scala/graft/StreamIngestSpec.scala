@@ -226,6 +226,58 @@ class StreamIngestSpec extends SparkSpec {
     assert(state.columns.sorted.toSeq == Seq("batch_id", "h"), state.columns.mkString(","))
   }
 
+  test("streaming Bloom dedup (foreachBatch + TableIO state): prior-batch probe, bounded state, exact replay") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val stateRoot = java.nio.file.Files.createTempDirectory("bloomdedup_state").toString
+    val outDir = java.nio.file.Files.createTempDirectory("bloomdedup_out").toString + "/clean"
+    val b1 = Seq((1L, "a b\nc d\ne f"), (2L, "c d\ng h"))
+    val b2 = Seq((3L, "a b\nz z"), (4L, "z z\nz z\nq r"))
+    val stream = MemoryStream[(Long, String)]
+    val q = stream.toDS().toDF("doc_id", "text")
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        StreamIngest.bloomDedupBatchStep(b, stateRoot, id)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+    stream.addData(b1: _*)
+    q.processAllAvailable()
+    stream.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val got = rows(spark.read.parquet(outDir))
+    // batch 0 probes an empty filter: everything survives (within-batch
+    // dups "c d" included — order-free semantics)
+    assert(got.contains((1L, 3L, 0L, "a b\nc d\ne f")) &&
+      got.contains((2L, 2L, 0L, "c d\ng h")), got.toString)
+    // batch 1 == the batch operator probing batch 0 as base (m large
+    // enough that no FP fires on 7 paragraphs); doc 4's "z z" twins both
+    // survive — novel to the PRIOR state
+    val want2 = rows(graft.ops.Bloom.dedupAgainst(
+      b1.toDF("doc_id", "text"), b2.toDF("doc_id", "text")))
+    assert(got.filter(r => r._1 >= 3L) == want2,
+      s"streaming vs batch operator: $got vs $want2")
+    assert(got.contains((3L, 2L, 1L, "z z")) &&
+      got.contains((4L, 3L, 0L, "z z\nz z\nq r")), got.toString)
+    // REPLAY of batch 1 (state committed, sink lost): same rows back, no
+    // state growth (idempotent bit-word append)
+    val replayed = rows(StreamIngest.bloomDedupBatchStep(
+      b2.toDF("doc_id", "text"), stateRoot, 1L))
+    assert(replayed == got.filter(_._1 >= 3L), s"replay rows: $replayed")
+    val state = graft.core.TableIO.read(spark, stateRoot, "batch_id")
+    val before = state.count()
+    StreamIngest.bloomDedupBatchStep(Seq((9L, "a b")).toDF("doc_id", "text"), stateRoot, 1L)
+    val after = graft.core.TableIO.read(spark, stateRoot, "batch_id").count()
+    assert(before == after, s"replay must not grow state: $before -> $after")
+    // state carries bit WORDS only (bounded by m/64 rows per batch), never text
+    assert(state.columns.sorted.toSeq == Seq("b", "batch_id", "w"), state.columns.mkString(","))
+    assert(before <= 2L * 7L * 7L, s"state rows must be bounded by paras*k: $before")
+  }
+
   test("mapGroupsWithState running totals accumulate across micro-batches") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
