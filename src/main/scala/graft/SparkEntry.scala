@@ -187,6 +187,12 @@ object SparkEntry {
     // independent sequential k-means + probe/rank twin
     "q66_ann_ivf_trained" -> ((s, dir) =>
       Similarity.ivfTopKTrained(s.read.parquet(t(dir, "embeddings")), col("vec_id") < 20, 10)),
+    // product quantization (Jégou et al. 2011): per-subspace L2 k-means
+    // books, one-byte codes (32x compression at m=8), asymmetric-distance
+    // approximate-cosine scan over the codes only; golden-oracled vs an
+    // independent sequential PQ twin
+    "q78_ann_pq" -> ((s, dir) =>
+      Similarity.pqTopK(s.read.parquet(t(dir, "embeddings")), col("vec_id") < 20, 10)),
     // SemDeDup (Abbas et al. 2023): k-means clusters -> exact within-cluster
     // cosine pairs (triangle-blocked all-pairs join) -> CC duplicate groups,
     // keep the least-centroid-similar representative; golden-oracled vs an
@@ -687,6 +693,7 @@ object SparkEntry {
     "q64_bpe_segment_2k" -> golden("q64_bpe_segment_2k"),
     "q65_packing_subwords" -> golden("q65_packing_subwords"),
     "q66_ann_ivf_trained" -> golden("q66_ann_ivf_trained"),
+    "q78_ann_pq" -> golden("q78_ann_pq"),
     // INDEPENDENT oracle: constructs the expected canonical form from
     // (source, doc_id) directly — never re-runs a canonicalizer. Tracking
     // params (utm_source, ref) vanish; surviving params byte-sorted

@@ -688,6 +688,178 @@ object HashedGramLogit {
   }
 }
 
+/** pq_encode(embedding array<float>) -> binary: product-quantization codes
+  * (Jégou et al. 2011) — the vector split into M = books.length subspaces
+  * of ds = books(m)(c).length dims; code byte m = index of the sub-centroid
+  * minimizing squared L2 distance to sub-vector m (doubles, index-ascending
+  * operand order, strict < so ties keep the SMALLEST code). M bytes per
+  * vector — a 64-dim float32 embedding compresses 256 B -> M bytes. Throws
+  * on a dimension mismatch (ragged embedding tables fail loudly, as
+  * signlsh_bits). */
+case class PqEncode(child: Expression, books: Array[Array[Array[Float]]])
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, FloatType}
+  require(books.nonEmpty && books.forall(_.nonEmpty), "empty PQ codebooks")
+  require(books.forall(_.length <= 256), "PQ codebooks must have <= 256 codes (one byte)")
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(FloatType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"pq_encode requires array<float> input, got $t")
+  }
+  override def nullSafeEval(v: Any): Any =
+    PqEncode.compute(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], books)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bRef = ctx.addReferenceObj("pqBooks", books, "float[][][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.PqEncode.compute($c, $bRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqEncode = copy(child = newChild)
+  override def prettyName: String = "pq_encode"
+}
+
+object PqEncode {
+  def compute(v: org.apache.spark.sql.catalyst.util.ArrayData,
+              books: Array[Array[Array[Float]]]): Array[Byte] = {
+    val m = books.length
+    val ds = books(0)(0).length
+    if (v.numElements() != m * ds)
+      throw new IllegalArgumentException(
+        s"pq_encode: embedding dim ${v.numElements()} != M*ds = ${m * ds}")
+    val out = new Array[Byte](m)
+    var s = 0
+    while (s < m) {
+      val cs = books(s)
+      val base = s * ds
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < cs.length) {
+        val cent = cs(c)
+        var d = 0.0; var i = 0
+        while (i < ds) {
+          val t = v.getFloat(base + i).toDouble - cent(i).toDouble
+          d += t * t; i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(s) = best.toByte
+      s += 1
+    }
+    out
+  }
+}
+
+/** pq_lut(query array<float>) -> array<double>: the query's flattened ADC
+  * lookup table — entry [m * nCodes + c] = <q_m, books(m)(c)> / |q|
+  * (inner product of the query's m-th sub-vector with sub-centroid c,
+  * pre-divided by the FULL query norm so `pq_adc` needs no per-query
+  * scalar). Doubles, index-ascending accumulation. One row per query;
+  * the table is M * nCodes doubles (tiny — it rides the broadcast join). */
+case class PqLut(child: Expression, books: Array[Array[Array[Float]]])
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+  require(books.nonEmpty && books.forall(_.nonEmpty), "empty PQ codebooks")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(FloatType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"pq_lut requires array<float> input, got $t")
+  }
+  override def nullSafeEval(v: Any): Any =
+    PqLut.compute(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], books)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bRef = ctx.addReferenceObj("pqBooks", books, "float[][][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.PqLut.compute($c, $bRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqLut = copy(child = newChild)
+  override def prettyName: String = "pq_lut"
+}
+
+object PqLut {
+  def compute(v: org.apache.spark.sql.catalyst.util.ArrayData,
+              books: Array[Array[Array[Float]]]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val m = books.length
+    val ds = books(0)(0).length
+    val nCodes = books(0).length
+    if (v.numElements() != m * ds)
+      throw new IllegalArgumentException(
+        s"pq_lut: embedding dim ${v.numElements()} != M*ds = ${m * ds}")
+    var qn = 0.0
+    var i = 0
+    val n = v.numElements()
+    while (i < n) { val x = v.getFloat(i).toDouble; qn += x * x; i += 1 }
+    val qnorm = math.sqrt(qn)
+    val out = new Array[Any](m * nCodes)
+    var s = 0
+    while (s < m) {
+      val cs = books(s)
+      val base = s * ds
+      var c = 0
+      while (c < cs.length) {
+        val cent = cs(c)
+        var ip = 0.0; var j = 0
+        while (j < ds) { ip += v.getFloat(base + j).toDouble * cent(j).toDouble; j += 1 }
+        out(s * nCodes + c) = ip / qnorm
+        c += 1
+      }
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** pq_adc(code binary, lut array<double>) -> double: asymmetric-distance
+  * approximate COSINE — sum of the query LUT entries the code selects,
+  * divided by the reconstruction norm sqrt(sum normSq[m][code_m]) (normSq
+  * = the query-independent sub-centroid squared norms, a plan constant).
+  * Approximates cosine(q, x) by reconstructing x from its sub-centroids;
+  * M lookups + one sqrt per pair — no float vectors touched at scan
+  * time. */
+case class PqAdc(left: Expression, right: Expression, normSq: Array[Double])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, DoubleType}
+  require(normSq.nonEmpty, "empty normSq table")
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes() = (left.dataType, right.dataType) match {
+    case (BinaryType, ArrayType(DoubleType, _)) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"pq_adc requires (binary, array<double>), got ($l, $r)")
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PqAdc.compute(a.asInstanceOf[Array[Byte]],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], normSq)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val nRef = ctx.addReferenceObj("pqNormSq", normSq, "double[]")
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.PqAdc.compute($a, $b, $nRef)")
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PqAdc =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "pq_adc"
+}
+
+object PqAdc {
+  def compute(code: Array[Byte],
+              lut: org.apache.spark.sql.catalyst.util.ArrayData,
+              normSq: Array[Double]): Double = {
+    val m = code.length
+    val nCodes = lut.numElements() / m
+    var ip = 0.0
+    var ns = 0.0
+    var s = 0
+    while (s < m) {
+      val idx = s * nCodes + (code(s) & 0xFF)
+      ip += lut.getDouble(idx)
+      ns += normSq(idx)
+      s += 1
+    }
+    ip / math.sqrt(ns)
+  }
+}
+
 object GraftFunctions {
   import org.apache.spark.sql.graftbridge.Bridge
   def extract_text(c: Column): Column = Bridge.column(ExtractText(Bridge.expression(c)))
@@ -715,6 +887,12 @@ object GraftFunctions {
     Bridge.column(BloomContains(Bridge.expression(c), bits, k, seed))
   def hashed_gram_logit(c: Column, weights: Array[Int]): Column =
     Bridge.column(HashedGramLogit(Bridge.expression(c), weights))
+  def pq_encode(c: Column, books: Array[Array[Array[Float]]]): Column =
+    Bridge.column(PqEncode(Bridge.expression(c), books))
+  def pq_lut(c: Column, books: Array[Array[Array[Float]]]): Column =
+    Bridge.column(PqLut(Bridge.expression(c), books))
+  def pq_adc(code: Column, lut: Column, normSq: Array[Double]): Column =
+    Bridge.column(PqAdc(Bridge.expression(code), Bridge.expression(lut), normSq))
 
   /** Register for SQL use in an existing session. */
   def register(spark: SparkSession): Unit = {

@@ -69,6 +69,8 @@ object GoldenGen {
       "doc_id", "n_tokens", "bucket", "pack_id")
     write("q66_ann_ivf_trained", q66IvfTrained(vecs),
       "query_id", "neighbor_id", "rank")
+    write("q78_ann_pq", q78PqTopK(vecs),
+      "query_id", "neighbor_id", "rank")
     write("q67_semdedup", q67SemDedup(vecs), "vec_id", "group_id", "keep")
     write("q68_paragraph_dedup", q68ParagraphDedup(docs),
       "doc_id", "n_paras", "n_dropped", "text_clean")

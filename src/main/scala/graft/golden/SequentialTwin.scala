@@ -478,6 +478,119 @@ object SequentialTwin {
     cents
   }
 
+  /** Squared-L2 nearest (PQ metric): index-ascending accumulation, strict
+    * < keeps the first (smallest-id) centroid — the documented
+    * `nearestListL2` formula, re-derived. */
+  private def twinNearestL2(v: Array[Float],
+                            cents: Seq[(Long, Array[Float])]): Long = {
+    var bestId = cents.head._1
+    var best = Double.PositiveInfinity
+    for ((cid, cv) <- cents) {
+      var d = 0.0; var i = 0
+      while (i < v.length) {
+        val t = v(i).toDouble - cv(i).toDouble
+        d += t * t; i += 1
+      }
+      if (d < best) { best = d; bestId = cid }
+    }
+    bestId
+  }
+
+  /** twinKmeans under squared L2 (the PQ sub-quantizer training). */
+  def twinKmeansL2(vecs: Seq[(Long, Array[Float])], nList: Int, iters: Int,
+                   fanout: Int): Seq[(Long, Array[Float])] = {
+    val maxId = vecs.map(_._1).max
+    val stride = math.max(1L, (maxId + 1) / nList)
+    var cents: Seq[(Long, Array[Float])] =
+      vecs.filter(_._1 % stride == 0).sortBy(_._1).take(nList)
+    for (_ <- 1 to iters) {
+      val assign = vecs.map { case (id, v) => (id, v, twinNearestL2(v, cents)) }
+      cents = cents.map { case (cid, cv) =>
+        val members = assign.filter(_._3 == cid)
+        if (members.isEmpty) (cid, cv)
+        else {
+          val dim = cv.length
+          val total = new Array[Double](dim)
+          for (salt <- members.map(_._1 % fanout).distinct.sorted) {
+            val part = new Array[Double](dim)
+            for ((_, v, _) <- members.filter(_._1 % fanout == salt).sortBy(_._1)) {
+              var i = 0
+              while (i < dim) { part(i) += v(i).toDouble; i += 1 }
+            }
+            var i = 0
+            while (i < dim) { total(i) += part(i); i += 1 }
+          }
+          (cid, total.map(x => (x / members.length).toFloat))
+        }
+      }
+    }
+    cents
+  }
+
+  /** q78 rows: product-quantization ADC top-k, re-derived from the
+    * documented pipeline — per-subspace L2 k-means books (code = position
+    * in the id-ascending array), one-byte codes by squared-L2 argmin,
+    * approximate cosine = (sum of <q_m, book_m[code_m]>/|q|) /
+    * sqrt(sum |book_m[code_m]|^2), ranking by (round(score, 9) desc,
+    * id asc), self excluded. Subspace/index-ascending double accumulation
+    * everywhere — bit-identical operand order to production. */
+  def q78PqTopK(vecs: Seq[(Long, Array[Float])], queryMax: Long = 20L,
+                k: Int = 10, m: Int = 8, nCodes: Int = 16,
+                iters: Int = 3, fanout: Int = 16): Seq[(Long, Long, Int)] = {
+    if (vecs.isEmpty) return Nil
+    val dim = vecs.head._2.length
+    require(dim % m == 0)
+    val ds = dim / m
+    val books: IndexedSeq[IndexedSeq[Array[Float]]] = (0 until m).map { s =>
+      val sub = vecs.map { case (id, v) =>
+        (id, java.util.Arrays.copyOfRange(v, s * ds, (s + 1) * ds))
+      }
+      twinKmeansL2(sub, nCodes, iters, fanout).map(_._2).toIndexedSeq
+    }
+    val normSq: IndexedSeq[IndexedSeq[Double]] = books.map(_.map { cent =>
+      var ns = 0.0; var i = 0
+      while (i < cent.length) { ns += cent(i).toDouble * cent(i).toDouble; i += 1 }
+      ns
+    })
+    def encode(v: Array[Float]): Array[Int] = Array.tabulate(m) { s =>
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      for (c <- books(s).indices) {
+        var d = 0.0; var i = 0
+        while (i < ds) {
+          val t = v(s * ds + i).toDouble - books(s)(c)(i).toDouble
+          d += t * t; i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+      }
+      best
+    }
+    val codes = vecs.map { case (id, v) => (id, encode(v)) }
+    vecs.filter(_._1 < queryMax).flatMap { case (qid, qv) =>
+      var qn = 0.0
+      for (x <- qv) qn += x.toDouble * x.toDouble
+      val qnorm = math.sqrt(qn)
+      val lut: IndexedSeq[IndexedSeq[Double]] = (0 until m).map { s =>
+        books(s).map { cent =>
+          var ip = 0.0; var i = 0
+          while (i < ds) { ip += qv(s * ds + i).toDouble * cent(i).toDouble; i += 1 }
+          ip / qnorm
+        }
+      }
+      codes.iterator
+        .filter(_._1 != qid)
+        .map { case (nid, code) =>
+          var ip = 0.0; var ns = 0.0
+          for (s <- 0 until m) { ip += lut(s)(code(s)); ns += normSq(s)(code(s)) }
+          (sparkRound(ip / math.sqrt(ns), 9), nid)
+        }
+        .toSeq
+        .sortBy { case (s, nid) => (-s, nid) }
+        .take(k).zipWithIndex
+        .map { case ((_, nid), r) => (qid, nid, r + 1) }
+    }
+  }
+
   def q66IvfTrained(vecs: Seq[(Long, Array[Float])], queryMax: Long = 20L,
                     k: Int = 10, nList: Int = 16, nProbe: Int = 4,
                     iters: Int = 3, fanout: Int = 16): Seq[(Long, Long, Int)] = {

@@ -126,6 +126,28 @@ object Similarity {
     (bestId, bestSim)
   }
 
+  /** Nearest-centroid id under SQUARED L2 distance — the classic PQ
+    * training/encode metric (Jégou et al. 2011): d = sum((v_i - c_i)^2) in
+    * doubles, index-ascending operand order, strict < so ties keep the
+    * FIRST (smallest-id) centroid. The sequential twin re-derives this
+    * formula verbatim. */
+  def nearestListL2(v: Array[Float], cents: Array[Centroid]): Long = {
+    var bestId = cents(0).id
+    var bestD = Double.PositiveInfinity
+    var ci = 0
+    while (ci < cents.length) {
+      val c = cents(ci)
+      var d = 0.0; var i = 0
+      while (i < v.length) {
+        val t = v(i).toDouble - c.v(i).toDouble
+        d += t * t; i += 1
+      }
+      if (d < bestD) { bestD = d; bestId = c.id }
+      ci += 1
+    }
+    bestId
+  }
+
   /** Top-`nProbe` centroid ids for a query vector (cosine desc, id asc). */
   def probeLists(v: Array[Float], cents: Array[Centroid], nProbe: Int): Array[Long] =
     cents.map(c => (cosineScalar(v, c.v), c.id))
@@ -163,9 +185,11 @@ object Similarity {
 
   /**
    * Distributed k-means (Lloyd) training of the coarse quantizer: cosine
-   * assignment (the IVF probe metric), centroid update = per-cluster MEAN
-   * of member vectors; empty clusters keep their previous centroid;
-   * centroid LABELS stay the init's ids (stable, ascending).
+   * assignment (the IVF probe metric; `metric = "l2"` switches to squared
+   * L2 — the PQ sub-quantizer metric, same first-best tie-break), centroid
+   * update = per-cluster MEAN of member vectors; empty clusters keep their
+   * previous centroid; centroid LABELS stay the init's ids (stable,
+   * ascending).
    *
    * DETERMINISM AT SCALE: float summation order changes a mean bit-wise,
    * and Spark's partial-aggregation order is run-dependent — so the update
@@ -180,9 +204,11 @@ object Similarity {
    * golden-oracled end-to-end).
    */
   def kmeansCodebook(emb: DataFrame, nList: Int, iters: Int = 3,
-                     fanout: Int = 16): Array[Centroid] = {
+                     fanout: Int = 16, metric: String = "cosine"): Array[Centroid] = {
+    require(metric == "cosine" || metric == "l2", s"unknown metric $metric")
     val spark = emb.sparkSession
     import spark.implicits._
+    val l2 = metric == "l2"
     var cents = centroidCodebook(emb, nList)
     if (cents.isEmpty) return cents
     val vecs = emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
@@ -192,7 +218,9 @@ object Similarity {
       val partials = vecs
         .mapPartitions { rows =>
           val cs = bc.value
-          rows.map { case (id, v) => (nearestList(v, cs), id % fanout, id, v) }
+          rows.map { case (id, v) =>
+            ((if (l2) nearestListL2(v, cs) else nearestList(v, cs)), id % fanout, id, v)
+          }
         }
         .groupByKey { case (list, salt, _, _) => (list, salt) }
         .mapGroups { (key: (Long, Long), rows: Iterator[(Long, Long, Long, Array[Float])]) =>
@@ -228,6 +256,67 @@ object Similarity {
       it += 1
     }
     cents
+  }
+
+  /**
+   * Product-quantization sub-codebooks (Jégou et al. 2011): the embedding
+   * split into `m` subspaces of dim/m dims; each subspace trains its own
+   * `nCodes`-centroid k-means under SQUARED L2 (the PQ metric — it bounds
+   * the reconstruction error ADC scoring pays), reusing the deterministic
+   * hierarchical-mean-fold Lloyd machinery bit-for-bit. Returned as
+   * books(m)(c) = sub-centroid vector; CODE c = position in the
+   * id-ascending array. */
+  def pqCodebooks(emb: DataFrame, m: Int, nCodes: Int = 16, iters: Int = 3,
+                  fanout: Int = 16): Array[Array[Array[Float]]] = {
+    val headRow = emb.select(size(col("embedding"))).head()
+    val dim = headRow.getInt(0)
+    require(dim % m == 0, s"embedding dim $dim not divisible by m=$m subspaces")
+    val ds = dim / m
+    (0 until m).map { s =>
+      val sub = emb.select(col("vec_id"),
+        slice(col("embedding"), s * ds + 1, ds).as("embedding"))
+      kmeansCodebook(sub, nCodes, iters, fanout, metric = "l2").map(_.v)
+    }.toArray
+  }
+
+  /**
+   * PQ approximate top-k by asymmetric distance (ADC): every vector is
+   * ENCODED to m one-byte codes (a 64-dim float32 row: 256 B -> m bytes,
+   * 32x at m=8 — the footprint that lets a 10^10-vector corpus scan from
+   * memory), each query precomputes one m*nCodes-double LUT, and the scan
+   * is m array lookups + a sqrt per pair — the codegen'd `pq_adc` over a
+   * broadcast of the (tiny) query LUTs; the float embedding column is
+   * read ONCE at encode time and never again. Scores approximate cosine
+   * via sub-centroid reconstruction; ranking rounds to 9 decimals with
+   * id-ascending ties, exactly as `bruteForceTopK`. Output
+   * (query_id, neighbor_id, rank), self excluded.
+   *
+   * 100 TB: the codes table is a one-time artifact (like the IVF
+   * assignment fact table); compose with `ivfTopKTrained`'s coarse lists
+   * to prune the scan (IVF-PQ) — here the flat ADC scan isolates the PQ
+   * contribution.
+   */
+  def pqTopK(emb: DataFrame, queryFilter: Column, k: Int, m: Int = 8,
+             nCodes: Int = 16, iters: Int = 3, fanout: Int = 16): DataFrame = {
+    import graft.functions.GraftFunctions._
+    val books = pqCodebooks(emb, m, nCodes, iters, fanout)
+    val normSq: Array[Double] = books.flatMap(_.map { cent =>
+      var ns = 0.0; var i = 0
+      while (i < cent.length) { ns += cent(i).toDouble * cent(i).toDouble; i += 1 }
+      ns
+    })
+    val codes = emb.select(col("vec_id").as("neighbor_id"),
+      pq_encode(col("embedding"), books).as("code"))
+    val queries = emb.filter(queryFilter)
+      .select(col("vec_id").as("query_id"), pq_lut(col("embedding"), books).as("lut"))
+    val scored = codes
+      .join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", pq_adc(col("code"), col("lut"), normSq))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("score"), 9).desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
   private def ivfWithCodebook(emb: DataFrame, queryFilter: Column, k: Int,
