@@ -466,6 +466,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_nodes"), countDistinct(col("component")).as("n_components"))
     }),
     "q47_triples" -> ((s, dir) => Pipeline.triples(s, dir).toDF()),
+    // static PageRank over the canonical entity graph in EXACT fixed-point
+    // longs (no float summation -> shuffle-order invariant, bit-identical
+    // to the sequential twin); 10 iterations, d = 0.85, GraphX
+    // staticPageRank semantics (PageRankSpec cross-checks GraphX to 1e-4)
+    "q79_pagerank" -> ((s, dir) => {
+      val tr = Pipeline.triples(s, dir).toDF()
+      graft.kg.PageRank.run(tr.select(col("subj").as("src"), col("obj").as("dst")))
+    }),
+    // per-entity KG degree profile: out/in triple counts + distinct
+    // neighbors, two 8-byte-key partial-agg shuffles full-outer stitched;
+    // oracle = DuckDB aggregating the q47 golden triples independently
+    "q80_entity_degrees" -> ((s, dir) =>
+      graft.kg.PageRank.degreeProfile(Pipeline.triples(s, dir).toDF())),
     "q48_span_metrics_greedy_vs_viterbi" -> ((s, dir) => {
       val greedy = graft.ner.NerStage.mentions(Pipeline.taggedSentences(s, dir, useViterbi = false))
       val vit = graft.ner.NerStage.mentions(Pipeline.taggedSentences(s, dir, useViterbi = true))
@@ -507,6 +520,20 @@ object SparkEntry {
     "q44_linked" -> golden("q44_linked"),
     "q46_canon_components" -> golden("q46_canon_components"),
     "q47_triples" -> golden("q47_triples"),
+    "q79_pagerank" -> golden("q79_pagerank"),
+    // real SQL twin: DuckDB re-aggregates the golden triples itself
+    "q80_entity_degrees" -> s"""
+      WITH t AS (SELECT * FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'),
+      o AS (SELECT subj AS id, count(*) AS out_triples, count(DISTINCT obj) AS out_nbrs
+            FROM t GROUP BY 1),
+      i AS (SELECT obj AS id, count(*) AS in_triples, count(DISTINCT subj) AS in_nbrs
+            FROM t GROUP BY 1)
+      SELECT COALESCE(o.id, i.id) AS id,
+             COALESCE(out_triples, 0) AS out_triples,
+             COALESCE(out_nbrs, 0) AS out_nbrs,
+             COALESCE(in_triples, 0) AS in_triples,
+             COALESCE(in_nbrs, 0) AS in_nbrs
+      FROM o FULL OUTER JOIN i ON o.id = i.id""",
     "q48_span_metrics_greedy_vs_viterbi" -> golden("q48_span_metrics_greedy_vs_viterbi"),
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -98,7 +98,9 @@ object GoldenGen {
     write("q43_tagged_tokens", q43TagCounts(greedy), "lang", "pred", "n")
     write("q44_linked", q44Linked(greedy, dict))
     write("q46_canon_components", Seq((canon.nNodes, canon.nComponents)), "n_nodes", "n_components")
-    write("q47_triples", q47Triples(greedy, dict, canon))
+    val trip = q47Triples(greedy, dict, canon)
+    write("q47_triples", trip)
+    write("q79_pagerank", q79PageRank(trip), "id", "rank")
     write("q48_span_metrics_greedy_vs_viterbi", q48Prf(mentions(vit), mentions(greedy)),
       "entityType", "correct", "guessed", "gold", "precision", "recall", "f1")
 

@@ -274,6 +274,29 @@ object SequentialTwin {
     (perType :+ all).map { case (t, c, gu, go) => row(t, c, gu, go) }
   }
 
+  /** q79: sequential fixed-point PageRank twin over the KG's (subj, obj)
+    * edge set — the identical integer recurrence as kg.PageRank.run
+    * (rank_0 = scale; rank' = 15*scale/100 + Σ (rank*85) / (outdeg*100),
+    * floor division, self-loops and duplicate edges dropped), so the
+    * distributed result must match BIT-FOR-BIT: every term is a long and
+    * long addition is order-free. */
+  def q79PageRank(triples: Seq[Triple], iterations: Int = 10,
+                  scale: Long = 1000000000L): Seq[(Long, Long)] = {
+    val edges = triples.map(t => (t.subj, t.obj)).filter(e => e._1 != e._2).distinct
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val base = 15L * scale / 100L
+    var ranks = nodes.map(_ -> scale).toMap
+    for (_ <- 0 until iterations) {
+      val in = scala.collection.mutable.HashMap.empty[Long, Long]
+      edges.foreach { case (u, v) =>
+        in(v) = in.getOrElse(v, 0L) + (ranks(u) * 85L) / (outdeg(u) * 100L)
+      }
+      ranks = nodes.map(v => v -> (base + in.getOrElse(v, 0L))).toMap
+    }
+    nodes.map(v => (v, ranks(v)))
+  }
+
   // -------------------------------------------------------- hash-family ops
 
   /** q28: 64-bit SimHash per doc, Spark-identical token hashing. */

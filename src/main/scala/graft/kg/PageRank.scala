@@ -1,0 +1,113 @@
+package graft.kg
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Entity importance over the materialized knowledge graph: static PageRank
+ * (Page et al. 1999; the GraphX `staticPageRank` recurrence) in EXACT
+ * FIXED-POINT arithmetic so the distributed result is bit-identical to the
+ * sequential twin regardless of partitioning or aggregation order.
+ *
+ * Recurrence (d = 85/100, matching GraphX's resetProb = 0.15):
+ *
+ *   rank_0(v)     = Scale                       // 1.0 in fixed point
+ *   rank_t+1(v)   = (15 * Scale) / 100
+ *                 + sum over in-edges (u, v) of (rank_t(u) * 85) div (outdeg(u) * 100)
+ *
+ * All terms are LONG integers and the per-edge contribution uses integer
+ * `div`, so there is no float summation anywhere — a Long sum is associative
+ * and commutative, which makes the shuffle-order nondeterminism of a
+ * distributed aggregation invisible in the result (the same reason the
+ * board's hash-family queries are cross-engine safe). The floor in `div`
+ * loses < 1 fixed-point unit per edge per iteration, i.e. a relative error
+ * < indeg(v) / Scale vs the real-valued recurrence — at the default
+ * Scale = 1e9 that is 1e-6 even for a million-in-degree hub
+ * (PageRankSpec asserts agreement with GraphX's double-precision
+ * `staticPageRank` to 1e-4).
+ *
+ * Dangling nodes (no out-edges) simply do not emit mass, the same semantics
+ * as GraphX's static implementation; their rank converges to the base term.
+ *
+ * Overflow bound: a node's rank is at most N * Scale (total mass fixpoint),
+ * so `rank * 85` stays inside a signed 64-bit long while
+ * N * Scale < 2^63 / 85 ≈ 1.08e17 — at the default Scale = 1e9 that is
+ * ~1e8 nodes. For larger graphs pass a smaller `scale` (the estimate
+ * degrades proportionally; at Scale = 1e6 the bound is ~1e11 nodes, well
+ * past any entity vocabulary).
+ *
+ * Scale design (100 TB): the edge list is joined with out-degrees ONCE,
+ * hash-partitioned by `src` and checkpointed; each iteration then shuffles
+ * only the rank table (N rows, two longs) into that fixed partitioning plus
+ * one E -> N partial-aggregated sum by `dst`. Nothing driver-side, no
+ * collect; `localCheckpoint` per iteration truncates the lineage so
+ * planning cost stays constant across iterations (same discipline as
+ * [[graft.canon.ConnectedComponents]]).
+ */
+object PageRank {
+
+  val DefaultScale = 1000000000L // 1e9 fixed-point units per 1.0 of rank
+
+  /**
+   * @param edgesIn directed edges (src: long, dst: long); self-loops and
+   *                duplicate edges are dropped (the KG's multigraph edges
+   *                collapse to simple edges, as GraphX's `Graph.fromEdges`
+   *                multigraph semantics would double-count otherwise —
+   *                callers wanting weighted PR should pre-aggregate).
+   * @return (id: long, rank: long) in fixed-point units of `scale`
+   */
+  def run(edgesIn: DataFrame, iterations: Int = 10,
+          scale: Long = DefaultScale): DataFrame = {
+    require(iterations >= 0, "iterations must be >= 0")
+    val edges = edgesIn
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id")))
+      .distinct()
+      .localCheckpoint(true)
+    // static across iterations: adjacency with the emitting node's
+    // out-degree attached, pre-partitioned on the join key
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val adj = edges.join(outdeg, Seq("src"))
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    val base = lit(15L * scale / 100L)
+    var ranks = nodes.withColumn("rank", lit(scale)).localCheckpoint(true)
+    var i = 0
+    while (i < iterations) {
+      val contribs = adj
+        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst"),
+          expr("(rank * 85L) div (outdeg * 100L)").as("c"))
+      val inMass = contribs.groupBy(col("dst")).agg(sum(col("c")).as("m"))
+      ranks = nodes
+        .join(inMass.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select(col("id"), (base + coalesce(col("m"), lit(0L))).as("rank"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    ranks
+  }
+
+  /** Per-entity degree profile of a triple table: out/in triple counts and
+    * distinct-neighbor counts in ONE pass per direction (two partial-agg
+    * shuffles on 8-byte keys, full-outer stitched — no per-entity explode,
+    * no window). Entities that appear only as subjects have in_* = 0 and
+    * vice versa. */
+  def degreeProfile(triples: DataFrame): DataFrame = {
+    val out = triples.groupBy(col("subj").as("id")).agg(
+      count(lit(1)).as("out_triples"),
+      count_distinct(col("obj")).as("out_nbrs"))
+    val in = triples.groupBy(col("obj").as("id")).agg(
+      count(lit(1)).as("in_triples"),
+      count_distinct(col("subj")).as("in_nbrs"))
+    out.join(in, Seq("id"), "full_outer")
+      .select(col("id"),
+        coalesce(col("out_triples"), lit(0L)).as("out_triples"),
+        coalesce(col("out_nbrs"), lit(0L)).as("out_nbrs"),
+        coalesce(col("in_triples"), lit(0L)).as("in_triples"),
+        coalesce(col("in_nbrs"), lit(0L)).as("in_nbrs"))
+  }
+}
