@@ -479,11 +479,42 @@ object SparkEntry {
     // oracle = DuckDB aggregating the q47 golden triples independently
     "q80_entity_degrees" -> ((s, dir) =>
       graft.kg.PageRank.degreeProfile(Pipeline.triples(s, dir).toDF())),
+    // personalized PageRank: entity salience relative to the 3 most
+    // prolific subjects (teleport mass only on seeds, broadcast seed
+    // table, same exact-fixed-point loop as q79)
+    "q82_ppr_salience" -> ((s, dir) => {
+      val tr = Pipeline.triples(s, dir).toDF()
+      val seeds = graft.kg.PageRank.degreeProfile(tr)
+        .orderBy(desc("out_triples"), asc("id")).limit(3).select(col("id"))
+      graft.kg.PageRank.runPersonalized(
+        tr.select(col("subj").as("src"), col("obj").as("dst")), seeds)
+    }),
     "q48_span_metrics_greedy_vs_viterbi" -> ((s, dir) => {
       val greedy = graft.ner.NerStage.mentions(Pipeline.taggedSentences(s, dir, useViterbi = false))
       val vit = graft.ner.NerStage.mentions(Pipeline.taggedSentences(s, dir, useViterbi = true))
       graft.eval.SpanEval.prf(vit, greedy)
-    })
+    }),
+    // incremental KG maintenance: raw triples split into two snapshots by
+    // url hash, each aggregated to a mergeable fact table (counts + KMV
+    // url sketch), then UPSERTED — the oracle recomputes from scratch in
+    // DuckDB, so equality proves snapshot-merge associativity; at this
+    // scale every key is below sketch saturation, so est_urls is exact
+    "q83_kg_upsert" -> ((s, dir) => {
+      val tr = Pipeline.triples(s, dir).toDF()
+      val a = tr.filter(pmod(xxhash64(col("url")), lit(2)) === 0)
+      val b = tr.filter(pmod(xxhash64(col("url")), lit(2)) === 1)
+      graft.kg.Triples.upsertFacts(
+          graft.kg.Triples.facts(a), graft.kg.Triples.facts(b))
+        .select("subj", "pred", "obj", "lang", "n_mentions", "est_urls")
+    }),
+    // mergeable KMV distinct-count sketch (k=64): per-lang distinct-text
+    // estimates with O(k) state per group (map-side partial agg, only
+    // k-long buffers shuffle) + an ALL row built by MERGING the per-lang
+    // sketches — the twin recomputes ALL from raw hash sets, so equality
+    // proves the sketch-merge algebra end-to-end
+    "q81_distinct_sketch" -> ((s, dir) =>
+      graft.ops.Sketches.distinctSketch(
+        s.read.parquet(t(dir, "documents")), "lang", "text"))
   )
 
   /** Golden-fixture oracle: DuckDB reads the committed parquet written by
@@ -521,6 +552,7 @@ object SparkEntry {
     "q46_canon_components" -> golden("q46_canon_components"),
     "q47_triples" -> golden("q47_triples"),
     "q79_pagerank" -> golden("q79_pagerank"),
+    "q82_ppr_salience" -> golden("q82_ppr_salience"),
     // real SQL twin: DuckDB re-aggregates the golden triples itself
     "q80_entity_degrees" -> s"""
       WITH t AS (SELECT * FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'),
@@ -535,6 +567,14 @@ object SparkEntry {
              COALESCE(in_nbrs, 0) AS in_nbrs
       FROM o FULL OUTER JOIN i ON o.id = i.id""",
     "q48_span_metrics_greedy_vs_viterbi" -> golden("q48_span_metrics_greedy_vs_viterbi"),
+    "q81_distinct_sketch" -> golden("q81_distinct_sketch"),
+    // real cross-engine oracle: DuckDB re-aggregates the golden triples;
+    // valid because q83 runs below KMV saturation (est == exact distinct)
+    "q83_kg_upsert" -> s"""
+      SELECT subj, pred, obj, lang, count(*) AS n_mentions,
+             count(DISTINCT url) AS est_urls
+      FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'
+      GROUP BY 1, 2, 3, 4""",
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 4) AS sum_qty,

@@ -88,6 +88,8 @@ object GoldenGen {
       "doc_id", "source", "pct")
     write("q63_remove_dup_spans", q63RemoveDupSpans(docs, k = 10),
       "doc_id", "n_tokens", "n_removed", "text_clean")
+    write("q81_distinct_sketch", q81DistinctSketch(docs),
+      "group", "n_rows", "est_distinct", "n_kept", "kth_hash")
 
     // NER pipeline twins (NaiveKernel; one BiLSTM pass, both decoders)
     val models = graft.Pipeline.models(spark, sfDir)
@@ -101,6 +103,7 @@ object GoldenGen {
     val trip = q47Triples(greedy, dict, canon)
     write("q47_triples", trip)
     write("q79_pagerank", q79PageRank(trip), "id", "rank")
+    write("q82_ppr_salience", q82PersonalizedPagerank(trip), "id", "rank")
     write("q48_span_metrics_greedy_vs_viterbi", q48Prf(mentions(vit), mentions(greedy)),
       "entityType", "correct", "guessed", "gold", "precision", "recall", "f1")
 

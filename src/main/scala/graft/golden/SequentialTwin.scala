@@ -297,7 +297,56 @@ object SequentialTwin {
     nodes.map(v => (v, ranks(v)))
   }
 
+  /** q82: personalized-PageRank twin. Seeds = the 3 entities with the most
+    * out-TRIPLES (multigraph count, ties by min id — the degreeProfile
+    * ordering); teleport base and initial mass land only on seeds, same
+    * integer recurrence as q79 otherwise. */
+  def q82PersonalizedPagerank(triples: Seq[Triple], iterations: Int = 10,
+                              scale: Long = 1000000000L): Seq[(Long, Long)] = {
+    val seeds = triples.groupBy(_.subj).map { case (s, ts) => (s, ts.size) }
+      .toSeq.sortBy { case (s, n) => (-n, s) }.take(3).map(_._1).toSet
+    val edges = triples.map(t => (t.subj, t.obj)).filter(e => e._1 != e._2).distinct
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    def base(v: Long) = if (seeds(v)) 15L * scale / 100L else 0L
+    var ranks = nodes.map(v => v -> (if (seeds(v)) scale else 0L)).toMap
+    for (_ <- 0 until iterations) {
+      val in = scala.collection.mutable.HashMap.empty[Long, Long]
+      edges.foreach { case (u, v) =>
+        in(v) = in.getOrElse(v, 0L) + (ranks(u) * 85L) / (outdeg(u) * 100L)
+      }
+      ranks = nodes.map(v => v -> (base(v) + in.getOrElse(v, 0L))).toMap
+    }
+    nodes.map(v => (v, ranks(v)))
+  }
+
   // -------------------------------------------------------- hash-family ops
+
+  /** q81: KMV distinct-count sketch twin — INDEPENDENT algorithm: the twin
+    * materializes each group's FULL distinct-hash set, sorts it by BigInt
+    * unsigned value and takes the k smallest, and the "ALL" row re-derives
+    * from the union of the raw sets; production (ops.Sketches) maintains
+    * bounded flipped-long buffers and builds "ALL" by MERGING the per-group
+    * sketches. Equality therefore proves both the bounded insertion and the
+    * sketch-merge algebra. Estimator restated from Bar-Yossef et al. 2002:
+    * exact below saturation, else floor((k-1) * 2^64 / kth_min_unsigned). */
+  def q81DistinctSketch(docs: Seq[Doc], k: Int = 64): Seq[(String, Long, Long, Int, Long)] = {
+    val mask = (BigInt(1) << 64) - 1
+    def row(group: String, nRows: Long, hs: Set[Long]): (String, Long, Long, Int, Long) = {
+      val kept = hs.toArray.sortBy(h => BigInt(h) & mask).take(k)
+      val est =
+        if (kept.length < k) kept.length.toLong
+        else ((BigInt(k - 1) << 64) / (BigInt(kept(k - 1)) & mask).max(BigInt(1)))
+          .min(BigInt(Long.MaxValue)).toLong
+      (group, nRows, est, kept.length, kept.last)
+    }
+    val byLang = docs.groupBy(_.lang).toSeq.sortBy(_._1).map { case (lang, ds) =>
+      row(lang, ds.size.toLong,
+        ds.map(d => Xxh64.hashString(d.text, Xxh64.SparkSeed)).toSet)
+    }
+    byLang :+ row("ALL", docs.size.toLong,
+      docs.map(d => Xxh64.hashString(d.text, Xxh64.SparkSeed)).toSet)
+  }
 
   /** q28: 64-bit SimHash per doc, Spark-identical token hashing. */
   def simhash(text: String): Long = {

@@ -48,6 +48,46 @@ object PageRank {
 
   val DefaultScale = 1000000000L // 1e9 fixed-point units per 1.0 of rank
 
+  /** Simple-digraph normalization + static adjacency (out-degree attached,
+    * pre-partitioned on the join key, checkpointed once) + node table. */
+  private def prepare(edgesIn: DataFrame): (DataFrame, DataFrame) = {
+    val edges = edgesIn
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id")))
+      .distinct()
+      .localCheckpoint(true)
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val adj = edges.join(outdeg, Seq("src"))
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    (nodes, adj)
+  }
+
+  /** The shared fixed-point loop. `nodes` carries per-node (id, base, init)
+    * so uniform and personalized teleport are the same recurrence. */
+  private def iterate(nodes: DataFrame, adj: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 0, "iterations must be >= 0")
+    val nb = nodes.localCheckpoint(true)
+    var ranks = nb.select(col("id"), col("init").as("rank")).localCheckpoint(true)
+    var i = 0
+    while (i < iterations) {
+      val contribs = adj
+        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst"),
+          expr("(rank * 85L) div (outdeg * 100L)").as("c"))
+      val inMass = contribs.groupBy(col("dst")).agg(sum(col("c")).as("m"))
+      ranks = nb
+        .join(inMass.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select(col("id"), (col("base") + coalesce(col("m"), lit(0L))).as("rank"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    ranks
+  }
+
   /**
    * @param edgesIn directed edges (src: long, dst: long); self-loops and
    *                duplicate edges are dropped (the KG's multigraph edges
@@ -58,37 +98,34 @@ object PageRank {
    */
   def run(edgesIn: DataFrame, iterations: Int = 10,
           scale: Long = DefaultScale): DataFrame = {
-    require(iterations >= 0, "iterations must be >= 0")
-    val edges = edgesIn
-      .select(col("src").cast("long"), col("dst").cast("long"))
-      .filter(col("src") =!= col("dst"))
-      .distinct()
-    val nodes = edges.select(col("src").as("id"))
-      .union(edges.select(col("dst").as("id")))
-      .distinct()
-      .localCheckpoint(true)
-    // static across iterations: adjacency with the emitting node's
-    // out-degree attached, pre-partitioned on the join key
-    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val adj = edges.join(outdeg, Seq("src"))
-      .repartition(col("src"))
-      .localCheckpoint(true)
-    val base = lit(15L * scale / 100L)
-    var ranks = nodes.withColumn("rank", lit(scale)).localCheckpoint(true)
-    var i = 0
-    while (i < iterations) {
-      val contribs = adj
-        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
-        .select(col("dst"),
-          expr("(rank * 85L) div (outdeg * 100L)").as("c"))
-      val inMass = contribs.groupBy(col("dst")).agg(sum(col("c")).as("m"))
-      ranks = nodes
-        .join(inMass.withColumnRenamed("dst", "id"), Seq("id"), "left")
-        .select(col("id"), (base + coalesce(col("m"), lit(0L))).as("rank"))
-        .localCheckpoint(true)
-      i += 1
-    }
-    ranks
+    val (nodes, adj) = prepare(edgesIn)
+    iterate(
+      nodes.select(col("id"), lit(15L * scale / 100L).as("base"), lit(scale).as("init")),
+      adj, iterations)
+  }
+
+  /**
+   * Personalized PageRank: teleport mass lands ONLY on the seed set
+   * (entity salience relative to a topic). Same integer recurrence, but
+   * base/init are per-node: seeds start at `scale` and receive the
+   * 15% teleport term; non-seeds start at 0 and accumulate only walked
+   * mass. Each seed independently contributes `scale` of teleport mass
+   * (divide by |seeds| * scale for the standard 1/|S| distribution — a
+   * uniform rescale that keeps all integer precision). Seeds not present
+   * in the edge set are ignored (no rank row — they are unreachable and
+   * would hold constant base mass). The seed table is broadcast: seed
+   * sets are small (a topic, a query entity list) by construction.
+   */
+  def runPersonalized(edgesIn: DataFrame, seeds: DataFrame, iterations: Int = 10,
+                      scale: Long = DefaultScale): DataFrame = {
+    val (nodes, adj) = prepare(edgesIn)
+    val seedIds = seeds.select(col("id").cast("long")).distinct()
+      .withColumn("is_seed", lit(true))
+    val marked = nodes.join(broadcast(seedIds), Seq("id"), "left")
+      .select(col("id"),
+        when(col("is_seed"), lit(15L * scale / 100L)).otherwise(lit(0L)).as("base"),
+        when(col("is_seed"), lit(scale)).otherwise(lit(0L)).as("init"))
+    iterate(marked, adj, iterations)
   }
 
   /** Per-entity degree profile of a triple table: out/in triple counts and

@@ -54,6 +54,42 @@ object Triples {
   }
 
   /**
+   * Mergeable KG fact table — the incremental-maintenance unit: one row
+   * per (subj, pred, obj, lang) carrying mention support and a KMV
+   * url-distinct sketch ([[graft.ops.Sketches]]). Snapshots aggregate
+   * INDEPENDENTLY and combine via [[upsertFacts]] without touching raw
+   * data: counts add, sketches union+truncate — both associative and
+   * commutative, so a 10^12-page corpus can be folded in snapshot by
+   * snapshot (or partition by partition) in any order with O(k) state
+   * per fact. Below k distinct urls the sketch estimate IS the exact
+   * distinct count (the board oracle q83 runs in that regime; saturation
+   * behavior is spec-tested).
+   */
+  def facts(triples: DataFrame, k: Int = 256): DataFrame = {
+    val kmv = udaf(new graft.ops.Sketches.KmvAgg(k))
+    triples.groupBy(col("subj"), col("pred"), col("obj"), col("lang"))
+      .agg(count(lit(1)).as("n_mentions"),
+        kmv(xxhash64(col("url"))).as("r"))
+      .select(col("subj"), col("pred"), col("obj"), col("lang"),
+        col("n_mentions"), col("r.est").as("est_urls"),
+        col("r.sketch").as("url_sketch"))
+  }
+
+  /** Merge two fact snapshots (see [[facts]]): counts add, url sketches
+    * re-merge. `upsertFacts(facts(a), facts(b)) == facts(a union b)` —
+    * the associativity the q83 oracle checks end-to-end. */
+  def upsertFacts(base: DataFrame, delta: DataFrame, k: Int = 256): DataFrame = {
+    val merge = udaf(new graft.ops.Sketches.KmvMergeAgg(k))
+    base.unionByName(delta)
+      .groupBy(col("subj"), col("pred"), col("obj"), col("lang"))
+      .agg(sum(col("n_mentions")).as("n_mentions"),
+        merge(col("url_sketch")).as("r"))
+      .select(col("subj"), col("pred"), col("obj"), col("lang"),
+        col("n_mentions"), col("r.est").as("est_urls"),
+        col("r.sketch").as("url_sketch"))
+  }
+
+  /**
    * Partitioned + bucketed sink (K6). Parquet stand-in for an Iceberg table
    * (no Iceberg jars offline — see SURVEY.md §7): directory-partitioned by
    * lang; files within a partition are split by `pmod(hash(subj), buckets)`

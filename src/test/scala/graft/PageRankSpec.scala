@@ -80,6 +80,47 @@ class PageRankSpec extends SparkSpec {
     }
   }
 
+  /** Sequential personalized twin: teleport/init mass only on seeds. */
+  private def seqPpr(edges: Seq[(Long, Long)], seeds: Set[Long], iters: Int,
+                     scale: Long = PageRank.DefaultScale): Map[Long, Long] = {
+    val es = edges.filter(e => e._1 != e._2).distinct
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+    val outdeg = es.groupBy(_._1).map { case (s, xs) => s -> xs.size.toLong }
+    var ranks = nodes.map(v => v -> (if (seeds(v)) scale else 0L)).toMap
+    for (_ <- 0 until iters) {
+      val in = scala.collection.mutable.HashMap.empty[Long, Long]
+      es.foreach { case (u, v) =>
+        in(v) = in.getOrElse(v, 0L) + (ranks(u) * 85L) / (outdeg(u) * 100L)
+      }
+      ranks = nodes.map(v =>
+        v -> ((if (seeds(v)) 15L * scale / 100L else 0L) + in.getOrElse(v, 0L))).toMap
+    }
+    ranks
+  }
+
+  test("personalized PageRank is bit-identical to the seeded sequential recurrence") {
+    import spark.implicits._
+    val seeds = Set(1L, 5L)
+    for (iters <- Seq(0, 1, 5); parts <- Seq(1, 4)) {
+      val df = graph.toDF("src", "dst").repartition(parts)
+      val seedDf = seeds.toSeq.toDF("id")
+      val got = PageRank.runPersonalized(df, seedDf, iters)
+        .as[(Long, Long)].collect().toMap
+      assert(got == seqPpr(graph, seeds, iters), s"iters=$iters parts=$parts")
+    }
+  }
+
+  test("personalized: non-seed start at zero; unreachable nodes stay zero") {
+    import spark.implicits._
+    // 1 -> 2 -> 3, isolated pair 8 -> 9; seed = {1}
+    val es = Seq((1L, 2L), (2L, 3L), (8L, 9L))
+    val r = PageRank.runPersonalized(es.toDF("src", "dst"), Seq(1L).toDF("id"), 5)
+      .as[(Long, Long)].collect().toMap
+    assert(r(8L) == 0L && r(9L) == 0L)
+    assert(r(1L) > 0L && r(2L) > 0L && r(3L) > 0L)
+    assert(r(1L) > r(2L) && r(2L) > r(3L)) // mass decays along the walk
+  }
+
   test("degreeProfile counts triples and distinct neighbors per direction") {
     import spark.implicits._
     val triples = Seq(

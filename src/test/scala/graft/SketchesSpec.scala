@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Sketches
+import graft.ops.Sketches.{KmvAgg, KmvMergeAgg}
+
+class SketchesSpec extends SparkSpec {
+
+  /** Naive reference: full distinct set, BigInt-unsigned sort, take k. */
+  private def naive(values: Seq[Long], k: Int): (Long, Int, Long) = {
+    val mask = (BigInt(1) << 64) - 1
+    val kept = values.toSet.toArray.sortBy(h => BigInt(h) & mask).take(k)
+    val est =
+      if (kept.length < k) kept.length.toLong
+      else ((BigInt(k - 1) << 64) / (BigInt(kept(k - 1)) & mask).max(BigInt(1)))
+        .min(BigInt(Long.MaxValue)).toLong
+    (est, kept.length, kept.last)
+  }
+
+  private def aggAll(agg: KmvAgg, values: Seq[Long]): graft.ops.KmvResult =
+    agg.finish(values.foldLeft(agg.zero)(agg.reduce))
+
+  test("KmvAgg matches the naive bottom-k on both sides of saturation") {
+    val k = 8
+    val agg = new KmvAgg(k)
+    // deterministic pseudo-random longs incl. negatives (top-bit set)
+    val vals = (0 until 200).map(i => i * -7046029254386353131L + 11L)
+    for (n <- Seq(0, 1, 5, 8, 9, 50, 200)) {
+      val vs = vals.take(n)
+      val r = aggAll(agg, vs)
+      if (n > 0) {
+        val (est, kept, kth) = naive(vs, k)
+        assert((r.est, r.n_kept, r.sketch.last) == ((est, kept, kth)), s"n=$n")
+        assert(r.sketch.toSeq == vs.toSet.toArray
+          .sortBy(h => (BigInt(h) & ((BigInt(1) << 64) - 1))).take(k).toSeq)
+      } else assert(r.est == 0L && r.n_kept == 0)
+    }
+  }
+
+  test("duplicates never change the sketch") {
+    val k = 8
+    val agg = new KmvAgg(k)
+    val vs = (0 until 40).map(i => i * 2654435761L - 17L)
+    val withDups = vs ++ vs ++ vs.take(10)
+    assert(aggAll(agg, withDups).sketch.toSeq == aggAll(agg, vs).sketch.toSeq)
+  }
+
+  test("merge is associative-equivalent to sketching the concatenation") {
+    val k = 8
+    val agg = new KmvAgg(k)
+    val a = (0 until 60).map(i => i * 2654435761L - 17L)
+    val b = (0 until 60).map(i => i * -7046029254386353131L + 3L)
+    val whole = a.foldLeft(agg.zero)(agg.reduce)
+    val direct = agg.finish(
+      agg.merge(whole, b.foldLeft(agg.zero)(agg.reduce)))
+    val concat = aggAll(agg, a ++ b)
+    assert(direct.sketch.toSeq == concat.sketch.toSeq)
+    assert(direct.est == concat.est)
+  }
+
+  test("KmvMergeAgg over per-group sketches equals the direct global sketch") {
+    val k = 8
+    val agg = new KmvAgg(k)
+    val ma = new KmvMergeAgg(k)
+    val groups = (0 until 5).map(g =>
+      (0 until 30).map(i => (g * 1000 + i) * 2654435761L + g))
+    val sketches = groups.map(vs => aggAll(agg, vs).sketch)
+    val merged = ma.finish(sketches.foldLeft(ma.zero)(ma.reduce))
+    val direct = aggAll(agg, groups.flatten)
+    assert(merged.sketch.toSeq == direct.sketch.toSeq)
+    assert(merged.est == direct.est && merged.n_kept == direct.n_kept)
+  }
+
+  test("estimate is exact below saturation and within 3-sigma above it") {
+    val k = 64
+    val agg = new KmvAgg(k)
+    // exact path
+    assert(aggAll(agg, (1L to 50L).map(i => graft.functions.Xxh64.hashLong(i, 42L))).est == 50L)
+    // estimation path: 20k distinct xxhash64 keys; RSE ~ 1/sqrt(k-2) = 12.7%
+    val n = 20000
+    val hs = (1 to n).map(i => graft.functions.Xxh64.hashLong(i.toLong, 42L))
+    val est = aggAll(agg, hs).est
+    assert(math.abs(est - n.toDouble) / n < 0.38, s"est=$est for n=$n")
+  }
+
+  test("distinctSketch: distributed result matches the sequential twin and is partition-invariant") {
+    import spark.implicits._
+    val rows = (0 until 400).map { i =>
+      (i.toLong, s"text-${i % 157}-${i % 3}", s"lang${i % 4}")
+    }
+    val expected = {
+      // twin-shaped reference over the same rows (k=16 to saturate)
+      val docs = rows.map { case (id, t, l) => (t, l) }
+      val mask = (BigInt(1) << 64) - 1
+      def row(g: String, n: Long, hs: Set[Long], k: Int) = {
+        val kept = hs.toArray.sortBy(h => BigInt(h) & mask).take(k)
+        val est = if (kept.length < k) kept.length.toLong
+          else ((BigInt(k - 1) << 64) / (BigInt(kept(k - 1)) & mask).max(BigInt(1)))
+            .min(BigInt(Long.MaxValue)).toLong
+        (g, n, est, kept.length, kept.last)
+      }
+      val perLang = docs.groupBy(_._2).toSeq.map { case (l, ds) =>
+        row(l, ds.size.toLong,
+          ds.map(d => graft.functions.Xxh64.hashString(d._1, 42L)).toSet, 16)
+      }
+      (perLang :+ row("ALL", docs.size.toLong,
+        docs.map(d => graft.functions.Xxh64.hashString(d._1, 42L)).toSet, 16)).toSet
+    }
+    for (parts <- Seq(1, 3, 8)) {
+      val df = rows.toDF("doc_id", "text", "lang").repartition(parts)
+      val got = Sketches.distinctSketch(df, "lang", "text", k = 16)
+        .as[(String, Long, Long, Int, Long)].collect().toSet
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+}
