@@ -48,12 +48,46 @@ object PageRank {
 
   val DefaultScale = 1000000000L // 1e9 fixed-point units per 1.0 of rank
 
+  /** ADAPTIVE small-graph fallback (the [[graft.canon.ConnectedComponents]]
+    * pattern): below this many (self-loop-free) input edges the whole rank
+    * recurrence runs on the driver — 2 Spark jobs (count + bounded collect)
+    * instead of ~3 per iteration. The distributed loop is the scale path
+    * and stays equality-tested against the driver loop (PageRankSpec). */
+  val SmallGraphThreshold = 100000L
+
+  /** Driver-side loop: the identical integer recurrence (equality-tested
+    * against the distributed path, which protects both from drift). */
+  private def driverPr(spark: org.apache.spark.sql.SparkSession,
+                       rawPairs: Array[(Long, Long)], iterations: Int,
+                       scale: Long, seeds: Option[Set[Long]]): DataFrame = {
+    import spark.implicits._
+    val edges = rawPairs.distinct
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.length.toLong }
+    def isSeed(v: Long) = seeds.forall(_.contains(v))
+    def base(v: Long) = if (isSeed(v)) 15L * scale / 100L else 0L
+    var ranks = nodes.map(v => v -> (if (isSeed(v)) scale else 0L)).toMap
+    var i = 0
+    while (i < iterations) {
+      val in = scala.collection.mutable.HashMap.empty[Long, Long]
+      edges.foreach { case (u, v) =>
+        in(v) = in.getOrElse(v, 0L) + (ranks(u) * 85L) / (outdeg(u) * 100L)
+      }
+      ranks = nodes.map(v => v -> (base(v) + in.getOrElse(v, 0L))).toMap
+      i += 1
+    }
+    nodes.toSeq.map(v => (v, ranks(v))).toDF("id", "rank")
+  }
+
+  /** Normalized self-loop-free edge pairs (duplicates NOT yet dropped). */
+  private def normalized(edgesIn: DataFrame): DataFrame = edgesIn
+    .select(col("src").cast("long"), col("dst").cast("long"))
+    .filter(col("src") =!= col("dst"))
+
   /** Simple-digraph normalization + static adjacency (out-degree attached,
     * pre-partitioned on the join key, checkpointed once) + node table. */
   private def prepare(edgesIn: DataFrame): (DataFrame, DataFrame) = {
-    val edges = edgesIn
-      .select(col("src").cast("long"), col("dst").cast("long"))
-      .filter(col("src") =!= col("dst"))
+    val edges = normalized(edgesIn)
       .distinct()
     val nodes = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id")))
@@ -97,11 +131,20 @@ object PageRank {
    * @return (id: long, rank: long) in fixed-point units of `scale`
    */
   def run(edgesIn: DataFrame, iterations: Int = 10,
-          scale: Long = DefaultScale): DataFrame = {
-    val (nodes, adj) = prepare(edgesIn)
-    iterate(
-      nodes.select(col("id"), lit(15L * scale / 100L).as("base"), lit(scale).as("init")),
-      adj, iterations)
+          scale: Long = DefaultScale,
+          smallGraphThreshold: Long = SmallGraphThreshold): DataFrame = {
+    require(iterations >= 0, "iterations must be >= 0")
+    val raw = normalized(edgesIn)
+    if (raw.count() <= smallGraphThreshold)
+      driverPr(edgesIn.sparkSession,
+        raw.collect().map(r => (r.getLong(0), r.getLong(1))),
+        iterations, scale, None)
+    else {
+      val (nodes, adj) = prepare(edgesIn)
+      iterate(
+        nodes.select(col("id"), lit(15L * scale / 100L).as("base"), lit(scale).as("init")),
+        adj, iterations)
+    }
   }
 
   /**
@@ -117,15 +160,27 @@ object PageRank {
    * sets are small (a topic, a query entity list) by construction.
    */
   def runPersonalized(edgesIn: DataFrame, seeds: DataFrame, iterations: Int = 10,
-                      scale: Long = DefaultScale): DataFrame = {
-    val (nodes, adj) = prepare(edgesIn)
-    val seedIds = seeds.select(col("id").cast("long")).distinct()
-      .withColumn("is_seed", lit(true))
-    val marked = nodes.join(broadcast(seedIds), Seq("id"), "left")
-      .select(col("id"),
-        when(col("is_seed"), lit(15L * scale / 100L)).otherwise(lit(0L)).as("base"),
-        when(col("is_seed"), lit(scale)).otherwise(lit(0L)).as("init"))
-    iterate(marked, adj, iterations)
+                      scale: Long = DefaultScale,
+                      smallGraphThreshold: Long = SmallGraphThreshold): DataFrame = {
+    require(iterations >= 0, "iterations must be >= 0")
+    val raw = normalized(edgesIn)
+    if (raw.count() <= smallGraphThreshold) {
+      // the seed table is small by contract (broadcast on the scale path)
+      val seedSet = seeds.select(col("id").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      driverPr(edgesIn.sparkSession,
+        raw.collect().map(r => (r.getLong(0), r.getLong(1))),
+        iterations, scale, Some(seedSet))
+    } else {
+      val (nodes, adj) = prepare(edgesIn)
+      val seedIds = seeds.select(col("id").cast("long")).distinct()
+        .withColumn("is_seed", lit(true))
+      val marked = nodes.join(broadcast(seedIds), Seq("id"), "left")
+        .select(col("id"),
+          when(col("is_seed"), lit(15L * scale / 100L)).otherwise(lit(0L)).as("base"),
+          when(col("is_seed"), lit(scale)).otherwise(lit(0L)).as("init"))
+      iterate(marked, adj, iterations)
+    }
   }
 
   /** Per-entity degree profile of a triple table: out/in triple counts and

@@ -75,12 +75,13 @@ object Triples {
         col("r.sketch").as("url_sketch"))
   }
 
-  /** Merge two fact snapshots (see [[facts]]): counts add, url sketches
-    * re-merge. `upsertFacts(facts(a), facts(b)) == facts(a union b)` —
-    * the associativity the q83 oracle checks end-to-end. */
-  def upsertFacts(base: DataFrame, delta: DataFrame, k: Int = 256): DataFrame = {
+  /** Fold any number of stacked fact-snapshot rows (the [[facts]] schema)
+    * into one consistent fact table: counts add, url sketches re-merge —
+    * both associative and commutative, so ANY grouping of snapshots folds
+    * to the same table. */
+  def foldFacts(stacked: DataFrame, k: Int = 256): DataFrame = {
     val merge = udaf(new graft.ops.Sketches.KmvMergeAgg(k))
-    base.unionByName(delta)
+    stacked
       .groupBy(col("subj"), col("pred"), col("obj"), col("lang"))
       .agg(sum(col("n_mentions")).as("n_mentions"),
         merge(col("url_sketch")).as("r"))
@@ -88,6 +89,12 @@ object Triples {
         col("n_mentions"), col("r.est").as("est_urls"),
         col("r.sketch").as("url_sketch"))
   }
+
+  /** Merge two fact snapshots (see [[facts]]): counts add, url sketches
+    * re-merge. `upsertFacts(facts(a), facts(b)) == facts(a union b)` —
+    * the associativity the q83 oracle checks end-to-end. */
+  def upsertFacts(base: DataFrame, delta: DataFrame, k: Int = 256): DataFrame =
+    foldFacts(base.unionByName(delta), k)
 
   /**
    * Partitioned + bucketed sink (K6). Parquet stand-in for an Iceberg table

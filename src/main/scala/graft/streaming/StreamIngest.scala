@@ -286,6 +286,62 @@ object StreamIngest {
         concat_ws("\n", col("kept")).as("text_clean"))
   }
 
+  /**
+   * Streaming INCREMENTAL KG MAINTENANCE — the foreachBatch twin of
+   * `Triples.facts`/`upsertFacts` for a continuously-landing crawl: each
+   * micro-batch of canonical triples is aggregated to its OWN fact
+   * snapshot (counts + KMV url sketch) and appended as a delta partition;
+   * the current fact table is the FOLD of all deltas (merge-on-read, the
+   * Iceberg/LSM shape — exactly what `Triples.foldFacts`'s associative +
+   * commutative algebra licenses).
+   *
+   *  - State table: the [[graft.kg.Triples.facts]] schema + batch_id.
+   *    Appends are crash-atomic (`TableIO.writeResumable` partitioned by
+   *    batch_id): a replayed micro-batch recomputes the same delta and
+   *    its write is a no-op — no double counting, the foreachBatch
+   *    exactly-once contract.
+   *  - Per-batch cost is ONE aggregation over the batch's triples —
+   *    never a join against accumulated state (contrast a read-modify-
+   *    write upsert, whose per-batch cost grows with KG age); the read-
+   *    side fold is deferred to queries and bounded by periodic
+   *    compaction: fold cost is O(total delta rows), so long-lived
+   *    streams re-base in a single-writer maintenance window (the
+   *    `compactState` pattern) by folding old partitions into one.
+   *
+   * Correctness contract (StreamIngestSpec): after any number of
+   * batches, `currentFacts` == `Triples.facts` over the union of all
+   * batches' raw triples — including the sketch columns bit-for-bit.
+   */
+  def factUpsertBatchStep(triples: DataFrame, stateRoot: String, batchId: Long,
+                          k: Int = 256): Unit =
+    graft.core.TableIO.writeResumable(
+      graft.kg.Triples.facts(triples, k).withColumn("batch_id", lit(batchId)),
+      stateRoot, "batch_id")
+
+  /** The current fact table: fold every delta partition (merge-on-read). */
+  def currentFacts(spark: SparkSession, stateRoot: String, k: Int = 256): DataFrame =
+    graft.kg.Triples.foldFacts(
+      graft.core.TableIO.read(spark, stateRoot, "batch_id").drop("batch_id"), k)
+
+  /** RE-BASE the fact delta log (the LSM/Iceberg rewrite): fold every
+    * committed delta of `oldRoot` into ONE base partition of a FRESH
+    * generation root, written crash-atomically. Afterwards the stream
+    * continues `factUpsertBatchStep` against `newRoot` with batch ids
+    * > `baseBatchId`, and fold cost restarts from one partition instead
+    * of growing with corpus age. Generation rollover is operational
+    * (single-writer maintenance window, like [[compactState]]): the old
+    * root stays intact — and readable — until the operator switches the
+    * stream over and deletes it, so a crash anywhere in the rebase
+    * leaves both generations consistent (`writeResumable` makes the
+    * rebase itself idempotent). `baseBatchId` must be >= the largest
+    * delta batch id folded, so later batch ids never collide with the
+    * base partition. */
+  def rebaseFactState(spark: SparkSession, oldRoot: String, newRoot: String,
+                      baseBatchId: Long, k: Int = 256): Unit =
+    graft.core.TableIO.writeResumable(
+      currentFacts(spark, oldRoot, k).withColumn("batch_id", lit(baseBatchId)),
+      newRoot, "batch_id")
+
   /** Periodic state housekeeping for long-lived streams: rewrite state
     * partitions that accumulated many small files (one per executor per
     * batch). Run between batches (single-writer maintenance window). */

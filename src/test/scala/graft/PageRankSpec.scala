@@ -24,10 +24,14 @@ class PageRankSpec extends SparkSpec {
     ranks
   }
 
-  private def runPr(edges: Seq[(Long, Long)], iters: Int, parts: Int = 4): Map[Long, Long] = {
+  /** threshold = 0 forces the DISTRIBUTED loop; the default exercises the
+    * adaptive driver fallback. Both must agree with seqPr bit-for-bit. */
+  private def runPr(edges: Seq[(Long, Long)], iters: Int, parts: Int = 4,
+                    threshold: Long = PageRank.SmallGraphThreshold): Map[Long, Long] = {
     import spark.implicits._
     val df = edges.toDF("src", "dst").repartition(parts)
-    PageRank.run(df, iters).as[(Long, Long)].collect().toMap
+    PageRank.run(df, iters, smallGraphThreshold = threshold)
+      .as[(Long, Long)].collect().toMap
   }
 
   // hub + chain + dangling sink (4 has no out-edges) + cycle back, with a
@@ -38,16 +42,17 @@ class PageRankSpec extends SparkSpec {
     (1L, 2L), (5L, 1L) // duplicates: dropped
   )
 
-  test("distributed PageRank is bit-identical to the sequential recurrence") {
-    for (iters <- Seq(0, 1, 3, 10)) {
-      assert(runPr(graph, iters) == seqPr(graph, iters), s"iters=$iters")
+  test("both paths (adaptive driver + forced distributed) are bit-identical to the sequential recurrence") {
+    for (iters <- Seq(0, 1, 3, 10); thr <- Seq(0L, PageRank.SmallGraphThreshold)) {
+      assert(runPr(graph, iters, threshold = thr) == seqPr(graph, iters),
+        s"iters=$iters thr=$thr")
     }
   }
 
-  test("result is invariant to input partitioning") {
+  test("result is invariant to input partitioning (distributed path)") {
     val expected = seqPr(graph, 5)
     for (parts <- Seq(1, 3, 7)) {
-      assert(runPr(graph, 5, parts) == expected, s"parts=$parts")
+      assert(runPr(graph, 5, parts, threshold = 0L) == expected, s"parts=$parts")
     }
   }
 
@@ -68,7 +73,7 @@ class PageRankSpec extends SparkSpec {
       val j = (i * 7 + k * 11 + 3) % n
       (i.toLong, j.toLong)
     }).filter(e => e._1 != e._2).distinct
-    val mine = runPr(edges, 10)
+    val mine = runPr(edges, 10, threshold = 0L) // cross-check the scale path
     val mineSum = mine.values.map(BigInt(_)).sum.toDouble
     val edgeRdd = spark.sparkContext.parallelize(edges.map { case (s, d) => Edge(s, d, ()) })
     val gx = Graph.fromEdges(edgeRdd, ()).staticPageRank(10).vertices.collect().toMap
@@ -98,15 +103,16 @@ class PageRankSpec extends SparkSpec {
     ranks
   }
 
-  test("personalized PageRank is bit-identical to the seeded sequential recurrence") {
+  test("personalized PageRank (both paths) is bit-identical to the seeded sequential recurrence") {
     import spark.implicits._
     val seeds = Set(1L, 5L)
-    for (iters <- Seq(0, 1, 5); parts <- Seq(1, 4)) {
+    for (iters <- Seq(0, 1, 5); parts <- Seq(1, 4);
+         thr <- Seq(0L, PageRank.SmallGraphThreshold)) {
       val df = graph.toDF("src", "dst").repartition(parts)
       val seedDf = seeds.toSeq.toDF("id")
-      val got = PageRank.runPersonalized(df, seedDf, iters)
+      val got = PageRank.runPersonalized(df, seedDf, iters, smallGraphThreshold = thr)
         .as[(Long, Long)].collect().toMap
-      assert(got == seqPpr(graph, seeds, iters), s"iters=$iters parts=$parts")
+      assert(got == seqPpr(graph, seeds, iters), s"iters=$iters parts=$parts thr=$thr")
     }
   }
 

@@ -272,4 +272,20 @@ class PlanSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("WholeStageCodegen") || p.contains("*("), p.take(1500))
   }
+
+  test("KMV sketch agg: partial ObjectHashAggregate map-side, ONE exchange, text-only scan") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val kmv = udaf(new graft.ops.Sketches.KmvAgg(64))
+    val df = docs.withColumn("__h", xxhash64(col("text")))
+      .groupBy(col("lang")).agg(kmv(col("__h")).as("r"))
+    val p = plan(df)
+    // typed Aggregator buffers partial-reduce before the shuffle: two
+    // ObjectHashAggregate nodes (partial + final) around one Exchange
+    assert("""\(\d+\) ObjectHashAggregate""".r.findAllIn(p).size == 2, p.take(2500))
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size == 1, p.take(2500))
+    assert(p.contains("partial_kmvagg"), p.take(2500))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("source") && !readSchema.contains("n_chars"), readSchema)
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.Trigger
 import graft.core.Page
 import graft.gen.CorpusGen
@@ -276,6 +277,57 @@ class StreamIngestSpec extends SparkSpec {
     // state carries bit WORDS only (bounded by m/64 rows per batch), never text
     assert(state.columns.sorted.toSeq == Seq("b", "batch_id", "w"), state.columns.mkString(","))
     assert(before <= 2L * 7L * 7L, s"state rows must be bounded by paras*k: $before")
+  }
+
+  test("streaming KG fact upsert (foreachBatch + TableIO delta log): fold == batch facts over the union, exact replay") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val stateRoot = java.nio.file.Files.createTempDirectory("facts_state").toString
+    val cols = Seq("subj", "pred", "obj", "lang", "url", "sentIdx")
+    val b1 = Seq((1L, "p0", 2L, "en", "http://a/1", 0), (1L, "p0", 2L, "en", "http://a/2", 1),
+                 (1L, "p1", 3L, "en", "http://a/1", 2), (4L, "p0", 2L, "de", "http://b/1", 0))
+    val b2 = Seq((1L, "p0", 2L, "en", "http://a/1", 5), (1L, "p0", 2L, "en", "http://c/9", 0),
+                 (7L, "p2", 8L, "fr", "http://d/1", 0))
+    val stream = MemoryStream[(Long, String, Long, String, String, Int)]
+    val q = stream.toDS().toDF(cols: _*)
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        StreamIngest.factUpsertBatchStep(b, stateRoot, id)
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+    stream.addData(b1: _*)
+    q.processAllAvailable()
+    stream.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    def factMap(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("subj"), col("pred"), col("obj"), col("lang"),
+        col("n_mentions"), col("est_urls"), col("url_sketch"))
+      .as[(Long, String, Long, String, Long, Long, Array[Long])].collect()
+      .map(r => (r._1, r._2, r._3, r._4) -> ((r._5, r._6, r._7.toSeq))).toMap
+    val folded = factMap(StreamIngest.currentFacts(spark, stateRoot))
+    val direct = factMap(graft.kg.Triples.facts((b1 ++ b2).toDF(cols: _*)))
+    assert(folded == direct)
+    // the (1,p0,2,en) fact accumulated across batches: 4 mentions, 3 urls
+    assert(folded((1L, "p0", 2L, "en"))._1 == 4L)
+    assert(folded((1L, "p0", 2L, "en"))._2 == 3L)
+    // REPLAY of batch 1 (state committed, sink lost): write is a no-op —
+    // no double counting, fold unchanged
+    val before = graft.core.TableIO.read(spark, stateRoot, "batch_id").count()
+    StreamIngest.factUpsertBatchStep(b2.toDF(cols: _*), stateRoot, 1L)
+    val after = graft.core.TableIO.read(spark, stateRoot, "batch_id").count()
+    assert(before == after, s"replay must not grow state: $before -> $after")
+    assert(factMap(StreamIngest.currentFacts(spark, stateRoot)) == direct)
+    // RE-BASE into a fresh generation: one base partition, same fold;
+    // the stream continues there and a third batch lands on top
+    val gen2 = java.nio.file.Files.createTempDirectory("facts_gen2").toString
+    StreamIngest.rebaseFactState(spark, stateRoot, gen2, baseBatchId = 1L)
+    assert(factMap(StreamIngest.currentFacts(spark, gen2)) == direct)
+    assert(graft.core.TableIO.completedPartitions(gen2) == Set("1"))
+    val b3 = Seq((1L, "p0", 2L, "en", "http://e/1", 0), (9L, "p0", 9L, "en", "http://e/2", 0))
+    StreamIngest.factUpsertBatchStep(b3.toDF(cols: _*), gen2, 2L)
+    assert(factMap(StreamIngest.currentFacts(spark, gen2)) ==
+      factMap(graft.kg.Triples.facts((b1 ++ b2 ++ b3).toDF(cols: _*))))
   }
 
   test("mapGroupsWithState running totals accumulate across micro-batches") {
