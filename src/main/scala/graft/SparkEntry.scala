@@ -514,7 +514,33 @@ object SparkEntry {
     // proves the sketch-merge algebra end-to-end
     "q81_distinct_sketch" -> ((s, dir) =>
       graft.ops.Sketches.distinctSketch(
-        s.read.parquet(t(dir, "documents")), "lang", "text"))
+        s.read.parquet(t(dir, "documents")), "lang", "text")),
+    // temporal AS-OF join (merge shape: union-tag + ONE window per key, no
+    // range-join explosion): each event joined to the user's latest order
+    // at-or-before the event. Event timestamps (one month of 2024) are
+    // remapped into the order-date era by INTEGER microsecond arithmetic
+    // (x80 stretch from 2024-01-01 onto 1995-01-01) so different events of
+    // a user match different orders and early events match nothing — the
+    // oracle is DuckDB's NATIVE `ASOF LEFT JOIN`, a genuinely independent
+    // implementation of the operator. Right-side (user, date) ties are
+    // collapsed by max orderkey first (determinism contract).
+    "q84_asof_join" -> ((s, dir) => {
+      val ev = s.read.parquet(t(dir, "events")).select(
+        col("event_id"), col("user_id"),
+        timestamp_micros(lit(788918400000000L) +
+          (unix_micros(col("ts").cast("timestamp")) -
+            lit(1704067200000000L)) * 80L).as("ts_asof"))
+      val ord = graft.ops.AsOf.latestPerTs(
+        s.read.parquet(t(dir, "orders")).select(
+          col("o_custkey").as("user_id"), col("o_orderdate"),
+          col("o_orderkey"), col("o_totalprice")),
+        Seq("user_id"), "o_orderdate", col("o_orderkey").desc)
+      graft.ops.AsOf.joinBackward(ev, ord, Seq("user_id"), "ts_asof", "o_orderdate")
+        .select(col("event_id"), col("user_id"), col("ts_asof"),
+          col("o_orderdate").as("asof_order_ts"),
+          col("o_orderkey").as("asof_orderkey"),
+          round(col("o_totalprice"), 2).as("asof_total"))
+    })
   )
 
   /** Golden-fixture oracle: DuckDB reads the committed parquet written by
@@ -575,6 +601,28 @@ object SparkEntry {
              count(DISTINCT url) AS est_urls
       FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'
       GROUP BY 1, 2, 3, 4""",
+    // independent implementation of the same operator: DuckDB's native
+    // ASOF LEFT JOIN (inclusive backward match) over the tie-collapsed
+    // order snapshots; integer-microsecond timestamp remap on both engines
+    "q84_asof_join" -> """
+      WITH ev AS (
+        SELECT event_id, user_id,
+               make_timestamp(788918400000000 +
+                 (epoch_us(ts) - 1704067200000000) * 80) AS ts_asof
+        FROM events),
+      ord AS (
+        SELECT user_id, o_orderdate,
+               max(o_orderkey) AS o_orderkey,
+               arg_max(o_totalprice, o_orderkey) AS o_totalprice
+        FROM (SELECT o_custkey AS user_id, o_orderdate, o_orderkey, o_totalprice
+              FROM orders)
+        GROUP BY 1, 2)
+      SELECT e.event_id, e.user_id, e.ts_asof,
+             o.o_orderdate AS asof_order_ts,
+             o.o_orderkey AS asof_orderkey,
+             round(o.o_totalprice, 2) AS asof_total
+      FROM ev e ASOF LEFT JOIN ord o
+        ON e.user_id = o.user_id AND e.ts_asof >= o.o_orderdate""",
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 4) AS sum_qty,
