@@ -540,6 +540,38 @@ object SparkEntry {
           col("o_orderdate").as("asof_order_ts"),
           col("o_orderkey").as("asof_orderkey"),
           round(col("o_totalprice"), 2).as("asof_total"))
+    }),
+    // per-entity triangle counts over the undirected simple entity graph:
+    // degree-ordered orientation (compact-forward — each triangle found
+    // exactly once at its minimum-(deg,id) corner, wedge fan-out bounded
+    // O(sqrt m) per node regardless of hub skew). Oracle = DuckDB running
+    // the NAIVE unordered a<b<c three-way self-join over the golden
+    // triples — a genuinely different algorithm with no orientation.
+    "q85_triangles" -> ((s, dir) => {
+      val tr = Pipeline.triples(s, dir).toDF()
+      graft.kg.Graphs.triangles(
+        tr.select(col("subj").as("src"), col("obj").as("dst")))
+    }),
+    // duplicate-entity merge candidates: pairs whose URL-occurrence sets
+    // (which pages mention the entity, either side of a triple) overlap
+    // with Jaccard >= 3/5 — blocked through shared-url witnesses, exact
+    // integer cross-multiplied threshold, no float division on any engine
+    "q86_merge_candidates" -> ((s, dir) => {
+      val tr = Pipeline.triples(s, dir).toDF()
+      val occ = tr.select(col("subj").as("node"), col("url").as("w"))
+        .unionAll(tr.select(col("obj").as("node"), col("url").as("w")))
+      graft.kg.Graphs.mergeCandidates(occ, tauNum = 3, tauDen = 5)
+    }),
+    // multi-source directed BFS: shortest hop distance (<= 6) from the 3
+    // most prolific subject entities (q82's seed rule) — frontier-only
+    // expansion, settled-set anti-join per level; oracle = DuckDB's
+    // RECURSIVE CTE engine walking the same golden graph
+    "q87_bfs_reach" -> ((s, dir) => {
+      val tr = Pipeline.triples(s, dir).toDF()
+      val seeds = graft.kg.PageRank.degreeProfile(tr)
+        .orderBy(desc("out_triples"), asc("id")).limit(3).select(col("id"))
+      graft.kg.Graphs.bfs(
+        tr.select(col("subj").as("src"), col("obj").as("dst")), seeds, maxDepth = 6)
     })
   )
 
@@ -623,6 +655,45 @@ object SparkEntry {
              round(o.o_totalprice, 2) AS asof_total
       FROM ev e ASOF LEFT JOIN ord o
         ON e.user_id = o.user_id AND e.ts_asof >= o.o_orderdate""",
+    // independent algorithm: the naive unordered a<b<c three-way self-join
+    // (no degree orientation) over the golden triples
+    "q85_triangles" -> s"""
+      WITH t AS (SELECT * FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'),
+      e AS (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+            FROM t WHERE subj <> obj),
+      tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM e e1 JOIN e e2 ON e2.a = e1.b
+                        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      n AS (SELECT x AS id FROM tri UNION ALL SELECT y AS id FROM tri
+            UNION ALL SELECT z AS id FROM tri),
+      c AS (SELECT id, count(*) AS triangles FROM n GROUP BY 1),
+      nodes AS (SELECT a AS id FROM e UNION SELECT b AS id FROM e)
+      SELECT nodes.id, COALESCE(c.triangles, 0) AS triangles
+      FROM nodes LEFT JOIN c ON c.id = nodes.id""",
+    "q86_merge_candidates" -> s"""
+      WITH t AS (SELECT * FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'),
+      occ AS (SELECT DISTINCT subj AS node, url AS w FROM t
+              UNION SELECT DISTINCT obj AS node, url AS w FROM t),
+      deg AS (SELECT node, count(*) AS d FROM occ GROUP BY 1),
+      p AS (SELECT l.node AS a, r.node AS b, count(*) AS common
+            FROM occ l JOIN occ r ON l.w = r.w AND l.node < r.node
+            GROUP BY 1, 2)
+      SELECT a, b, common, da.d + db.d - common AS union_size
+      FROM p JOIN deg da ON da.node = p.a JOIN deg db ON db.node = p.b
+      WHERE common * 5 >= 3 * (da.d + db.d - common)""",
+    // independent engine: DuckDB's recursive-CTE fixpoint walks the graph;
+    // same seed rule as the Spark side (top-3 subjects by triple count)
+    "q87_bfs_reach" -> s"""
+      WITH RECURSIVE t AS (SELECT * FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'),
+      seeds AS (SELECT subj AS id FROM t GROUP BY subj
+                ORDER BY count(*) DESC, subj LIMIT 3),
+      walk(id, dist) AS (
+        SELECT id, 0 AS dist FROM seeds
+        UNION
+        SELECT t.obj AS id, walk.dist + 1 AS dist
+        FROM walk JOIN t ON t.subj = walk.id AND t.subj <> t.obj
+        WHERE walk.dist < 6)
+      SELECT id, min(dist) AS dist FROM walk GROUP BY 1""",
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 4) AS sum_qty,

@@ -1,0 +1,242 @@
+package graft.kg
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Structural analytics over the materialized knowledge graph: triangle
+ * counting, duplicate-entity candidates by neighborhood overlap, and
+ * multi-source shortest-hop BFS. All three take the (subj, obj) entity
+ * edge list the canonicalization stage emits (reference anchor: the
+ * reference pipeline stops at per-sentence NER output — `NeuralNERMono/
+ * NeuralNER.py:352-381` writes tagged tokens and never builds a graph;
+ * the graph layer is part of this engine's KG-construction surface).
+ *
+ * Determinism: every output column is an integer (counts, hop distances)
+ * computed by order-free aggregation (Long sums/counts over distinct
+ * rows), so results are bit-identical at any partitioning and
+ * cross-engine comparable without float tolerance — Jaccard thresholds
+ * are integer cross-multiplications, never a double division.
+ */
+object Graphs {
+
+  /** Last hub-drop report per label (witness values whose co-neighbor
+    * list exceeded the cap), populated synchronously before the operator
+    * returns — the [[graft.ops.Dedup.lastDropReport]] convention. */
+  val lastDropReport: scala.collection.concurrent.TrieMap[String, (Long, Long)] =
+    scala.collection.concurrent.TrieMap.empty
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Canonical simple undirected edge set: (a < b), self-loop-free,
+    * distinct. ONE shuffle (the distinct). */
+  private def undirected(edgesIn: DataFrame): DataFrame = edgesIn
+    .select(col("src").cast("long"), col("dst").cast("long"))
+    .filter(col("src") =!= col("dst"))
+    .select(least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("b"))
+    .distinct()
+
+  /**
+   * Per-entity triangle participation counts over the undirected simple
+   * graph (directed multigraph edges collapse first; a triangle is an
+   * unordered node triple with all three edges present).
+   *
+   * Algorithm — degree-ordered orientation ("compact-forward", Latapy
+   * 2008; the standard web-scale shape): orient every undirected edge
+   * from the endpoint with the SMALLER (degree, id) key to the larger.
+   * The orientation is acyclic and bounds every node's out-degree by
+   * O(sqrt(m)) regardless of how skewed the real degree distribution is
+   * — a celebrity hub with 10^8 undirected neighbors still generates
+   * wedges only from its (few) higher-key neighbors, so the wedge
+   * self-join fan-out is sum(outdeg^2) <= m^{3/2}, never deg^2 of the
+   * hub. Each triangle is then found EXACTLY once: its minimum-key node
+   * emits the wedge (lo, hi) and the closing oriented edge lo -> hi is
+   * probed by an equi-join (no post-hoc dedup shuffle).
+   *
+   * Plan: distinct + degree agg + two degree-attach joins + wedge
+   * self-join on src + closing equi-join on (lo, hi) + explode/count —
+   * every shuffle is on 8/16-byte integer keys, every aggregation
+   * partial-aggregates map-side, nothing driver-side at any scale.
+   *
+   * @return (id: long, triangles: long) for every node of the simple
+   *         graph, zeros included.
+   */
+  def triangles(edgesIn: DataFrame): DataFrame = {
+    val e = undirected(edgesIn).localCheckpoint(true)
+    val deg = e.select(col("a").as("id"))
+      .unionAll(e.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    // attach both endpoint degrees, then orient by the (deg, id) key
+    val withDeg = e
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), Seq("b"))
+    val aFirst = struct(col("da"), col("a")) < struct(col("db"), col("b"))
+    val oriented = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("src"),
+      when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+      when(aFirst, col("db")).otherwise(col("da")).as("ddeg"))
+      .localCheckpoint(true)
+    // wedges at the minimum-key node: both out-neighbors, ordered by the
+    // SAME (deg, id) key as the orientation so the closing edge (lo, hi)
+    // is guaranteed to be stored in that direction if it exists
+    val o1 = oriented.select(col("src"), col("dst").as("lo"), col("ddeg").as("lodeg"))
+    val o2 = oriented.select(col("src"), col("dst").as("hi"), col("ddeg").as("hideg"))
+    val wedges = o1.join(o2, Seq("src"))
+      .filter(struct(col("lodeg"), col("lo")) < struct(col("hideg"), col("hi")))
+    val tris = wedges.join(
+      oriented.select(col("src").as("lo"), col("dst").as("hi")), Seq("lo", "hi"))
+      .select(col("src"), col("lo"), col("hi"))
+    val counts = tris
+      .select(explode(array(col("src"), col("lo"), col("hi"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("cnt"))
+    deg.join(counts, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cnt"), lit(0L)).as("triangles"))
+  }
+
+  /** Symmetric neighbor relation of the simple undirected graph:
+    * (node: long, w: long) — one row per direction of each edge. Feed to
+    * [[mergeCandidates]] for graph-context overlap. */
+  def neighborSets(edgesIn: DataFrame): DataFrame = {
+    val e = undirected(edgesIn)
+    e.select(col("a").as("node"), col("b").as("w"))
+      .unionAll(e.select(col("b").as("node"), col("a").as("w")))
+  }
+
+  /**
+   * Duplicate-entity candidates by feature-set overlap: unordered node
+   * pairs (a < b) whose witness sets have Jaccard similarity >=
+   * tauNum/tauDen, reported as exact integers (common, union_size) — the
+   * canonicalization reviewer's "these two canonical entities share most
+   * of their context, consider merging" feed. The witness relation is
+   * caller-chosen: [[neighborSets]] for graph-context overlap, or an
+   * occurrence relation like (entity, url) for "mentioned by the same
+   * pages" (the board query q86's shape).
+   *
+   * Shape: pairs are generated ONLY through shared witnesses (a blocked
+   * self-join of the occurrence list on the witness — never an all-pairs
+   * product), counted per pair (map-side partial agg), then
+   * degree-joined and filtered by the integer cross-multiplication
+   * `common * tauDen >= tauNum * (da + db - common)` — no float division
+   * anywhere, so the threshold is engine-exact.
+   *
+   * 100 TB skew: a witness shared by d nodes contributes O(d^2) pair
+   * rows, so one celebrity witness (a hub entity, a portal url) can
+   * dominate the join. `maxWitnessDegree` caps it: witnesses above the
+   * cap are EXCLUDED from pair generation and reported LOUDLY (log +
+   * [[lastDropReport]]("merge_candidates")), making `common` a
+   * documented lower bound in capped runs — the same loud-bounded
+   * contract as the LSH hot-bucket cap. The default (Long.MaxValue) is
+   * exact and skips the sizing pass entirely.
+   *
+   * @param occIn witness occurrences (node: long, w: any equatable type);
+   *              duplicate rows are collapsed (sets, not bags)
+   * @return (a: long, b: long, common: long, union_size: long)
+   */
+  def mergeCandidates(occIn: DataFrame, tauNum: Long, tauDen: Long,
+                      maxWitnessDegree: Long = Long.MaxValue): DataFrame = {
+    require(tauNum >= 0 && tauDen > 0, "threshold must be a valid fraction")
+    val nb0 = occIn.select(col("node").cast("long"), col("w")).distinct()
+    val nb = (if (maxWitnessDegree == Long.MaxValue) nb0 else {
+      val nbp = nb0.persist()
+      val wdeg = nbp.groupBy(col("w")).agg(count(lit(1)).as("wd")).persist()
+      val dropped = wdeg.filter(col("wd") > maxWitnessDegree)
+        .agg(coalesce(count(lit(1)), lit(0L)).as("n"),
+          coalesce(sum(col("wd")), lit(0L)).as("slots")).head()
+      lastDropReport("merge_candidates") = (dropped.getLong(0), dropped.getLong(1))
+      if (dropped.getLong(0) > 0)
+        log.warn(s"[merge_candidates] excluded ${dropped.getLong(0)} hub witnesses " +
+          s"covering ${dropped.getLong(1)} neighbor slots (cap=$maxWitnessDegree); " +
+          "common counts are lower bounds")
+      val kept = nbp
+        .join(wdeg.filter(col("wd") <= maxWitnessDegree).select(col("w")), Seq("w"))
+        .localCheckpoint(true) // materializes; safe to release the inputs
+      wdeg.unpersist(); nbp.unpersist()
+      kept
+    }).localCheckpoint(true)
+    val deg = nb.groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val l = nb.select(col("node").as("a"), col("w"))
+    val r = nb.select(col("node").as("b"), col("w"))
+    val common = l.join(r, Seq("w")).filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+    common
+      .join(deg.select(col("node").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("d").as("db")), Seq("b"))
+      .withColumn("union_size", col("da") + col("db") - col("common"))
+      .filter(col("common") * lit(tauDen) >= lit(tauNum) * col("union_size"))
+      .select(col("a"), col("b"), col("common"), col("union_size"))
+  }
+
+  /** ADAPTIVE small-graph fallback threshold — the [[PageRank]] /
+    * [[graft.canon.ConnectedComponents]] convention: below this many
+    * edges the hop expansion runs on the driver (2 Spark jobs total
+    * instead of ~3 per level); the distributed loop is the scale path
+    * and stays equality-tested against it (GraphsSpec, threshold 0). */
+  val SmallGraphThreshold = 100000L
+
+  private def driverBfs(spark: org.apache.spark.sql.SparkSession,
+                        edges: Array[(Long, Long)], seedIds: Array[Long],
+                        maxDepth: Int): DataFrame = {
+    import spark.implicits._
+    val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+    val dist = scala.collection.mutable.HashMap.empty[Long, Int]
+    var frontier = seedIds.distinct.toSeq
+    frontier.foreach(dist(_) = 0)
+    var d = 0
+    while (d < maxDepth && frontier.nonEmpty) {
+      d += 1
+      frontier = frontier.flatMap(u => adj.getOrElse(u, Array.empty[Long]))
+        .distinct.filterNot(dist.contains)
+      frontier.foreach(dist(_) = d)
+    }
+    dist.toSeq.toDF("id", "dist")
+  }
+
+  /**
+   * Multi-source directed BFS: shortest hop distance (<= maxDepth) from
+   * any seed to every reachable node — "which entities sit within k hops
+   * of the topic seeds", the graph-locality companion to personalized
+   * PageRank's mass view.
+   *
+   * Distributed loop = frontier expansion: each level joins ONLY the
+   * frontier (nodes first reached last level) against the edge list,
+   * anti-joins the settled set, and unions the survivors in at distance
+   * d. Work per level is proportional to the frontier's out-edges, never
+   * the whole graph; `localCheckpoint` per level keeps the plan flat
+   * (the PageRank iteration discipline). Terminates early on an empty
+   * frontier. Unreachable nodes emit no row.
+   *
+   * @return (id: long, dist: int), dist = 0 for the seeds themselves.
+   */
+  def bfs(edgesIn: DataFrame, seeds: DataFrame, maxDepth: Int = 6,
+          smallGraphThreshold: Long = SmallGraphThreshold): DataFrame = {
+    require(maxDepth >= 0, "maxDepth must be >= 0")
+    val edges = edgesIn
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val seedIds = seeds.select(col("id").cast("long")).distinct()
+    if (edges.count() <= smallGraphThreshold)
+      return driverBfs(edgesIn.sparkSession,
+        edges.collect().map(r => (r.getLong(0), r.getLong(1))),
+        seedIds.collect().map(_.getLong(0)), maxDepth)
+    val e = edges.repartition(col("src")).localCheckpoint(true)
+    var dist = seedIds.withColumn("dist", lit(0)).localCheckpoint(true)
+    var frontier = dist.select(col("id"))
+    var d = 0
+    var done = false
+    while (d < maxDepth && !done) {
+      d += 1
+      val next = e.join(frontier.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(dist.select(col("id")), Seq("id"), "left_anti")
+        .localCheckpoint(true)
+      if (next.isEmpty) done = true
+      else {
+        dist = dist.unionAll(next.withColumn("dist", lit(d))).localCheckpoint(true)
+        frontier = next
+      }
+    }
+    dist
+  }
+}
