@@ -572,6 +572,26 @@ object SparkEntry {
         .orderBy(desc("out_triples"), asc("id")).limit(3).select(col("id"))
       graft.kg.Graphs.bfs(
         tr.select(col("subj").as("src"), col("obj").as("dst")), seeds, maxDepth = 6)
+    }),
+    // incremental canonicalization: the entity graph (sparsified by a pure
+    // integer-mod rule so it has >1 component — the full board graph is one
+    // giant component) arrives as TWO snapshots split by url hash; the
+    // result is upsertLabels(cc(half0), half1) — the INCREMENTAL path —
+    // while the DuckDB oracle computes components from scratch by
+    // recursive-CTE transitive closure over ALL edges, certifying
+    // upsert(cc(a), b) == cc(a ∪ b) end-to-end (the q83 associativity
+    // pattern, for graph connectivity instead of sketch algebra)
+    "q88_canon_upsert" -> ((s, dir) => {
+      val tr = Pipeline.triples(s, dir).toDF()
+      val sparse = tr.filter(col("subj") =!= col("obj") &&
+          (col("subj") % 13 + col("obj") % 13) % 13 === 0)
+        .select(col("subj").as("src"), col("obj").as("dst"), col("url"))
+      val h0 = sparse.filter(pmod(xxhash64(col("url")), lit(2)) === 0)
+        .select(col("src"), col("dst"))
+      val h1 = sparse.filter(pmod(xxhash64(col("url")), lit(2)) === 1)
+        .select(col("src"), col("dst"))
+      graft.canon.ConnectedComponents.upsertLabels(
+        graft.canon.ConnectedComponents.run(h0), h1)
     })
   )
 
@@ -694,6 +714,19 @@ object SparkEntry {
         FROM walk JOIN t ON t.subj = walk.id AND t.subj <> t.obj
         WHERE walk.dist < 6)
       SELECT id, min(dist) AS dist FROM walk GROUP BY 1""",
+    // from-scratch components by transitive closure (recursive CTE) over
+    // ALL sparsified edges — never sees the snapshot split, so agreement
+    // certifies the incremental upsert algebra
+    "q88_canon_upsert" -> s"""
+      WITH RECURSIVE t AS (SELECT * FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'),
+      e0 AS (SELECT DISTINCT subj AS a, obj AS b FROM t
+             WHERE subj <> obj AND (subj % 13 + obj % 13) % 13 = 0),
+      e AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+      walk(id, r) AS (
+        SELECT a AS id, a AS r FROM e
+        UNION
+        SELECT walk.id, e.b AS r FROM walk JOIN e ON e.a = walk.r)
+      SELECT id, min(r) AS component FROM walk GROUP BY 1""",
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 4) AS sum_qty,

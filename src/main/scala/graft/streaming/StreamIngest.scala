@@ -342,6 +342,57 @@ object StreamIngest {
       currentFacts(spark, oldRoot, k).withColumn("batch_id", lit(baseBatchId)),
       newRoot, "batch_id")
 
+  /**
+   * Streaming incremental CANONICALIZATION (foreachBatch): fold each
+   * micro-batch's link/alias edges into the running node -> component
+   * labeling via [[graft.canon.ConnectedComponents.upsertLabels]] and
+   * write the updated labeling as this batch's crash-atomic snapshot
+   * partition.
+   *
+   * Unlike the fact log (pure merge-on-read deltas), labels are
+   * MATERIALIZED per batch: the upsert already touches only the delta's
+   * components, and readers need the labeling without a fold chain (each
+   * fold would be a CC run — O(batches) at read time). State is one row
+   * per entity per generation — the entity vocabulary, orders of
+   * magnitude below the edge history — and old generations are prunable
+   * between batches (only the latest committed partition is ever read;
+   * [[compactState]] handles small files).
+   *
+   * Exactly-once: the prior labeling is read STRICTLY from partitions
+   * `batch_id < batchId` (never the batch's own committed partition —
+   * the nearDup replay lesson), so a replayed batch recomputes the
+   * identical labeling and `writeResumable` makes the rewrite a no-op.
+   */
+  def canonUpsertBatchStep(deltaEdges: DataFrame, stateRoot: String,
+                           batchId: Long): Unit = {
+    val spark = deltaEdges.sparkSession
+    val prior = currentLabels(spark, stateRoot, beforeBatch = batchId)
+    graft.core.TableIO.writeResumable(
+      graft.canon.ConnectedComponents.upsertLabels(prior, deltaEdges)
+        .withColumn("batch_id", lit(batchId)),
+      stateRoot, "batch_id")
+  }
+
+  /** The labeling as of the newest committed snapshot with
+    * `batch_id < beforeBatch` (exclusive — pass the current batch id from
+    * inside a batch step; the default sees everything). Empty (id,
+    * component) frame when no snapshot qualifies. */
+  def currentLabels(spark: SparkSession, stateRoot: String,
+                    beforeBatch: Long = Long.MaxValue): DataFrame = {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id", "component")
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(stateRoot, "data")))
+      return empty
+    // partition-path values may be re-inferred as int — normalize to long
+    val st = graft.core.TableIO.read(spark, stateRoot, "batch_id")
+      .withColumn("batch_id", col("batch_id").cast("long"))
+      .filter(col("batch_id") < beforeBatch)
+    val latest = st.agg(max(col("batch_id"))).head()
+    if (latest.isNullAt(0)) empty
+    else st.filter(col("batch_id") === latest.getLong(0))
+      .select(col("id"), col("component"))
+  }
+
   /** Periodic state housekeeping for long-lived streams: rewrite state
     * partitions that accumulated many small files (one per executor per
     * batch). Run between batches (single-writer maintenance window). */

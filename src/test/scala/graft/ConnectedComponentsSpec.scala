@@ -86,4 +86,48 @@ class ConnectedComponentsSpec extends SparkSpec {
     val byComp = got.groupBy(_._2).view.mapValues(_.length).toMap
     assert(byComp(0L) == 100001 && byComp(500000L) == 3, byComp.keySet.take(5))
   }
+
+  // deterministic pseudo-random graph for the incremental-fold tests:
+  // multiple components, merges across batch boundaries, some batches
+  // introduce brand-new nodes, some only bridge old components
+  private val foldGraph: Seq[(Long, Long)] = (0 until 240).map { i =>
+    ((i * 37L + 11L) % 60L, (i * i * 13L + 5L) % 60L)
+  }.filter(e => e._1 != e._2)
+
+  test("upsertLabels: folding batches in any split == full CC (incl. distributed)") {
+    import spark.implicits._
+    val oracle = unionFind(foldGraph)
+    for (nBatches <- Seq(2, 4)) {
+      val batches = foldGraph.zipWithIndex.groupMap(_._2 % nBatches)(_._1)
+      var labels = ConnectedComponents.run(
+        batches(0).toDF("src", "dst"))
+      for (b <- 1 until nBatches)
+        labels = ConnectedComponents.upsertLabels(labels, batches(b).toDF("src", "dst"))
+      assert(labels.as[(Long, Long)].collect().toMap == oracle, s"nBatches=$nBatches")
+    }
+    // distributed upsert path (threshold 0 forces alternating-star inside)
+    val half = foldGraph.length / 2
+    val base = ConnectedComponents.run(foldGraph.take(half).toDF("src", "dst"))
+    val dist = ConnectedComponents.upsertLabels(
+      base, foldGraph.drop(half).toDF("src", "dst"), smallGraphThreshold = 0)
+    assert(dist.as[(Long, Long)].collect().toMap == oracle, "distributed upsert")
+  }
+
+  test("upsertLabels: untouched components pass through; new nodes join; empty base") {
+    import spark.implicits._
+    val base = ConnectedComponents.run(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("src", "dst"))
+    // delta bridges components {1,2,3} and {10,11}, adds new node 99 to 20's,
+    // and leaves nothing else touched
+    val got = ConnectedComponents.upsertLabels(
+      base, Seq((3L, 10L), (21L, 99L)).toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L, 11L -> 1L,
+      20L -> 20L, 21L -> 20L, 99L -> 20L))
+    // empty base: upsert == plain CC
+    val empty = Seq.empty[(Long, Long)].toDF("id", "component")
+    val fresh = ConnectedComponents.upsertLabels(empty, Seq((5L, 6L)).toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(fresh == Map(5L -> 5L, 6L -> 5L))
+  }
 }

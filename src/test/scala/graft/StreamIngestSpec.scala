@@ -330,6 +330,44 @@ class StreamIngestSpec extends SparkSpec {
       factMap(graft.kg.Triples.facts((b1 ++ b2 ++ b3).toDF(cols: _*))))
   }
 
+  test("streaming incremental canonicalization (foreachBatch + TableIO snapshots): fold == full CC, exact replay") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val stateRoot = java.nio.file.Files.createTempDirectory("canon_state").toString
+    // batch 1: two components; batch 2: bridge + new node; batch 3: new
+    // component only (prior components must pass through untouched)
+    val b1 = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+    val b2 = Seq((3L, 10L), (11L, 40L))
+    val b3 = Seq((70L, 71L))
+    val stream = MemoryStream[(Long, Long)]
+    val q = stream.toDS().toDF("src", "dst")
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        StreamIngest.canonUpsertBatchStep(b, stateRoot, id)
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+    Seq(b1, b2, b3).foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    def labelMap(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().toMap
+    val full = labelMap(graft.canon.ConnectedComponents.run(
+      (b1 ++ b2 ++ b3).toDF("src", "dst")))
+    assert(labelMap(StreamIngest.currentLabels(spark, stateRoot)) == full)
+    assert(full(40L) == 1L && full(71L) == 70L)
+    // REPLAY of batch 1 (0-indexed: the b2 step): prior read excludes the
+    // batch's own committed snapshot, so the rewrite is a no-op
+    val before = graft.core.TableIO.read(spark, stateRoot, "batch_id").count()
+    StreamIngest.canonUpsertBatchStep(b2.toDF("src", "dst"), stateRoot, 1L)
+    assert(graft.core.TableIO.read(spark, stateRoot, "batch_id").count() == before)
+    assert(labelMap(StreamIngest.currentLabels(spark, stateRoot)) == full)
+    // beforeBatch is exclusive: as-of batch 1 the bridge has not happened
+    val asOf1 = labelMap(StreamIngest.currentLabels(spark, stateRoot, beforeBatch = 1L))
+    assert(asOf1 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // empty state: currentLabels on a fresh root is an empty labeling
+    val fresh = java.nio.file.Files.createTempDirectory("canon_fresh").toString
+    assert(StreamIngest.currentLabels(spark, fresh).isEmpty)
+  }
+
   test("mapGroupsWithState running totals accumulate across micro-batches") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
