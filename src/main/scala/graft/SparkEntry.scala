@@ -592,6 +592,35 @@ object SparkEntry {
         .select(col("src"), col("dst"))
       graft.canon.ConnectedComponents.upsertLabels(
         graft.canon.ConnectedComponents.run(h0), h1)
+    }),
+    // ontology-style materialization: irreflexive transitive closure of
+    // the RARE-predicate relation (the hierarchy-shaped slice — the dense
+    // related_to slice is exactly what closure must never run on, and the
+    // scaladoc says so) via SEMI-NAIVE delta iteration; oracle = DuckDB's
+    // recursive-CTE fixpoint over the same golden edges
+    "q89_closure" -> ((s, dir) => {
+      val tr = Pipeline.triples(s, dir).toDF()
+      graft.kg.Graphs.transitiveClosure(
+        tr.filter(col("pred") =!= "related_to")
+          .select(col("subj").as("src"), col("obj").as("dst")))
+    }),
+    // knowledge fusion: per (subj, pred) elect the canonical object by
+    // support-weighted majority (mentions, then distinct urls, then min
+    // obj) — one order-free max(struct) election, no window sort; the
+    // oracle re-runs the vote as an explicit row_number window
+    "q90_fuse_conflicts" -> ((s, dir) =>
+      graft.kg.Triples.fuseConflicts(Pipeline.triples(s, dir).toDF())),
+    // positive-PMI co-occurrence edges: entity pairs sharing a sentence
+    // context more often than independence predicts — all-integer
+    // cross-multiplied PMI test in decimal(38,0), support >= 2; context
+    // key is the plain (url, sentIdx) string on BOTH engines (never a
+    // hash the oracle can't reproduce)
+    "q91_pmi_edges" -> ((s, dir) => {
+      val tr = Pipeline.triples(s, dir).toDF()
+      val ctx = concat(col("url"), lit("#"), col("sentIdx").cast("string"))
+      val mentions = tr.select(ctx.as("ctx"), col("subj").as("node"))
+        .unionAll(tr.select(ctx.as("ctx"), col("obj").as("node")))
+      graft.kg.Graphs.pmiEdges(mentions, minSupport = 2L)
     })
   )
 
@@ -727,6 +756,50 @@ object SparkEntry {
         UNION
         SELECT walk.id, e.b AS r FROM walk JOIN e ON e.a = walk.r)
       SELECT id, min(r) AS component FROM walk GROUP BY 1""",
+    // recursive-CTE reachability fixpoint — the naive evaluation, a
+    // genuinely different algorithm from the semi-naive delta loop
+    "q89_closure" -> s"""
+      WITH RECURSIVE t AS (SELECT * FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'),
+      e AS (SELECT DISTINCT subj AS src, obj AS dst FROM t
+            WHERE pred <> 'related_to' AND subj <> obj),
+      walk(src, dst) AS (
+        SELECT src, dst FROM e
+        UNION
+        SELECT walk.src, e.dst FROM walk JOIN e ON e.src = walk.dst)
+      SELECT src, dst FROM walk WHERE src <> dst""",
+    // the same vote as an explicit per-group sort (row_number) — the
+    // production side never sorts (order-free max(struct) election)
+    "q90_fuse_conflicts" -> s"""
+      WITH t AS (SELECT * FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'),
+      s AS (SELECT subj, pred, obj, count(*) AS n_mentions,
+                   count(DISTINCT url) AS n_urls
+            FROM t GROUP BY 1, 2, 3),
+      r AS (SELECT *,
+              row_number() OVER (PARTITION BY subj, pred
+                ORDER BY n_mentions DESC, n_urls DESC, obj ASC) AS rn,
+              count(*) OVER (PARTITION BY subj, pred) AS n_objs,
+              sum(n_mentions) OVER (PARTITION BY subj, pred) AS tm
+            FROM s)
+      SELECT subj, pred, obj, n_mentions, n_urls,
+             CAST(n_objs AS BIGINT) AS n_objs,
+             CAST(tm AS BIGINT) AS total_mentions
+      FROM r WHERE rn = 1""",
+    "q91_pmi_edges" -> s"""
+      WITH t AS (SELECT * FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'),
+      m AS (SELECT DISTINCT url || '#' || CAST(sentIdx AS VARCHAR) AS ctx,
+                   subj AS node FROM t
+            UNION SELECT DISTINCT url || '#' || CAST(sentIdx AS VARCHAR), obj FROM t),
+      n AS (SELECT count(DISTINCT ctx) AS n_ctx FROM m),
+      deg AS (SELECT node, count(*) AS d FROM m GROUP BY 1),
+      p AS (SELECT l.node AS a, r.node AS b, count(*) AS n_ab
+            FROM m l JOIN m r ON l.ctx = r.ctx AND l.node < r.node
+            GROUP BY 1, 2)
+      SELECT p.a, p.b, p.n_ab, da.d AS n_a, db.d AS n_b,
+             CAST(n.n_ctx AS BIGINT) AS n_ctx
+      FROM p JOIN deg da ON da.node = p.a
+             JOIN deg db ON db.node = p.b, n
+      WHERE p.n_ab >= 2
+        AND CAST(p.n_ab AS HUGEINT) * n.n_ctx > CAST(da.d AS HUGEINT) * db.d""",
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 4) AS sum_qty,

@@ -192,6 +192,146 @@ object Graphs {
     dist.toSeq.toDF("id", "dist")
   }
 
+  private def driverClosure(spark: org.apache.spark.sql.SparkSession,
+                            edges: Array[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+    val out = Seq.newBuilder[(Long, Long)]
+    for (a <- adj.keys) {
+      val seen = scala.collection.mutable.HashSet.empty[Long]
+      var frontier: Seq[Long] = adj(a).toSeq.distinct
+      while (frontier.nonEmpty) {
+        frontier.foreach(seen += _)
+        frontier = frontier.flatMap(u => adj.getOrElse(u, Array.empty[Long]))
+          .distinct.filterNot(seen.contains)
+      }
+      (seen - a).foreach(b => out += ((a, b)))
+    }
+    out.result().toDF("src", "dst")
+  }
+
+  /**
+   * Irreflexive transitive closure of a directed relation — the RDFS/OWL
+   * materialization primitive (`subClassOf+`, `partOf+`, `sameAs`
+   * saturation): every pair (a, b) with b reachable from a in >= 1 step;
+   * (a, a) pairs from cycles are excluded (safe: any walk contains a
+   * simple path whose prefixes never revisit the source, so every
+   * retained pair is still derived step by step).
+   *
+   * Distributed loop = SEMI-NAIVE datalog evaluation (the textbook
+   * fixpoint discipline): each round joins only LAST round's new pairs
+   * (the delta) against the one-hop relation, anti-joins everything
+   * already derived, and unions the survivors in. Work per round is
+   * proportional to |delta ⋈ edges|, never |closure ⋈ edges| (the naive
+   * evaluation re-derives the whole closure every round); the edge side
+   * is repartitioned by join key once and `localCheckpoint` per round
+   * keeps the plan flat (the PageRank/BFS iteration discipline).
+   *
+   * 100 TB shape: closure of a general web graph is Θ(n²) — run this on
+   * ONTOLOGY-shaped predicates (class/part hierarchies: forest-like,
+   * depth O(log n), closure O(n·depth)), never on the full co-occurrence
+   * relation; rounds = graph depth, so a 20-deep hierarchy over 10^9
+   * classes converges in 20 delta-joins on 8-byte keys. The adaptive
+   * driver fallback (below [[SmallGraphThreshold]] edges) is the same
+   * 2-job escape hatch as BFS/CC/PageRank; the distributed loop is the
+   * scale path and stays equality-tested against it at threshold 0.
+   *
+   * @return (src: long, dst: long), distinct, src != dst.
+   */
+  def transitiveClosure(edgesIn: DataFrame,
+                        smallGraphThreshold: Long = SmallGraphThreshold): DataFrame = {
+    val edges = edgesIn
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    if (edges.count() <= smallGraphThreshold)
+      return driverClosure(edgesIn.sparkSession,
+        edges.collect().map(r => (r.getLong(0), r.getLong(1))))
+    val e = edges.repartition(col("src")).localCheckpoint(true)
+    var closure = edges.localCheckpoint(true)
+    var delta = closure
+    var done = false
+    while (!done) {
+      val next = delta.select(col("src").as("a"), col("dst").as("m"))
+        .join(e.select(col("src").as("m"), col("dst").as("b")), Seq("m"))
+        .select(col("a").as("src"), col("b").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+        .join(closure, Seq("src", "dst"), "left_anti")
+        .localCheckpoint(true)
+      if (next.isEmpty) done = true
+      else {
+        closure = closure.unionAll(next).localCheckpoint(true)
+        delta = next
+      }
+    }
+    closure
+  }
+
+  /**
+   * Positive-PMI co-occurrence edges: unordered entity pairs (a < b) that
+   * co-occur in MORE contexts than independence predicts — the standard
+   * "relatedness" edge extractor for KG construction from raw text
+   * (context = a sentence, a page, a paragraph). A pair qualifies when
+   * `n_ab / N > (n_a / N) * (n_b / N)`, i.e. PMI > 0, tested as the
+   * all-integer cross-multiplication `n_ab * N > n_a * n_b` in
+   * decimal(38,0) (exact at any corpus size — N² of a 10^12-context
+   * corpus still fits 38 digits; no float division, no log, so the same
+   * rule evaluates identically on any engine). Raw counts ride along so
+   * callers compute any PMI flavor downstream without re-scanning.
+   *
+   * Shape: pairs generate ONLY through shared contexts (blocked
+   * self-join on ctx, never all-pairs), pair/marginal counts are
+   * map-side partial aggs on integer keys. A hub context mentioning d
+   * entities emits d² pair rows — bounded naturally when contexts are
+   * sentences, and hard-bounded by `maxContextDegree` for page-level
+   * contexts (hub contexts are EXCLUDED and reported loudly via
+   * [[lastDropReport]]("pmi_edges"), the merge-candidates contract;
+   * n_ab becomes a documented lower bound in capped runs).
+   *
+   * @param mentionsIn (ctx: any equatable type, node: castable to long);
+   *                   duplicate rows collapse (sets, not bags)
+   * @param minSupport minimum co-occurrence count to emit a pair
+   * @return (a, b, n_ab, n_a, n_b, n_ctx) — n_ctx = total distinct
+   *         contexts (the N of the PMI test), constant across rows
+   */
+  def pmiEdges(mentionsIn: DataFrame, minSupport: Long = 1L,
+               maxContextDegree: Long = Long.MaxValue): DataFrame = {
+    require(minSupport >= 1, "minSupport must be >= 1")
+    val m0 = mentionsIn.select(col("ctx"), col("node").cast("long")).distinct()
+    val m = (if (maxContextDegree == Long.MaxValue) m0 else {
+      val mp = m0.persist()
+      val cdeg = mp.groupBy(col("ctx")).agg(count(lit(1)).as("cd")).persist()
+      val dropped = cdeg.filter(col("cd") > maxContextDegree)
+        .agg(coalesce(count(lit(1)), lit(0L)).as("n"),
+          coalesce(sum(col("cd")), lit(0L)).as("slots")).head()
+      lastDropReport("pmi_edges") = (dropped.getLong(0), dropped.getLong(1))
+      if (dropped.getLong(0) > 0)
+        log.warn(s"[pmi_edges] excluded ${dropped.getLong(0)} hub contexts " +
+          s"covering ${dropped.getLong(1)} mention slots (cap=$maxContextDegree); " +
+          "n_ab values are lower bounds")
+      val kept = mp
+        .join(cdeg.filter(col("cd") <= maxContextDegree).select(col("ctx")), Seq("ctx"))
+        .localCheckpoint(true)
+      cdeg.unpersist(); mp.unpersist()
+      kept
+    }).localCheckpoint(true)
+    val nCtx = m.select(col("ctx")).distinct().count()
+    val deg = m.groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val l = m.select(col("ctx"), col("node").as("a"))
+    val r = m.select(col("ctx"), col("node").as("b"))
+    val pairs = l.join(r, Seq("ctx")).filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(deg.select(col("node").as("a"), col("d").as("n_a")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("d").as("n_b")), Seq("b"))
+      .filter(col("n_ab") >= lit(minSupport) &&
+        col("n_ab").cast("decimal(38,0)") * lit(nCtx) >
+          col("n_a").cast("decimal(38,0)") * col("n_b"))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        lit(nCtx).as("n_ctx"))
+  }
+
   /**
    * Multi-source directed BFS: shortest hop distance (<= maxDepth) from
    * any seed to every reachable node — "which entities sit within k hops

@@ -97,6 +97,50 @@ object Triples {
     foldFacts(base.unionByName(delta), k)
 
   /**
+   * Knowledge fusion for FUNCTIONAL predicates (conflict resolution): a
+   * functional predicate admits one object per subject, but extraction
+   * from the web yields several (OCR noise, stale pages, homonyms). For
+   * each (subj, pred) this elects the canonical object by support-
+   * weighted majority vote — most supporting mentions, then most
+   * distinct supporting urls, then smallest object id — the "resolve by
+   * source agreement" step of every web-scale KG build (Knowledge Vault
+   * shape, reduced to its deterministic voting core).
+   *
+   * Determinism without a window sort: the election is
+   * `max(struct(n_mentions, n_urls, ~obj))` — struct comparison is
+   * lexicographic and `~obj` (bitwise NOT) is a total order-REVERSING
+   * bijection on longs (no `-obj` overflow at Long.MinValue), so one
+   * order-free aggregation picks exactly the row a per-group sort would,
+   * partial-aggregates map-side, and never materializes a per-group
+   * ordering. Two integer-key shuffles total: (subj, pred, obj) support
+   * counts, then the (subj, pred) election. All output columns are
+   * integers/strings — engine-exact, no float tolerance.
+   *
+   * @return (subj, pred, obj, n_mentions, n_urls, n_objs, total_mentions):
+   *         the elected object with its own support, the number of
+   *         DISTINCT competing objects (1 = no conflict), and the
+   *         group's total mention count.
+   */
+  def fuseConflicts(triples: DataFrame): DataFrame = {
+    val support = triples
+      .groupBy(col("subj"), col("pred"), col("obj"))
+      .agg(count(lit(1)).as("n_mentions"),
+        countDistinct(col("url")).as("n_urls"))
+    support
+      .groupBy(col("subj"), col("pred"))
+      .agg(
+        max(struct(col("n_mentions"), col("n_urls"),
+          bitwise_not(col("obj")).as("nobj"))).as("w"),
+        count(lit(1)).as("n_objs"),
+        sum(col("n_mentions")).as("total_mentions"))
+      .select(col("subj"), col("pred"),
+        bitwise_not(col("w.nobj")).as("obj"),
+        col("w.n_mentions").as("n_mentions"),
+        col("w.n_urls").as("n_urls"),
+        col("n_objs"), col("total_mentions"))
+  }
+
+  /**
    * Partitioned + bucketed sink (K6). Parquet stand-in for an Iceberg table
    * (no Iceberg jars offline — see SURVEY.md §7): directory-partitioned by
    * lang; files within a partition are split by `pmod(hash(subj), buckets)`

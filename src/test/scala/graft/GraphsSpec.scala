@@ -143,4 +143,93 @@ class GraphsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(got === Map(1L -> 0, 2L -> 1, 3L -> 2))
   }
+
+  // ---- transitive closure ----
+
+  private def seqClosure(edges: Seq[(Long, Long)]): Set[(Long, Long)] = {
+    val es = edges.filter(e => e._1 != e._2).distinct
+    val adj = es.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2) }
+    adj.keys.toSeq.flatMap { a =>
+      val seen = scala.collection.mutable.HashSet.empty[Long]
+      var frontier = adj(a).distinct
+      while (frontier.nonEmpty) {
+        frontier.foreach(seen += _)
+        frontier = frontier.flatMap(u => adj.getOrElse(u, Nil))
+          .distinct.filterNot(seen.contains)
+      }
+      (seen - a).map(b => (a, b))
+    }.toSet
+  }
+
+  private def closureSet(edges: Seq[(Long, Long)], threshold: Long) =
+    Graphs.transitiveClosure(edgesDf(edges), threshold).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("transitiveClosure: twin equality on the skewed digraph, driver AND distributed") {
+    val want = seqClosure(graph)
+    assert(closureSet(graph, Graphs.SmallGraphThreshold) === want, "driver path")
+    assert(closureSet(graph, 0L) === want, "semi-naive distributed path")
+  }
+
+  test("transitiveClosure: cycles never emit (a, a) but still propagate through") {
+    // 1 -> 2 -> 3 -> 1 cycle with a tail 3 -> 4: everything on the cycle
+    // reaches everything else AND the tail; no reflexive pairs
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+    val want = Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 1L), (2L, 4L),
+      (3L, 1L), (3L, 2L), (3L, 4L))
+    for (threshold <- Seq(0L, Graphs.SmallGraphThreshold))
+      assert(closureSet(cyc, threshold) === want, s"threshold=$threshold")
+    // empty relation: empty closure on both paths
+    for (threshold <- Seq(0L, Graphs.SmallGraphThreshold))
+      assert(closureSet(Seq((5L, 5L)), threshold) === Set.empty, "self-loops only")
+  }
+
+  // ---- positive-PMI co-occurrence ----
+
+  private def seqPmi(mentions: Seq[(String, Long)], minSupport: Long)
+      : Set[(Long, Long, Long, Long, Long, Long)] = {
+    val m = mentions.distinct
+    val n = m.map(_._1).distinct.size.toLong
+    val ctxOf = m.groupBy(_._2).map { case (k, xs) => k -> xs.map(_._1).toSet }
+    (for {
+      a <- ctxOf.keys; b <- ctxOf.keys; if a < b
+      nab = (ctxOf(a) intersect ctxOf(b)).size.toLong
+      if nab >= minSupport && BigInt(nab) * n > BigInt(ctxOf(a).size) * ctxOf(b).size
+    } yield (a, b, nab, ctxOf(a).size.toLong, ctxOf(b).size.toLong, n)).toSet
+  }
+
+  // deterministic mention fixture: 20 contexts, skewed membership, with
+  // duplicate rows the op must collapse
+  private val mentions: Seq[(String, Long)] = (0 until 150).map { i =>
+    (s"c${(i * 7 + 3) % 20}", (i * i * 5L + i) % 12L)
+  } ++ Seq(("c0", 1L), ("c0", 1L))
+
+  test("pmiEdges: twin equality (positive-PMI pairs, exact counts) at any partitioning") {
+    import spark.implicits._
+    for (minSupport <- Seq(1L, 2L); parts <- Seq(1, 7)) {
+      val df = mentions.toDF("ctx", "node").repartition(parts)
+      val got = Graphs.pmiEdges(df, minSupport).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSet
+      assert(got === seqPmi(mentions, minSupport), s"minSupport=$minSupport parts=$parts")
+    }
+  }
+
+  test("pmiEdges: hub-context cap drops LOUDLY; N and marginals exclude the hub") {
+    import spark.implicits._
+    // ctx "hub" mentions 9 nodes; the cap excludes it entirely, so the
+    // result equals the twin computed on the non-hub mentions only
+    val hub = (0 until 9).map(i => ("hub", 100L + i))
+    val df = (mentions ++ hub).toDF("ctx", "node")
+    Graphs.lastDropReport.remove("pmi_edges")
+    val got = Graphs.pmiEdges(df, minSupport = 2L, maxContextDegree = 8L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got === seqPmi(mentions, 2L))
+    assert(Graphs.lastDropReport("pmi_edges") === ((1L, 9L)))
+    // uncapped leaves no report
+    Graphs.lastDropReport.remove("pmi_edges")
+    Graphs.pmiEdges(df, minSupport = 2L).collect()
+    assert(!Graphs.lastDropReport.contains("pmi_edges"))
+  }
 }

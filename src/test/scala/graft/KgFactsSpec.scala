@@ -66,4 +66,43 @@ class KgFactsSpec extends SparkSpec {
     val ba = collectFacts(Triples.upsertFacts(Triples.facts(b), Triples.facts(a)))
     assert(ab == ba)
   }
+
+  private def fused(df: DataFrame) = Triples.fuseConflicts(df).collect()
+    .map(r => (r.getLong(0), r.getString(1)) ->
+      ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+
+  test("fuseConflicts: majority by mentions, then urls, then min obj — incl. negative ids") {
+    import spark.implicits._
+    val tr = Seq(
+      // (1,p): obj 10 has 3 mentions/2 urls; obj 11 has 3 mentions/3 urls
+      // (url majority breaks the mention tie); obj 12 trails
+      (1L, "p", 10L, "u1"), (1L, "p", 10L, "u1"), (1L, "p", 10L, "u2"),
+      (1L, "p", 11L, "u1"), (1L, "p", 11L, "u2"), (1L, "p", 11L, "u3"),
+      (1L, "p", 12L, "u9"),
+      // (2,p): full tie between -5 and 3 -> smallest obj wins (negative)
+      (2L, "p", -5L, "u1"), (2L, "p", 3L, "u2"),
+      // (3,q): no conflict
+      (3L, "q", 7L, "u1"), (3L, "q", 7L, "u1"))
+      .toDF("subj", "pred", "obj", "url")
+      .withColumn("lang", lit("en")).withColumn("sentIdx", lit(0))
+    assert(fused(tr) === Map(
+      (1L, "p") -> ((11L, 3L, 3L, 3L, 7L)),
+      (2L, "p") -> ((-5L, 1L, 1L, 2L, 2L)),
+      (3L, "q") -> ((7L, 2L, 1L, 1L, 2L))))
+  }
+
+  test("fuseConflicts: matches a brute-force vote on the pseudo-random table") {
+    import spark.implicits._
+    val tr = rawTriples(500)
+    val rows = tr.select(col("subj"), col("pred"), col("obj"), col("url"))
+      .as[(Long, String, Long, String)].collect()
+    val want = rows.groupBy(t => (t._1, t._2)).map { case (k, xs) =>
+      val support = xs.groupBy(_._3).map { case (o, ms) =>
+        (ms.length.toLong, ms.map(_._4).distinct.length.toLong, o)
+      }.toSeq
+      val w = support.maxBy { case (nm, nu, o) => (nm, nu, -o) }
+      k -> ((w._3, w._1, w._2, support.length.toLong, xs.length.toLong))
+    }
+    assert(fused(tr) === want)
+  }
 }
