@@ -621,7 +621,13 @@ object SparkEntry {
       val mentions = tr.select(ctx.as("ctx"), col("subj").as("node"))
         .unionAll(tr.select(ctx.as("ctx"), col("obj").as("node")))
       graft.kg.Graphs.pmiEdges(mentions, minSupport = 2L)
-    })
+    }),
+    // AMIE-style path-rule mining: for every (p1, p2, p3) the exact
+    // integer support of `p1(x,z) ∧ p2(z,y) ⇒ p3(x,y)` — one mid-entity
+    // self-join of the DISTINCT triple set, one pair-set head join,
+    // confidence left as the exact fraction support/body_pairs
+    "q92_rule_mining" -> ((s, dir) =>
+      graft.kg.Triples.mineRules(Pipeline.triples(s, dir).toDF(), minSupport = 2L))
   )
 
   /** Golden-fixture oracle: DuckDB reads the committed parquet written by
@@ -800,6 +806,20 @@ object SparkEntry {
              JOIN deg db ON db.node = p.b, n
       WHERE p.n_ab >= 2
         AND CAST(p.n_ab AS HUGEINT) * n.n_ctx > CAST(da.d AS HUGEINT) * db.d""",
+    "q92_rule_mining" -> s"""
+      WITH t AS (SELECT * FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'),
+      r AS (SELECT DISTINCT subj, pred, obj FROM t),
+      body AS (SELECT DISTINCT a.pred AS p1, b.pred AS p2, a.subj AS x, b.obj AS y
+               FROM r a JOIN r b ON b.subj = a.obj WHERE a.subj <> b.obj),
+      bc AS (SELECT p1, p2, count(*) AS body_pairs FROM body GROUP BY 1, 2),
+      hc AS (SELECT pred AS p3, count(*) AS head_pairs FROM r GROUP BY 1),
+      s AS (SELECT body.p1, body.p2, r.pred AS p3, count(*) AS support
+            FROM body JOIN r ON r.subj = body.x AND r.obj = body.y
+            GROUP BY 1, 2, 3)
+      SELECT s.p1, s.p2, s.p3, bc.body_pairs, hc.head_pairs, s.support
+      FROM s JOIN bc ON bc.p1 = s.p1 AND bc.p2 = s.p2
+             JOIN hc ON hc.p3 = s.p3
+      WHERE s.support >= 2""",
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 4) AS sum_qty,

@@ -141,6 +141,83 @@ object Triples {
   }
 
   /**
+   * AMIE-style path-rule mining: for every predicate triple (p1, p2, p3)
+   * measure how well the 2-hop composition rule
+   * `p1(x, z) ∧ p2(z, y) ⇒ p3(x, y)` holds in the KG — the standard
+   * rule-induction primitive for KG completion (AMIE, Galárraga 2013;
+   * reduced to its deterministic counting core). All outputs are exact
+   * integers: `body_pairs` = distinct (x, y) with x != y satisfying the
+   * body, `head_pairs` = |p3|'s distinct pair set, `support` = distinct
+   * (x, y) satisfying BOTH — confidence is support/body_pairs, left to
+   * the caller as a fraction of the two longs (no float division, so the
+   * rule ranking is engine-exact).
+   *
+   * Shape: one self-join of the DISTINCT triple set on the shared mid
+   * entity z (8-byte key), one pair-set join against the head relation,
+   * three partial aggregations — never an all-pairs product. The
+   * explosion risk is a hub mid-entity (a country, a year): z
+   * contributes in_deg(z) × out_deg(z) body rows, so `maxMidFanout`
+   * bounds that product; hubs above it are EXCLUDED from body
+   * generation and reported loudly ([[Graphs.lastDropReport]]
+   * ("rule_mining"), the shared convention), making support a documented
+   * lower bound in capped runs.
+   *
+   * @param triplesIn rows with (subj, pred, obj); duplicates collapse
+   * @param minSupport minimum joint support to emit a rule
+   * @return (p1, p2, p3, body_pairs, head_pairs, support)
+   */
+  def mineRules(triplesIn: DataFrame, minSupport: Long = 1L,
+                maxMidFanout: Long = Long.MaxValue): DataFrame = {
+    require(minSupport >= 1, "minSupport must be >= 1")
+    val r = triplesIn.select(col("subj").cast("long"), col("pred"),
+      col("obj").cast("long")).distinct().localCheckpoint(true)
+    val left0 = r.select(col("subj").as("x"), col("pred").as("p1"), col("obj").as("z"))
+    val right0 = r.select(col("subj").as("z"), col("pred").as("p2"), col("obj").as("y"))
+    // hub exclusion applies to the MID position only: body legs through a
+    // hub z are skipped; every triple keeps feeding the head and the
+    // non-mid leg positions, so only z-composition is bounded
+    val (left, right) = if (maxMidFanout == Long.MaxValue) (left0, right0) else {
+      val fan = r.groupBy(col("obj").as("z")).agg(count(lit(1)).as("ind"))
+        .join(r.groupBy(col("subj").as("z")).agg(count(lit(1)).as("outd")), Seq("z"))
+        .withColumn("pairs", col("ind").cast("decimal(38,0)") * col("outd"))
+        .persist()
+      val dropped = fan.filter(col("pairs") > maxMidFanout)
+        .agg(coalesce(count(lit(1)), lit(0L)).as("n"),
+          coalesce(sum(col("pairs")),
+            lit(java.math.BigDecimal.ZERO)).as("slots")).head()
+      val (nDrop, slots) =
+        (dropped.getLong(0), dropped.getDecimal(1).longValueExact())
+      Graphs.lastDropReport("rule_mining") = (nDrop, slots)
+      if (nDrop > 0)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"[rule_mining] excluded $nDrop hub mid-entities covering $slots " +
+            s"body-pair slots (cap=$maxMidFanout); support values are lower bounds")
+      val hubs = fan.filter(col("pairs") > maxMidFanout)
+        .select(col("z")).localCheckpoint(true)
+      fan.unpersist()
+      (left0.join(hubs, Seq("z"), "left_anti"),
+        right0.join(hubs, Seq("z"), "left_anti"))
+    }
+    val body = left.join(right, Seq("z"))
+      .filter(col("x") =!= col("y"))
+      .select(col("p1"), col("p2"), col("x"), col("y")).distinct()
+      .localCheckpoint(true)
+    val bodyCnt = body.groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("body_pairs"))
+    val head = r.select(col("pred").as("p3"), col("subj").as("x"), col("obj").as("y"))
+      .distinct()
+    val headCnt = head.groupBy(col("p3")).agg(count(lit(1)).as("head_pairs"))
+    body.join(head, Seq("x", "y"))
+      .groupBy(col("p1"), col("p2"), col("p3"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= lit(minSupport))
+      .join(bodyCnt, Seq("p1", "p2"))
+      .join(headCnt, Seq("p3"))
+      .select(col("p1"), col("p2"), col("p3"),
+        col("body_pairs"), col("head_pairs"), col("support"))
+  }
+
+  /**
    * Partitioned + bucketed sink (K6). Parquet stand-in for an Iceberg table
    * (no Iceberg jars offline — see SURVEY.md §7): directory-partitioned by
    * lang; files within a partition are split by `pmod(hash(subj), buckets)`

@@ -91,6 +91,66 @@ class KgFactsSpec extends SparkSpec {
       (3L, "q") -> ((7L, 2L, 1L, 1L, 2L))))
   }
 
+  private def minedSet(df: DataFrame) = df.collect()
+    .map(r => (r.getString(0), r.getString(1), r.getString(2),
+      r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+
+  private def seqRules(rows: Seq[(Long, String, Long)], minSupport: Long)
+      : Set[(String, String, String, Long, Long, Long)] = {
+    val r = rows.distinct
+    val body = (for {
+      (x, p1, z) <- r; (z2, p2, y) <- r; if z2 == z && x != y
+    } yield (p1, p2, x, y)).distinct
+    val bodyCnt = body.groupBy(t => (t._1, t._2)).view.mapValues(_.size.toLong)
+    val headSets = r.groupBy(_._2).view.mapValues(_.map(t => (t._1, t._3)).toSet)
+    (for {
+      ((p1, p2), pairs) <- body.groupBy(t => (t._1, t._2))
+      (p3, hs) <- headSets
+      support = pairs.count(t => hs((t._3, t._4))).toLong
+      if support >= minSupport
+    } yield (p1, p2, p3, bodyCnt((p1, p2)), hs.size.toLong, support)).toSet
+  }
+
+  test("mineRules: hand-checked composition rule plus brute-force twin") {
+    import spark.implicits._
+    // born_in(x,z) ∧ capital_of... : p(1,10) p(2,10) q(10,20) h(1,20) —
+    // rule (p,q ⇒ h) has body {(1,20),(2,20)}, head {(1,20)}, support 1
+    val tiny = Seq((1L, "p", 10L), (2L, "p", 10L), (10L, "q", 20L),
+      (1L, "h", 20L), (1L, "p", 10L)) // dup row must collapse
+    val gotTiny = minedSet(Triples.mineRules(
+      tiny.toDF("subj", "pred", "obj"), minSupport = 1L))
+    assert(gotTiny contains (("p", "q", "h", 2L, 1L, 1L)))
+    assert(gotTiny === seqRules(tiny, 1L))
+    // pseudo-random table, both support thresholds
+    val tr = rawTriples(500)
+    val rows = tr.select(col("subj"), col("pred"), col("obj"))
+      .as[(Long, String, Long)].collect().toSeq
+    for (ms <- Seq(1L, 3L))
+      assert(minedSet(Triples.mineRules(tr, ms)) === seqRules(rows, ms), s"ms=$ms")
+  }
+
+  test("mineRules: hub mid-entity cap drops LOUDLY; head side stays exact") {
+    import spark.implicits._
+    // node 100 is a hub mid (5 in, 5 out = 25 body slots); cap at 24
+    val hub = (0 until 5).flatMap(i =>
+      Seq((200L + i, "a", 100L), (100L, "b", 300L + i)))
+    // the head witness that makes the hub composition a scoring rule
+    val quiet = Seq((1L, "p", 2L), (2L, "q", 3L), (1L, "r", 3L),
+      (200L, "h", 300L))
+    val df = (hub ++ quiet).toDF("subj", "pred", "obj")
+    graft.kg.Graphs.lastDropReport.remove("rule_mining")
+    val got = minedSet(Triples.mineRules(df, 1L, maxMidFanout = 24L))
+    // the hub's (a,b,*) rules vanish; the quiet composition survives
+    assert(!got.exists(t => t._1 == "a" && t._2 == "b"))
+    assert(got contains (("p", "q", "r", 1L, 1L, 1L)))
+    assert(graft.kg.Graphs.lastDropReport("rule_mining") === ((1L, 25L)))
+    // uncapped: hub rules present, no report
+    graft.kg.Graphs.lastDropReport.remove("rule_mining")
+    val exact = minedSet(Triples.mineRules(df, 1L))
+    assert(exact.exists(t => t._1 == "a" && t._2 == "b" && t._4 == 25L))
+    assert(!graft.kg.Graphs.lastDropReport.contains("rule_mining"))
+  }
+
   test("fuseConflicts: matches a brute-force vote on the pseudo-random table") {
     import spark.implicits._
     val tr = rawTriples(500)
