@@ -106,15 +106,18 @@ object Triples {
    * source agreement" step of every web-scale KG build (Knowledge Vault
    * shape, reduced to its deterministic voting core).
    *
-   * Determinism without a window sort: the election is
+   * Determinism without a window: the election is
    * `max(struct(n_mentions, n_urls, ~obj))` — struct comparison is
    * lexicographic and `~obj` (bitwise NOT) is a total order-REVERSING
-   * bijection on longs (no `-obj` overflow at Long.MinValue), so one
-   * order-free aggregation picks exactly the row a per-group sort would,
-   * partial-aggregates map-side, and never materializes a per-group
-   * ordering. Two integer-key shuffles total: (subj, pred, obj) support
-   * counts, then the (subj, pred) election. All output columns are
-   * integers/strings — engine-exact, no float tolerance.
+   * bijection on longs (no `-obj` overflow at Long.MinValue), so a plain
+   * aggregation picks exactly the row a row_number window would, folding
+   * the max row-by-row. Physically this lowers to SortAggregate (sorted
+   * by GROUP KEY only, groups streamed) WITH a map-side partial before
+   * the shuffle — a window would sort by group key AND vote key and
+   * materialize a rank for every support row (plan-tested: no Window,
+   * partial_max present). Two integer-key shuffles total: (subj, pred,
+   * obj) support counts, then the (subj, pred) election. All output
+   * columns are integers/strings — engine-exact, no float tolerance.
    *
    * @return (subj, pred, obj, n_mentions, n_urls, n_objs, total_mentions):
    *         the elected object with its own support, the number of

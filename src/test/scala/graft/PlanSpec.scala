@@ -273,6 +273,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WholeStageCodegen") || p.contains("*("), p.take(1500))
   }
 
+  test("KG wave: fusion is window-free aggregation; PMI/rule joins are keyed, never cross") {
+    import org.apache.spark.sql.functions._
+    val tr = spark.read.parquet("golden/sf0.001/q47_triples.parquet")
+    // fuseConflicts: the election must be aggregation (max(struct)), never
+    // a row_number window or a per-group sort
+    val fuse = plan(graft.kg.Triples.fuseConflicts(tr))
+    assert(!fuse.contains("Window"), fuse.take(2500))
+    // the struct-max election lowers to SortAggregate (sorted by GROUP KEY
+    // only, streamed, max folded row-by-row) — crucially with a map-side
+    // partial before the shuffle; a window would sort by group key AND
+    // vote key and materialize a rank per support row
+    assert("""\(\d+\) SortAggregate""".r.findAllIn(fuse).size == 2, fuse.take(2500))
+    assert(fuse.contains("partial_max"), fuse.take(2500))
+    // pmiEdges: pairs generate only through the ctx equi-join
+    val ctx = concat(col("url"), lit("#"), col("sentIdx").cast("string"))
+    val mentions = tr.select(ctx.as("ctx"), col("subj").as("node"))
+      .unionAll(tr.select(ctx.as("ctx"), col("obj").as("node")))
+    val pmi = plan(graft.kg.Graphs.pmiEdges(mentions, 2L))
+    assert(!pmi.contains("CartesianProduct") &&
+      !pmi.contains("BroadcastNestedLoopJoin"), pmi.take(2500))
+    // mineRules: head/support joins are keyed equi-joins too
+    val rules = plan(graft.kg.Triples.mineRules(tr, 2L))
+    assert(!rules.contains("CartesianProduct") &&
+      !rules.contains("BroadcastNestedLoopJoin"), rules.take(2500))
+  }
+
   test("KMV sketch agg: partial ObjectHashAggregate map-side, ONE exchange, text-only scan") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$sf/documents.parquet")
