@@ -627,7 +627,19 @@ object SparkEntry {
     // self-join of the DISTINCT triple set, one pair-set head join,
     // confidence left as the exact fraction support/body_pairs
     "q92_rule_mining" -> ((s, dir) =>
-      graft.kg.Triples.mineRules(Pipeline.triples(s, dir).toDF(), minSupport = 2L))
+      graft.kg.Triples.mineRules(Pipeline.triples(s, dir).toDF(), minSupport = 2L)),
+    // cross-lingual entity support matrix: per-entity mention counts
+    // pivoted WIDE by language — pivot values are the pipeline's CLOSED
+    // language-routing set (ner.Models registry), passed explicitly so
+    // Spark skips the extra distinct-values inference pass (the 100 TB
+    // discipline for pivot: never let the engine scan for column names)
+    "q93_entity_lang_matrix" -> ((s, dir) => {
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val wide = Pipeline.triples(s, dir).toDF()
+        .groupBy(col("subj")).pivot("lang", langs).agg(count(lit(1)))
+        .na.fill(0L, langs)
+      wide.withColumn("total", langs.map(col).reduce(_ + _))
+    })
   )
 
   /** Golden-fixture oracle: DuckDB reads the committed parquet written by
@@ -820,6 +832,16 @@ object SparkEntry {
       FROM s JOIN bc ON bc.p1 = s.p1 AND bc.p2 = s.p2
              JOIN hc ON hc.p3 = s.p3
       WHERE s.support >= 2""",
+    "q93_entity_lang_matrix" -> s"""
+      SELECT subj,
+             count(*) FILTER (WHERE lang = 'de') AS de,
+             count(*) FILTER (WHERE lang = 'en') AS en,
+             count(*) FILTER (WHERE lang = 'es') AS es,
+             count(*) FILTER (WHERE lang = 'fr') AS fr,
+             count(*) FILTER (WHERE lang = 'zh') AS zh,
+             count(*) AS total
+      FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'
+      GROUP BY 1""",
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 4) AS sum_qty,
