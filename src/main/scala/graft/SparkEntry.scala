@@ -639,7 +639,50 @@ object SparkEntry {
         .groupBy(col("subj")).pivot("lang", langs).agg(count(lit(1)))
         .na.fill(0L, langs)
       wide.withColumn("total", langs.map(col).reduce(_ + _))
-    })
+    }),
+    // KG-embedding training prep: deterministic FILTERED negative sampling
+    // (TransE setting) — candidate = id-sorted entity at
+    // pmod(xxhash64(subj, pred, obj, slot, seed), |E|); corruptions that
+    // are true triples are dropped; golden-oracled vs the sequential twin
+    "q94_negative_samples" -> ((s, dir) =>
+      graft.kg.Embedding.negativeSamples(Pipeline.triples(s, dir).toDF(), k = 4)),
+    // k-core decomposition of the entity graph: coreness per node via
+    // level-synchronous distributed peeling (adaptive BZ driver fallback);
+    // golden-oracled vs the twin's naive min-degree peel
+    "q95_coreness" -> ((s, dir) => {
+      val tr = Pipeline.triples(s, dir).toDF()
+      graft.kg.Graphs.coreness(
+        tr.select(col("subj").as("src"), col("obj").as("dst")))
+    }),
+    // SPARQL-style BGP: ?x merge ?z . ?z order ?y . ?x batch ?w — three
+    // filtered scans joined on shared variables, DISTINCT bindings; the
+    // oracle runs the same conjunction as plain DuckDB joins
+    "q96_bgp_match" -> ((s, dir) => {
+      import graft.kg.Bgp._
+      matchBgp(Pipeline.triples(s, dir).toDF(), Seq(
+        Pattern(V("x"), "merge", V("z")),
+        Pattern(V("z"), "order", V("y")),
+        Pattern(V("x"), "batch", V("w"))))
+    }),
+    // weighted shortest paths from the q82/q87 seed set, hop-bounded
+    // Bellman–Ford with frontier pruning; edge weight = support cost
+    // (weakly-attested edges cost more): w = 6 - least(distinct urls, 5);
+    // oracle = DuckDB recursive-CTE path enumeration (bounded by hops and
+    // the integer weight ceiling) — an independent naive evaluation
+    "q97_sssp" -> ((s, dir) => {
+      val tr = Pipeline.triples(s, dir).toDF()
+      val edges = tr.groupBy(col("subj").as("src"), col("obj").as("dst"))
+        .agg((lit(6L) - least(countDistinct(col("url")), lit(5L))).as("w"))
+      val seeds = graft.kg.PageRank.degreeProfile(tr)
+        .orderBy(desc("out_triples"), asc("id")).limit(3).select(col("id"))
+      graft.kg.Graphs.sssp(edges, seeds, maxHops = 6)
+    }),
+    // RDF N-Quads serialization of the triple table (graph = provenance
+    // url): pure per-row codegen'd projection, zero shuffle; control-char
+    // rows quarantined loudly; the oracle rebuilds each line by string
+    // concatenation over the golden triples
+    "q98_nquads" -> ((s, dir) =>
+      graft.kg.Rdf.toNQuads(Pipeline.triples(s, dir).toDF()))
   )
 
   /** Golden-fixture oracle: DuckDB reads the committed parquet written by
@@ -842,6 +885,34 @@ object SparkEntry {
              count(*) AS total
       FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'
       GROUP BY 1""",
+    "q94_negative_samples" -> golden("q94_negative_samples"),
+    "q95_coreness" -> golden("q95_coreness"),
+    "q96_bgp_match" -> s"""
+      WITH t AS (SELECT * FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'),
+      p1 AS (SELECT DISTINCT subj AS x, obj AS z FROM t WHERE pred = 'merge'),
+      p2 AS (SELECT DISTINCT subj AS z, obj AS y FROM t WHERE pred = 'order'),
+      p3 AS (SELECT DISTINCT subj AS x, obj AS w FROM t WHERE pred = 'batch')
+      SELECT DISTINCT p1.x, z, y, w
+      FROM p1 JOIN p2 USING (z) JOIN p3 USING (x)""",
+    "q97_sssp" -> s"""
+      WITH RECURSIVE t AS (SELECT * FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'),
+      e AS (SELECT subj AS src, obj AS dst,
+                   CAST(6 - least(count(DISTINCT url), 5) AS BIGINT) AS w
+            FROM t WHERE subj <> obj GROUP BY subj, obj),
+      seeds AS (SELECT subj AS id FROM t GROUP BY subj
+                ORDER BY count(*) DESC, subj ASC LIMIT 3),
+      walk(id, hops, d) AS (
+        SELECT id, 0, CAST(0 AS BIGINT) FROM seeds
+        UNION
+        SELECT e.dst, walk.hops + 1, walk.d + e.w
+        FROM walk JOIN e ON e.src = walk.id WHERE walk.hops < 6)
+      SELECT id, min(d) AS dist FROM walk GROUP BY id""",
+    "q98_nquads" -> s"""
+      SELECT '<http://graft.kg/e/' || CAST(subj AS VARCHAR)
+          || '> <http://graft.kg/p/' || pred
+          || '> <http://graft.kg/e/' || CAST(obj AS VARCHAR)
+          || '> <' || url || '> .' AS line
+      FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'""",
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 4) AS sum_qty,

@@ -104,6 +104,9 @@ object GoldenGen {
     write("q47_triples", trip)
     write("q79_pagerank", q79PageRank(trip), "id", "rank")
     write("q82_ppr_salience", q82PersonalizedPagerank(trip), "id", "rank")
+    write("q94_negative_samples", q94NegativeSamples(trip),
+      "subj", "pred", "obj", "slot", "neg_obj")
+    write("q95_coreness", q95Coreness(trip), "id", "coreness")
     write("q48_span_metrics_greedy_vs_viterbi", q48Prf(mentions(vit), mentions(greedy)),
       "entityType", "correct", "guessed", "gold", "precision", "recall", "f1")
 

@@ -320,6 +320,51 @@ object SequentialTwin {
     nodes.map(v => (v, ranks(v)))
   }
 
+  /** q94: filtered negative-sampling twin — restates the production rule
+    * (kg.Embedding.negativeSamples) sequentially: candidate for
+    * (triple, slot) = id-sorted entity at floorMod(xxhash64 chain, |E|);
+    * corruptions that are true triples are filtered. Shares only the Xxh64
+    * primitive with production (the hash IS the spec). */
+  def q94NegativeSamples(triples: Seq[Triple], k: Int = 4,
+                         seed: Long = 0L): Seq[(Long, String, Long, Int, Long)] = {
+    val t = triples.map(x => (x.subj, x.pred, x.obj)).distinct
+    val truth = t.toSet
+    val ents = t.flatMap(x => Seq(x._1, x._3)).distinct.sorted
+    val n = ents.length.toLong
+    for {
+      (s, p, o) <- t
+      slot <- 0 until k
+      neg = ents(Math.floorMod(
+        Xxh64.sparkChain(Seq[Any](s, p, o, slot, seed)), n).toInt)
+      if !truth((s, p, neg))
+    } yield (s, p, o, slot, neg)
+  }
+
+  /** q95: coreness twin — INDEPENDENT algorithm: naive repeated minimum-
+    * degree peeling over mutable adjacency sets (production runs either
+    * level-synchronous distributed peeling or the O(m) Batagelj–Zaveršnik
+    * bucket peel; this twin is the textbook O(n·m) definition-chaser). */
+  def q95Coreness(triples: Seq[Triple]): Seq[(Long, Long)] = {
+    val e = triples.map(t => (t.subj, t.obj)).filter(x => x._1 != x._2)
+      .map(x => (math.min(x._1, x._2), math.max(x._1, x._2))).distinct
+    val adj = scala.collection.mutable.HashMap.empty[Long, scala.collection.mutable.HashSet[Long]]
+    e.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, scala.collection.mutable.HashSet.empty) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.HashSet.empty) += a
+    }
+    val core = scala.collection.mutable.HashMap.empty[Long, Long]
+    var k = 0L
+    while (adj.nonEmpty) {
+      val minDeg = adj.valuesIterator.map(_.size).min.toLong
+      k = math.max(k, minDeg)
+      val v = adj.iterator.filter(_._2.size.toLong == minDeg).map(_._1).min
+      core(v) = k
+      adj(v).foreach { u => adj(u) -= v; if (adj(u).isEmpty && !core.contains(u)) { core(u) = k; adj.remove(u) } }
+      adj.remove(v)
+    }
+    core.toSeq
+  }
+
   // -------------------------------------------------------- hash-family ops
 
   /** q81: KMV distinct-count sketch twin — INDEPENDENT algorithm: the twin

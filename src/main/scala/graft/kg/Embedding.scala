@@ -1,0 +1,72 @@
+package graft.kg
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Training-data preparation for KG-embedding models (TransE / DistMult
+ * family, Bordes et al. 2013): deterministic FILTERED negative sampling —
+ * for every true triple, k corrupted twins whose object is replaced by a
+ * hash-picked entity, with corruptions that happen to be true triples
+ * removed (the "filtered" setting every published benchmark uses; an
+ * unfiltered negative that is actually true teaches the model to reject
+ * facts). The reference pipeline stops at NER output; embedding-training
+ * prep is part of this engine's KG-construction surface, the same way the
+ * curation chain prepares LLM text.
+ *
+ * Determinism: the candidate for (triple, slot) is
+ * `entity[ pmod(xxhash64(subj, pred, obj, slot, seed), |E|) ]` over the
+ * id-sorted entity universe — a pure function of the triple set, so any
+ * two runs (and the sequential golden twin) agree bit-for-bit; no RNG
+ * state, no partition sensitivity.
+ *
+ * 100 TB shape: the entity universe gets dense indices via ONE sort +
+ * zipWithIndex (the canonical dense-rank-at-scale construction — a
+ * row_number window with no partition key would collapse the table to a
+ * single partition; the entity table is orders of magnitude smaller than
+ * the triple table, so this RDD hop is the cheap side). Candidates are
+ * map-side hashing + one 8-byte-key equi-join against the entity index +
+ * one anti-join against the true-triple set — linear in k·|triples|,
+ * every shuffle on integer keys, no driver state.
+ */
+object Embedding {
+
+  /**
+   * @param triplesIn rows with (subj, pred, obj); duplicates collapse
+   * @param k    corruption slots per true triple (slot = 0..k-1)
+   * @param seed chain seed mixed into the candidate hash
+   * @return (subj, pred, obj, slot, neg_obj) — one row per surviving
+   *         corruption; slots whose candidate equals a TRUE triple are
+   *         filtered out, so a triple can emit fewer than k rows (the
+   *         filtered-sampling contract — callers wanting exactly k
+   *         resample with a different seed).
+   */
+  def negativeSamples(triplesIn: DataFrame, k: Int, seed: Long = 0L): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = triplesIn.sparkSession
+    val t = triplesIn.select(col("subj").cast("long"), col("pred"),
+      col("obj").cast("long")).distinct().localCheckpoint(true)
+    // dense 0..n-1 index over the id-sorted entity universe
+    val ents = t.select(col("subj").as("id")).unionAll(t.select(col("obj").as("id")))
+      .distinct()
+    val indexed = {
+      import spark.implicits._
+      ents.orderBy(col("id")).rdd.map(_.getLong(0)).zipWithIndex()
+        .map { case (id, idx) => (idx, id) }.toDF("cand_idx", "neg_obj")
+        .localCheckpoint(true)
+    }
+    val n = indexed.count()
+    val cands = t
+      .select(col("subj"), col("pred"), col("obj"),
+        explode(sequence(lit(0), lit(k - 1))).as("slot"))
+      .withColumn("cand_idx",
+        pmod(xxhash64(col("subj"), col("pred"), col("obj"), col("slot"),
+          lit(seed)), lit(n)))
+    cands.join(indexed, Seq("cand_idx"))
+      // filtered setting: drop corruptions that are themselves true triples
+      // (covers neg_obj == obj, since (subj, pred, obj) is in t)
+      .join(t.withColumnRenamed("obj", "neg_obj"),
+        Seq("subj", "pred", "neg_obj"), "left_anti")
+      .select(col("subj"), col("pred"), col("obj"), col("slot"), col("neg_obj"))
+  }
+}

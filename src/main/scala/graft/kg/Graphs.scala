@@ -332,6 +332,197 @@ object Graphs {
         lit(nCtx).as("n_ctx"))
   }
 
+  /** Exact sequential coreness (Batagelj–Zaveršnik bucket peel, O(m)) —
+    * the driver fallback twin of [[coreness]]. */
+  private def driverCoreness(spark: org.apache.spark.sql.SparkSession,
+                             edges: Array[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    val ids = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val idx = ids.zipWithIndex.toMap
+    val n = ids.length
+    val adj = Array.fill(n)(List.empty[Int])
+    edges.foreach { case (a, b) =>
+      val (ia, ib) = (idx(a), idx(b)); adj(ia) ::= ib; adj(ib) ::= ia
+    }
+    val deg = adj.map(_.length)
+    // bucket sort nodes by degree; peel in increasing-degree order
+    val maxDeg = if (n == 0) 0 else deg.max
+    val bins = Array.fill(maxDeg + 2)(0)
+    deg.foreach(d => bins(d) += 1)
+    var start = 0
+    for (d <- 0 to maxDeg) { val c = bins(d); bins(d) = start; start += c }
+    val order = new Array[Int](n); val pos = new Array[Int](n)
+    for (v <- 0 until n) { pos(v) = bins(deg(v)); order(pos(v)) = v; bins(deg(v)) += 1 }
+    for (d <- maxDeg to 1 by -1) bins(d) = bins(d - 1); bins(0) = 0
+    val core = deg.clone()
+    for (i <- 0 until n) {
+      val v = order(i)
+      adj(v).foreach { u =>
+        if (core(u) > core(v)) {
+          // move u one bucket down: swap with the first node of its bucket
+          val du = core(u); val pu = pos(u); val pw = bins(du); val w = order(pw)
+          if (u != w) { order(pu) = w; order(pw) = u; pos(u) = pw; pos(w) = pu }
+          bins(du) += 1; core(u) -= 1
+        }
+      }
+    }
+    (0 until n).map(v => (ids(v), core(v).toLong)).toDF("id", "coreness")
+  }
+
+  /**
+   * k-core decomposition: every node's CORENESS — the largest k such that
+   * the node survives in the k-core (the maximal subgraph where every
+   * node has degree >= k). The standard KG-quality / graph-sparsification
+   * signal: coreness 1 nodes are pendant noise (one supporting edge),
+   * high-coreness nodes sit in densely cross-linked entity neighborhoods.
+   * Computed over the undirected SIMPLE graph (directed multigraph edges
+   * collapse first); every output is an integer from order-free counting
+   * — engine-exact at any partitioning.
+   *
+   * Distributed loop = level-synchronous peeling: while peeling to the
+   * (k+1)-core, every alive node with CURRENT degree <= k is removed and
+   * assigned coreness k; when a pass removes nothing, k advances. Each
+   * pass is one degree aggregation (map-side partial, 8-byte keys) + two
+   * anti-joins, localCheckpointed flat (the BFS/closure iteration
+   * discipline); work per pass is proportional to the SURVIVING subgraph,
+   * which only shrinks. Pass count is bounded by degeneracy + peel
+   * cascades — small for web-shaped graphs (degeneracy of a 10^9-node
+   * crawl graph is a few hundred) — and each pass touches no driver
+   * state. The adaptive fallback below [[SmallGraphThreshold]] edges runs
+   * the exact O(m) Batagelj–Zaveršnik bucket peel on the driver; the
+   * distributed loop is the scale path, equality-tested at threshold 0.
+   *
+   * @return (id: long, coreness: long) for every node with >= 1 edge.
+   */
+  def coreness(edgesIn: DataFrame,
+               smallGraphThreshold: Long = SmallGraphThreshold): DataFrame = {
+    val e0 = undirected(edgesIn)
+    if (e0.count() <= smallGraphThreshold)
+      return driverCoreness(edgesIn.sparkSession,
+        e0.collect().map(r => (r.getLong(0), r.getLong(1))))
+    var g = e0.localCheckpoint(true)
+    var alive = g.select(col("a").as("id")).unionAll(g.select(col("b").as("id")))
+      .distinct().localCheckpoint(true)
+    var out: DataFrame = null
+    var k = 1L
+    while (!alive.isEmpty) {
+      // current degree of every alive node (0 once its last edge died)
+      val deg = g.select(col("a").as("id")).unionAll(g.select(col("b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("d"))
+      val doomed = alive.join(deg, Seq("id"), "left")
+        .filter(coalesce(col("d"), lit(0L)) <= k)
+        .select(col("id")).localCheckpoint(true)
+      if (doomed.isEmpty) { k += 1 }
+      else {
+        val assigned = doomed.withColumn("coreness", lit(k))
+        out = if (out == null) assigned.localCheckpoint(true)
+              else out.unionAll(assigned).localCheckpoint(true)
+        alive = alive.join(doomed, Seq("id"), "left_anti").localCheckpoint(true)
+        g = g.join(doomed.withColumnRenamed("id", "a"), Seq("a"), "left_anti")
+          .join(doomed.withColumnRenamed("id", "b"), Seq("b"), "left_anti")
+          .select(col("a"), col("b")).localCheckpoint(true)
+      }
+    }
+    if (out == null) e0.sparkSession.emptyDataFrame
+      .withColumn("id", lit(0L)).withColumn("coreness", lit(0L)).limit(0)
+    else out
+  }
+
+  /** Sequential hop-bounded Bellman–Ford — the driver fallback twin of
+    * [[sssp]] (must match its <= maxHops semantics exactly, so no
+    * Dijkstra: each round relaxes only last round's improved nodes). */
+  private def driverSssp(spark: org.apache.spark.sql.SparkSession,
+                         edges: Array[(Long, Long, Long)], seedIds: Array[Long],
+                         maxHops: Int): DataFrame = {
+    import spark.implicits._
+    val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(e => (e._2, e._3)) }
+    val dist = scala.collection.mutable.HashMap.empty[Long, Long]
+    var frontier = seedIds.distinct.toSeq
+    frontier.foreach(dist(_) = 0L)
+    var h = 0
+    while (h < maxHops && frontier.nonEmpty) {
+      h += 1
+      val improved = scala.collection.mutable.HashMap.empty[Long, Long]
+      frontier.foreach { u =>
+        adj.getOrElse(u, Array.empty[(Long, Long)]).foreach { case (v, w) =>
+          val d = dist(u) + w
+          if (d < dist.getOrElse(v, Long.MaxValue) &&
+              d < improved.getOrElse(v, Long.MaxValue)) improved(v) = d
+        }
+      }
+      val real = improved.filter { case (v, d) => d < dist.getOrElse(v, Long.MaxValue) }
+      real.foreach { case (v, d) => dist(v) = d }
+      frontier = real.keys.toSeq
+    }
+    dist.toSeq.toDF("id", "dist")
+  }
+
+  /**
+   * Multi-source WEIGHTED shortest paths, hop-bounded (Bellman–Ford with
+   * frontier pruning): for every node reachable from a seed within
+   * `maxHops` edges, the minimum total edge weight over such paths — the
+   * "association distance" companion to [[bfs]]'s hop view (edge weights
+   * encode support strength: a weakly-attested edge costs more). Weights
+   * must be NON-NEGATIVE integers; all arithmetic is Long addition and
+   * order-free min, so results are engine-exact at any partitioning.
+   *
+   * Distributed loop: each round joins ONLY the frontier (nodes whose
+   * distance improved last round) against the edge list, min-aggregates
+   * candidates per target (map-side partial), and keeps strict
+   * improvements — classic frontier Bellman–Ford: after round h every
+   * distance equals the true minimum over <= h-hop paths, and a round
+   * with no improvement terminates early. Work per round is the
+   * frontier's out-edges, never the whole graph; `localCheckpoint` per
+   * round keeps the plan flat (the BFS/closure discipline). Negative
+   * weights are rejected LOUDLY (checked in the same pass that sizes the
+   * graph — no extra scan). Adaptive driver fallback below
+   * [[SmallGraphThreshold]] edges; the distributed loop is the scale
+   * path, equality-tested at threshold 0.
+   *
+   * @param edgesIn (src, dst, w) directed weighted edges; parallel edges
+   *                collapse to their MINIMUM weight
+   * @return (id: long, dist: long), dist = 0 for the seeds.
+   */
+  def sssp(edgesIn: DataFrame, seeds: DataFrame, maxHops: Int = 6,
+           smallGraphThreshold: Long = SmallGraphThreshold): DataFrame = {
+    require(maxHops >= 0, "maxHops must be >= 0")
+    val edges = edgesIn
+      .select(col("src").cast("long"), col("dst").cast("long"), col("w").cast("long"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+    val sized = edges.agg(count(lit(1)).as("n"),
+      coalesce(min(col("w")), lit(0L)).as("minw")).head()
+    require(sized.getLong(1) >= 0L,
+      s"sssp requires non-negative weights; min weight seen = ${sized.getLong(1)}")
+    val seedIds = seeds.select(col("id").cast("long")).distinct()
+    if (sized.getLong(0) <= smallGraphThreshold)
+      return driverSssp(edgesIn.sparkSession,
+        edges.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))),
+        seedIds.collect().map(_.getLong(0)), maxHops)
+    val e = edges.repartition(col("src")).localCheckpoint(true)
+    var dist = seedIds.withColumn("dist", lit(0L)).localCheckpoint(true)
+    var frontier = dist
+    var h = 0
+    var done = false
+    while (h < maxHops && !done) {
+      h += 1
+      val cand = frontier.withColumnRenamed("id", "src")
+        .join(e, Seq("src"))
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("cand"))
+        .groupBy(col("id")).agg(min(col("cand")).as("cand"))
+      val improved = cand.join(dist, Seq("id"), "left")
+        .filter(col("dist").isNull || col("cand") < col("dist"))
+        .select(col("id"), col("cand").as("dist")).localCheckpoint(true)
+      if (improved.isEmpty) done = true
+      else {
+        dist = dist.join(improved.select(col("id")), Seq("id"), "left_anti")
+          .unionAll(improved).localCheckpoint(true)
+        frontier = improved
+      }
+    }
+    dist
+  }
+
   /**
    * Multi-source directed BFS: shortest hop distance (<= maxDepth) from
    * any seed to every reachable node — "which entities sit within k hops

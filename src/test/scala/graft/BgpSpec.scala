@@ -1,0 +1,66 @@
+package graft
+
+import graft.kg.Bgp
+import graft.kg.Bgp._
+
+class BgpSpec extends SparkSpec {
+
+  // mention-level bag: duplicate rows must NOT duplicate bindings
+  private def triplesDf = {
+    import spark.implicits._
+    Seq(
+      (1L, "likes", 2L), (1L, "likes", 2L), (1L, "likes", 3L),
+      (4L, "likes", 2L),
+      (2L, "in", 10L), (3L, "in", 11L), (2L, "in", 10L),
+      (2L, "self", 2L), (5L, "self", 6L),
+      (9L, "alone", 9L)
+    ).toDF("subj", "pred", "obj").repartition(3)
+  }
+
+  test("var-var chain: ?x likes ?z . ?z in ?y — distinct bindings") {
+    val got = Bgp.matchBgp(triplesDf, Seq(
+      Pattern(V("x"), "likes", V("z")), Pattern(V("z"), "in", V("y"))))
+    assert(got.columns.toSeq === Seq("x", "y", "z"))
+    val rows = got.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows === Set((1L, 10L, 2L), (1L, 11L, 3L), (4L, 10L, 2L)))
+  }
+
+  test("constant subject narrows the scan") {
+    val got = Bgp.matchBgp(triplesDf, Seq(Pattern(C(1L), "likes", V("z"))))
+      .collect().map(_.getLong(0)).toSet
+    assert(got === Set(2L, 3L))
+  }
+
+  test("same variable in both positions = self-loop constraint") {
+    val got = Bgp.matchBgp(triplesDf, Seq(Pattern(V("x"), "self", V("x"))))
+      .collect().map(_.getLong(0)).toSet
+    assert(got === Set(2L)) // (5, self, 6) is not a self-loop
+  }
+
+  test("fully-constant pattern acts as an existence guard") {
+    val keep = Bgp.matchBgp(triplesDf, Seq(
+      Pattern(V("x"), "likes", V("z")), Pattern(C(2L), "self", C(2L))))
+    assert(keep.count() === 3)
+    val drop = Bgp.matchBgp(triplesDf, Seq(
+      Pattern(V("x"), "likes", V("z")), Pattern(C(2L), "self", C(6L))))
+    assert(drop.count() === 0)
+    // guard-first order works too (bound set starts empty)
+    val guardFirst = Bgp.matchBgp(triplesDf, Seq(
+      Pattern(C(2L), "self", C(2L)), Pattern(V("x"), "likes", V("z"))))
+    assert(guardFirst.count() === 3)
+  }
+
+  test("disconnected BGP throws instead of exploding into a cartesian product") {
+    val ex = intercept[IllegalArgumentException] {
+      Bgp.matchBgp(triplesDf, Seq(
+        Pattern(V("x"), "likes", V("z")), Pattern(V("a"), "in", V("b"))))
+    }
+    assert(ex.getMessage.contains("cartesian"))
+  }
+
+  test("all-constant BGP throws (binds no variables)") {
+    intercept[IllegalArgumentException] {
+      Bgp.matchBgp(triplesDf, Seq(Pattern(C(2L), "self", C(2L))))
+    }
+  }
+}

@@ -232,4 +232,110 @@ class GraphsSpec extends SparkSpec {
     Graphs.pmiEdges(df, minSupport = 2L).collect()
     assert(!Graphs.lastDropReport.contains("pmi_edges"))
   }
+
+  // ---- coreness ----
+
+  /** Naive definition-chasing coreness: repeatedly delete the minimum-
+    * degree node, coreness = running max of the degree at deletion. */
+  private def seqCoreness(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val e = simple(edges)
+    val adj = scala.collection.mutable.HashMap.empty[Long, scala.collection.mutable.HashSet[Long]]
+    e.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, scala.collection.mutable.HashSet.empty) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.HashSet.empty) += a
+    }
+    val core = scala.collection.mutable.HashMap.empty[Long, Long]
+    var k = 0L
+    while (adj.nonEmpty) {
+      val v = adj.minBy { case (id, nb) => (nb.size, id) }._1
+      k = math.max(k, adj(v).size.toLong)
+      core(v) = k
+      adj(v).foreach(u => adj(u) -= v)
+      adj.remove(v)
+    }
+    core.toMap
+  }
+
+  test("coreness: K4 + triangle + pendant chain — exact levels") {
+    // K4 on 1..4 (coreness 3), triangle 10-11-12 (coreness 2), chain
+    // 4-20-21 (pendants, coreness 1), bridge 1-10 (doesn't raise cores)
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (4L, 20L), (20L, 21L), (1L, 10L))
+    val want = Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      10L -> 2L, 11L -> 2L, 12L -> 2L, 20L -> 1L, 21L -> 1L)
+    assert(seqCoreness(g) === want) // the twin agrees with the hand answer
+    val got = Graphs.coreness(edgesDf(g)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
+
+  test("coreness: skewed graph — driver AND distributed paths match the naive twin") {
+    val want = seqCoreness(graph)
+    for ((threshold, parts) <- Seq((100000L, 5), (0L, 1), (0L, 7))) {
+      val got = Graphs.coreness(edgesDf(graph, parts), smallGraphThreshold = threshold)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want, s"threshold=$threshold parts=$parts")
+    }
+  }
+
+  // ---- weighted shortest paths ----
+
+  private def seqSssp(edges: Seq[(Long, Long, Long)], seeds: Seq[Long],
+                      maxHops: Int): Map[Long, Long] = {
+    val e = edges.filter(x => x._1 != x._2)
+      .groupBy(x => (x._1, x._2)).map { case (k2, xs) => (k2._1, k2._2, xs.map(_._3).min) }
+    var dist = seeds.distinct.map(_ -> 0L).toMap
+    for (_ <- 1 to maxHops) {
+      val relaxed = e.flatMap { case (u, v, w) => dist.get(u).map(d => v -> (d + w)) }
+        .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).min }
+      dist = (dist.keySet ++ relaxed.keySet).map { v =>
+        v -> math.min(dist.getOrElse(v, Long.MaxValue),
+          relaxed.getOrElse(v, Long.MaxValue))
+      }.toMap
+    }
+    dist
+  }
+
+  private val wgraph: Seq[(Long, Long, Long)] =
+    graph.map { case (s, t) => (s, t, (s * 7L + t * 3L) % 4L + 1L) }
+
+  private def wEdgesDf(edges: Seq[(Long, Long, Long)], parts: Int = 5) = {
+    import spark.implicits._
+    edges.toDF("src", "dst", "w").repartition(parts)
+  }
+
+  private def seedsDf(ids: Seq[Long]) = {
+    import spark.implicits._
+    ids.toDF("id")
+  }
+
+  test("sssp: cheap long path beats expensive direct edge; hop budget flips it") {
+    // 0 ->1-> 1 ->1-> 2 ->1-> 3 (total 3) vs direct 0 ->10-> 3
+    val g = Seq((0L, 1L, 1L), (1L, 2L, 1L), (2L, 3L, 1L), (0L, 3L, 10L), (7L, 8L, 1L))
+    def run(h: Int) = Graphs.sssp(wEdgesDf(g), seedsDf(Seq(0L)), maxHops = h)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(6) === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L)) // 7/8 unreachable
+    assert(run(1) === Map(0L -> 0L, 1L -> 1L, 3L -> 10L)) // budget 1: direct only
+    assert(run(2) === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 10L))
+  }
+
+  test("sssp: skewed weighted graph — driver AND distributed paths match twin; parallel edges take min") {
+    val withDup = wgraph ++ Seq((2L, 3L, 9L), (2L, 3L, 1L)) // parallel edges
+    val seeds = Seq(0L, 13L)
+    val want = seqSssp(withDup, seeds, maxHops = 6)
+    for ((threshold, parts) <- Seq((100000L, 5), (0L, 1), (0L, 7))) {
+      val got = Graphs.sssp(wEdgesDf(withDup, parts), seedsDf(seeds),
+        maxHops = 6, smallGraphThreshold = threshold)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want, s"threshold=$threshold parts=$parts")
+    }
+  }
+
+  test("sssp: negative weights rejected loudly") {
+    val g = Seq((0L, 1L, 1L), (1L, 2L, -1L))
+    val ex = intercept[IllegalArgumentException] {
+      Graphs.sssp(wEdgesDf(g), seedsDf(Seq(0L)), maxHops = 3)
+    }
+    assert(ex.getMessage.contains("non-negative"))
+  }
 }
