@@ -682,7 +682,43 @@ object SparkEntry {
     // rows quarantined loudly; the oracle rebuilds each line by string
     // concatenation over the golden triples
     "q98_nquads" -> ((s, dir) =>
-      graft.kg.Rdf.toNQuads(Pipeline.triples(s, dir).toDF()))
+      graft.kg.Rdf.toNQuads(Pipeline.triples(s, dir).toDF())),
+    // DeepWalk corpus prep: 2 deterministic directed walks of length <= 4
+    // from every non-sink entity — neighbor choice is a pure hash of
+    // (start, walk, step, cur), so the distributed walks replay
+    // bit-identically in the sequential golden twin
+    "q99_random_walks" -> ((s, dir) => {
+      val tr = Pipeline.triples(s, dir).toDF()
+      graft.kg.Graphs.randomWalks(
+        tr.select(col("subj").as("src"), col("obj").as("dst")),
+        walksPerNode = 2, maxLen = 4)
+    }),
+    // deterministic synchronous label propagation (5 rounds): community
+    // label per entity — window-free max(struct) election with the
+    // bitwise-NOT tie-break; golden-oracled vs the sequential recurrence
+    "q100_lpa_communities" -> ((s, dir) => {
+      val tr = Pipeline.triples(s, dir).toDF()
+      graft.kg.Graphs.labelPropagation(
+        tr.select(col("subj").as("src"), col("obj").as("dst")), iters = 5)
+    }),
+    // local clustering coefficient as an exact integer fraction
+    // (triangles, deg-choose-2 pairs) — the hub-vs-community KG-quality
+    // signal; oracle recomputes both sides naively in DuckDB
+    "q101_clustering_coeff" -> ((s, dir) => {
+      val tr = Pipeline.triples(s, dir).toDF()
+      graft.kg.Graphs.clusteringCoefficient(
+        tr.select(col("subj").as("src"), col("obj").as("dst")))
+    }),
+    // BGP with OPTIONAL groups: required ?x merge ?z, OPTIONAL ?z order ?y,
+    // OPTIONAL ?x batch ?w — SPARQL left-outer semantics (unmatched
+    // optionals keep the row with nulls); oracle = DuckDB LEFT JOINs
+    "q102_bgp_optional" -> ((s, dir) => {
+      import graft.kg.Bgp._
+      matchBgpOptional(Pipeline.triples(s, dir).toDF(),
+        Seq(Pattern(V("x"), "merge", V("z"))),
+        Seq(Pattern(V("z"), "order", V("y")),
+            Pattern(V("x"), "batch", V("w"))))
+    })
   )
 
   /** Golden-fixture oracle: DuckDB reads the committed parquet written by
@@ -913,6 +949,31 @@ object SparkEntry {
           || '> <http://graft.kg/e/' || CAST(obj AS VARCHAR)
           || '> <' || url || '> .' AS line
       FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'""",
+    "q99_random_walks" -> golden("q99_random_walks"),
+    "q100_lpa_communities" -> golden("q100_lpa_communities"),
+    "q101_clustering_coeff" -> s"""
+      WITH t AS (SELECT * FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'),
+      e AS (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+            FROM t WHERE subj <> obj),
+      tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM e e1 JOIN e e2 ON e2.a = e1.b
+                        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      n AS (SELECT x AS id FROM tri UNION ALL SELECT y AS id FROM tri
+            UNION ALL SELECT z AS id FROM tri),
+      c AS (SELECT id, count(*) AS triangles FROM n GROUP BY 1),
+      deg AS (SELECT id, count(*) AS d FROM
+                (SELECT a AS id FROM e UNION ALL SELECT b AS id FROM e)
+              GROUP BY 1)
+      SELECT deg.id, COALESCE(c.triangles, 0) AS triangles,
+             deg.d * (deg.d - 1) // 2 AS pairs
+      FROM deg LEFT JOIN c ON c.id = deg.id""",
+    "q102_bgp_optional" -> s"""
+      WITH t AS (SELECT * FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'),
+      p1 AS (SELECT DISTINCT subj AS x, obj AS z FROM t WHERE pred = 'merge'),
+      p2 AS (SELECT DISTINCT subj AS z, obj AS y FROM t WHERE pred = 'order'),
+      p3 AS (SELECT DISTINCT subj AS x, obj AS w FROM t WHERE pred = 'batch')
+      SELECT DISTINCT p1.x, z, y, w
+      FROM p1 LEFT JOIN p2 USING (z) LEFT JOIN p3 USING (x)""",
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 4) AS sum_qty,

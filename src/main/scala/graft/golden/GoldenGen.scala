@@ -107,6 +107,9 @@ object GoldenGen {
     write("q94_negative_samples", q94NegativeSamples(trip),
       "subj", "pred", "obj", "slot", "neg_obj")
     write("q95_coreness", q95Coreness(trip), "id", "coreness")
+    write("q99_random_walks", q99RandomWalks(trip),
+      "start", "walk", "step", "node")
+    write("q100_lpa_communities", q100LabelPropagation(trip), "id", "label")
     write("q48_span_metrics_greedy_vs_viterbi", q48Prf(mentions(vit), mentions(greedy)),
       "entityType", "correct", "guessed", "gold", "precision", "recall", "f1")
 

@@ -365,6 +365,58 @@ object SequentialTwin {
     core.toSeq
   }
 
+  /** q99: deterministic random-walk twin — restates the production rule
+    * (kg.Graphs.randomWalks) sequentially: step t's neighbor at node cur
+    * for walk (start, w) = dst-sorted out-neighbor at
+    * floorMod(xxhash64(start, w, t, cur, seed), outdeg(cur)); walks end
+    * early at sinks. Shares only the Xxh64 primitive (the hash IS the
+    * spec). */
+  def q99RandomWalks(triples: Seq[Triple], walksPerNode: Int = 2,
+                     maxLen: Int = 4, seed: Long = 0L): Seq[(Long, Long, Long, Long)] = {
+    val adj = triples.map(t => (t.subj, t.obj)).filter(x => x._1 != x._2)
+      .distinct.groupBy(_._1)
+      .map { case (s, xs) => s -> xs.map(_._2).sorted.toVector }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    for (start <- adj.keys.toSeq.sorted; w <- 0L until walksPerNode.toLong) {
+      var cur = start
+      out += ((start, w, 0L, start))
+      var t = 1L
+      var alive = true
+      while (t <= maxLen && alive) {
+        adj.get(cur) match {
+          case Some(nbrs) =>
+            val idx = Math.floorMod(
+              Xxh64.sparkChain(Seq[Any](start, w, t, cur, seed)),
+              nbrs.length.toLong).toInt
+            cur = nbrs(idx)
+            out += ((start, w, t, cur))
+            t += 1
+          case None => alive = false
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** q100: synchronous label-propagation twin — the same deterministic
+    * recurrence (all nodes update together; new label = most frequent
+    * neighbor label, ties to the SMALLEST label) restated with plain
+    * HashMaps over the undirected simple graph. */
+  def q100LabelPropagation(triples: Seq[Triple], iters: Int = 5): Seq[(Long, Long)] = {
+    val e = triples.map(t => (t.subj, t.obj)).filter(x => x._1 != x._2)
+      .map(x => (math.min(x._1, x._2), math.max(x._1, x._2))).distinct
+    val sym = e.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val nbrs = sym.groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2) }
+    var labels = nbrs.keys.map(n => n -> n).toMap
+    for (_ <- 1 to iters) {
+      labels = nbrs.map { case (node, ns) =>
+        val counts = ns.groupBy(labels).map { case (l, xs) => (l, xs.size.toLong) }
+        node -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    labels.toSeq
+  }
+
   // -------------------------------------------------------- hash-family ops
 
   /** q81: KMV distinct-count sketch twin — INDEPENDENT algorithm: the twin

@@ -43,8 +43,49 @@ object Bgp {
    * @param patterns the conjunctive pattern list
    */
   def matchBgp(triples: DataFrame, patterns: Seq[Pattern]): DataFrame = {
-    require(patterns.nonEmpty, "need at least one pattern")
-    def scan(p: Pattern): (DataFrame, Set[String]) = {
+    val (joined, allVars) = joinRequired(triples, patterns)
+    require(allVars.nonEmpty, "BGP binds no variables (all patterns constant)")
+    joined.select(allVars.toSeq.sorted.map(col): _*).distinct()
+  }
+
+  /**
+   * BGP with SPARQL `OPTIONAL` groups: the required conjunction matches
+   * as [[matchBgp]]; each optional pattern then LEFT-joins on its shared
+   * variables — bindings that have no optional match keep their row with
+   * the optional's new variables NULL (the SPARQL left-outer semantics).
+   * Each optional pattern must share >= 1 variable with the REQUIRED
+   * bindings (an optional joined only through another optional's new
+   * variable has order-dependent semantics, so it is rejected), and each
+   * must introduce >= 1 new variable (a new-variable-free optional
+   * filters nothing under left-join semantics — a no-op that almost
+   * always means the caller wanted a required pattern).
+   *
+   * Same physical shape as the required side: filtered pushdown scans,
+   * 8-byte-key equi-joins (left outer), DISTINCT on narrow projections.
+   */
+  def matchBgpOptional(triples: DataFrame, patterns: Seq[Pattern],
+                       optionals: Seq[Pattern]): DataFrame = {
+    val (req, reqVars) = joinRequired(triples, patterns)
+    require(reqVars.nonEmpty, "BGP binds no variables (all patterns constant)")
+    val (joined, allVars) = optionals.foldLeft(
+      (req.select(reqVars.toSeq.sorted.map(col): _*).distinct(), reqVars)) {
+      case ((acc, bound), p) =>
+        val (df, vars) = scan(triples, p)
+        val shared = (reqVars intersect vars).toSeq.sorted
+        val fresh = vars diff bound
+        require(shared.nonEmpty,
+          s"optional pattern $p shares no variable with the required patterns")
+        require(fresh.nonEmpty,
+          s"optional pattern $p introduces no new variable (make it required)")
+        require((vars diff reqVars) subsetOf (vars diff bound),
+          s"optional pattern $p reuses another optional's variable " +
+            "(order-dependent; join it to required variables instead)")
+        (acc.join(df, shared, "left"), bound union vars)
+    }
+    joined.select(allVars.toSeq.sorted.map(col): _*).distinct()
+  }
+
+  private def scan(triples: DataFrame, p: Pattern): (DataFrame, Set[String]) = {
       var df = triples.select(col("subj").cast("long"), col("pred"),
         col("obj").cast("long")).filter(col("pred") === lit(p.p))
       val vars = scala.collection.mutable.LinkedHashSet.empty[String]
@@ -66,11 +107,18 @@ object Bgp {
         case _                      => Seq(lit(1L).as("__match"))
       }
       (df.select(cols: _*).distinct(), vars.toSet)
-    }
-    val (first, firstVars) = scan(patterns.head)
-    val (joined, allVars) = patterns.tail.foldLeft((first, firstVars)) {
+  }
+
+  /** The required-conjunction join chain shared by [[matchBgp]] and
+    * [[matchBgpOptional]]: returns the joined bindings (pre-projection)
+    * and the bound variable set. */
+  private def joinRequired(triples: DataFrame,
+                           patterns: Seq[Pattern]): (DataFrame, Set[String]) = {
+    require(patterns.nonEmpty, "need at least one pattern")
+    val (first, firstVars) = scan(triples, patterns.head)
+    patterns.tail.foldLeft((first, firstVars)) {
       case ((acc, bound), p) =>
-        val (df, vars) = scan(p)
+        val (df, vars) = scan(triples, p)
         val shared = (bound intersect vars).toSeq.sorted
         require(shared.nonEmpty || vars.isEmpty || bound.isEmpty,
           s"pattern $p shares no variable with the patterns before it " +
@@ -84,7 +132,5 @@ object Bgp {
           else acc.join(df, shared)
         (next, bound union vars)
     }
-    require(allVars.nonEmpty, "BGP binds no variables (all patterns constant)")
-    joined.select(allVars.toSeq.sorted.map(col): _*).distinct()
   }
 }

@@ -570,4 +570,138 @@ object Graphs {
     }
     dist
   }
+
+  /**
+   * Deterministic random-walk corpus (DeepWalk, Perozzi et al. 2014):
+   * `walksPerNode` directed walks of length <= `maxLen` from every node
+   * with at least one out-edge — the sentence-analog input a skip-gram
+   * KG-embedding trainer consumes (the companion of
+   * [[Embedding.negativeSamples]] on the prep side).
+   *
+   * Determinism: step `t`'s neighbor choice at node `cur` for walk
+   * `(start, walk)` is `nbr[ pmod(xxhash64(start, walk, t, cur, seed),
+   * outdeg(cur)) ]` over the dst-sorted out-neighbor list — a pure
+   * function of the graph, so any two runs (and the sequential golden
+   * twin) agree bit-for-bit: no RNG state, no partition sensitivity.
+   * Walks that reach a sink (no out-edges) simply end early.
+   *
+   * 100 TB shape: the adjacency is ranked ONCE — `row_number` over a
+   * window PARTITIONED BY src (never a global window) — and
+   * localCheckpointed; each step is two keyed equi-joins (an out-degree
+   * lookup on `cur`, then the exact (src, rank) neighbor probe — the
+   * hub-safe form: a join on src alone would fan every frontier row out
+   * by the hub's full degree before filtering). Work per step is the
+   * live frontier (<= |starts| rows, shrinking at sinks), never the
+   * graph.
+   *
+   * @return (start, walk, step, node) — step 0 is the start itself;
+   *         one row per visited position (aggregate to arrays downstream
+   *         with a per-walk `collect_list` sorted by step if the trainer
+   *         wants sentences).
+   */
+  def randomWalks(edgesIn: DataFrame, walksPerNode: Int, maxLen: Int,
+                  seed: Long = 0L): DataFrame = {
+    require(walksPerNode >= 1, "walksPerNode must be >= 1")
+    require(maxLen >= 0, "maxLen must be >= 0")
+    val e = edgesIn.select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("dst"))
+    val adj = e.withColumn("rank", row_number().over(w).cast("long") - lit(1L))
+      .localCheckpoint(true)
+    val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val starts = deg.select(col("src").as("start"),
+        explode(sequence(lit(0L), lit(walksPerNode - 1L))).as("walk"))
+      .localCheckpoint(true)
+    var out = starts.select(col("start"), col("walk"), lit(0L).as("step"),
+      col("start").as("node")).localCheckpoint(true)
+    var frontier = out
+    var t = 0L
+    while (t < maxLen && !frontier.isEmpty) {
+      t += 1
+      val next = frontier
+        .select(col("start"), col("walk"), col("node").as("src"))
+        .join(deg, Seq("src"))
+        .withColumn("rank", pmod(
+          xxhash64(col("start"), col("walk"), lit(t), col("src"), lit(seed)),
+          col("deg")))
+        .join(adj, Seq("src", "rank"))
+        .select(col("start"), col("walk"), lit(t).as("step"),
+          col("dst").as("node"))
+        .localCheckpoint(true)
+      out = out.unionAll(next).localCheckpoint(true)
+      frontier = next
+    }
+    out
+  }
+
+  /**
+   * Community detection by synchronous label propagation (Raghavan et
+   * al. 2007) over the undirected simple graph, made DETERMINISTIC: all
+   * nodes update together each round (no sequential visit order), and a
+   * node's new label is the neighbor label with the highest count,
+   * ties broken by the SMALLEST label — elected as ONE window-free
+   * `max(struct(cnt, ~label))` aggregation (bitwise NOT is the
+   * overflow-free order-reversing tie-break, the [[Triples]] fusion
+   * convention; both aggregation halves take map-side partials). Every
+   * quantity is an integer from order-free counting, so the labeling is
+   * bit-identical at any partitioning and a sequential twin can verify
+   * it exactly. Runs a FIXED `iters` rounds (synchronous LPA can
+   * 2-cycle on bipartite structures, so a fixed budget is the honest
+   * contract; labels after round t are well-defined regardless).
+   *
+   * Shape per round: one symmetric-edge join against the N-row label
+   * table (8-byte keys) + two partial aggregations; the edge list is
+   * ranked once and localCheckpointed, each round shuffles only label
+   * rows — the PageRank iteration discipline.
+   *
+   * @return (id, label) for every node with >= 1 edge; label is some
+   *         member id of the community.
+   */
+  def labelPropagation(edgesIn: DataFrame, iters: Int = 5): DataFrame = {
+    require(iters >= 0, "iters must be >= 0")
+    val e = undirected(edgesIn)
+    val sym = e.select(col("a").as("node"), col("b").as("nbr"))
+      .unionAll(e.select(col("b").as("node"), col("a").as("nbr")))
+      .localCheckpoint(true)
+    var labels = sym.select(col("node").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      labels = sym
+        .join(labels.withColumnRenamed("id", "nbr"), Seq("nbr"))
+        .groupBy(col("node"), col("label")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("node"))
+        .agg(max(struct(col("cnt"),
+          bitwise_not(col("label")).as("nlabel"))).as("m"))
+        .select(col("node").as("id"), bitwise_not(col("m.nlabel")).as("label"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
+  /**
+   * Local clustering coefficient per node as an EXACT integer fraction:
+   * (id, triangles, pairs) with pairs = deg·(deg−1)/2 — coefficient =
+   * triangles/pairs, left undivided so the output is engine-exact
+   * (the [[Triples.mineRules]] exact-fraction convention; a node of
+   * degree 1 has pairs = 0 and an undefined coefficient, reported as
+   * the honest 0/0 rather than a fabricated 0.0). The KG-quality
+   * signal: low-coefficient high-degree nodes are star-shaped hubs
+   * (aggregator pages, over-merged entities); high-coefficient nodes
+   * sit in genuinely cross-linked neighborhoods.
+   *
+   * Cost = [[triangles]] (compact-forward, hub-safe) + the degree
+   * aggregation it already computes — nothing new shuffles the graph.
+   */
+  def clusteringCoefficient(edgesIn: DataFrame): DataFrame = {
+    val e = undirected(edgesIn).localCheckpoint(true)
+    val deg = e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    triangles(e.select(col("a").as("src"), col("b").as("dst")))
+      .join(deg, Seq("id"))
+      .select(col("id"), col("triangles"),
+        // deg·(deg−1) is always even; shiftright is the exact Long halve
+        shiftright(col("deg") * (col("deg") - lit(1L)), 1).as("pairs"))
+  }
 }

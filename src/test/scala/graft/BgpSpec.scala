@@ -63,4 +63,60 @@ class BgpSpec extends SparkSpec {
       Bgp.matchBgp(triplesDf, Seq(Pattern(C(2L), "self", C(2L))))
     }
   }
+
+  test("OPTIONAL: unmatched bindings keep their row with nulls") {
+    // required ?x likes ?z; optional ?z in ?y — z=2,3 have in-rows, so
+    // every required binding matches here except none; add z=2 twice to
+    // prove distinctness under the left join too
+    val got = Bgp.matchBgpOptional(triplesDf,
+      Seq(Pattern(V("x"), "likes", V("z"))),
+      Seq(Pattern(V("z"), "in", V("y"))))
+    assert(got.columns.toSeq === Seq("x", "y", "z"))
+    val rows = got.collect().map(r =>
+      (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1), r.getLong(2))).toSet
+    assert(rows === Set((1L, 10L, 2L), (1L, 11L, 3L), (4L, 10L, 2L)))
+    // required ?a in ?b; optional ?b likes ?c — 10/11 have no likes-rows:
+    // the optional column is null, the required rows survive
+    val got2 = Bgp.matchBgpOptional(triplesDf,
+      Seq(Pattern(V("a"), "in", V("b"))),
+      Seq(Pattern(V("b"), "likes", V("c"))))
+    val rows2 = got2.collect().map(r =>
+      (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(rows2 === Set((2L, 10L, -1L), (3L, 11L, -1L)))
+  }
+
+  test("OPTIONAL: two independent groups, each nullable on its own") {
+    // required ?x likes ?z; optional ?x self ?s (only x=nothing matches —
+    // self rows are (2,2),(5,6); x values are 1,4 -> all null); optional
+    // ?z in ?y (matches everywhere)
+    val got = Bgp.matchBgpOptional(triplesDf,
+      Seq(Pattern(V("x"), "likes", V("z"))),
+      Seq(Pattern(V("x"), "self", V("s")), Pattern(V("z"), "in", V("y"))))
+    assert(got.columns.toSeq === Seq("s", "x", "y", "z"))
+    val rows = got.collect().map(r =>
+      (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1),
+       if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3))).toSet
+    assert(rows === Set((-1L, 1L, 10L, 2L), (-1L, 1L, 11L, 3L), (-1L, 4L, 10L, 2L)))
+  }
+
+  test("OPTIONAL: rejected shapes throw loudly") {
+    // shares no variable with required
+    intercept[IllegalArgumentException] {
+      Bgp.matchBgpOptional(triplesDf,
+        Seq(Pattern(V("x"), "likes", V("z"))),
+        Seq(Pattern(V("a"), "in", V("b"))))
+    }
+    // introduces no new variable
+    intercept[IllegalArgumentException] {
+      Bgp.matchBgpOptional(triplesDf,
+        Seq(Pattern(V("x"), "likes", V("z"))),
+        Seq(Pattern(V("x"), "in", V("z"))))
+    }
+    // reuses another optional's fresh variable
+    intercept[IllegalArgumentException] {
+      Bgp.matchBgpOptional(triplesDf,
+        Seq(Pattern(V("x"), "likes", V("z"))),
+        Seq(Pattern(V("z"), "in", V("y")), Pattern(V("x"), "self", V("y"))))
+    }
+  }
 }

@@ -338,4 +338,86 @@ class GraphsSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("non-negative"))
   }
+
+  // ---- random walks ----
+
+  private def asTriples(edges: Seq[(Long, Long)]) =
+    edges.map { case (s, o) => graft.core.Triple(s, "p", o, "en", "u", 0) }
+
+  test("randomWalks: forced line graph — exact positions, sinks end walks early") {
+    // 0 -> 1 -> 2 -> 3: single out-neighbor everywhere, 3 is a sink, so
+    // the walks are forced regardless of the hash
+    val g = Seq((0L, 1L), (1L, 2L), (2L, 3L))
+    val got = Graphs.randomWalks(edgesDf(g), walksPerNode = 1, maxLen = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val want = Set(
+      (0L, 0L, 0L, 0L), (0L, 0L, 1L, 1L), (0L, 0L, 2L, 2L), (0L, 0L, 3L, 3L),
+      (1L, 0L, 0L, 1L), (1L, 0L, 1L, 2L), (1L, 0L, 2L, 3L),
+      (2L, 0L, 0L, 2L), (2L, 0L, 1L, 3L))
+    assert(got === want) // no walk starts at the sink 3
+  }
+
+  test("randomWalks: twin replay equality + every step follows an edge, any partitioning") {
+    val want = graft.golden.SequentialTwin.q99RandomWalks(
+      asTriples(graph), walksPerNode = 2, maxLen = 4).toSet
+    val dirEdges = graph.filter(e => e._1 != e._2).toSet
+    for (parts <- Seq(1, 7)) {
+      val rows = Graphs.randomWalks(edgesDf(graph, parts), walksPerNode = 2, maxLen = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(rows.toSet === want, s"parts=$parts")
+      assert(rows.length === rows.toSet.size) // (start, walk, step) unique
+      // walk validity: each consecutive hop is a real directed edge
+      rows.groupBy(x => (x._1, x._2)).foreach { case (_, steps) =>
+        steps.sortBy(_._3).sliding(2).foreach {
+          case Array(a, b) => assert(dirEdges((a._4, b._4)), s"hop $a -> $b")
+          case _           =>
+        }
+      }
+    }
+  }
+
+  // ---- label propagation ----
+
+  test("labelPropagation: a triangle floods to its minimum label; disjoint cliques stay apart") {
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
+    val got = Graphs.labelPropagation(edgesDf(g), iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("labelPropagation: twin equality on the skewed graph at several iteration counts and partitionings") {
+    for (iters <- Seq(0, 1, 3, 5); parts <- Seq(1, 7)) {
+      val want = graft.golden.SequentialTwin
+        .q100LabelPropagation(asTriples(graph), iters).toMap
+      val got = Graphs.labelPropagation(edgesDf(graph, parts), iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want, s"iters=$iters parts=$parts")
+    }
+  }
+
+  // ---- clustering coefficient ----
+
+  test("clusteringCoefficient: K4 + pendant — exact integer fractions") {
+    // K4 on 1..4 plus pendant 9-1: inside K4 deg 3 / 3 triangles ->
+    // 3/3 = 1; node 1 has deg 4 (pairs 6, triangles 3); pendant 9 is 0/0
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (9L, 1L))
+    val got = Graphs.clusteringCoefficient(edgesDf(g))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === Map(
+      1L -> (3L, 6L), 2L -> (3L, 3L), 3L -> (3L, 3L), 4L -> (3L, 3L),
+      9L -> (0L, 0L)))
+  }
+
+  test("clusteringCoefficient: naive twin equality on the skewed graph") {
+    val tri = seqTriangles(graph)
+    val e = simple(graph)
+    val deg = e.toSeq.flatMap(p => Seq(p._1, p._2)).groupBy(identity)
+      .map { case (n, xs) => n -> xs.size.toLong }
+    val want = tri.map { case (n, t) =>
+      n -> (t, deg(n) * (deg(n) - 1L) / 2L) }
+    val got = Graphs.clusteringCoefficient(edgesDf(graph, 7))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === want)
+  }
 }
