@@ -718,6 +718,68 @@ object SparkEntry {
         Seq(Pattern(V("x"), "merge", V("z"))),
         Seq(Pattern(V("z"), "order", V("y")),
             Pattern(V("x"), "batch", V("w"))))
+    }),
+    // skip-gram (center, context) co-occurrence counts over the q99 walk
+    // corpus, window 2 — the word2vec hand-off; ONE keyed equi-join
+    // (positions explode to their target steps), oracle re-derives the
+    // pairs from the committed golden walks by SQL self-join
+    "q103_skipgram_pairs" -> ((s, dir) => {
+      val tr = Pipeline.triples(s, dir).toDF()
+      graft.kg.Graphs.skipGramPairs(
+        graft.kg.Graphs.randomWalks(
+          tr.select(col("subj").as("src"), col("obj").as("dst")),
+          walksPerNode = 2, maxLen = 4),
+        window = 2)
+    }),
+    // exact modularity ingredients of a labeling: per community
+    // (members, within_edges, degree_sum, m) as pure integers — Q
+    // derivable exactly downstream. The board labeling is the 4-way
+    // id-hash partition (LPA floods this dense graph to ONE community,
+    // a 1-row fixture; the spec twins modularity∘LPA separately);
+    // oracle recomputes all four integers from the golden triples
+    "q104_modularity" -> ((s, dir) => {
+      val tr = Pipeline.triples(s, dir).toDF()
+      val edges = tr.select(col("subj").as("src"), col("obj").as("dst"))
+      val labels = tr.select(col("subj").as("id"))
+        .unionAll(tr.select(col("obj").as("id"))).distinct()
+        .withColumn("label", pmod(col("id"), lit(4L)))
+      graft.kg.Graphs.modularity(edges, labels)
+    }),
+    // SPARQL UNION of FILTERed BGP branches: { ?a order ?b FILTER ?a<?b }
+    // UNION { ?a batch ?b FILTER ?a!=?b } — distinct aligned bindings
+    "q105_bgp_union" -> ((s, dir) => {
+      import graft.kg.Bgp._
+      matchBgpUnion(Pipeline.triples(s, dir).toDF(), Seq(
+        (Seq(Pattern(V("a"), "order", V("b"))),
+          Seq(Filter("a", Lt, V("b")))),
+        (Seq(Pattern(V("a"), "batch", V("b"))),
+          Seq(Filter("a", Ne, V("b"))))))
+    }),
+    // RDFS (ρdf) entailment materialization: subPropertyOf chain
+    // merge/order->rel, sort->arranged->rel; domain/range axioms firing
+    // on INFERRED predicates; subClassOf chain on the introduced class
+    // ids — schema driver-closed, instance rules are broadcast joins;
+    // oracle replays the rules with DuckDB recursive CTEs
+    "q106_rdfs_closure" -> ((s, dir) => {
+      import s.implicits._
+      val tr = Pipeline.triples(s, dir).toDF()
+      graft.kg.Rdfs.materialize(tr,
+        subProp = Seq(("merge", "rel"), ("order", "rel"),
+          ("sort", "arranged"), ("arranged", "rel")).toDF("sub", "sup"),
+        subClass = Seq((9001L, 9100L), (9100L, 9200L), (9002L, 9200L),
+          (9003L, 9100L)).toDF("sub", "sup"),
+        domain = Seq(("merge", 9001L), ("batch", 9002L),
+          ("arranged", 9003L)).toDF("pred", "cls"),
+        range = Seq(("rel", 9004L)).toDF("pred", "cls"))
+    }),
+    // node2vec biased walks (integer weights wBack=2, wCommon=6, wFar=3
+    // ~ p=3, q=2 scaled by 6): deterministic 2nd-order hash walks,
+    // golden-oracled vs the sequential replay
+    "q107_node2vec_walks" -> ((s, dir) => {
+      val tr = Pipeline.triples(s, dir).toDF()
+      graft.kg.Graphs.node2vecWalks(
+        tr.select(col("subj").as("src"), col("obj").as("dst")),
+        walksPerNode = 2, maxLen = 4, wBack = 2L, wCommon = 6L, wFar = 3L)
     })
   )
 
@@ -951,6 +1013,79 @@ object SparkEntry {
       FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'""",
     "q99_random_walks" -> golden("q99_random_walks"),
     "q100_lpa_communities" -> golden("q100_lpa_communities"),
+    "q107_node2vec_walks" -> golden("q107_node2vec_walks"),
+    "q103_skipgram_pairs" -> s"""
+      WITH w AS (SELECT * FROM '$goldenRoot/__SF__/q99_random_walks.parquet/*.parquet')
+      SELECT a.node AS center, b.node AS context, count(*) AS cnt
+      FROM w a JOIN w b
+        ON a."start" = b."start" AND a.walk = b.walk
+        AND b.step <> a.step AND abs(b.step - a.step) <= 2
+      GROUP BY 1, 2""",
+    "q104_modularity" -> s"""
+      WITH t AS (SELECT * FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'),
+      l AS (SELECT id, id % 4 AS label FROM
+             (SELECT DISTINCT subj AS id FROM t
+              UNION SELECT DISTINCT obj AS id FROM t)),
+      e AS (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+            FROM t WHERE subj <> obj),
+      deg AS (SELECT id, count(*) AS d FROM
+               (SELECT a AS id FROM e UNION ALL SELECT b AS id FROM e)
+              GROUP BY 1),
+      within AS (SELECT la.label, count(*) AS w
+                 FROM e JOIN l la ON la.id = e.a
+                        JOIN l lb ON lb.id = e.b AND lb.label = la.label
+                 GROUP BY 1),
+      ks AS (SELECT l.label, count(*) AS members,
+                    CAST(sum(deg.d) AS BIGINT) AS degree_sum
+             FROM deg JOIN l ON l.id = deg.id GROUP BY 1)
+      SELECT ks.label, ks.members, COALESCE(within.w, 0) AS within_edges,
+             ks.degree_sum, (SELECT count(*) FROM e) AS m_edges
+      FROM ks LEFT JOIN within USING (label)""",
+    "q105_bgp_union" -> s"""
+      WITH t AS (SELECT * FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'),
+      b1 AS (SELECT DISTINCT subj AS a, obj AS b FROM t
+             WHERE pred = 'order' AND subj < obj),
+      b2 AS (SELECT DISTINCT subj AS a, obj AS b FROM t
+             WHERE pred = 'batch' AND subj <> obj)
+      SELECT DISTINCT a, b FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2)""",
+    "q106_rdfs_closure" -> s"""
+      WITH RECURSIVE
+      t AS (SELECT subj, pred, obj
+            FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'),
+      spax AS (SELECT * FROM (VALUES ('merge', 'rel'), ('order', 'rel'),
+               ('sort', 'arranged'), ('arranged', 'rel')) v(sub, sup)),
+      spc(sub, sup) AS (SELECT sub, sup FROM spax
+                        UNION
+                        SELECT s.sub, a.sup FROM spc s
+                        JOIN spax a ON a.sub = s.sup),
+      scax AS (SELECT * FROM (VALUES (9001, 9100), (9100, 9200),
+               (9002, 9200), (9003, 9100)) v(sub, sup)),
+      scc(sub, sup) AS (SELECT sub, sup FROM scax
+                        UNION
+                        SELECT s.sub, a.sup FROM scc s
+                        JOIN scax a ON a.sub = s.sup),
+      dom AS (SELECT * FROM (VALUES ('merge', 9001), ('batch', 9002),
+              ('arranged', 9003)) v(pred, cls)),
+      rng AS (SELECT * FROM (VALUES ('rel', 9004)) v(pred, cls)),
+      sp AS (SELECT t.subj, spc.sup AS pred, t.obj
+             FROM t JOIN spc ON spc.sub = t.pred),
+      allp AS (SELECT subj, pred, obj FROM t
+               UNION ALL SELECT subj, pred, obj FROM sp),
+      domt AS (SELECT subj, 'type' AS pred, CAST(cls AS BIGINT) AS obj
+               FROM allp JOIN dom USING (pred)),
+      rngt AS (SELECT allp.obj AS subj, 'type' AS pred,
+                      CAST(cls AS BIGINT) AS obj
+               FROM allp JOIN rng USING (pred)),
+      types AS (SELECT subj, pred, obj FROM allp WHERE pred = 'type'
+                UNION ALL SELECT subj, pred, obj FROM domt
+                UNION ALL SELECT subj, pred, obj FROM rngt),
+      sct AS (SELECT types.subj, 'type' AS pred, CAST(scc.sup AS BIGINT) AS obj
+              FROM types JOIN scc ON scc.sub = types.obj)
+      SELECT DISTINCT subj, pred, obj FROM
+        (SELECT subj, pred, obj FROM allp
+         UNION ALL SELECT subj, pred, obj FROM domt
+         UNION ALL SELECT subj, pred, obj FROM rngt
+         UNION ALL SELECT subj, pred, obj FROM sct)""",
     "q101_clustering_coeff" -> s"""
       WITH t AS (SELECT * FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'),
       e AS (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b

@@ -110,6 +110,8 @@ object GoldenGen {
     write("q99_random_walks", q99RandomWalks(trip),
       "start", "walk", "step", "node")
     write("q100_lpa_communities", q100LabelPropagation(trip), "id", "label")
+    write("q107_node2vec_walks", q107Node2vecWalks(trip),
+      "start", "walk", "step", "node")
     write("q48_span_metrics_greedy_vs_viterbi", q48Prf(mentions(vit), mentions(greedy)),
       "entityType", "correct", "guessed", "gold", "precision", "recall", "f1")
 

@@ -398,6 +398,60 @@ object SequentialTwin {
     out.toSeq
   }
 
+  /** q107: node2vec biased-walk twin — restates kg.Graphs.node2vecWalks
+    * sequentially: step 1 is the q99 uniform rule; step t >= 2 weights
+    * each dst-sorted out-neighbor x of cur by wBack (x == prev), wCommon
+    * (directed edge prev->x exists) or wFar, and picks the neighbor whose
+    * cumulative-weight interval contains
+    * floorMod(xxhash64(start, walk, t, cur, seed), total); total == 0 or
+    * a sink ends the walk. Shares only the Xxh64 primitive. */
+  def q107Node2vecWalks(triples: Seq[Triple], walksPerNode: Int = 2,
+                        maxLen: Int = 4, wBack: Long = 2L, wCommon: Long = 6L,
+                        wFar: Long = 3L, seed: Long = 0L): Seq[(Long, Long, Long, Long)] = {
+    val pairs = triples.map(t => (t.subj, t.obj)).filter(x => x._1 != x._2).distinct
+    val edgeSet = pairs.toSet
+    val adj = pairs.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sorted.toVector }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    for (start <- adj.keys.toSeq.sorted; w <- 0L until walksPerNode.toLong) {
+      out += ((start, w, 0L, start))
+      if (maxLen >= 1) {
+        val nbrs = adj(start)
+        val idx = Math.floorMod(
+          Xxh64.sparkChain(Seq[Any](start, w, 1L, start, seed)),
+          nbrs.length.toLong).toInt
+        var prev = start
+        var cur = nbrs(idx)
+        out += ((start, w, 1L, cur))
+        var t = 2L
+        var alive = true
+        while (t <= maxLen && alive) {
+          adj.get(cur) match {
+            case Some(ns) =>
+              val wgts = ns.map(x =>
+                if (x == prev) wBack
+                else if (edgeSet((prev, x))) wCommon
+                else wFar)
+              val tot = wgts.sum
+              if (tot == 0L) alive = false
+              else {
+                val r = Math.floorMod(
+                  Xxh64.sparkChain(Seq[Any](start, w, t, cur, seed)), tot)
+                var i = 0
+                var acc = wgts(0)
+                while (r >= acc) { i += 1; acc += wgts(i) }
+                prev = cur
+                cur = ns(i)
+                out += ((start, w, t, cur))
+                t += 1
+              }
+            case None => alive = false
+          }
+        }
+      }
+    }
+    out.toSeq
+  }
+
   /** q100: synchronous label-propagation twin — the same deterministic
     * recurrence (all nodes update together; new label = most frequent
     * neighbor label, ties to the SMALLEST label) restated with plain

@@ -36,6 +36,14 @@ object Bgp {
     * case, and the one that keeps every scan selective). */
   final case class Pattern(s: Term, p: String, o: Term)
 
+  /** A SPARQL FILTER comparison over bound terms: `a op b` where `a` is
+    * a variable and `b` a variable or constant. */
+  sealed trait Cmp
+  case object Lt extends Cmp; case object Le extends Cmp
+  case object Gt extends Cmp; case object Ge extends Cmp
+  case object EqTo extends Cmp; case object Ne extends Cmp
+  final case class Filter(a: String, op: Cmp, b: Term)
+
   /**
    * Match a connected BGP; returns one column per distinct variable name.
    *
@@ -83,6 +91,56 @@ object Bgp {
         (acc.join(df, shared, "left"), bound union vars)
     }
     joined.select(allVars.toSeq.sorted.map(col): _*).distinct()
+  }
+
+  /**
+   * BGP with SPARQL `FILTER` comparisons: the conjunction matches as
+   * [[matchBgp]], then each filter restricts the bindings BEFORE the
+   * distinct projection. Every filter variable must be bound by the
+   * required patterns (SPARQL says an unbound filter variable makes the
+   * filter error -> row dropped; silently dropping everything is never
+   * what the caller wants, so it throws instead). Filters are plain
+   * Catalyst comparisons — Catalyst pushes them below the joins when a
+   * filter touches one pattern's variables only.
+   */
+  def matchBgpWhere(triples: DataFrame, patterns: Seq[Pattern],
+                    filters: Seq[Filter]): DataFrame = {
+    val (joined, allVars) = joinRequired(triples, patterns)
+    require(allVars.nonEmpty, "BGP binds no variables (all patterns constant)")
+    val filtered = filters.foldLeft(joined) { (acc, f) =>
+      require(allVars.contains(f.a), s"filter variable ?${f.a} is unbound")
+      val rhs = f.b match {
+        case V(n) =>
+          require(allVars.contains(n), s"filter variable ?$n is unbound")
+          col(n)
+        case C(v) => lit(v)
+      }
+      acc.filter(f.op match {
+        case Lt => col(f.a) < rhs;  case Le => col(f.a) <= rhs
+        case Gt => col(f.a) > rhs;  case Ge => col(f.a) >= rhs
+        case EqTo => col(f.a) === rhs; case Ne => col(f.a) =!= rhs
+      })
+    }
+    filtered.select(allVars.toSeq.sorted.map(col): _*).distinct()
+  }
+
+  /**
+   * SPARQL `UNION` of filtered BGP branches. Relational union needs one
+   * schema, so every branch must bind the SAME variable set (the common
+   * query shape; a ragged union — SPARQL's null-padding semantics —
+   * is rejected loudly rather than silently widened). Result is the
+   * DISTINCT union of the branch bindings: each branch plans
+   * independently (its own pushed-down scans and joins), the union is
+   * partial-aggregated by the final distinct.
+   */
+  def matchBgpUnion(triples: DataFrame,
+                    branches: Seq[(Seq[Pattern], Seq[Filter])]): DataFrame = {
+    require(branches.nonEmpty, "need at least one UNION branch")
+    val dfs = branches.map { case (ps, fs) => matchBgpWhere(triples, ps, fs) }
+    val schemas = dfs.map(_.columns.toSeq)
+    require(schemas.distinct.size == 1,
+      s"UNION branches bind different variable sets: $schemas")
+    dfs.reduce(_ unionAll _).distinct()
   }
 
   private def scan(triples: DataFrame, p: Pattern): (DataFrame, Set[String]) = {

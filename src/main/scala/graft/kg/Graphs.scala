@@ -656,8 +656,10 @@ object Graphs {
    * ranked once and localCheckpointed, each round shuffles only label
    * rows — the PageRank iteration discipline.
    *
-   * @return (id, label) for every node with >= 1 edge; label is some
-   *         member id of the community.
+   * @return (id, label) for every node with >= 1 edge; the label is an
+   *         entity id acting as a community IDENTIFIER — under
+   *         propagation across bridges it need not be a member of the
+   *         community it names.
    */
   def labelPropagation(edgesIn: DataFrame, iters: Int = 5): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
@@ -703,5 +705,174 @@ object Graphs {
       .select(col("id"), col("triangles"),
         // deg·(deg−1) is always even; shiftright is the exact Long halve
         shiftright(col("deg") * (col("deg") - lit(1L)), 1).as("pairs"))
+  }
+
+  /**
+   * Skip-gram training pairs from a walk corpus (the word2vec/DeepWalk
+   * hand-off): every ordered (center, context) node pair whose walk
+   * positions differ by 1..`window` within the same walk, aggregated to
+   * co-occurrence counts — the input a skip-gram KG-embedding trainer
+   * consumes alongside [[Embedding.negativeSamples]].
+   *
+   * Shape: the context probe is ONE keyed equi-join — each walk position
+   * explodes to its 2·window target steps `(start, walk, step ± δ)` and
+   * joins the walk table back on the exact (start, walk, step) key, so
+   * no filter-after-fanout and no per-walk window sort; work is
+   * |walk rows| · 2·window, independent of graph degree. The count
+   * aggregation partial-combines map-side.
+   *
+   * @param walks rows shaped like [[randomWalks]] output
+   *              (start, walk, step, node)
+   * @return (center, context, cnt) with cnt >= 1
+   */
+  def skipGramPairs(walks: DataFrame, window: Int): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val w = walks.select(col("start"), col("walk"),
+      col("step").cast("long"), col("node").cast("long"))
+    val deltas = ((-window to window).filter(_ != 0).map(d => lit(d.toLong)))
+    val centers = w
+      .select(col("start"), col("walk"), col("step"), col("node").as("center"))
+      .withColumn("delta", explode(array(deltas: _*)))
+      .withColumn("tstep", col("delta") + col("step"))
+    val contexts = w.select(col("start"), col("walk"),
+      col("step").as("tstep"), col("node").as("context"))
+    centers.join(contexts, Seq("start", "walk", "tstep"))
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /**
+   * Exact modularity ingredients of a node labeling (Newman's Q per
+   * community, left as INTEGERS so the output is engine-exact and
+   * overflow-free at any graph size): for each community c over the
+   * undirected simple graph, `members`, `within_edges` (both endpoints
+   * in c), `degree_sum` (sum of member degrees), and the global edge
+   * count `m_edges` — Q_c = within/m − (degree_sum/2m)² and
+   * Q = Σ_c Q_c, derivable exactly downstream (a 10^12-edge graph makes
+   * 4m² overflow Long, so the division is the CALLER's precision
+   * decision, the [[Triples.mineRules]] exact-fraction convention).
+   *
+   * Shape: two label lookups on the edge list (8-byte keyed equi-joins)
+   * + two partial aggregations; nodes the labeling does not cover are
+   * excluded from every term (inner joins) — feed a full labeling such
+   * as [[labelPropagation]]'s.
+   */
+  def modularity(edgesIn: DataFrame, labelsIn: DataFrame): DataFrame = {
+    val e = undirected(edgesIn).localCheckpoint(true)
+    val labels = labelsIn
+      .select(col("id").cast("long"), col("label").cast("long"))
+      .localCheckpoint(true)
+    val m = e.count()
+    val el = e
+      .join(labels.select(col("id").as("a"), col("label").as("la")), Seq("a"))
+      .join(labels.select(col("id").as("b"), col("label").as("lb")), Seq("b"))
+    val within = el.filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label")).agg(count(lit(1)).as("within_edges"))
+    val deg = e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    deg.join(labels, Seq("id"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("members"), sum(col("deg")).as("degree_sum"))
+      .join(within, Seq("label"), "left")
+      .select(col("label"), col("members"),
+        coalesce(col("within_edges"), lit(0L)).as("within_edges"),
+        col("degree_sum"), lit(m).as("m_edges"))
+  }
+
+  /**
+   * node2vec biased walks (Grover & Leskovec 2016) in the same
+   * deterministic hash discipline as [[randomWalks]]: step t >= 2 at
+   * node cur with predecessor prev weights each out-neighbor x by
+   * `wBack` if x == prev, `wCommon` if the edge prev→x exists (graph
+   * distance 1 from prev), else `wFar` — the integer form of the 1/p,
+   * 1, 1/q transition weights (pass e.g. (wBack, wCommon, wFar) =
+   * (2, 6, 3) for p = 3, q = 2 scaled by 6). The neighbor is the one
+   * whose cumulative-weight interval (over the dst-sorted neighbor
+   * list) contains `pmod(xxhash64(start, walk, t, cur, seed), total)` —
+   * a pure function of the graph, bit-identical at any partitioning and
+   * in the sequential twin. Step 1 has no predecessor and uses
+   * [[randomWalks]]' uniform rule verbatim. A step whose candidate
+   * weights are all zero (e.g. wBack = 0 at a node whose only neighbor
+   * is prev) ends the walk early, like a sink.
+   *
+   * Shape per step: a 2nd-order walk must INSPECT the full out-
+   * neighborhood of every frontier node (the bias depends on each
+   * candidate's relation to prev), so the candidate join fans each
+   * frontier row out by outdeg(cur) — inherent to node2vec, not a plan
+   * defect; the prev-edge probe and the neighbor expansion are both
+   * keyed equi-joins, and the cumulative election is a window
+   * partitioned by (start, walk) — thousands of tiny groups, never a
+   * global sort. Frontier cost per step is Σ outdeg(cur), bounded by
+   * walksPerNode·max-degree; on hub-heavy graphs budget walksPerNode
+   * accordingly (or pre-cap degrees upstream).
+   *
+   * @return (start, walk, step, node) — the [[randomWalks]] schema, so
+   *         [[skipGramPairs]] consumes it unchanged.
+   */
+  def node2vecWalks(edgesIn: DataFrame, walksPerNode: Int, maxLen: Int,
+                    wBack: Long, wCommon: Long, wFar: Long,
+                    seed: Long = 0L): DataFrame = {
+    require(walksPerNode >= 1, "walksPerNode must be >= 1")
+    require(maxLen >= 0, "maxLen must be >= 0")
+    require(wBack >= 0 && wCommon >= 0 && wFar >= 0,
+      "transition weights must be non-negative")
+    require(wBack + wCommon + wFar > 0, "at least one weight must be positive")
+    val e = edgesIn.select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("dst"))
+    val adj = e.withColumn("rank", row_number().over(w).cast("long") - lit(1L))
+      .localCheckpoint(true)
+    val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val starts = deg.select(col("src").as("start"),
+        explode(sequence(lit(0L), lit(walksPerNode - 1L))).as("walk"))
+      .localCheckpoint(true)
+    var out = starts.select(col("start"), col("walk"), lit(0L).as("step"),
+      col("start").as("node")).localCheckpoint(true)
+    if (maxLen == 0) return out
+    // step 1: uniform over out-neighbors — randomWalks' rule verbatim
+    var frontier = starts
+      .select(col("start"), col("walk"), col("start").as("src"))
+      .join(deg, Seq("src"))
+      .withColumn("rank", pmod(
+        xxhash64(col("start"), col("walk"), lit(1L), col("src"), lit(seed)),
+        col("deg")))
+      .join(adj, Seq("src", "rank"))
+      .select(col("start"), col("walk"), col("src").as("prev"),
+        col("dst").as("cur"))
+      .localCheckpoint(true)
+    out = out.unionAll(frontier.select(col("start"), col("walk"),
+      lit(1L).as("step"), col("cur").as("node"))).localCheckpoint(true)
+    var t = 1L
+    while (t < maxLen && !frontier.isEmpty) {
+      t += 1
+      val byWalk = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("start"), col("walk"))
+      val cand = frontier
+        .select(col("start"), col("walk"), col("prev"), col("cur").as("src"))
+        .join(adj, Seq("src"))
+        .join(e.select(col("src").as("prev"), col("dst"),
+          lit(1L).as("is_common")), Seq("prev", "dst"), "left")
+        .withColumn("wgt",
+          when(col("dst") === col("prev"), lit(wBack))
+            .when(col("is_common").isNotNull, lit(wCommon))
+            .otherwise(lit(wFar)))
+        .withColumn("cum", sum(col("wgt")).over(byWalk.orderBy(col("rank"))))
+        .withColumn("tot", sum(col("wgt")).over(byWalk))
+      val next = cand
+        .filter(col("tot") > 0)
+        .withColumn("r", pmod(
+          xxhash64(col("start"), col("walk"), lit(t), col("src"), lit(seed)),
+          col("tot")))
+        .filter(col("r") >= col("cum") - col("wgt") && col("r") < col("cum"))
+        .select(col("start"), col("walk"), col("src").as("prev"),
+          col("dst").as("cur"))
+        .localCheckpoint(true)
+      out = out.unionAll(next.select(col("start"), col("walk"),
+        lit(t).as("step"), col("cur").as("node"))).localCheckpoint(true)
+      frontier = next
+    }
+    out
   }
 }

@@ -99,6 +99,49 @@ class BgpSpec extends SparkSpec {
     assert(rows === Set((-1L, 1L, 10L, 2L), (-1L, 1L, 11L, 3L), (-1L, 4L, 10L, 2L)))
   }
 
+  test("FILTER: var-var and var-constant comparisons restrict bindings") {
+    // ?x likes ?z with ?x < ?z: (1,2),(1,3),(4,2) -> drops (4,2)
+    val got = Bgp.matchBgpWhere(triplesDf,
+      Seq(Pattern(V("x"), "likes", V("z"))), Seq(Filter("x", Lt, V("z"))))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L), (1L, 3L)))
+    // ?x likes ?z with ?z != 2
+    val got2 = Bgp.matchBgpWhere(triplesDf,
+      Seq(Pattern(V("x"), "likes", V("z"))), Seq(Filter("z", Ne, C(2L))))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2 === Set((1L, 3L)))
+    // conjunction of filters; Ge/Le/EqTo paths
+    val got3 = Bgp.matchBgpWhere(triplesDf,
+      Seq(Pattern(V("x"), "likes", V("z"))),
+      Seq(Filter("x", Ge, C(1L)), Filter("x", Le, C(1L)), Filter("z", EqTo, C(3L))))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got3 === Set((1L, 3L)))
+    // unbound filter variable throws
+    intercept[IllegalArgumentException] {
+      Bgp.matchBgpWhere(triplesDf,
+        Seq(Pattern(V("x"), "likes", V("z"))), Seq(Filter("nope", Lt, C(0L))))
+    }
+  }
+
+  test("UNION: aligned branches dedupe across branches; ragged branches throw") {
+    // branch1: ?a likes ?b (a<b); branch2: ?a in ?b — aligned on {a,b}
+    val got = Bgp.matchBgpUnion(triplesDf, Seq(
+      (Seq(Pattern(V("a"), "likes", V("b"))), Seq(Filter("a", Lt, V("b")))),
+      (Seq(Pattern(V("a"), "in", V("b"))), Seq.empty)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L), (1L, 3L), (2L, 10L), (3L, 11L)))
+    // overlapping branches produce DISTINCT rows
+    val dup = Bgp.matchBgpUnion(triplesDf, Seq(
+      (Seq(Pattern(V("a"), "in", V("b"))), Seq.empty),
+      (Seq(Pattern(V("a"), "in", V("b"))), Seq.empty)))
+    assert(dup.count() === 2)
+    intercept[IllegalArgumentException] {
+      Bgp.matchBgpUnion(triplesDf, Seq(
+        (Seq(Pattern(V("a"), "likes", V("b"))), Seq.empty),
+        (Seq(Pattern(V("a"), "in", V("c"))), Seq.empty)))
+    }
+  }
+
   test("OPTIONAL: rejected shapes throw loudly") {
     // shares no variable with required
     intercept[IllegalArgumentException] {

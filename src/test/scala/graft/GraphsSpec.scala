@@ -376,6 +376,105 @@ class GraphsSpec extends SparkSpec {
     }
   }
 
+  // ---- skip-gram pairs ----
+
+  test("skipGramPairs: brute-force window pairs over the walk corpus") {
+    val walks = Graphs.randomWalks(edgesDf(graph, 7), walksPerNode = 2, maxLen = 4)
+      .persist()
+    val got = Graphs.skipGramPairs(walks, window = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val rows = walks.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    walks.unpersist()
+    val want = rows.toSeq.groupBy(x => (x._1, x._2)).toSeq
+      .flatMap { case (_, steps) =>
+        for (a <- steps; b <- steps
+             if a._3 != b._3 && math.abs(a._3 - b._3) <= 2)
+          yield (a._4, b._4)
+      }.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    assert(got === want)
+    // pair symmetry: window pairs are emitted in both directions
+    assert(got.keySet.forall { case (c, x) => got.contains((x, c)) })
+  }
+
+  // ---- modularity ----
+
+  test("modularity: two triangles + a bridge — hand-checked integers") {
+    // communities {1,2,3} and {10,11,12}; bridge 3-10; m = 7
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (3L, 10L))
+    val labels = Graphs.labelPropagation(edgesDf(g), iters = 5)
+    val got = Graphs.modularity(edgesDf(g), labels)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // labels flood to 1 and 3 (the bridge carries 3's id across before
+    // the right triangle settles — labels are identifiers, not members)
+    assert(got === Map(
+      1L -> ((3L, 3L, 7L, 7L)),    // members, within, degsum (2+2+3), m
+      3L -> ((3L, 3L, 7L, 7L))))
+    // exact Q = sum(within/m - (degsum/2m)^2) = 2*(3/7 - (7/14)^2) = 5/14
+    val q = got.values.map { case (_, w, k, m) =>
+      w.toDouble / m - math.pow(k.toDouble / (2 * m), 2) }.sum
+    assert(math.abs(q - 5.0 / 14) < 1e-12)
+  }
+
+  test("modularity: naive twin equality on the skewed graph") {
+    val labels = Graphs.labelPropagation(edgesDf(graph, 7), iters = 5)
+    val lmap = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e = simple(graph).toSeq
+    val m = e.size.toLong
+    val deg = e.flatMap(p => Seq(p._1, p._2)).groupBy(identity)
+      .map { case (n, xs) => n -> xs.size.toLong }
+    val want = lmap.groupBy(_._2).map { case (lbl, members) =>
+      val ids = members.keySet
+      lbl -> ((ids.size.toLong,
+        e.count(p => ids(p._1) && ids(p._2)).toLong,
+        ids.toSeq.map(deg).sum, m))
+    }
+    val got = Graphs.modularity(edgesDf(graph, 7), labels)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === want)
+  }
+
+  // ---- node2vec ----
+
+  test("node2vecWalks: forced line graph matches randomWalks; wBack=0 ends at backtrack-only nodes") {
+    // 0 -> 1 -> 2 -> 3: single neighbor everywhere, bias is irrelevant
+    val g = Seq((0L, 1L), (1L, 2L), (2L, 3L))
+    val uniform = Graphs.randomWalks(edgesDf(g), 1, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val biased = Graphs.node2vecWalks(edgesDf(g), 1, 4, 2L, 6L, 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(biased === uniform)
+    // 0 <-> 1 with wBack = 0: step 1 reaches the other node, step 2's only
+    // candidate is prev with weight 0 -> the walk ends at step 1
+    val g2 = Seq((0L, 1L), (1L, 0L))
+    val got = Graphs.node2vecWalks(edgesDf(g2), 1, 4, 0L, 1L, 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === Set((0L, 0L, 0L, 0L), (0L, 0L, 1L, 1L),
+      (1L, 0L, 0L, 1L), (1L, 0L, 1L, 0L)))
+  }
+
+  test("node2vecWalks: twin replay equality + edge validity at any partitioning") {
+    val want = graft.golden.SequentialTwin.q107Node2vecWalks(
+      asTriples(graph), walksPerNode = 2, maxLen = 4,
+      wBack = 2L, wCommon = 6L, wFar = 3L).toSet
+    val dirEdges = graph.filter(e => e._1 != e._2).toSet
+    for (parts <- Seq(1, 7)) {
+      val rows = Graphs.node2vecWalks(edgesDf(graph, parts), 2, 4, 2L, 6L, 3L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(rows.toSet === want, s"parts=$parts")
+      assert(rows.length === rows.toSet.size)
+      rows.groupBy(x => (x._1, x._2)).foreach { case (_, steps) =>
+        steps.sortBy(_._3).sliding(2).foreach {
+          case Array(a, b) => assert(dirEdges((a._4, b._4)), s"hop $a -> $b")
+          case _           =>
+        }
+      }
+    }
+  }
+
   // ---- label propagation ----
 
   test("labelPropagation: a triangle floods to its minimum label; disjoint cliques stay apart") {
