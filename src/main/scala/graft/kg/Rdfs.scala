@@ -94,8 +94,10 @@ object Rdfs {
     val spClosed = close(spAxioms.toSeq).toSeq
     val scClosed = close(scAxioms.toSeq).toSeq
 
+    // the instance table feeds FIVE rule branches below; materialize once
+    // so an expensive upstream plan (the NER pipeline) never re-runs
     val base = triples.select(col("subj").cast("long"), col("pred"),
-      col("obj").cast("long"))
+      col("obj").cast("long")).localCheckpoint(true)
 
     // sp: one broadcast equi-join on the predicate name
     val spDf = spClosed.toDF("pred", "sup")

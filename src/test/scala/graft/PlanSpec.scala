@@ -314,4 +314,36 @@ class PlanSpec extends SparkSpec {
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
     assert(!readSchema.contains("source") && !readSchema.contains("n_chars"), readSchema)
   }
+
+  test("q103/q106: skip-gram is ONE keyed join + partial agg; RDFS rules are all broadcast joins") {
+    import org.apache.spark.sql.functions._
+    val tr = spark.read.parquet("golden/sf0.001/q47_triples.parquet")
+    val walks = graft.kg.Graphs.randomWalks(
+      tr.select(col("subj").as("src"), col("obj").as("dst")), 2, 4)
+      .localCheckpoint(true) // isolate skipGramPairs' own plan
+    val sg = plan(graft.kg.Graphs.skipGramPairs(walks, 2))
+    // exactly one join (the exact-key context probe), keyed, never nested-loop
+    assert("""\(\d+\) (SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"""
+      .r.findAllIn(sg).size == 1, sg.take(2500))
+    assert(!sg.contains("CartesianProduct") &&
+      !sg.contains("BroadcastNestedLoopJoin"), sg.take(2500))
+    // count aggregation partial-combines map-side before its exchange
+    assert(sg.contains("partial_count"), sg.take(2500))
+
+    import spark.implicits._
+    val rdfs = plan(graft.kg.Rdfs.materialize(tr,
+      subProp = Seq(("merge", "rel"), ("order", "rel")).toDF("sub", "sup"),
+      subClass = Seq((9001L, 9100L)).toDF("sub", "sup"),
+      domain = Seq(("merge", 9001L)).toDF("pred", "cls"),
+      range = Seq(("rel", 9004L)).toDF("pred", "cls")))
+    // every instance-side rule joins against driver-closed schema:
+    // broadcast hash joins only — the corpus is never shuffled for a rule,
+    // never self-joined, never nested-loop
+    assert("""\(\d+\) BroadcastHashJoin""".r.findAllIn(rdfs).nonEmpty, rdfs.take(2500))
+    assert(!rdfs.contains("SortMergeJoin") && !rdfs.contains("ShuffledHashJoin") &&
+      !rdfs.contains("CartesianProduct") &&
+      !rdfs.contains("BroadcastNestedLoopJoin"), rdfs.take(2500))
+    // the only exchange is the final DISTINCT's hash repartition
+    assert("""\(\d+\) Exchange""".r.findAllIn(rdfs).size == 1, rdfs.take(2500))
+  }
 }
