@@ -780,6 +780,35 @@ object SparkEntry {
       graft.kg.Graphs.node2vecWalks(
         tr.select(col("subj").as("src"), col("obj").as("dst")),
         walksPerNode = 2, maxLen = 4, wBack = 2L, wCommon = 6L, wFar = 3L)
+    }),
+    // SPARQL property path ?x merge/order+ ?y: one-step merge composed
+    // with the transitive closure of order (hierarchy-shaped slice);
+    // oracle = DuckDB recursive CTE for order+ joined with merge
+    "q108_property_path" -> ((s, dir) => {
+      import graft.kg.Bgp._
+      matchPath(Pipeline.triples(s, dir).toDF(),
+        Seq(Step("merge"), Step("order", plus = true)))
+    }),
+    // deterministic FILTERED link-prediction holdout (~1/5 test, one-pass
+    // demotion of test rows whose subj/obj/pred lack train signal) —
+    // golden-oracled vs the sequential hash/set replay
+    "q109_link_split" -> ((s, dir) =>
+      graft.kg.Embedding.linkPredictionSplit(
+        Pipeline.triples(s, dir).toDF(), testNum = 1L, testDen = 5L)),
+    // 1-WL color refinement, 3 rounds: per-entity structural fingerprint
+    // colors — golden-oracled vs the sequential recurrence replay
+    "q110_wl_colors" -> ((s, dir) => {
+      val tr = Pipeline.triples(s, dir).toDF()
+      graft.kg.Graphs.wlColors(
+        tr.select(col("subj").as("src"), col("obj").as("dst")), rounds = 3)
+    }),
+    // GraphSAGE-style deterministic neighbor sampling, fanouts (3, 2):
+    // bounded 2-hop training neighborhoods — golden-oracled vs the
+    // sequential replay of the hash-ranked sample
+    "q111_sampled_neighbors" -> ((s, dir) => {
+      val tr = Pipeline.triples(s, dir).toDF()
+      graft.kg.Graphs.sampleNeighbors(
+        tr.select(col("subj").as("src"), col("obj").as("dst")), Seq(3, 2))
     })
   )
 
@@ -1014,6 +1043,22 @@ object SparkEntry {
     "q99_random_walks" -> golden("q99_random_walks"),
     "q100_lpa_communities" -> golden("q100_lpa_communities"),
     "q107_node2vec_walks" -> golden("q107_node2vec_walks"),
+    "q109_link_split" -> golden("q109_link_split"),
+    "q110_wl_colors" -> golden("q110_wl_colors"),
+    "q111_sampled_neighbors" -> golden("q111_sampled_neighbors"),
+    "q108_property_path" -> s"""
+      WITH RECURSIVE
+      t AS (SELECT subj, pred, obj
+            FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'),
+      m AS (SELECT DISTINCT subj AS s, obj AS o FROM t WHERE pred = 'merge'),
+      ord AS (SELECT DISTINCT subj AS s, obj AS o FROM t
+              WHERE pred = 'order' AND subj <> obj),
+      oplus(s, o) AS (SELECT s, o FROM ord
+                      UNION
+                      SELECT p.s, e.o FROM oplus p JOIN ord e ON e.s = p.o
+                      WHERE p.s <> e.o),
+      path AS (SELECT m.s AS x, oplus.o AS y FROM m JOIN oplus ON oplus.s = m.o)
+      SELECT DISTINCT x, y FROM path""",
     "q103_skipgram_pairs" -> s"""
       WITH w AS (SELECT * FROM '$goldenRoot/__SF__/q99_random_walks.parquet/*.parquet')
       SELECT a.node AS center, b.node AS context, count(*) AS cnt

@@ -112,6 +112,10 @@ object GoldenGen {
     write("q100_lpa_communities", q100LabelPropagation(trip), "id", "label")
     write("q107_node2vec_walks", q107Node2vecWalks(trip),
       "start", "walk", "step", "node")
+    write("q109_link_split", q109LinkSplit(trip), "subj", "pred", "obj", "split")
+    write("q110_wl_colors", q110WlColors(trip), "id", "color")
+    write("q111_sampled_neighbors", q111SampleNeighbors(trip),
+      "root", "hop", "src", "dst")
     write("q48_span_metrics_greedy_vs_viterbi", q48Prf(mentions(vit), mentions(greedy)),
       "entityType", "correct", "guessed", "gold", "precision", "recall", "f1")
 

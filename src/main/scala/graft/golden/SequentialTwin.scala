@@ -398,6 +398,70 @@ object SequentialTwin {
     out.toSeq
   }
 
+  /** q109: filtered link-prediction holdout twin — replays the hash tag
+    * (floorMod(xxhash64(s, p, o, seed), den) < num) and the one-pass
+    * demotion (test rows whose subj/obj/pred never appear in train fall
+    * back to train) with plain Scala sets. */
+  def q109LinkSplit(triples: Seq[Triple], testNum: Long = 1L,
+                    testDen: Long = 5L, seed: Long = 0L): Seq[(Long, String, Long, String)] = {
+    val t = triples.map(tr => (tr.subj, tr.pred, tr.obj)).distinct
+    def isTest(x: (Long, String, Long)): Boolean = Math.floorMod(
+      Xxh64.sparkChain(Seq[Any](x._1, x._2, x._3, seed)), testDen) < testNum
+    val train0 = t.filterNot(isTest)
+    val ents = train0.flatMap(x => Seq(x._1, x._3)).toSet
+    val preds = train0.map(_._2).toSet
+    t.map { case tr @ (s, p, o) =>
+      val split =
+        if (isTest(tr) && ents(s) && ents(o) && preds(p)) "test" else "train"
+      (s, p, o, split)
+    }
+  }
+
+  /** q110: Weisfeiler–Lehman refinement twin — the same recurrence
+    * (color' = xxhash64 folded over own color then the SORTED neighbor
+    * colors; Spark's array hashing IS that flat fold) with HashMaps over
+    * the undirected simple graph. */
+  def q110WlColors(triples: Seq[Triple], rounds: Int = 3): Seq[(Long, Long)] = {
+    val e = triples.map(t => (t.subj, t.obj)).filter(x => x._1 != x._2)
+      .map(x => (math.min(x._1, x._2), math.max(x._1, x._2))).distinct
+    val nbrs = e.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2) }
+    var colors: Map[Long, Long] = nbrs.keys.map(_ -> 1L).toMap
+    for (_ <- 1 to rounds) {
+      colors = nbrs.map { case (node, ns) =>
+        val ncs = ns.map(colors).sorted
+        node -> Xxh64.sparkChain(colors(node) +: ncs.map(x => x: Any))
+      }
+    }
+    colors.toSeq
+  }
+
+  /** q111: fixed-fanout neighbor-sampling twin — per node, out-neighbors
+    * ordered by (xxhash64(src, dst, seed), dst), top fanouts(h-1) kept at
+    * hop h; hops chain through the sampled frontier. */
+  def q111SampleNeighbors(triples: Seq[Triple], fanouts: Seq[Int] = Seq(3, 2),
+                          seed: Long = 0L): Seq[(Long, Long, Long, Long)] = {
+    val pairs = triples.map(t => (t.subj, t.obj)).filter(x => x._1 != x._2).distinct
+    val ranked = pairs.groupBy(_._1).map { case (s, xs) =>
+      s -> xs.map(_._2)
+        .sortBy(d => (Xxh64.sparkChain(Seq[Any](s, d, seed)), d))
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    var frontier: Seq[(Long, Long)] = Seq.empty // (root, node)
+    for (root <- ranked.keys.toSeq.sorted; d <- ranked(root).take(fanouts.head)) {
+      out += ((root, 1L, root, d))
+    }
+    frontier = out.map(x => (x._1, x._4)).toSeq
+    for ((f, i) <- fanouts.zipWithIndex.drop(1)) {
+      val srcs = frontier.distinct
+      val next = for ((root, s) <- srcs; d <- ranked.getOrElse(s, Vector.empty).take(f))
+        yield (root, (i + 1).toLong, s, d)
+      out ++= next
+      frontier = next.map(x => (x._1, x._4))
+    }
+    out.toSeq.distinct
+  }
+
   /** q107: node2vec biased-walk twin — restates kg.Graphs.node2vecWalks
     * sequentially: step 1 is the q99 uniform rule; step t >= 2 weights
     * each dst-sorted out-neighbor x of cur by wBack (x == prev), wCommon

@@ -143,6 +143,44 @@ object Bgp {
     dfs.reduce(_ unionAll _).distinct()
   }
 
+  /** One element of a SPARQL property path: predicate `p` traversed once
+    * (`plus = false`) or one-or-more times (`plus = true`, SPARQL `p+`). */
+  final case class Step(p: String, plus: Boolean = false)
+
+  /**
+   * SPARQL property-path matching `?x  p1[/p2+/...]  ?y`: the path is a
+   * SEQUENCE of steps, each a single predicate traversed once or
+   * transitively (`p+`). Returns the DISTINCT (x, y) endpoint pairs.
+   *
+   * Lowering: each step becomes a deduped (s, o) relation — the
+   * predicate slice itself, or its [[Graphs.transitiveClosure]] for
+   * `p+` (semi-naive datalog; 1..n hops) — and the sequence folds as
+   * keyed equi-joins on the shared endpoint, exactly the BGP join shape
+   * with system-generated mid variables. The closure inherits its
+   * operator's contract: run `p+` on hierarchy-shaped predicate slices
+   * (isA, partOf, subdivisionOf), never on a dense relational predicate
+   * whose closure is quadratic — that is a modeling error this engine
+   * surfaces rather than absorbs.
+   */
+  def matchPath(triples: DataFrame, steps: Seq[Step]): DataFrame = {
+    require(steps.nonEmpty, "need at least one path step")
+    def rel(st: Step): DataFrame = {
+      val slice = triples.filter(col("pred") === lit(st.p))
+        .select(col("subj").cast("long").as("s"),
+          col("obj").cast("long").as("o")).distinct()
+      if (!st.plus) slice
+      else Graphs.transitiveClosure(
+        slice.select(col("s").as("src"), col("o").as("dst")))
+        .select(col("src").as("s"), col("dst").as("o"))
+    }
+    val first = rel(steps.head).select(col("s").as("x"), col("o").as("cur"))
+    steps.tail.foldLeft(first) { (acc, st) =>
+      acc.join(rel(st).select(col("s").as("cur"), col("o").as("nxt")),
+          Seq("cur"))
+        .select(col("x"), col("nxt").as("cur"))
+    }.select(col("x"), col("cur").as("y")).distinct()
+  }
+
   private def scan(triples: DataFrame, p: Pattern): (DataFrame, Set[String]) = {
       var df = triples.select(col("subj").cast("long"), col("pred"),
         col("obj").cast("long")).filter(col("pred") === lit(p.p))

@@ -41,6 +41,52 @@ object Embedding {
    *         filtered-sampling contract — callers wanting exactly k
    *         resample with a different seed).
    */
+  /**
+   * Deterministic FILTERED link-prediction holdout (the FB15k/WN18 split
+   * discipline): tag ~testNum/testDen of the distinct triples as test by
+   * `pmod(xxhash64(subj, pred, obj, seed), testDen) < testNum`, then
+   * DEMOTE back to train every test triple whose subject, object or
+   * predicate never appears in the train partition — an embedding model
+   * cannot score an entity it has no training signal for, so an
+   * unfiltered holdout silently measures noise on those rows. Demotion
+   * only ADDS rows to train, so the kept test rows stay valid against
+   * the final train set (one pass suffices; no fixpoint).
+   *
+   * Purely hash-driven: the split is a function of the triple set alone —
+   * bit-identical at any partitioning, any run, and in the sequential
+   * golden twin. Shape: one hash tag over the scan, the train
+   * entity/predicate universes (small sides), three semi-joins + one
+   * anti-join on the test MINORITY — the full corpus shuffles once (the
+   * distinct); everything else is keyed joins on the test slice.
+   *
+   * @return (subj, pred, obj, split) with split in {"train", "test"}
+   */
+  def linkPredictionSplit(triplesIn: DataFrame, testNum: Long, testDen: Long,
+                          seed: Long = 0L): DataFrame = {
+    require(testDen >= 1 && testNum >= 0 && testNum <= testDen,
+      "need 0 <= testNum <= testDen, testDen >= 1")
+    val t = triplesIn.select(col("subj").cast("long"), col("pred"),
+      col("obj").cast("long")).distinct().localCheckpoint(true)
+    val tagged = t.withColumn("__t",
+      pmod(xxhash64(col("subj"), col("pred"), col("obj"), lit(seed)),
+        lit(testDen)) < lit(testNum))
+    val train0 = tagged.filter(!col("__t")).drop("__t").localCheckpoint(true)
+    val test0 = tagged.filter(col("__t")).drop("__t")
+    val ents = train0.select(col("subj").as("id"))
+      .unionAll(train0.select(col("obj").as("id"))).distinct()
+      .localCheckpoint(true)
+    val preds = train0.select(col("pred")).distinct().localCheckpoint(true)
+    val kept = test0
+      .join(ents.select(col("id").as("subj")), Seq("subj"), "left_semi")
+      .join(ents.select(col("id").as("obj")), Seq("obj"), "left_semi")
+      .join(preds, Seq("pred"), "left_semi")
+      .select(col("subj"), col("pred"), col("obj"))
+    val demoted = test0.join(kept, Seq("subj", "pred", "obj"), "left_anti")
+    train0.unionAll(demoted).withColumn("split", lit("train"))
+      .unionAll(kept.withColumn("split", lit("test")))
+      .select(col("subj"), col("pred"), col("obj"), col("split"))
+  }
+
   def negativeSamples(triplesIn: DataFrame, k: Int, seed: Long = 0L): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val spark = triplesIn.sparkSession

@@ -780,6 +780,101 @@ object Graphs {
   }
 
   /**
+   * Weisfeiler–Lehman color refinement (1-WL, the graph-fingerprint /
+   * GNN-expressiveness primitive): every node starts with the uniform
+   * color and each round re-colors to
+   * `xxhash64(own color, sort_array(neighbor colors))` over the
+   * undirected simple graph — the sorted array IS the canonical multiset
+   * encoding, so the recurrence is order-free and bit-identical at any
+   * partitioning (and in the sequential twin, since Spark's xxhash64
+   * folds an array exactly like the flat chain own-color :: elements).
+   * After k rounds two nodes share a color iff 1-WL cannot distinguish
+   * their k-hop neighborhoods — the color histogram is a graph
+   * fingerprint, and color-vs-[[clusteringCoefficient]] disagreement
+   * flags over-merged entities (structurally different nodes forced into
+   * one neighborhood).
+   *
+   * Shape per round: one label lookup join on the symmetric edge list +
+   * one collect_list aggregation + one id-keyed self-join (all 8-byte
+   * keys). The per-node neighbor array means a degree-d hub materializes
+   * a d-element array each round — on hub-heavy KGs cap degrees upstream
+   * (the WL colors of a capped graph are still a sound refinement of the
+   * capped structure); there is no way to run 1-WL without touching each
+   * node's full neighbor multiset.
+   *
+   * @return (id, color) after `rounds` refinements
+   */
+  def wlColors(edgesIn: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 0, "rounds must be >= 0")
+    val e = undirected(edgesIn)
+    val sym = e.select(col("a").as("node"), col("b").as("nbr"))
+      .unionAll(e.select(col("b").as("node"), col("a").as("nbr")))
+      .localCheckpoint(true)
+    var colors = sym.select(col("node").as("id")).distinct()
+      .withColumn("color", lit(1L)).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      colors = sym
+        .join(colors.select(col("id").as("nbr"), col("color").as("nc")),
+          Seq("nbr"))
+        .groupBy(col("node"))
+        .agg(sort_array(collect_list(col("nc"))).as("ncs"))
+        .join(colors.select(col("id").as("node"), col("color")), Seq("node"))
+        .select(col("node").as("id"),
+          xxhash64(col("color"), col("ncs")).as("color"))
+        .localCheckpoint(true)
+    }
+    colors
+  }
+
+  /**
+   * Deterministic fixed-fanout neighbor sampling (the GraphSAGE /
+   * mini-batch-GNN data-prep step, Hamilton et al. 2017): for every node
+   * with out-edges, a bounded multi-hop neighborhood — hop h keeps each
+   * frontier node's top `fanouts(h-1)` out-neighbors under the pure-hash
+   * order `(xxhash64(src, dst, seed), dst)`, so the sample is a function
+   * of the graph (bit-identical at any partitioning and in the
+   * sequential twin; the dst tie-break makes hash collisions harmless).
+   *
+   * Shape: the adjacency is ranked ONCE under a src-partitioned window
+   * (never global) at the MAX fanout and localCheckpointed; each hop is
+   * one keyed equi-join of the frontier against the pre-ranked sample
+   * (per-hop fan-out bounded by the fanout product, never by true
+   * degree — the point of sampling). Rows are DISTINCT
+   * (root, hop, src, dst): two paths reaching the same sampled edge
+   * collapse, set semantics.
+   *
+   * @return (root, hop, src, dst) — hop 1 rows have src == root
+   */
+  def sampleNeighbors(edgesIn: DataFrame, fanouts: Seq[Int],
+                      seed: Long = 0L): DataFrame = {
+    require(fanouts.nonEmpty && fanouts.forall(_ >= 1),
+      "fanouts must be non-empty positive")
+    val e = edgesIn.select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+      .orderBy(xxhash64(col("src"), col("dst"), lit(seed)), col("dst"))
+    val ranked = e.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= lit(fanouts.max)).localCheckpoint(true)
+    val hop1 = ranked.filter(col("rank") <= lit(fanouts.head))
+      .select(col("src").as("root"), lit(1L).as("hop"), col("src"), col("dst"))
+      .localCheckpoint(true)
+    var out = hop1
+    var frontier = hop1
+    for ((f, i) <- fanouts.zipWithIndex.drop(1)) {
+      val next = frontier
+        .select(col("root"), col("dst").as("src")).distinct()
+        .join(ranked.filter(col("rank") <= lit(f)), Seq("src"))
+        .select(col("root"), lit(i + 1L).as("hop"), col("src"), col("dst"))
+        .localCheckpoint(true)
+      // rows are unique by construction: (root, src) is distinct-ed before
+      // the join, ranked is unique per (src, dst), and hop tags the level
+      out = out.unionAll(next).localCheckpoint(true)
+      frontier = next
+    }
+    out
+  }
+
+  /**
    * node2vec biased walks (Grover & Leskovec 2016) in the same
    * deterministic hash discipline as [[randomWalks]]: step t >= 2 at
    * node cur with predecessor prev weights each out-neighbor x by

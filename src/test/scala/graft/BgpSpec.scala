@@ -142,6 +142,29 @@ class BgpSpec extends SparkSpec {
     }
   }
 
+  test("property path: sequence and p+ compose; plus is the irreflexive closure") {
+    import spark.implicits._
+    // likes: 1->2; ord-chain: 2->3->4->5 (as pred "in" here reused)
+    val t = Seq(
+      (1L, "likes", 2L), (7L, "likes", 3L),
+      (2L, "in", 3L), (3L, "in", 4L), (4L, "in", 5L)
+    ).toDF("subj", "pred", "obj").repartition(3)
+    // ?x likes/in+ ?y
+    val got = Bgp.matchPath(t, Seq(Step("likes"), Step("in", plus = true)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 3L), (1L, 4L), (1L, 5L), (7L, 4L), (7L, 5L)))
+    // single one-step path = the predicate slice, deduped
+    val one = Bgp.matchPath(t, Seq(Step("in")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(one === Set((2L, 3L), (3L, 4L), (4L, 5L)))
+    // plus over a cycle never emits (a, a) but crosses it
+    val cyc = Seq((1L, "c", 2L), (2L, "c", 1L), (2L, "c", 3L))
+      .toDF("subj", "pred", "obj")
+    val p = Bgp.matchPath(cyc, Seq(Step("c", plus = true)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p === Set((1L, 2L), (2L, 1L), (2L, 3L), (1L, 3L)))
+  }
+
   test("OPTIONAL: rejected shapes throw loudly") {
     // shares no variable with required
     intercept[IllegalArgumentException] {

@@ -54,4 +54,47 @@ class EmbeddingSpec extends SparkSpec {
     val perTriple = got.groupBy(x => (x._1, x._2, x._3)).values.map(_.length)
     assert(perTriple.forall(_ <= 8))
   }
+
+  test("linkPredictionSplit: twin equality; test rows have full train signal; demotion grows train only") {
+    def asTriples(ts: Seq[(Long, String, Long)]) =
+      ts.map { case (s, p, o) => graft.core.Triple(s, p, o, "en", "u", 0) }
+    // widen the fixture so the 1/3 test tag hits several rows
+    val wide = (0 until 60).map { i =>
+      (i.toLong % 9, Seq("p", "q", "r")(i % 3), (i.toLong * 5) % 11)
+    }.filter(x => x._1 != x._3)
+    for (parts <- Seq(1, 5); (num, den) <- Seq((1L, 3L), (1L, 5L))) {
+      import spark.implicits._
+      val d = wide.toDF("subj", "pred", "obj").repartition(parts)
+      val got = Embedding.linkPredictionSplit(d, num, den)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+      val want = graft.golden.SequentialTwin.q109LinkSplit(
+        asTriples(wide), num, den)
+      assert(got.toSet === want.toSet, s"parts=$parts num=$num den=$den")
+      assert(got.length === wide.distinct.length) // every triple labeled once
+      val train = got.filter(_._4 == "train")
+      val ents = train.flatMap(x => Seq(x._1, x._3)).toSet
+      val preds = train.map(_._2).toSet
+      got.filter(_._4 == "test").foreach { case (s, p, o, _) =>
+        assert(ents(s) && ents(o) && preds(p))
+      }
+      // the raw hash tag marks at least as many rows as survive as test
+      val rawTest = wide.distinct.count { case (s, p, o) => Math.floorMod(
+        Xxh64.sparkChain(Seq[Any](s, p, o, 0L)), den) < num }
+      assert(got.count(_._4 == "test") <= rawTest)
+    }
+  }
+
+  test("linkPredictionSplit: an entity appearing ONLY in a tagged row demotes it") {
+    import spark.implicits._
+    // find a seedless tag that puts the unique-entity row in test
+    val base = Seq((1L, "p", 2L), (2L, "p", 3L), (3L, "p", 1L))
+    // craft a row whose object 99 appears nowhere else and whose hash tags test
+    val candidate = (0 until 200).map(i => (1L, "p", 90L + i))
+      .find { case (s, p, o) => Math.floorMod(
+        Xxh64.sparkChain(Seq[Any](s, p, o, 0L)), 2L) < 1L }.get
+    val d = (base :+ candidate).toDF("subj", "pred", "obj")
+    val got = Embedding.linkPredictionSplit(d, 1L, 2L)
+      .collect().map(r => ((r.getLong(0), r.getString(1), r.getLong(2)), r.getString(3))).toMap
+    assert(got(candidate) === "train") // demoted: obj unseen in train
+  }
 }

@@ -475,6 +475,62 @@ class GraphsSpec extends SparkSpec {
     }
   }
 
+  // ---- Weisfeiler–Lehman refinement ----
+
+  test("wlColors: path endpoints separate from the middle; twin equality at any partitioning") {
+    // path 1-2-3: after 1 round the endpoints (degree 1) share a color
+    // that differs from the middle (degree 2); round 2 refines no further
+    // classes on this graph
+    val g = Seq((1L, 2L), (2L, 3L))
+    val r1 = Graphs.wlColors(edgesDf(g), 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1(1L) === r1(3L))
+    assert(r1(1L) !== r1(2L))
+    for (rounds <- Seq(0, 1, 3); parts <- Seq(1, 7)) {
+      val want = graft.golden.SequentialTwin
+        .q110WlColors(asTriples(graph), rounds).toMap
+      val got = Graphs.wlColors(edgesDf(graph, parts), rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want, s"rounds=$rounds parts=$parts")
+    }
+  }
+
+  test("wlColors: refinement never merges classes (partition refinement property)") {
+    val byRound = (0 to 3).map(r => Graphs.wlColors(edgesDf(graph), r)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap)
+    for (r <- 1 to 3) {
+      val prev = byRound(r - 1); val cur = byRound(r)
+      // same color at round r => same color at round r-1
+      cur.groupBy(_._2).values.foreach { members =>
+        assert(members.keys.map(prev).toSet.size === 1)
+      }
+    }
+  }
+
+  // ---- GraphSAGE neighbor sampling ----
+
+  test("sampleNeighbors: fanout bounds, hop chaining, twin equality at any partitioning") {
+    val want = graft.golden.SequentialTwin
+      .q111SampleNeighbors(asTriples(graph), Seq(3, 2)).toSet
+    val dirEdges = graph.filter(e => e._1 != e._2).toSet
+    for (parts <- Seq(1, 7)) {
+      val rows = Graphs.sampleNeighbors(edgesDf(graph, parts), Seq(3, 2))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(rows.toSet === want, s"parts=$parts")
+      assert(rows.length === rows.toSet.size)
+      rows.foreach { case (_, _, s, d) => assert(dirEdges((s, d))) }
+      // per (root, hop, src) at most the hop's fanout
+      rows.groupBy(x => (x._1, x._2, x._3)).foreach { case ((_, hop, _), xs) =>
+        assert(xs.length <= (if (hop == 1L) 3 else 2))
+      }
+      // hop-2 sources are exactly hop-1 destinations (per root)
+      val h1 = rows.filter(_._2 == 1L).map(x => (x._1, x._4)).toSet
+      rows.filter(_._2 == 2L).foreach { case (root, _, s, _) =>
+        assert(h1((root, s)))
+      }
+    }
+  }
+
   // ---- label propagation ----
 
   test("labelPropagation: a triangle floods to its minimum label; disjoint cliques stay apart") {
