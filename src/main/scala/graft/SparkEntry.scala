@@ -809,6 +809,65 @@ object SparkEntry {
       val tr = Pipeline.triples(s, dir).toDF()
       graft.kg.Graphs.sampleNeighbors(
         tr.select(col("subj").as("src"), col("obj").as("dst")), Seq(3, 2))
+    }),
+    // SHACL-style validation report: cardinality shapes (merge 1..2,
+    // order exactly 1, scan <=1, hash 1..99 distinct objects per subject)
+    // + an sh:in value shape on stream (allowed = the even-id objects);
+    // constraints broadcast, one (subj,pred) counts shuffle, violations
+    // stream out; oracle replays both constraint families as DuckDB SQL
+    "q112_shacl_report" -> ((s, dir) => {
+      import s.implicits._
+      val tr = Pipeline.triples(s, dir).toDF()
+      val card = Seq(("merge", 1L, 2L), ("order", 1L, 1L),
+        ("scan", 0L, 1L), ("hash", 1L, 99L))
+        .toDF("pred", "min_count", "max_count")
+      val allowed = tr
+        .filter(col("pred") === "stream" && col("obj") % 2 === 0)
+        .select(col("pred"), col("obj")).distinct()
+      graft.kg.Shacl.validate(tr, card, allowed)
+    }),
+    // SPARQL aggregate SELECT: per ?x the distinct-solution count and
+    // COUNT(DISTINCT ?y) of { ?x merge ?z . ?z order ?y } — the BGP's
+    // set-semantics bindings partial-aggregated once; oracle = the same
+    // joins + GROUP BY in DuckDB
+    "q113_bgp_agg" -> ((s, dir) => {
+      import graft.kg.Bgp._
+      matchBgpAgg(Pipeline.triples(s, dir).toDF(),
+        Seq(Pattern(V("x"), "merge", V("z")),
+          Pattern(V("z"), "order", V("y"))),
+        groupVars = Seq("x"), countVar = "y")
+    }),
+    // SPARQL CONSTRUCT: derive a new graph from the bindings of
+    // { ?x merge ?z . ?z order ?y } via two templates — (?x merged_order
+    // ?y) and the reverse (?y feeds ?x); DISTINCT union (RDF set
+    // semantics); oracle = UNION of two SELECT DISTINCTs
+    "q114_construct" -> ((s, dir) => {
+      import graft.kg.Bgp._
+      construct(Pipeline.triples(s, dir).toDF(),
+        Seq(Pattern(V("x"), "merge", V("z")),
+          Pattern(V("z"), "order", V("y"))),
+        Seq(Pattern(V("x"), "merged_order", V("y")),
+          Pattern(V("y"), "feeds", V("x"))))
+    }),
+    // canonical structural digest per connected component of the q88
+    // sparsified entity graph (6 components at sf0.001): WL colors
+    // folded id-free — the KG-versioning / subgraph-dedup key;
+    // golden-oracled vs the sequential union-find + WL + fold twin
+    "q115_graph_digest" -> ((s, dir) => {
+      val tr = Pipeline.triples(s, dir).toDF()
+      val sparse = tr.filter(col("subj") =!= col("obj") &&
+          (col("subj") % 13 + col("obj") % 13) % 13 === 0)
+        .select(col("subj").as("src"), col("obj").as("dst"))
+      graft.kg.Graphs.graphDigest(sparse, rounds = 3)
+    }),
+    // neighborhood function (HyperANF shape, KMV sketches): per entity
+    // the h-hop reach size for h = 0..3 over the directed triple graph —
+    // exact below sketch saturation (k = 1024 >> |V| here), so the
+    // oracle is DuckDB's recursive-CTE exact BFS reach count
+    "q116_reach_profile" -> ((s, dir) => {
+      val tr = Pipeline.triples(s, dir).toDF()
+      graft.kg.Graphs.neighborhoodFunction(
+        tr.select(col("subj").as("src"), col("obj").as("dst")), maxHops = 3)
     })
   )
 
@@ -1046,6 +1105,62 @@ object SparkEntry {
     "q109_link_split" -> golden("q109_link_split"),
     "q110_wl_colors" -> golden("q110_wl_colors"),
     "q111_sampled_neighbors" -> golden("q111_sampled_neighbors"),
+    "q115_graph_digest" -> golden("q115_graph_digest"),
+    "q112_shacl_report" -> s"""
+      WITH t AS (SELECT subj, pred, obj
+                 FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'),
+      subjects AS (SELECT DISTINCT subj FROM t),
+      card(pred, min_count, max_count) AS
+        (VALUES ('merge', 1, 2), ('order', 1, 1),
+                ('scan', 0, 1), ('hash', 1, 99)),
+      counts AS (SELECT subj, pred, count(DISTINCT obj) AS n
+                 FROM t GROUP BY 1, 2),
+      cv AS (SELECT s.subj, c.pred,
+               CASE WHEN COALESCE(n, 0) < c.min_count
+                    THEN 'minCount' ELSE 'maxCount' END AS code,
+               CAST(COALESCE(n, 0) AS BIGINT) AS observed,
+               CAST(CASE WHEN COALESCE(n, 0) < c.min_count
+                    THEN c.min_count ELSE c.max_count END AS BIGINT) AS bound
+             FROM subjects s CROSS JOIN card c
+             LEFT JOIN counts ON counts.subj = s.subj AND counts.pred = c.pred
+             WHERE COALESCE(n, 0) < c.min_count OR COALESCE(n, 0) > c.max_count),
+      av AS (SELECT DISTINCT subj, pred, 'valueNotAllowed' AS code,
+                    obj AS observed, CAST(NULL AS BIGINT) AS bound
+             FROM t WHERE pred = 'stream' AND obj % 2 <> 0)
+      SELECT * FROM cv UNION ALL SELECT * FROM av""",
+    "q113_bgp_agg" -> s"""
+      WITH t AS (SELECT subj, pred, obj
+                 FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'),
+      b AS (SELECT DISTINCT t1.subj AS x, t1.obj AS z, t2.obj AS y
+            FROM t t1 JOIN t t2 ON t1.obj = t2.subj
+            WHERE t1.pred = 'merge' AND t2.pred = 'order')
+      SELECT x, count(*) AS n_bindings, count(DISTINCT y) AS n_distinct
+      FROM b GROUP BY x""",
+    "q114_construct" -> s"""
+      WITH t AS (SELECT subj, pred, obj
+                 FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'),
+      b AS (SELECT DISTINCT t1.subj AS x, t1.obj AS z, t2.obj AS y
+            FROM t t1 JOIN t t2 ON t1.obj = t2.subj
+            WHERE t1.pred = 'merge' AND t2.pred = 'order')
+      SELECT DISTINCT x AS subj, 'merged_order' AS pred, y AS obj FROM b
+      UNION
+      SELECT DISTINCT y AS subj, 'feeds' AS pred, x AS obj FROM b""",
+    "q116_reach_profile" -> s"""
+      WITH RECURSIVE
+      t AS (SELECT subj, pred, obj
+            FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'),
+      e AS (SELECT DISTINCT subj AS src, obj AS dst FROM t WHERE subj <> obj),
+      nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+      reach(id, dst, d) AS (
+        SELECT id, id, 0 FROM nodes
+        UNION
+        SELECT r.id, e.dst, r.d + 1 FROM reach r JOIN e ON r.dst = e.src
+        WHERE r.d < 3),
+      md AS (SELECT id, dst, min(d) AS d FROM reach GROUP BY 1, 2)
+      SELECT md.id, CAST(h.hop AS BIGINT) AS hop,
+             count(*) AS n_reach
+      FROM md JOIN (VALUES (0), (1), (2), (3)) AS h(hop) ON md.d <= h.hop
+      GROUP BY 1, 2""",
     "q108_property_path" -> s"""
       WITH RECURSIVE
       t AS (SELECT subj, pred, obj

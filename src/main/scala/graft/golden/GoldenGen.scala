@@ -114,6 +114,8 @@ object GoldenGen {
       "start", "walk", "step", "node")
     write("q109_link_split", q109LinkSplit(trip), "subj", "pred", "obj", "split")
     write("q110_wl_colors", q110WlColors(trip), "id", "color")
+    write("q115_graph_digest", q115GraphDigest(trip),
+      "component", "n_nodes", "digest")
     write("q111_sampled_neighbors", q111SampleNeighbors(trip),
       "root", "hop", "src", "dst")
     write("q48_span_metrics_greedy_vs_viterbi", q48Prf(mentions(vit), mentions(greedy)),

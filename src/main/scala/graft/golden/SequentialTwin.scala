@@ -436,6 +436,45 @@ object SequentialTwin {
     colors.toSeq
   }
 
+  /** q115: per-component canonical-digest twin — the q88 sparsification
+    * rule, a sequential min-id union-find, the q110 WL recurrence over
+    * the sparse undirected simple graph, and the digest as the Spark
+    * array-hash fold (independent Xxh64) over each component's SORTED
+    * final color multiset. */
+  def q115GraphDigest(triples: Seq[Triple],
+                      rounds: Int = 3): Seq[(Long, Long, Long)] = {
+    val e = triples
+      .filter(t => t.subj != t.obj && (t.subj % 13 + t.obj % 13) % 13 == 0)
+      .map(t => (math.min(t.subj, t.obj), math.max(t.subj, t.obj))).distinct
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElseUpdate(r, r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    for ((a, b) <- e) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = e.flatMap { case (a, b) => Seq(a, b) }.distinct
+    val comp = nodes.map(n => n -> find(n)).toMap // min-id labeling
+    val nbrs = e.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2) }
+    var colors: Map[Long, Long] = nodes.map(_ -> 1L).toMap
+    for (_ <- 1 to rounds) {
+      colors = nbrs.map { case (node, ns) =>
+        val ncs = ns.map(colors).sorted
+        node -> Xxh64.sparkChain(colors(node) +: ncs.map(x => x: Any))
+      }
+    }
+    nodes.groupBy(comp).toSeq.map { case (root, members) =>
+      val cs = members.map(colors).sorted
+      (root, members.size.toLong, Xxh64.sparkChain(cs.map(x => x: Any)))
+    }
+  }
+
   /** q111: fixed-fanout neighbor-sampling twin — per node, out-neighbors
     * ordered by (xxhash64(src, dst, seed), dst), top fanouts(h-1) kept at
     * hop h; hops chain through the sampled frontier. */

@@ -181,6 +181,67 @@ object Bgp {
     }.select(col("x"), col("cur").as("y")).distinct()
   }
 
+  /**
+   * SPARQL aggregate SELECT over a BGP:
+   * `SELECT ?g1 ... (COUNT(*) AS n_bindings) (COUNT(DISTINCT ?v) AS
+   * n_distinct) WHERE { ... } GROUP BY ?g1 ...` — the analytics entry
+   * point of the KG query surface (per-entity fan-out profiles, relation
+   * cardinality audits). Aggregation is over the DISTINCT binding set
+   * ([[matchBgp]]'s SPARQL set semantics — the mention-level triple bag
+   * never inflates counts), so `n_bindings` counts distinct solutions
+   * per group and `n_distinct` the distinct values one variable takes.
+   *
+   * Physical shape: the BGP's pushed-down scans and keyed equi-joins,
+   * then ONE partial-aggregated groupBy on the grouping variables — the
+   * binding distinct and the aggregation both combine map-side; nothing
+   * wider than the grouped counters shuffles.
+   */
+  def matchBgpAgg(triples: DataFrame, patterns: Seq[Pattern],
+                  groupVars: Seq[String], countVar: String): DataFrame = {
+    require(groupVars.nonEmpty, "need at least one grouping variable")
+    val b = matchBgp(triples, patterns)
+    val bound = b.columns.toSet
+    (groupVars :+ countVar).foreach { v =>
+      require(bound.contains(v), s"aggregate variable ?$v is unbound") }
+    require(!groupVars.contains(countVar),
+      s"?$countVar is a grouping variable (its per-group distinct count is 1)")
+    b.groupBy(groupVars.map(col): _*)
+      .agg(count(lit(1)).as("n_bindings"),
+        countDistinct(col(countVar)).as("n_distinct"))
+  }
+
+  /**
+   * SPARQL `CONSTRUCT`: instantiate template triple patterns over the
+   * WHERE clause's distinct bindings — the graph-to-graph mapping that
+   * turns query results back into triples (view materialization, edge
+   * derivation, KG reshaping). Template subject/object terms are
+   * variables bound by the WHERE patterns or entity constants; template
+   * predicates are constant strings (the [[Pattern]] grammar). The
+   * result is the DISTINCT union of the instantiated triples — RDF
+   * graphs are sets, so duplicate instantiations collapse.
+   *
+   * Physical shape: the BGP plans once; each template is a zero-cost
+   * projection of the SAME binding relation (Spark reuses the cached
+   * exchange under AQE), and the union's distinct partial-aggregates.
+   * Output schema matches the triple table core: (subj, pred, obj).
+   */
+  def construct(triples: DataFrame, patterns: Seq[Pattern],
+                templates: Seq[Pattern]): DataFrame = {
+    require(templates.nonEmpty, "need at least one CONSTRUCT template")
+    val b = matchBgp(triples, patterns)
+    val bound = b.columns.toSet
+    def term(t: Term): org.apache.spark.sql.Column = t match {
+      case V(n) =>
+        require(bound.contains(n), s"template variable ?$n is unbound")
+        col(n).cast("long")
+      case C(id) => lit(id)
+    }
+    templates.map { tp =>
+      b.select(term(tp.s).as("subj"), lit(tp.p).as("pred"),
+        term(tp.o).as("obj"))
+    }.reduce(_ unionAll _).distinct()
+  }
+
   private def scan(triples: DataFrame, p: Pattern): (DataFrame, Set[String]) = {
       var df = triples.select(col("subj").cast("long"), col("pred"),
         col("obj").cast("long")).filter(col("pred") === lit(p.p))

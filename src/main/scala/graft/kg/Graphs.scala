@@ -970,4 +970,98 @@ object Graphs {
     }
     out
   }
+
+  /**
+   * Per-node NEIGHBORHOOD FUNCTION — |{u : dist(v,u) <= h}| for every
+   * node v and hop h = 0..maxHops over the DIRECTED graph — the
+   * HyperANF computation (Boldi, Rosa & Vigna 2011): propagate a
+   * mergeable distinct-count sketch along edges instead of materializing
+   * reachable sets, so per-node state is O(k) longs forever while exact
+   * BFS state grows with the reach. Effective-diameter and centrality
+   * estimation at 10^12 edges are exactly this loop.
+   *
+   * This engine uses the KMV bottom-k sketch ([[graft.ops.Sketches]])
+   * rather than HyperANF's HLL counters for the same reason q81 does:
+   * KMV is all-integer and EXACT below saturation (until a node's
+   * h-ball holds more than k nodes, the estimate IS the true count), so
+   * small-scale runs are oracle-checkable against an exact BFS while
+   * the sketch algebra — union + truncate, fully mergeable — is the
+   * production path at any scale. Above saturation the estimate carries
+   * KMV's ~1/sqrt(k-2) relative error, the standard ANF trade.
+   *
+   * Shape per hop: ONE keyed equi-join (each node pulls its
+   * out-neighbors' sketches) + ONE partial-aggregated sketch-merge
+   * groupBy — k-long buffers shuffle, never node sets; the per-hop
+   * relation is localCheckpointed so round n never re-runs rounds
+   * 1..n-1. Monotone state (sketches only grow), so a stale read is
+   * impossible.
+   *
+   * @return (id, hop, n_reach) for every node and hop 0..maxHops;
+   *         hop 0 is always (id, 0, 1) — the node itself
+   */
+  def neighborhoodFunction(edgesIn: DataFrame, maxHops: Int,
+                           k: Int = 1024): DataFrame = {
+    require(maxHops >= 0, "maxHops must be >= 0")
+    val e = edgesIn.select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    val kmvMerge = udaf(new graft.ops.Sketches.KmvMergeAgg(k))
+    val nodes = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id"))).distinct()
+    var sk = nodes
+      .select(col("id"), array(xxhash64(col("id"))).as("sketch"))
+      .localCheckpoint(true)
+    var out = sk.select(col("id"), lit(0L).as("hop"), lit(1L).as("n_reach"))
+      .localCheckpoint(true)
+    for (h <- 1 to maxHops) {
+      val pulled = e
+        .join(sk.select(col("id").as("dst"), col("sketch")), Seq("dst"))
+        .select(col("src").as("id"), col("sketch"))
+        .unionAll(sk)
+      val merged = pulled.groupBy(col("id"))
+        .agg(kmvMerge(col("sketch")).as("r"))
+        .select(col("id"), col("r.sketch").as("sketch"),
+          col("r.est").as("n_reach"))
+        .localCheckpoint(true)
+      sk = merged.select(col("id"), col("sketch"))
+      out = out.unionAll(
+        merged.select(col("id"), lit(h.toLong).as("hop"), col("n_reach")))
+        .localCheckpoint(true)
+    }
+    out
+  }
+
+  /**
+   * Canonical STRUCTURAL DIGEST per connected component — the
+   * KG-versioning / subgraph-dedup primitive: two components receive
+   * the same digest whenever [[wlColors]] cannot distinguish them
+   * (1-WL equivalence — the standard graph-canonicalization workhorse;
+   * strictly coarser than isomorphism on the adversarial corner cases
+   * 1-WL famously cannot split, e.g. two triangles vs a 6-cycle, which
+   * is the documented contract, not a defect). The digest is
+   * `xxhash64(sort_array(colors))` over the component's final WL color
+   * multiset — NO node ids enter the hash, so the digest is invariant
+   * under entity renaming: re-extracting the same subgraph under fresh
+   * ids yields the same digest, which is what makes it a dedup key.
+   *
+   * Shape: [[wlColors]] (per round one join + one partial-aggregated
+   * collect) + one CC labeling + ONE final groupBy(component) whose
+   * sorted-color-list aggregation is the only wide state — bounded by
+   * component size, the inherent cost of a per-component canonical
+   * form. Spark's `xxhash64` over an array column is the flat
+   * left-to-right fold, which the sequential twin replays bit-for-bit
+   * through the independent [[graft.functions.Xxh64]].
+   *
+   * @return (component, n_nodes, digest) — component = min node id
+   *         (the [[graft.canon.ConnectedComponents]] labeling)
+   */
+  def graphDigest(edgesIn: DataFrame, rounds: Int): DataFrame = {
+    val e = undirected(edgesIn)
+      .select(col("a").as("src"), col("b").as("dst"))
+    val colors = wlColors(e, rounds)
+    val comp = graft.canon.ConnectedComponents.run(e)
+    colors.join(comp, Seq("id"))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_nodes"),
+        xxhash64(sort_array(collect_list(col("color")))).as("digest"))
+  }
 }

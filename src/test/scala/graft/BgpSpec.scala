@@ -185,4 +185,58 @@ class BgpSpec extends SparkSpec {
         Seq(Pattern(V("z"), "in", V("y")), Pattern(V("x"), "self", V("y"))))
     }
   }
+
+  test("matchBgpAgg: counts over DISTINCT bindings, never the mention bag") {
+    // bindings of ?x likes ?z . ?z in ?y (set semantics, see first test):
+    // {(1,10,2),(1,11,3),(4,10,2)} -> grouped by x
+    val got = Bgp.matchBgpAgg(triplesDf, Seq(
+        Pattern(V("x"), "likes", V("z")), Pattern(V("z"), "in", V("y"))),
+      groupVars = Seq("x"), countVar = "y")
+    assert(got.columns.toSeq === Seq("x", "n_bindings", "n_distinct"))
+    val rows = got.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // x=1: two bindings, y in {10, 11}; x=4: one binding, y = 10 —
+    // the duplicated (1, likes, 2) and (2, in, 10) mentions add nothing
+    assert(rows === Set((1L, 2L, 2L), (4L, 1L, 1L)))
+  }
+
+  test("matchBgpAgg rejects unbound and degenerate variables") {
+    intercept[IllegalArgumentException] {
+      Bgp.matchBgpAgg(triplesDf, Seq(Pattern(V("x"), "likes", V("z"))),
+        groupVars = Seq("x"), countVar = "nope")
+    }
+    intercept[IllegalArgumentException] {
+      Bgp.matchBgpAgg(triplesDf, Seq(Pattern(V("x"), "likes", V("z"))),
+        groupVars = Seq("x"), countVar = "x") // countVar grouped
+    }
+    intercept[IllegalArgumentException] {
+      Bgp.matchBgpAgg(triplesDf, Seq(Pattern(V("x"), "likes", V("z"))),
+        groupVars = Seq.empty, countVar = "z")
+    }
+  }
+
+  test("construct: template instantiation, constants, RDF set semantics") {
+    // WHERE { ?x likes ?z . ?z in ?y } CONSTRUCT { ?x near ?y . ?y has 7 }
+    val got = Bgp.construct(triplesDf, Seq(
+        Pattern(V("x"), "likes", V("z")), Pattern(V("z"), "in", V("y"))),
+      Seq(Pattern(V("x"), "near", V("y")), Pattern(V("y"), "has", C(7L))))
+    assert(got.columns.toSeq === Seq("subj", "pred", "obj"))
+    val rows = got.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // bindings {(1,10),(1,11),(4,10)} on (x,y); (4,near,10) and (1,near,10)
+    // stay distinct triples, but the two y=10 bindings collapse in 'has'
+    assert(rows === Set(
+      (1L, "near", 10L), (1L, "near", 11L), (4L, "near", 10L),
+      (10L, "has", 7L), (11L, "has", 7L)))
+  }
+
+  test("construct rejects unbound template variables and empty templates") {
+    intercept[IllegalArgumentException] {
+      Bgp.construct(triplesDf, Seq(Pattern(V("x"), "likes", V("z"))),
+        Seq(Pattern(V("x"), "near", V("nope"))))
+    }
+    intercept[IllegalArgumentException] {
+      Bgp.construct(triplesDf, Seq(Pattern(V("x"), "likes", V("z"))), Seq.empty)
+    }
+  }
 }

@@ -575,4 +575,84 @@ class GraphsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got === want)
   }
+
+  // ---- neighborhood function (HyperANF / KMV) ----
+
+  /** exact per-(node, hop) directed reach counts via sequential BFS */
+  private def seqReach(edges: Seq[(Long, Long)],
+                       maxHops: Int): Map[(Long, Long), Long] = {
+    val es = edges.filter(e => e._1 != e._2).distinct
+    val adj = es.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2) }
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+    val out = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+    for (n <- nodes) {
+      var seen = Set(n)
+      var frontier = Set(n)
+      out((n, 0L)) = 1L
+      for (h <- 1 to maxHops) {
+        frontier = frontier.flatMap(u => adj.getOrElse(u, Nil)).diff(seen)
+        seen ++= frontier
+        out((n, h.toLong)) = seen.size.toLong
+      }
+    }
+    out.toMap
+  }
+
+  test("neighborhoodFunction: exact (below saturation) vs BFS on a hand graph") {
+    // path 1->2->3->4 plus a 2-cycle 5<->6 and a shortcut 1->3
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (6L, 5L), (1L, 3L),
+      (1L, 1L), (2L, 3L)) // self-loop + duplicate must be dropped
+    val got = Graphs.neighborhoodFunction(edgesDf(es, 3), maxHops = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === seqReach(es, 3))
+    // spot-check the path head: 1 reaches {2,3} at hop 1, +{4} at hop 2
+    assert(got((1L, 1L)) === 3L && got((1L, 2L)) === 4L && got((1L, 3L)) === 4L)
+  }
+
+  test("neighborhoodFunction: exact vs BFS on the skewed 50-node graph") {
+    val got = Graphs.neighborhoodFunction(edgesDf(graph, 7), maxHops = 3,
+      k = 4096)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === seqReach(graph, 3))
+  }
+
+  test("neighborhoodFunction: saturated sketches stay monotone and exact below k") {
+    // star: hub 0 -> 1..10 (reach 11 > k); leaves reach only themselves
+    val es = (1L to 10L).map(i => (0L, i))
+    val got = Graphs.neighborhoodFunction(edgesDf(es, 3), maxHops = 2, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // leaves are below saturation -> exact
+    for (i <- 1L to 10L; h <- 0L to 2L) assert(got((i, h)) === 1L)
+    // hub estimates never decrease across hops and start exact at hop 0
+    assert(got((0L, 0L)) === 1L)
+    assert(got((0L, 1L)) >= got((0L, 0L)) && got((0L, 2L)) >= got((0L, 1L)))
+  }
+
+  // ---- per-component canonical digest ----
+
+  test("graphDigest: isomorphic components share a digest, others differ") {
+    val es = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L),      // triangle A
+      (12L, 11L), (11L, 10L), (10L, 12L), // triangle B (disjoint ids,
+                                          // different edge orientation)
+      (20L, 21L), (21L, 22L))             // path of 3
+    val got = Graphs.graphDigest(edgesDf(es, 3), rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got.map(x => (x._1, x._2)).toSeq ===
+      Seq((1L, 3L), (10L, 3L), (20L, 3L)))
+    val Seq(a, b, p) = got.map(_._3).toSeq
+    assert(a === b)  // id-free: isomorphic triangles collide
+    assert(a !== p)  // 1-WL separates triangle from path
+  }
+
+  test("graphDigest: digest is invariant under entity renaming") {
+    val orig = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+    val renamed = orig.map { case (a, b) => (a * 1000L + 7L, b * 1000L + 7L) }
+    val d1 = Graphs.graphDigest(edgesDf(orig, 2), rounds = 3)
+      .collect().map(_.getLong(2)).toSeq.sorted
+    val d2 = Graphs.graphDigest(edgesDf(renamed, 3), rounds = 3)
+      .collect().map(_.getLong(2)).toSeq.sorted
+    assert(d1 === d2)
+  }
 }

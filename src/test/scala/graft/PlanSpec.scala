@@ -346,4 +346,44 @@ class PlanSpec extends SparkSpec {
     // the only exchange is the final DISTINCT's hash repartition
     assert("""\(\d+\) Exchange""".r.findAllIn(rdfs).size == 1, rdfs.take(2500))
   }
+
+  test("q112-q114: SHACL constraint sides broadcast; BGP agg partial-aggregates; construct keyed-joins only") {
+    import org.apache.spark.sql.functions._
+    import graft.kg.Bgp._
+    import spark.implicits._
+    val tr = spark.read.parquet("golden/sf0.001/q47_triples.parquet")
+
+    // SHACL: the shape tables ride as broadcast sides (the subjects ×
+    // card pairing is a broadcast nested loop over the HUMAN-WRITTEN
+    // shape table — never a corpus-sized cartesian), the sh:in probes
+    // are broadcast hash joins, and nothing corpus-sized cross-joins
+    val card = Seq(("merge", 1L, 2L)).toDF("pred", "min_count", "max_count")
+    val allowed = tr.filter(col("pred") === "stream" && col("obj") % 2 === 0)
+      .select(col("pred"), col("obj")).distinct()
+    val shacl = plan(graft.kg.Shacl.validate(tr, card, allowed))
+    assert(!shacl.contains("CartesianProduct"), shacl.take(2500))
+    assert("""\(\d+\) BroadcastHashJoin""".r.findAllIn(shacl).nonEmpty,
+      shacl.take(2500))
+    // no corpus-side SortMergeJoin: the only non-broadcast join key is
+    // (subj, pred) against the checkpointed counts — tiny
+    assert(!shacl.contains("ShuffledHashJoin"), shacl.take(2500))
+
+    // BGP aggregate: distinct bindings + the grouped counters both
+    // partial-aggregate map-side; the joins stay keyed
+    val agg = plan(matchBgpAgg(tr, Seq(
+        Pattern(V("x"), "merge", V("z")), Pattern(V("z"), "order", V("y"))),
+      Seq("x"), "y"))
+    assert(agg.contains("partial_count"), agg.take(2500))
+    assert(!agg.contains("CartesianProduct") &&
+      !agg.contains("BroadcastNestedLoopJoin"), agg.take(2500))
+
+    // CONSTRUCT: template instantiation adds projections + one distinct,
+    // never another join shape
+    val con = plan(construct(tr, Seq(
+        Pattern(V("x"), "merge", V("z")), Pattern(V("z"), "order", V("y"))),
+      Seq(Pattern(V("x"), "merged_order", V("y")),
+        Pattern(V("y"), "feeds", V("x")))))
+    assert(!con.contains("CartesianProduct") &&
+      !con.contains("BroadcastNestedLoopJoin"), con.take(2500))
+  }
 }
