@@ -868,6 +868,57 @@ object SparkEntry {
       val tr = Pipeline.triples(s, dir).toDF()
       graft.kg.Graphs.neighborhoodFunction(
         tr.select(col("subj").as("src"), col("obj").as("dst")), maxHops = 3)
+    }),
+    // KG snapshot diff: the corpus split into two builds by sentence
+    // parity (a SQL-replicable rule so the oracle sees the same split) —
+    // added/removed/support-changed facts via two partial-agg profiles
+    // and one keyed full-outer join; the unchanged majority never leaves
+    // the join
+    "q117_kg_diff" -> ((s, dir) => {
+      val tr = Pipeline.triples(s, dir).toDF()
+      graft.kg.Triples.diffSnapshots(
+        tr.filter(col("sentIdx") % 2 === 0),
+        tr.filter(col("sentIdx") % 2 === 1))
+    }),
+    // HITS hubs & authorities, 5 rounds, all-integer bitshift
+    // renormalization — order-exact, bit-reproducible; golden-oracled vs
+    // the sequential replay of the same recurrence
+    "q118_hits" -> ((s, dir) => {
+      val tr = Pipeline.triples(s, dir).toDF()
+      graft.kg.Graphs.hits(
+        tr.select(col("subj").as("src"), col("obj").as("dst")), iters = 5)
+    }),
+    // SPARQL negation: ?x merge ?z MINUS { ?z order ?y } MINUS
+    // { ?x scan ?w } — merge bindings whose target orders nothing and
+    // whose source scans nothing; oracle = DuckDB NOT EXISTS anti-joins
+    "q119_bgp_minus" -> ((s, dir) => {
+      import graft.kg.Bgp._
+      matchBgpMinus(Pipeline.triples(s, dir).toDF(),
+        Seq(Pattern(V("x"), "merge", V("z"))),
+        Seq(Seq(Pattern(V("z"), "order", V("y"))),
+          Seq(Pattern(V("x"), "scan", V("w")))))
+    }),
+    // OWL-lite property rules: inverseOf(merge, merged_by), symmetric
+    // stream, transitive order — driver-closed mapping alphabet, one
+    // broadcast mapping pass, semi-naive closure on the augmented order
+    // slice, one post-closure mapping pass; oracle replays the rules
+    // with DuckDB recursive CTEs
+    "q120_owl_rules" -> ((s, dir) =>
+      graft.kg.Rdfs.materializeOwl(Pipeline.triples(s, dir).toDF(),
+        inverseOf = Seq(("merge", "merged_by")),
+        symmetric = Seq("stream"),
+        transitive = Seq("order")))
+    ,
+    // SPARQL ORDER BY/LIMIT: top-10 of { ?x merge ?z . ?z order ?y }
+    // by ?y descending under the TOTAL (y desc, x asc, z asc) order —
+    // TakeOrderedAndProject (per-partition heaps), never a global sort;
+    // oracle = the same total order in DuckDB
+    "q121_bgp_topk" -> ((s, dir) => {
+      import graft.kg.Bgp._
+      matchBgpTopK(Pipeline.triples(s, dir).toDF(),
+        Seq(Pattern(V("x"), "merge", V("z")),
+          Pattern(V("z"), "order", V("y"))),
+        orderVar = "y", k = 10, descending = true)
     })
   )
 
@@ -1106,6 +1157,62 @@ object SparkEntry {
     "q110_wl_colors" -> golden("q110_wl_colors"),
     "q111_sampled_neighbors" -> golden("q111_sampled_neighbors"),
     "q115_graph_digest" -> golden("q115_graph_digest"),
+    "q118_hits" -> golden("q118_hits"),
+    "q117_kg_diff" -> s"""
+      WITH t AS (SELECT subj, pred, obj, url, "sentIdx" AS sent_idx
+                 FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'),
+      pa AS (SELECT subj, pred, obj, count(*) AS n_a,
+                    count(DISTINCT url) AS n_urls_a
+             FROM t WHERE sent_idx % 2 = 0 GROUP BY 1, 2, 3),
+      pb AS (SELECT subj, pred, obj, count(*) AS n_b,
+                    count(DISTINCT url) AS n_urls_b
+             FROM t WHERE sent_idx % 2 = 1 GROUP BY 1, 2, 3),
+      j AS (SELECT COALESCE(pa.subj, pb.subj) AS subj,
+                   COALESCE(pa.pred, pb.pred) AS pred,
+                   COALESCE(pa.obj, pb.obj) AS obj,
+                   COALESCE(n_a, 0) AS n_a, COALESCE(n_urls_a, 0) AS n_urls_a,
+                   COALESCE(n_b, 0) AS n_b, COALESCE(n_urls_b, 0) AS n_urls_b
+            FROM pa FULL OUTER JOIN pb
+              ON pa.subj = pb.subj AND pa.pred = pb.pred AND pa.obj = pb.obj)
+      SELECT *, CASE WHEN n_a = 0 THEN 'added'
+                     WHEN n_b = 0 THEN 'removed'
+                     ELSE 'changed' END AS status
+      FROM j WHERE n_a <> n_b OR n_urls_a <> n_urls_b""",
+    "q121_bgp_topk" -> s"""
+      WITH t AS (SELECT subj, pred, obj
+                 FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'),
+      b AS (SELECT DISTINCT t1.subj AS x, t1.obj AS z, t2.obj AS y
+            FROM t t1 JOIN t t2 ON t1.obj = t2.subj
+            WHERE t1.pred = 'merge' AND t2.pred = 'order')
+      SELECT x, y, z FROM b ORDER BY y DESC, x ASC, z ASC LIMIT 10""",
+    "q119_bgp_minus" -> s"""
+      WITH t AS (SELECT subj, pred, obj
+                 FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet')
+      SELECT DISTINCT m.subj AS x, m.obj AS z
+      FROM t m
+      WHERE m.pred = 'merge'
+        AND NOT EXISTS (SELECT 1 FROM t o
+                        WHERE o.pred = 'order' AND o.subj = m.obj)
+        AND NOT EXISTS (SELECT 1 FROM t s
+                        WHERE s.pred = 'scan' AND s.subj = m.subj)""",
+    "q120_owl_rules" -> s"""
+      WITH RECURSIVE
+      t AS (SELECT DISTINCT subj, pred, obj
+            FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'),
+      inv AS (SELECT obj AS subj, 'merged_by' AS pred, subj AS obj
+              FROM t WHERE pred = 'merge'),
+      sym AS (SELECT obj AS subj, 'stream' AS pred, subj AS obj
+              FROM t WHERE pred = 'stream'),
+      ord0 AS (SELECT DISTINCT subj AS s, obj AS o FROM t
+               WHERE pred = 'order' AND subj <> obj),
+      oplus(s, o) AS (SELECT s, o FROM ord0
+                      UNION
+                      SELECT p.s, e.o FROM oplus p JOIN ord0 e ON e.s = p.o),
+      ordc AS (SELECT s AS subj, 'order' AS pred, o AS obj FROM oplus
+               WHERE s <> o)
+      SELECT DISTINCT subj, pred, obj FROM (
+        SELECT * FROM t UNION ALL SELECT * FROM inv
+        UNION ALL SELECT * FROM sym UNION ALL SELECT * FROM ordc)""",
     "q112_shacl_report" -> s"""
       WITH t AS (SELECT subj, pred, obj
                  FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'),

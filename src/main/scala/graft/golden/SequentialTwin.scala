@@ -436,6 +436,33 @@ object SequentialTwin {
     colors.toSeq
   }
 
+  /** q118: HITS twin — the same all-integer recurrence (in-sum / out-sum
+    * with per-half-round bitshift renormalization to `bits` bits)
+    * replayed with HashMaps; shift amount derives from the max over ALL
+    * nodes including the zero-score ones, like the engine's coalesce. */
+  def q118Hits(triples: Seq[Triple], iters: Int = 5,
+               bits: Int = 20): Seq[(Long, Long, Long)] = {
+    val e = triples.map(t => (t.subj, t.obj)).filter(x => x._1 != x._2).distinct
+    val nodes = e.flatMap(x => Seq(x._1, x._2)).distinct
+    val outAdj = e.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2) }
+    val inAdj = e.groupBy(_._2).map { case (d, xs) => d -> xs.map(_._1) }
+    def rescale(m: Map[Long, Long]): Map[Long, Long] = {
+      val mx = if (m.isEmpty) 0L else m.values.max
+      val shift =
+        math.max(0, 64 - java.lang.Long.numberOfLeadingZeros(mx) - bits)
+      m.map { case (k, v) => k -> (v >> shift) }
+    }
+    var hub = nodes.map(_ -> (1L << (bits - 1))).toMap
+    var auth = Map.empty[Long, Long]
+    for (_ <- 1 to iters) {
+      auth = rescale(nodes.map(v =>
+        v -> inAdj.getOrElse(v, Nil).map(hub).sum).toMap)
+      hub = rescale(nodes.map(v =>
+        v -> outAdj.getOrElse(v, Nil).map(auth).sum).toMap)
+    }
+    nodes.map(n => (n, hub(n), auth(n)))
+  }
+
   /** q115: per-component canonical-digest twin — the q88 sparsification
     * rule, a sequential min-id union-find, the q110 WL recurrence over
     * the sparse undirected simple graph, and the digest as the Spark

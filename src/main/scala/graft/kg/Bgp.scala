@@ -143,6 +143,69 @@ object Bgp {
     dfs.reduce(_ unionAll _).distinct()
   }
 
+  /**
+   * SPARQL negation — `FILTER NOT EXISTS` / `MINUS`: the required
+   * conjunction matches as [[matchBgp]]; each NEGATIVE group then
+   * REMOVES every binding for which the group matches under the shared
+   * variables (one anti-join per group — the relational lowering both
+   * SPARQL forms share when the groups are connected). Each negative
+   * group must share >= 1 variable with the required bindings: for a
+   * disjoint group SPARQL's two forms diverge into their most
+   * surprising behaviors (MINUS keeps everything, NOT EXISTS drops
+   * everything whenever the group matches at all), so the ambiguous
+   * shape is rejected loudly rather than silently picking one.
+   *
+   * Physical shape: the required side plans as usual; each negative
+   * group plans independently (its own pushed-down scans) and probes as
+   * a LEFT ANTI join on the shared variables — Catalyst broadcasts the
+   * negative side when it is selective, exactly what you want: negation
+   * against a small exclusion pattern never reshuffles the main
+   * bindings.
+   */
+  def matchBgpMinus(triples: DataFrame, patterns: Seq[Pattern],
+                    negatives: Seq[Seq[Pattern]]): DataFrame = {
+    require(negatives.nonEmpty, "need at least one negative group")
+    val (req, reqVars) = joinRequired(triples, patterns)
+    require(reqVars.nonEmpty, "BGP binds no variables (all patterns constant)")
+    val base = req.select(reqVars.toSeq.sorted.map(col): _*).distinct()
+    negatives.foldLeft(base) { (acc, group) =>
+      val (neg, negVars) = joinRequired(triples, group)
+      val shared = (reqVars intersect negVars).toSeq.sorted
+      require(shared.nonEmpty,
+        s"negative group $group shares no variable with the required " +
+          "patterns (MINUS and NOT EXISTS diverge on disjoint groups; " +
+          "bind a shared variable)")
+      acc.join(neg.select(shared.map(col): _*).distinct(),
+        shared, "left_anti")
+    }.select(reqVars.toSeq.sorted.map(col): _*) // using-join moved keys first
+  }
+
+  /**
+   * SPARQL solution modifiers — `ORDER BY ?v [DESC] LIMIT k` over the
+   * BGP's DISTINCT bindings. The ordering key is TOTAL: (?v, then every
+   * other variable ascending), so the k-row result is unique — a LIMIT
+   * after a partial order returns an engine-dependent row set, which is
+   * never acceptable when results feed a diffable artifact or an oracle.
+   *
+   * Physical shape: Spark lowers sort+limit to TakeOrderedAndProject —
+   * each partition keeps a k-row heap and the driver merges heaps; no
+   * global sort ever materializes (the same discipline as the BPE
+   * trainer's argmax). k is bounded loudly: a million-row "top-k" is a
+   * sort in disguise.
+   */
+  def matchBgpTopK(triples: DataFrame, patterns: Seq[Pattern],
+                   orderVar: String, k: Int,
+                   descending: Boolean = false): DataFrame = {
+    require(k >= 1 && k <= 100000,
+      s"k = $k out of [1, 100000] — a huge top-k is a global sort in " +
+        "disguise; materialize and sort deliberately instead")
+    val b = matchBgp(triples, patterns)
+    require(b.columns.contains(orderVar), s"order variable ?$orderVar is unbound")
+    val head = if (descending) col(orderVar).desc else col(orderVar).asc
+    val tieBreak = b.columns.toSeq.filter(_ != orderVar).sorted.map(col(_).asc)
+    b.orderBy(head +: tieBreak: _*).limit(k)
+  }
+
   /** One element of a SPARQL property path: predicate `p` traversed once
     * (`plus = false`) or one-or-more times (`plus = true`, SPARQL `p+`). */
   final case class Step(p: String, plus: Boolean = false)

@@ -1031,6 +1031,71 @@ object Graphs {
   }
 
   /**
+   * HITS hubs & authorities (Kleinberg 1999) in this engine's
+   * ALL-INTEGER fixed-point discipline — the second classic
+   * link-analysis pair next to [[PageRank]], and the entity-salience
+   * signal that separates "pages that point at good entities" (hubs)
+   * from "entities good pages point at" (authorities):
+   *
+   *   a'(v) = Σ_{u→v} h(u)      h'(v) = Σ_{v→w} a'(w)
+   *
+   * with per-half-round RENORMALIZATION BY BITSHIFT instead of the
+   * textbook L2 norm: after each sum, scores shift right so the maximum
+   * fits in `bits` bits (shift = bitlength(max) - bits, never negative).
+   * Shifting preserves order exactly (near-ties may merge — documented
+   * truncation, not noise), keeps every value a plain Long (sums stay
+   * exact; Spark's ANSI mode would fail LOUDLY on overflow rather than
+   * wrap, and with scores < 2^bits a sum needs indegree > 2^(63-bits)
+   * to overflow — 2^43 at the default 20 bits, beyond any real hub),
+   * and — unlike float division — is bit-reproducible at any
+   * partitioning and in the sequential twin. The shift amount derives
+   * from a per-round max aggregate (driver-sized work, the same
+   * convention as [[coreness]]' level detection).
+   *
+   * Shape per round: two keyed equi-joins (each side pulls the opposite
+   * scores along edges) + two partial-aggregated sums; the rank tables
+   * are localCheckpointed so round n never replays rounds 1..n-1. Nodes
+   * without in-edges hold authority 0, without out-edges hub 0 — the
+   * honest fixed-point values.
+   *
+   * @return (id, hub, authority) after `iters` rounds
+   */
+  def hits(edgesIn: DataFrame, iters: Int = 5, bits: Int = 20): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(bits >= 4 && bits <= 40, "bits must be in [4, 40]")
+    val e = edgesIn.select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    def rescale(scored: DataFrame, c: String): DataFrame = {
+      val mxRow = scored.agg(max(col(c))).head()
+      val mx = if (mxRow.isNullAt(0)) 0L else mxRow.getLong(0)
+      val shift = math.max(0, 64 - java.lang.Long.numberOfLeadingZeros(mx) - bits)
+      scored.select(col("id"), shiftright(col(c), shift).as(c))
+    }
+    var hub = nodes.withColumn("h", lit(1L << (bits - 1)))
+      .localCheckpoint(true)
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      val aSum = e.join(hub.select(col("id").as("src"), col("h")), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(sum(col("h")).as("a"))
+      auth = rescale(
+        nodes.join(aSum, Seq("id"), "left")
+          .select(col("id"), coalesce(col("a"), lit(0L)).as("a")), "a")
+        .localCheckpoint(true)
+      val hSum = e.join(auth.select(col("id").as("dst"), col("a")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(sum(col("a")).as("h"))
+      hub = rescale(
+        nodes.join(hSum, Seq("id"), "left")
+          .select(col("id"), coalesce(col("h"), lit(0L)).as("h")), "h")
+        .localCheckpoint(true)
+    }
+    hub.join(auth, Seq("id"))
+      .select(col("id"), col("h").as("hub"), col("a").as("authority"))
+  }
+
+  /**
    * Canonical STRUCTURAL DIGEST per connected component — the
    * KG-versioning / subgraph-dedup primitive: two components receive
    * the same digest whenever [[wlColors]] cannot distinguish them

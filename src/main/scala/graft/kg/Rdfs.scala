@@ -124,4 +124,100 @@ object Rdfs {
     allProps.unionAll(domTypes).unionAll(rngTypes).unionAll(inferredSc)
       .select(col("subj"), col("pred"), col("obj")).distinct()
   }
+
+  /**
+   * OWL-lite PROPERTY-RULE materialization — the owl:inverseOf /
+   * owl:SymmetricProperty / owl:TransitiveProperty fragment, the three
+   * property axioms a web-extracted KG actually ships (hasPart/partOf,
+   * spouseOf, locatedIn):
+   *
+   *   inv: (s, p, o) ∧ inverseOf(p, q)       ⇒ (o, q, s)
+   *   sym: (s, p, o) ∧ symmetric(p)           ⇒ (o, p, s)
+   *   trn: (s, p, o) ∧ (o, p, w) ∧ trans(p)   ⇒ (s, p, w)
+   *
+   * symmetric(p) is exactly inverseOf(p, p), so both collapse into one
+   * MAPPING alphabet {(src, dst, flip)} that is driver-closed to
+   * fixpoint under composition — (p, q, f1) ∘ (q, r, f2) = (p, r,
+   * f1 xor f2) — the same schema-on-the-driver discipline as
+   * [[materialize]] (an ontology is KB-sized by definition; the bound
+   * is LOUD). Instance derivation is then STRATIFIED, no joint
+   * fixpoint:
+   *
+   *   1. ONE broadcast mapping pass over the triples,
+   *   2. [[Graphs.transitiveClosure]] per transitive predicate on its
+   *      AUGMENTED slice (semi-naive delta joins; the operator's
+   *      hierarchy-slice contract applies — closing a dense relational
+   *      predicate is a modeling error this engine surfaces),
+   *   3. ONE more mapping pass over the closure output.
+   *
+   * Step 3 suffices because closure and inversion COMMUTE: if p maps to
+   * q, then q's closure is exactly p's closure flipped, and p's step-2
+   * input already contained every flipped q edge from step 1 — so no
+   * derivation chain needs a second closure round (RdfsSpec proves this
+   * against a naive run-all-rules-to-fixpoint twin). Result is the
+   * DISTINCT union with the originals; closure inherits irreflexivity
+   * (an original self-loop survives via the base union, but no rule
+   * re-derives one).
+   *
+   * @param triples    rows with (subj, pred, obj); extra columns dropped
+   * @param inverseOf  predicate pairs (p, q) — each implies the other
+   * @param symmetric  predicates equal to their own inverse
+   * @param transitive predicates to close (hierarchy-shaped slices only)
+   * @param maxAxioms  loud bound on the derived mapping alphabet
+   * @return DISTINCT (subj, pred, obj) — originals plus every entailment
+   */
+  def materializeOwl(triples: DataFrame, inverseOf: Seq[(String, String)],
+                     symmetric: Seq[String], transitive: Seq[String],
+                     maxAxioms: Long = 100000L): DataFrame = {
+    val spark = triples.sparkSession
+    import spark.implicits._
+    val base = triples.select(col("subj").cast("long"), col("pred"),
+      col("obj").cast("long")).distinct().localCheckpoint(true)
+
+    // driver-closed mapping alphabet: (src, dst, flip)
+    val seeds: Set[(String, String, Boolean)] =
+      inverseOf.flatMap { case (p, q) => Seq((p, q, true), (q, p, true)) }.toSet ++
+        symmetric.map(p => (p, p, true)).toSet
+    var mappings = seeds
+    require(mappings.size <= maxAxioms,
+      s"mapping alphabet exceeds $maxAxioms seed axioms — not a " +
+        "driver-sized ontology; raise maxAxioms deliberately if intended")
+    var grew = true
+    while (grew) {
+      val composed = for {
+        (a, b, f1) <- mappings
+        (b2, c, f2) <- mappings if b2 == b
+        m = (a, c, f1 ^ f2) if m._1 != m._2 || m._3 // drop identities
+      } yield m
+      val next = mappings ++ composed
+      require(next.size <= maxAxioms,
+        s"derived mapping alphabet exceeds $maxAxioms — not a driver-sized " +
+          "ontology; raise maxAxioms deliberately if that is intended")
+      grew = next.size > mappings.size
+      mappings = next
+    }
+
+    def mapPass(t: DataFrame): DataFrame =
+      if (mappings.isEmpty) t.limit(0)
+      else {
+        val mapDf = broadcast(
+          mappings.toSeq.toDF("src_pred", "dst_pred", "flip"))
+        t.join(mapDf, col("pred") === col("src_pred"))
+          .select(
+            when(col("flip"), col("obj")).otherwise(col("subj")).as("subj"),
+            col("dst_pred").as("pred"),
+            when(col("flip"), col("subj")).otherwise(col("obj")).as("obj"))
+      }
+
+    val augmented = base.unionAll(mapPass(base)).distinct().localCheckpoint(true)
+    val closed = transitive.foldLeft(augmented) { (acc, p) =>
+      val slice = augmented.filter(col("pred") === lit(p))
+        .select(col("subj").as("src"), col("obj").as("dst"))
+      acc.unionAll(Graphs.transitiveClosure(slice)
+        .select(col("src").as("subj"), lit(p).as("pred"),
+          col("dst").as("obj")))
+    }
+    closed.unionAll(mapPass(closed))
+      .select(col("subj"), col("pred"), col("obj")).distinct()
+  }
 }

@@ -144,6 +144,46 @@ object Triples {
   }
 
   /**
+   * KG SNAPSHOT DIFF — the release-engineering primitive of a
+   * continuously rebuilt KG: given two mention-level triple bags (last
+   * week's build and this week's), report every fact whose SUPPORT
+   * changed — added (no prior support), removed (support vanished), or
+   * changed (both sides attest it, with different mention/url counts).
+   * Facts with identical support on both sides — the overwhelming
+   * majority between adjacent builds — are filtered out after the join
+   * and never materialize downstream.
+   *
+   * Shape at 10^12 triples: each side collapses to its per-fact support
+   * profile with ONE partial-aggregated groupBy on (subj, pred, obj) —
+   * the triple table's natural key, so a bucketed/pre-partitioned fact
+   * store joins shuffle-free — then one keyed full-outer join aligns the
+   * two profiles. Nothing is ever broadcast (both sides are corpus-
+   * sized) and nothing self-joins.
+   *
+   * @return (subj, pred, obj, n_a, n_urls_a, n_b, n_urls_b, status) with
+   *         status in 'added' (n_a = 0), 'removed' (n_b = 0), 'changed';
+   *         absent sides report 0 counts
+   */
+  def diffSnapshots(a: DataFrame, b: DataFrame): DataFrame = {
+    def profile(t: DataFrame, nCol: String, uCol: String): DataFrame = t
+      .groupBy(col("subj"), col("pred"), col("obj"))
+      .agg(count(lit(1)).as(nCol), countDistinct(col("url")).as(uCol))
+    val pa = profile(a, "n_a", "n_urls_a")
+    val pb = profile(b, "n_b", "n_urls_b")
+    pa.join(pb, Seq("subj", "pred", "obj"), "full_outer")
+      .select(col("subj"), col("pred"), col("obj"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_urls_a"), lit(0L)).as("n_urls_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("n_urls_b"), lit(0L)).as("n_urls_b"))
+      .filter(col("n_a") =!= col("n_b") || col("n_urls_a") =!= col("n_urls_b"))
+      .withColumn("status",
+        when(col("n_a") === 0L, lit("added"))
+          .when(col("n_b") === 0L, lit("removed"))
+          .otherwise(lit("changed")))
+  }
+
+  /**
    * AMIE-style path-rule mining: for every predicate triple (p1, p2, p3)
    * measure how well the 2-hop composition rule
    * `p1(x, z) ∧ p2(z, y) ⇒ p3(x, y)` holds in the KG — the standard

@@ -230,6 +230,56 @@ class BgpSpec extends SparkSpec {
       (10L, "has", 7L), (11L, "has", 7L)))
   }
 
+  test("matchBgpMinus: each negative group anti-joins on its shared variables") {
+    // required: ?x likes ?z -> {(1,2),(1,3),(4,2)}
+    // minus { ?z in ?y }: z=2 and z=3 both have 'in' rows -> all dropped?
+    // no — use 'self' as the negative: only z=2 has a self row
+    val got = Bgp.matchBgpMinus(triplesDf,
+      Seq(Pattern(V("x"), "likes", V("z"))),
+      Seq(Seq(Pattern(V("z"), "self", V("w")))))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (2, self, 2) matches z=2 -> (1,2) and (4,2) removed; (1,3) survives
+    assert(got === Set((1L, 3L)))
+  }
+
+  test("matchBgpMinus: two negative groups compose; disjoint groups rejected") {
+    // remove z with a self row AND x with an 'in' row (x=1..4: none have
+    // 'in' as subject except 2,3 — not bound as x here, so no-op group)
+    val got = Bgp.matchBgpMinus(triplesDf,
+      Seq(Pattern(V("x"), "likes", V("z"))),
+      Seq(Seq(Pattern(V("z"), "self", V("w"))),
+        Seq(Pattern(V("x"), "in", V("y")))))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 3L)))
+    intercept[IllegalArgumentException] {
+      Bgp.matchBgpMinus(triplesDf,
+        Seq(Pattern(V("x"), "likes", V("z"))),
+        Seq(Seq(Pattern(V("a"), "in", V("b"))))) // no shared variable
+    }
+  }
+
+  test("matchBgpTopK: total order makes the k-row set unique; bounds enforced") {
+    // bindings of ?x likes ?z: {(1,2),(1,3),(4,2)}; order by z desc with
+    // x as the tie-break -> (1,3), (1,2), (4,2)
+    val got = Bgp.matchBgpTopK(triplesDf,
+      Seq(Pattern(V("x"), "likes", V("z"))),
+      orderVar = "z", k = 2, descending = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((1L, 3L), (1L, 2L)))
+    val asc = Bgp.matchBgpTopK(triplesDf,
+      Seq(Pattern(V("x"), "likes", V("z"))), orderVar = "z", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(asc === Seq((1L, 2L), (4L, 2L), (1L, 3L))) // x breaks the z tie
+    intercept[IllegalArgumentException] {
+      Bgp.matchBgpTopK(triplesDf,
+        Seq(Pattern(V("x"), "likes", V("z"))), orderVar = "nope", k = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Bgp.matchBgpTopK(triplesDf,
+        Seq(Pattern(V("x"), "likes", V("z"))), orderVar = "z", k = 0)
+    }
+  }
+
   test("construct rejects unbound template variables and empty templates") {
     intercept[IllegalArgumentException] {
       Bgp.construct(triplesDf, Seq(Pattern(V("x"), "likes", V("z"))),

@@ -628,6 +628,54 @@ class GraphsSpec extends SparkSpec {
     assert(got((0L, 1L)) >= got((0L, 0L)) && got((0L, 2L)) >= got((0L, 1L)))
   }
 
+  // ---- HITS ----
+
+  /** sequential replay of the integer HITS recurrence */
+  private def seqHits(edges: Seq[(Long, Long)], iters: Int,
+                      bits: Int = 20): Map[Long, (Long, Long)] = {
+    val e = edges.filter(x => x._1 != x._2).distinct
+    val nodes = e.flatMap(x => Seq(x._1, x._2)).distinct
+    val outAdj = e.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2) }
+    val inAdj = e.groupBy(_._2).map { case (d, xs) => d -> xs.map(_._1) }
+    def rescale(m: Map[Long, Long]): Map[Long, Long] = {
+      val mx = if (m.isEmpty) 0L else m.values.max
+      val sh = math.max(0, 64 - java.lang.Long.numberOfLeadingZeros(mx) - bits)
+      m.map { case (k, v) => k -> (v >> sh) }
+    }
+    var hub = nodes.map(_ -> (1L << (bits - 1))).toMap
+    var auth = Map.empty[Long, Long]
+    for (_ <- 1 to iters) {
+      auth = rescale(nodes.map(v =>
+        v -> inAdj.getOrElse(v, Nil).map(hub).sum).toMap)
+      hub = rescale(nodes.map(v =>
+        v -> outAdj.getOrElse(v, Nil).map(auth).sum).toMap)
+    }
+    nodes.map(n => n -> (hub(n), auth(n))).toMap
+  }
+
+  test("hits: a directory page is the hub, the cited entity the authority") {
+    // 1,2,3 all point at 9 and 10; 1 also points at 11 (the best hub)
+    val es = Seq((1L, 9L), (1L, 10L), (1L, 11L), (2L, 9L), (2L, 10L),
+      (3L, 9L), (3L, 10L))
+    val got = Graphs.hits(edgesDf(es, 3), iters = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === seqHits(es, 5))
+    // structure: node 1 is the strictly best hub; 9 and 10 tie as the
+    // best authorities and strictly beat 11; pure authorities hub 0
+    assert(got(1L)._1 > got(2L)._1 && got(2L)._1 === got(3L)._1)
+    assert(got(9L)._2 === got(10L)._2 && got(9L)._2 > got(11L)._2)
+    assert(got(9L)._1 === 0L && got(9L)._2 > 0L)
+  }
+
+  test("hits: twin equality on the skewed graph at several partitionings") {
+    val want = seqHits(graph, 5)
+    for (parts <- Seq(1, 4, 9)) {
+      val got = Graphs.hits(edgesDf(graph, parts), iters = 5)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got === want)
+    }
+  }
+
   // ---- per-component canonical digest ----
 
   test("graphDigest: isomorphic components share a digest, others differ") {

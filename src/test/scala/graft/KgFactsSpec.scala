@@ -151,6 +151,41 @@ class KgFactsSpec extends SparkSpec {
     assert(!graft.kg.Graphs.lastDropReport.contains("rule_mining"))
   }
 
+  test("diffSnapshots: added/removed/changed, unchanged facts never emitted") {
+    import spark.implicits._
+    def t(rows: (Long, String, Long, String)*) =
+      rows.toDF("subj", "pred", "obj", "url").repartition(3)
+    val a = t(
+      (1L, "p", 10L, "u1"), (1L, "p", 10L, "u2"), // changed: 2 mentions -> 1
+      (2L, "p", 20L, "u1"),                       // removed
+      (3L, "p", 30L, "u1"), (3L, "p", 30L, "u1")) // unchanged (2 mentions, 1 url)
+    val b = t(
+      (1L, "p", 10L, "u1"),
+      (4L, "p", 40L, "u9"),                       // added
+      (3L, "p", 30L, "u1"), (3L, "p", 30L, "u1"))
+    val got = Triples.diffSnapshots(a, b).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getString(7))).toSet
+    assert(got === Set(
+      (1L, 2L, 2L, 1L, 1L, "changed"),
+      (2L, 1L, 1L, 0L, 0L, "removed"),
+      (4L, 0L, 0L, 1L, 1L, "added")))
+  }
+
+  test("diffSnapshots: a snapshot diffed against itself is empty; url-only change reported") {
+    import spark.implicits._
+    val tr = rawTriples(300)
+    assert(Triples.diffSnapshots(tr, tr).count() === 0L)
+    // same mention count, different distinct-url profile
+    def t(rows: (Long, String, Long, String)*) =
+      rows.toDF("subj", "pred", "obj", "url")
+    val a = t((1L, "p", 10L, "u1"), (1L, "p", 10L, "u1"))
+    val b = t((1L, "p", 10L, "u1"), (1L, "p", 10L, "u2"))
+    val got = Triples.diffSnapshots(a, b).collect()
+      .map(r => (r.getLong(4), r.getLong(6), r.getString(7))).toSeq
+    assert(got === Seq((1L, 2L, "changed")))
+  }
+
   test("fuseConflicts: matches a brute-force vote on the pseudo-random table") {
     import spark.implicits._
     val tr = rawTriples(500)

@@ -386,4 +386,26 @@ class PlanSpec extends SparkSpec {
     assert(!con.contains("CartesianProduct") &&
       !con.contains("BroadcastNestedLoopJoin"), con.take(2500))
   }
+
+  test("q117/q121: snapshot diff keeps partial aggs + one keyed full-outer; top-k is TakeOrdered") {
+    import org.apache.spark.sql.functions._
+    import graft.kg.Bgp._
+    val tr = spark.read.parquet("golden/sf0.001/q47_triples.parquet")
+
+    // diffSnapshots: both sides partial-aggregate before their exchange;
+    // the alignment is ONE keyed full-outer (never broadcast — both
+    // sides are corpus-sized — and never a nested loop)
+    val diff = plan(graft.kg.Triples.diffSnapshots(
+      tr.filter(col("sentIdx") % 2 === 0), tr.filter(col("sentIdx") % 2 === 1)))
+    assert(diff.contains("partial_count"), diff.take(2500))
+    assert(diff.contains("FullOuter"), diff.take(2500))
+    assert(!diff.contains("CartesianProduct") &&
+      !diff.contains("BroadcastNestedLoopJoin"), diff.take(2500))
+
+    // top-k bindings: per-partition heaps + driver merge, no global Sort
+    val topk = plan(matchBgpTopK(tr, Seq(
+        Pattern(V("x"), "merge", V("z")), Pattern(V("z"), "order", V("y"))),
+      orderVar = "y", k = 10, descending = true))
+    assert(topk.contains("TakeOrderedAndProject"), topk.take(2500))
+  }
 }
