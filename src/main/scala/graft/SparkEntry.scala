@@ -919,6 +919,14 @@ object SparkEntry {
         Seq(Pattern(V("x"), "merge", V("z")),
           Pattern(V("z"), "order", V("y"))),
         orderVar = "y", k = 10, descending = true)
+    }),
+    // hop-bounded closeness centrality (H = 3) from the KMV neighborhood
+    // function — exact below saturation; oracle = DuckDB recursive-CTE
+    // min-distances summed per source
+    "q122_closeness" -> ((s, dir) => {
+      val tr = Pipeline.triples(s, dir).toDF()
+      graft.kg.Graphs.closeness(
+        tr.select(col("subj").as("src"), col("obj").as("dst")), maxHops = 3)
     })
   )
 
@@ -1185,6 +1193,20 @@ object SparkEntry {
             FROM t t1 JOIN t t2 ON t1.obj = t2.subj
             WHERE t1.pred = 'merge' AND t2.pred = 'order')
       SELECT x, y, z FROM b ORDER BY y DESC, x ASC, z ASC LIMIT 10""",
+    "q122_closeness" -> s"""
+      WITH RECURSIVE
+      t AS (SELECT subj, pred, obj
+            FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'),
+      e AS (SELECT DISTINCT subj AS src, obj AS dst FROM t WHERE subj <> obj),
+      nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+      reach(id, dst, d) AS (
+        SELECT id, id, 0 FROM nodes
+        UNION
+        SELECT r.id, e.dst, r.d + 1 FROM reach r JOIN e ON r.dst = e.src
+        WHERE r.d < 3),
+      md AS (SELECT id, dst, min(d) AS d FROM reach GROUP BY 1, 2)
+      SELECT id, count(*) AS n_reach, CAST(sum(d) AS BIGINT) AS dist_sum
+      FROM md GROUP BY 1""",
     "q119_bgp_minus" -> s"""
       WITH t AS (SELECT subj, pred, obj
                  FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet')

@@ -628,6 +628,25 @@ class GraphsSpec extends SparkSpec {
     assert(got((0L, 1L)) >= got((0L, 0L)) && got((0L, 2L)) >= got((0L, 1L)))
   }
 
+  test("closeness: dist sums match BFS min-distances on hand + skewed graphs") {
+    // path 1->2->3->4 with shortcut 1->3: from 1, dists {2:1, 3:1, 4:2}
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L))
+    val got = Graphs.closeness(edgesDf(es, 3), maxHops = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) === (4L, 4L)) // self + 3 reached, 1+1+2
+    assert(got(4L) === (1L, 0L)) // sink: only itself
+    // skewed graph: derive expectation from the BFS reach twin
+    val reach = seqReach(graph, 3)
+    val want = reach.keys.map(_._1).toSeq.distinct.map { v =>
+      val dsum = (1 to 3).map(h =>
+        h.toLong * (reach((v, h.toLong)) - reach((v, h.toLong - 1)))).sum
+      v -> ((reach((v, 3L)), dsum))
+    }.toMap
+    val gotBig = Graphs.closeness(edgesDf(graph, 7), maxHops = 3, k = 4096)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(gotBig === want)
+  }
+
   // ---- HITS ----
 
   /** sequential replay of the integer HITS recurrence */
