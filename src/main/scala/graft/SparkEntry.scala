@@ -927,8 +927,61 @@ object SparkEntry {
       val tr = Pipeline.triples(s, dir).toDF()
       graft.kg.Graphs.closeness(
         tr.select(col("subj").as("src"), col("obj").as("dst")), maxHops = 3)
-    })
+    }),
+    // strongly connected components of the DIRECTED entity graph on the
+    // sparse preds (merge/scan/stream) — the ontology/alias cycle
+    // detector; scc = min mutual-reachable id, so the oracle is DuckDB's
+    // recursive-CTE closure intersected with its transpose
+    "q123_scc" -> ((s, dir) => {
+      val tr = Pipeline.triples(s, dir).toDF()
+      graft.kg.Graphs.scc(
+        tr.filter(col("pred").isin("merge", "scan", "stream"))
+          .select(col("subj").as("src"), col("obj").as("dst")))
+    }),
+    // link-prediction candidates: non-adjacent pairs at distance 2 with
+    // exact integer features (cn, degrees, union) — every classical
+    // predictor (Jaccard/AA/PA) derives downstream; pairs generate only
+    // through shared neighbors, never all-pairs
+    "q124_link_pred" -> ((s, dir) => {
+      val tr = Pipeline.triples(s, dir).toDF()
+      graft.kg.Graphs.linkPrediction(
+        tr.filter(col("pred").isin("sort", "hash", "join"))
+          .select(col("subj").as("src"), col("obj").as("dst")))
+    }),
+    // SPARQL VALUES + GROUP_CONCAT: ?x merge ?z . ?z order ?y with an
+    // inline VALUES ?x block (literal entity ids — canonical ids are
+    // content-derived, stable across sf) and a deterministic ORDER BY
+    // inside the concat; VALUES lowers to an IN pushed into the scans
+    "q125_bgp_values_concat" -> ((s, dir) => {
+      import graft.kg.Bgp._
+      matchBgpGroupConcat(Pipeline.triples(s, dir).toDF(),
+        Seq(Pattern(V("x"), "merge", V("z")),
+          Pattern(V("z"), "order", V("y"))),
+        groupVars = Seq("x"), concatVar = "y",
+        values = Map("x" -> SparqlValuesIds))
+    }),
+    // fact validity intervals: recrawl observations of (user, event_type)
+    // sessionized by a 1-day max gap — gaps-and-islands with ONE window
+    // per key + ONE partial agg, all-integer microsecond arithmetic
+    "q126_fact_intervals" -> ((s, dir) =>
+      graft.kg.Temporal.coalesceIntervals(
+        s.read.parquet(t(dir, "events")),
+        keys = Seq("user_id", "event_type"), tsCol = "ts",
+        maxGapMicros = 86400000000L)),
+    // schema-level summary: predicate pairs co-occurring on a subject
+    // with exact subject counts — fan-out bounded by the pred alphabet
+    "q127_pred_cooccur" -> ((s, dir) =>
+      graft.kg.Triples.predicateCooccurrence(
+        Pipeline.triples(s, dir).toDF()))
   )
+
+  /** Literal VALUES block for q125 — canonical entity ids are
+    * content-hash-derived and identical at every sf (verified across
+    * sf0.001/0.01/0.1), so the inline list is portable like a SPARQL
+    * query's IRIs. */
+  private val SparqlValuesIds: Seq[Long] = Seq(
+    43742838867161564L, 68161420763871704L, 179267666149446318L,
+    237728371366780273L, 530696702214124699L, 581772127397857594L)
 
   /** Golden-fixture oracle: DuckDB reads the committed parquet written by
     * graft.golden.GoldenGen (the sequential twin — NaiveKernel dense math,
@@ -1207,6 +1260,72 @@ object SparkEntry {
       md AS (SELECT id, dst, min(d) AS d FROM reach GROUP BY 1, 2)
       SELECT id, count(*) AS n_reach, CAST(sum(d) AS BIGINT) AS dist_sum
       FROM md GROUP BY 1""",
+    "q123_scc" -> s"""
+      WITH RECURSIVE
+      t AS (SELECT subj, pred, obj
+            FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'),
+      e AS (SELECT DISTINCT subj AS src, obj AS dst FROM t
+            WHERE pred IN ('merge', 'scan', 'stream') AND subj <> obj),
+      nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e
+                UNION SELECT subj FROM t
+                WHERE pred IN ('merge', 'scan', 'stream') AND subj = obj),
+      reach(s, d) AS (
+        SELECT src, dst FROM e
+        UNION
+        SELECT r.s, e.dst FROM reach r JOIN e ON r.d = e.src),
+      m AS (SELECT s, d FROM reach UNION SELECT id, id FROM nodes)
+      SELECT a.s AS id, min(a.d) AS scc
+      FROM m a JOIN m b ON a.s = b.d AND a.d = b.s GROUP BY 1""",
+    "q124_link_pred" -> s"""
+      WITH t AS (SELECT subj, pred, obj
+                 FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'),
+      e AS (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+            FROM t WHERE pred IN ('sort', 'hash', 'join') AND subj <> obj),
+      nb AS (SELECT a AS node, b AS w FROM e
+             UNION ALL SELECT b, a FROM e),
+      deg AS (SELECT node, count(*) AS d FROM nb GROUP BY 1),
+      cn AS (SELECT l.node AS a, r.node AS b, count(*) AS cn
+             FROM nb l JOIN nb r ON l.w = r.w AND l.node < r.node
+             GROUP BY 1, 2),
+      cand AS (SELECT * FROM cn c WHERE NOT EXISTS
+               (SELECT 1 FROM e WHERE e.a = c.a AND e.b = c.b))
+      SELECT c.a, c.b, c.cn, da.d AS deg_a, db.d AS deg_b,
+             da.d + db.d - c.cn AS union_size
+      FROM cand c JOIN deg da ON c.a = da.node JOIN deg db ON c.b = db.node""",
+    "q125_bgp_values_concat" -> s"""
+      WITH t AS (SELECT subj, pred, obj
+                 FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'),
+      p1 AS (SELECT DISTINCT subj AS x, obj AS z FROM t WHERE pred = 'merge'),
+      p2 AS (SELECT DISTINCT subj AS z, obj AS y FROM t WHERE pred = 'order'),
+      b AS (SELECT DISTINCT x, z, y FROM p1 JOIN p2 USING (z)
+            WHERE x IN (43742838867161564, 68161420763871704,
+                        179267666149446318, 237728371366780273,
+                        530696702214124699, 581772127397857594))
+      SELECT x, count(*) AS n_bindings,
+             string_agg(CAST(y AS VARCHAR), ',' ORDER BY y) AS group_concat
+      FROM b GROUP BY 1""",
+    "q126_fact_intervals" -> """
+      WITH o AS (SELECT DISTINCT user_id, event_type, epoch_us(ts) AS us
+                 FROM events),
+      g AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                             OR us - lag(us) OVER w > 86400000000
+                           THEN 1 ELSE 0 END AS gap
+            FROM o WINDOW w AS (PARTITION BY user_id, event_type ORDER BY us)),
+      i AS (SELECT *, sum(gap) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY us ROWS UNBOUNDED PRECEDING)
+                        AS island FROM g)
+      SELECT user_id, event_type,
+             make_timestamp(min(us)) AS valid_from,
+             make_timestamp(max(us)) AS valid_to,
+             count(*) AS n_obs
+      FROM i GROUP BY user_id, event_type, island""",
+    "q127_pred_cooccur" -> s"""
+      WITH t AS (SELECT subj, pred
+                 FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'),
+      sp AS (SELECT DISTINCT subj, pred FROM t)
+      SELECT l.pred AS p1, r.pred AS p2, count(*) AS n_subjects
+      FROM sp l JOIN sp r ON l.subj = r.subj AND l.pred < r.pred
+      GROUP BY 1, 2""",
     "q119_bgp_minus" -> s"""
       WITH t AS (SELECT subj, pred, obj
                  FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet')

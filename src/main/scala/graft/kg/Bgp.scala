@@ -305,6 +305,65 @@ object Bgp {
     }.reduce(_ unionAll _).distinct()
   }
 
+  /**
+   * SPARQL `VALUES` inline-data block over one variable:
+   * `SELECT ... WHERE { ... VALUES ?x { <id1> <id2> ... } }` — the
+   * parameterized-query workhorse (score THESE entities, expand THIS
+   * watchlist). Lowered to an `IN` predicate on the binding relation,
+   * which Catalyst pushes through the BGP's joins INTO the pattern
+   * scans — the inline table never materializes, never joins, and the
+   * constrained variable's selectivity prunes every upstream pattern
+   * (the plan a hand-written broadcast join of a literal table only
+   * approaches). Multi-row single-variable VALUES is the SPARQL-common
+   * case; a multi-variable block is a broadcast join by construction
+   * and composes from this + [[matchBgpWhere]].
+   */
+  def matchBgpValues(triples: DataFrame, patterns: Seq[Pattern],
+                     valuesVar: String, values: Seq[Long]): DataFrame = {
+    require(values.nonEmpty, "VALUES block must be non-empty")
+    val b = matchBgp(triples, patterns)
+    require(b.columns.contains(valuesVar), s"VALUES variable ?$valuesVar is unbound")
+    b.filter(col(valuesVar).isin(values: _*))
+  }
+
+  /**
+   * SPARQL `GROUP_CONCAT(?v ORDER BY ?v; separator=sep)` per group —
+   * the label/alias-list assembler of KG export queries. SPARQL leaves
+   * unordered GROUP_CONCAT implementation-defined; this one mandates the
+   * ORDER BY so the output is a pure function of the group's binding SET
+   * (numeric sort on the long ids BEFORE stringification — "2" < "10" —
+   * then one join) and therefore bit-identical at any partitioning and
+   * engine-comparable (DuckDB: `string_agg(CAST(v AS VARCHAR), sep ORDER
+   * BY v)`). Duplicate ?v across different residual bindings concatenate
+   * per SPARQL solution semantics.
+   *
+   * Shape: the BGP's distinct bindings, then ONE groupBy whose
+   * collect_list state is bounded by group fan-out — the inherent cost
+   * of an ordered concatenation; counts partial-aggregate map-side.
+   */
+  def matchBgpGroupConcat(triples: DataFrame, patterns: Seq[Pattern],
+                          groupVars: Seq[String], concatVar: String,
+                          sep: String = ",",
+                          values: Map[String, Seq[Long]] = Map.empty)
+      : DataFrame = {
+    require(groupVars.nonEmpty, "need at least one grouping variable")
+    val b0 = matchBgp(triples, patterns)
+    val bound = b0.columns.toSet
+    (groupVars :+ concatVar).foreach { v =>
+      require(bound.contains(v), s"aggregate variable ?$v is unbound") }
+    values.keys.foreach { v =>
+      require(bound.contains(v), s"VALUES variable ?$v is unbound") }
+    // VALUES blocks lower to IN predicates, pushed into the pattern scans
+    val b = values.foldLeft(b0) { case (acc, (v, ids)) =>
+      acc.filter(col(v).isin(ids: _*)) }
+    b.groupBy(groupVars.map(col): _*)
+      .agg(count(lit(1)).as("n_bindings"),
+        array_join(
+          transform(array_sort(collect_list(col(concatVar))),
+            x => x.cast("string")),
+          sep).as("group_concat"))
+  }
+
   private def scan(triples: DataFrame, p: Pattern): (DataFrame, Set[String]) = {
       var df = triples.select(col("subj").cast("long"), col("pred"),
         col("obj").cast("long")).filter(col("pred") === lit(p.p))

@@ -167,6 +167,69 @@ object Graphs {
       .select(col("a"), col("b"), col("common"), col("union_size"))
   }
 
+  /**
+   * Link-prediction candidate scores: for every unordered NON-adjacent
+   * node pair (a < b) at distance exactly 2, the exact integer feature
+   * set every classical link predictor is a function of — common
+   * neighbors `cn`, true degrees `deg_a`/`deg_b`, and the neighbor-union
+   * size (Jaccard = cn/union, Adamic-Adar/preferential-attachment/etc.
+   * derive downstream from the same integers without re-scanning) — the
+   * KG-completion candidate generator ("these two entities share context
+   * but no edge yet").
+   *
+   * Shape mirrors [[mergeCandidates]]: pairs generate ONLY through a
+   * shared neighbor (blocked self-join on the witness node, never
+   * all-pairs), counted by map-side partial agg on 16-byte keys, then
+   * ONE anti-join removes already-linked pairs and two degree joins
+   * attach exact degrees. Degrees come from the UNCAPPED graph, so
+   * capped runs bound only `cn` (documented lower bound), never the
+   * degree features.
+   *
+   * 100 TB skew: a hub intermediary with degree d emits d² candidate
+   * pairs; `maxNeighborDegree` excludes hub witnesses from pair
+   * generation LOUDLY ([[lastDropReport]]("link_prediction") + log, the
+   * [[mergeCandidates]] contract). Celebrities stop minting candidate
+   * pairs — exactly the pairs common-neighbor evidence is weakest for.
+   *
+   * @return (a, b, cn, deg_a, deg_b, union_size) — all exact integers,
+   *         union_size = deg_a + deg_b - cn (a, b non-adjacent)
+   */
+  def linkPrediction(edgesIn: DataFrame, minCommon: Long = 1L,
+                     maxNeighborDegree: Long = Long.MaxValue): DataFrame = {
+    require(minCommon >= 1, "minCommon must be >= 1")
+    val e = undirected(edgesIn).localCheckpoint(true)
+    val nb = e.select(col("a").as("node"), col("b").as("w"))
+      .unionAll(e.select(col("b").as("node"), col("a").as("w")))
+    val deg = nb.groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val capped = if (maxNeighborDegree == Long.MaxValue) nb else {
+      val wdeg = nb.groupBy(col("w")).agg(count(lit(1)).as("wd")).persist()
+      val dropped = wdeg.filter(col("wd") > maxNeighborDegree)
+        .agg(coalesce(count(lit(1)), lit(0L)).as("n"),
+          coalesce(sum(col("wd")), lit(0L)).as("slots")).head()
+      lastDropReport("link_prediction") = (dropped.getLong(0), dropped.getLong(1))
+      if (dropped.getLong(0) > 0)
+        log.warn(s"[link_prediction] excluded ${dropped.getLong(0)} hub " +
+          s"intermediaries covering ${dropped.getLong(1)} neighbor slots " +
+          s"(cap=$maxNeighborDegree); cn counts are lower bounds")
+      val kept = nb
+        .join(wdeg.filter(col("wd") <= maxNeighborDegree).select(col("w")),
+          Seq("w"))
+        .localCheckpoint(true)
+      wdeg.unpersist()
+      kept
+    }
+    capped.select(col("node").as("a"), col("w"))
+      .join(capped.select(col("node").as("b"), col("w")), Seq("w"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cn"))
+      .filter(col("cn") >= minCommon)
+      .join(e, Seq("a", "b"), "left_anti")
+      .join(deg.select(col("node").as("a"), col("d").as("deg_a")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("d").as("deg_b")), Seq("b"))
+      .select(col("a"), col("b"), col("cn"), col("deg_a"), col("deg_b"),
+        (col("deg_a") + col("deg_b") - col("cn")).as("union_size"))
+  }
+
   /** ADAPTIVE small-graph fallback threshold — the [[PageRank]] /
     * [[graft.canon.ConnectedComponents]] convention: below this many
     * edges the hop expansion runs on the driver (2 Spark jobs total
@@ -1164,5 +1227,199 @@ object Graphs {
       .groupBy(col("component"))
       .agg(count(lit(1)).as("n_nodes"),
         xxhash64(sort_array(collect_list(col("color")))).as("digest"))
+  }
+
+  /** Iterative Tarjan (explicit work stack — no recursion, so a 100k-edge
+    * path graph cannot overflow the driver stack; the
+    * [[graft.canon.ConnectedComponents]] lesson). Emits the CANONICAL
+    * component id: the minimum member id, not Tarjan's discovery-order
+    * root — so the labeling is independent of traversal order and matches
+    * the distributed algorithm and the SQL oracle exactly. */
+  private def driverScc(spark: org.apache.spark.sql.SparkSession,
+                        edges: Array[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val index = scala.collection.mutable.HashMap.empty[Long, Int]
+    val low = scala.collection.mutable.HashMap.empty[Long, Int]
+    val onStack = scala.collection.mutable.HashSet.empty[Long]
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val comp = scala.collection.mutable.HashMap.empty[Long, Long]
+    var counter = 0
+    for (root <- nodes if !index.contains(root)) {
+      val work = scala.collection.mutable.ArrayBuffer.empty[(Long, Iterator[Long])]
+      def push(v: Long): Unit = {
+        index(v) = counter; low(v) = counter; counter += 1
+        stack += v; onStack += v
+        work += ((v, adj.getOrElse(v, Array.empty[Long]).iterator))
+      }
+      push(root)
+      while (work.nonEmpty) {
+        val (v, it) = work.last
+        if (it.hasNext) {
+          val w = it.next()
+          if (!index.contains(w)) push(w)
+          else if (onStack(w)) low(v) = math.min(low(v), index(w))
+        } else {
+          work.remove(work.length - 1)
+          if (work.nonEmpty) {
+            val p = work.last._1; low(p) = math.min(low(p), low(v))
+          }
+          if (low(v) == index(v)) {
+            val members = scala.collection.mutable.ArrayBuffer.empty[Long]
+            var w = 0L
+            do {
+              w = stack.remove(stack.length - 1); onStack -= w; members += w
+            } while (w != v)
+            val m = members.min
+            members.foreach(comp(_) = m)
+          }
+        }
+      }
+    }
+    comp.toSeq.toDF("id", "scc")
+  }
+
+  /**
+   * STRONGLY connected components of the directed entity graph — the
+   * cycle detector for ontology/alias hygiene: a `subClassOf`/`partOf`
+   * cycle is a modeling error and a `sameAs`-ish mutual-derivation cycle
+   * is one canonical entity, and both are exactly the non-singleton SCCs.
+   * Labels are CANONICAL (scc = minimum member id), so output is
+   * bit-identical at any partitioning and directly comparable to the
+   * mutual-reachability definition (the SQL oracle computes min over
+   * {w : v→*w ∧ w→*v}).
+   *
+   * Distributed loop = trim + forward-min coloring + backward sweep (the
+   * GraphX SCC shape, Orzan's coloring):
+   *
+   *  1. TRIM (looped to fixpoint): an active node with no in-edge or no
+   *     out-edge inside the active subgraph is its own SCC — removed and
+   *     labeled immediately. On web-shaped graphs the SCC DAG's pendant
+   *     mass peels here for the cost of two distinct-projections + two
+   *     anti-joins per pass, no fixpoint propagation at all.
+   *  2. COLOR: propagate `color(v) = min active id that reaches v`
+   *     forward to fixpoint (per round ONE keyed join + ONE min
+   *     aggregation, both map-side partial on 8-byte keys; rounds bounded
+   *     by active-subgraph diameter). Every color class has exactly one
+   *     ROOT (color(r) = r), and the root is provably the MINIMUM id of
+   *     its SCC: a smaller member would reach it and lower its color.
+   *  3. SWEEP: walk BACKWARD from each root along edges whose endpoints
+   *     share the root's color; the reached set is exactly SCC(root)
+   *     (every mutual cycle through the root sits wholly inside the color
+   *     class — any node on it has the root's ancestor set). All roots
+   *     sweep SIMULTANEOUSLY (the frontier carries (id, color) pairs), so
+   *     one outer round retires one SCC PER color class, not one total.
+   *
+   * Outer rounds are bounded by the longest root-chain in the SCC DAG
+   * (each round retires at least the SCC of every locally-minimal active
+   * id); trim collapses DAG-shaped residue between rounds. Everything is
+   * localCheckpointed flat per step (the BFS/closure discipline), all
+   * shuffles are on 8-byte integer keys, and nothing driver-side at any
+   * scale on the distributed path. Below [[SmallGraphThreshold]] edges
+   * the exact linear-time Tarjan runs on the driver (iterative — no
+   * recursion depth hazard), equality-tested against the distributed
+   * loop at threshold 0.
+   *
+   * @return (id: long, scc: long) for every node with >= 1 edge;
+   *         scc = minimum id of the node's strongly connected component
+   */
+  def scc(edgesIn: DataFrame,
+          smallGraphThreshold: Long = SmallGraphThreshold): DataFrame = {
+    val spark = edgesIn.sparkSession
+    val edges0 = edgesIn
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val selfLoopOnly = edgesIn
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src") === col("dst"))
+      .select(col("src").as("id")).distinct()
+    // nodes appearing ONLY as self-loops never enter the simple edge set;
+    // each is trivially its own SCC and rejoins the labeling at the end
+    def withSelfLoopOnly(core: DataFrame): DataFrame = core.unionByName(
+      selfLoopOnly.join(core, Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("scc")))
+    if (edges0.count() <= smallGraphThreshold)
+      return withSelfLoopOnly(driverScc(spark,
+        edges0.collect().map(r => (r.getLong(0), r.getLong(1)))))
+    var edges = edges0.repartition(col("src")).localCheckpoint(true)
+    var nodes = edges.select(col("src").as("id"))
+      .unionAll(edges.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    import spark.implicits._
+    var assigned = Seq.empty[(Long, Long)].toDF("id", "scc")
+      .localCheckpoint(true)
+    while (!nodes.isEmpty) {
+      // 1. TRIM to fixpoint
+      var trimming = true
+      while (trimming) {
+        val both = edges.select(col("src").as("id")).distinct()
+          .join(edges.select(col("dst").as("id")).distinct(), Seq("id"))
+        val dead = nodes.join(both, Seq("id"), "left_anti")
+          .localCheckpoint(true)
+        if (dead.isEmpty) trimming = false
+        else {
+          assigned = assigned
+            .unionAll(dead.select(col("id"), col("id").as("scc")))
+            .localCheckpoint(true)
+          nodes = nodes.join(dead, Seq("id"), "left_anti")
+            .localCheckpoint(true)
+          edges = edges
+            .join(dead.select(col("id").as("src")), Seq("src"), "left_anti")
+            .join(dead.select(col("id").as("dst")), Seq("dst"), "left_anti")
+            .localCheckpoint(true)
+        }
+      }
+      if (nodes.isEmpty) return withSelfLoopOnly(assigned)
+      // 2. COLOR: forward min-label fixpoint over the active subgraph
+      var colors = nodes.select(col("id"), col("id").as("color"))
+        .localCheckpoint(true)
+      var coloring = true
+      while (coloring) {
+        val prop = edges
+          .join(colors.select(col("id").as("src"), col("color").as("cs")),
+            Seq("src"))
+          .groupBy(col("dst").as("id")).agg(min(col("cs")).as("cin"))
+        val next = colors.join(prop, Seq("id"), "left")
+          .select(col("id"),
+            least(col("color"), coalesce(col("cin"), col("color")))
+              .as("color"))
+          .localCheckpoint(true)
+        coloring = !next.join(colors, Seq("id", "color"), "left_anti").isEmpty
+        colors = next
+      }
+      // 3. SWEEP backward from every root inside its color class
+      val sameColorEdges = edges
+        .join(colors.select(col("id").as("src"), col("color").as("c1")),
+          Seq("src"))
+        .join(colors.select(col("id").as("dst"), col("color").as("c2")),
+          Seq("dst"))
+        .filter(col("c1") === col("c2"))
+        .select(col("src"), col("dst"), col("c1").as("color"))
+        .localCheckpoint(true)
+      var marked = colors.filter(col("color") === col("id"))
+        .localCheckpoint(true)
+      var frontier = marked
+      while (!frontier.isEmpty) {
+        val nextF = sameColorEdges
+          .join(frontier.select(col("id").as("dst"), col("color")),
+            Seq("dst", "color"))
+          .select(col("src").as("id"), col("color")).distinct()
+          .join(marked, Seq("id"), "left_anti")
+          .localCheckpoint(true)
+        marked = marked.unionAll(nextF).localCheckpoint(true)
+        frontier = nextF
+      }
+      assigned = assigned
+        .unionAll(marked.select(col("id"), col("color").as("scc")))
+        .localCheckpoint(true)
+      nodes = nodes.join(marked, Seq("id"), "left_anti").localCheckpoint(true)
+      edges = edges
+        .join(marked.select(col("id").as("src")), Seq("src"), "left_anti")
+        .join(marked.select(col("id").as("dst")), Seq("dst"), "left_anti")
+        .localCheckpoint(true)
+    }
+    withSelfLoopOnly(assigned)
   }
 }

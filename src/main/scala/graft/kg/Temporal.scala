@@ -1,0 +1,62 @@
+package graft.kg
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Temporal fact lifecycle: collapse point-in-time OBSERVATIONS of a fact
+ * (entity/predicate observed at crawl timestamps — the reference pipeline
+ * re-extracts the same triple from every recrawl of a page) into maximal
+ * VALIDITY INTERVALS, the bitemporal-KG primitive: a fact observed at
+ * t1..tn with no gap exceeding `maxGapMicros` is ONE assertion valid
+ * [first, last]; a longer silence closes the interval and a later
+ * re-observation opens a new one (the fact was retracted and re-asserted).
+ *
+ * Classic gaps-and-islands, Spark-first: per fact key ONE window (lag) to
+ * flag gap starts, a running SUM over the same window to number islands —
+ * the flag ride the SAME partitioning, so the second window adds no
+ * shuffle — then ONE partial-aggregated groupBy emits (from, to, n_obs).
+ * All arithmetic is integer microseconds (`unix_micros`), no timezone or
+ * float hazard, so output is engine-exact.
+ *
+ * 100 TB shape: the window partitions by the fact key — millions of small
+ * per-fact groups, never a global sort; a fact observed N times holds
+ * O(N) rows in one task, bounded by recrawl frequency (a daily crawl
+ * observing one fact for 30 years is ~10^4 rows). Duplicate observations
+ * at the same timestamp collapse first (sets, not bags).
+ *
+ * @param obsIn  observations with the key columns and one timestamp column
+ * @param keys   fact-identity columns (e.g. subj, pred, obj)
+ * @param tsCol  timestamp column (castable to timestamp)
+ * @param maxGapMicros largest observation gap, in microseconds, that still
+ *                     extends the current validity interval
+ * @return keys* ++ (valid_from, valid_to: timestamp, n_obs: long)
+ */
+object Temporal {
+  def coalesceIntervals(obsIn: DataFrame, keys: Seq[String], tsCol: String,
+                        maxGapMicros: Long): DataFrame = {
+    require(keys.nonEmpty, "need at least one fact-key column")
+    require(maxGapMicros >= 0, "maxGapMicros must be >= 0")
+    val keyCols = keys.map(col)
+    val obs = obsIn
+      .select(keyCols :+ unix_micros(col(tsCol).cast("timestamp")).as("__us"): _*)
+      .distinct()
+    val w = Window.partitionBy(keyCols: _*).orderBy(col("__us"))
+    obs
+      // null lag = first observation of the key (opens island 1); the
+      // null-guard also keeps the subtraction off ANSI overflow paths
+      .withColumn("__prev", lag(col("__us"), 1).over(w))
+      .withColumn("__gap",
+        when(col("__prev").isNull
+          .or(col("__us") - col("__prev") > maxGapMicros), 1L)
+          .otherwise(0L))
+      .withColumn("__island", sum(col("__gap")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(keyCols :+ col("__island"): _*)
+      .agg(timestamp_micros(min(col("__us"))).as("valid_from"),
+        timestamp_micros(max(col("__us"))).as("valid_to"),
+        count(lit(1)).as("n_obs"))
+      .drop("__island", "__prev")
+  }
+}

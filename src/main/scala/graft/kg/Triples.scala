@@ -261,6 +261,34 @@ object Triples {
   }
 
   /**
+   * SCHEMA-level summary graph: unordered predicate pairs that co-occur
+   * on a shared subject, with exact subject counts — the ontology-
+   * induction / schema-drift monitor ("entities that `merge` usually also
+   * `sort`"; a new predicate pairing appearing between two KG builds is a
+   * schema change worth a diff row). Operates on DISTINCT (subj, pred) —
+   * mention multiplicity never inflates the profile.
+   *
+   * Shape: the pair join is blocked on subj, and its fan-out is bounded
+   * by the PREDICATE ALPHABET, not the data — a subject with k distinct
+   * predicates emits C(k,2) <= |preds|² rows no matter how many mentions
+   * it has, so the output is at most |preds|² rows TOTAL and both
+   * aggregations partial-combine map-side. At 10^12 documents the only
+   * wide step is the distinct on (subj, pred) — 8-byte + dictionary-
+   * encoded keys.
+   *
+   * @return (p1, p2, n_subjects) with p1 < p2 lexicographically
+   */
+  def predicateCooccurrence(triples: DataFrame): DataFrame = {
+    val sp = triples.select(col("subj").cast("long"), col("pred"))
+      .distinct()
+    sp.select(col("subj"), col("pred").as("p1"))
+      .join(sp.select(col("subj"), col("pred").as("p2")), Seq("subj"))
+      .filter(col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("n_subjects"))
+  }
+
+  /**
    * Partitioned + bucketed sink (K6). Parquet stand-in for an Iceberg table
    * (no Iceberg jars offline — see SURVEY.md §7): directory-partitioned by
    * lang; files within a partition are split by `pmod(hash(subj), buckets)`

@@ -289,4 +289,48 @@ class BgpSpec extends SparkSpec {
       Bgp.construct(triplesDf, Seq(Pattern(V("x"), "likes", V("z"))), Seq.empty)
     }
   }
+
+  test("VALUES: inline block restricts a bound variable; unbound rejected") {
+    val got = Bgp.matchBgpValues(triplesDf,
+      Seq(Pattern(V("x"), "likes", V("z"))), "x", Seq(1L, 99L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L), (1L, 3L))) // 99 matches nothing; 4 excluded
+    intercept[IllegalArgumentException] {
+      Bgp.matchBgpValues(triplesDf,
+        Seq(Pattern(V("x"), "likes", V("z"))), "nope", Seq(1L))
+    }
+    intercept[IllegalArgumentException] {
+      Bgp.matchBgpValues(triplesDf,
+        Seq(Pattern(V("x"), "likes", V("z"))), "x", Seq.empty)
+    }
+  }
+
+  test("GROUP_CONCAT: numeric sort before stringify; duplicates kept; VALUES composes") {
+    // ?x likes ?z: x=1 -> z in {2,3}; x=4 -> z in {2}
+    val got = Bgp.matchBgpGroupConcat(triplesDf,
+      Seq(Pattern(V("x"), "likes", V("z"))),
+      groupVars = Seq("x"), concatVar = "z")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got === Set((1L, 2L, "2,3"), (4L, 1L, "2")))
+    // numeric order: ids 2 and 10 must concat "2,10", not "10,2"
+    import spark.implicits._
+    val big = Seq((7L, "p", 10L), (7L, "p", 2L)).toDF("subj", "pred", "obj")
+    val one = Bgp.matchBgpGroupConcat(big, Seq(Pattern(V("x"), "p", V("z"))),
+      Seq("x"), "z").head()
+    assert(one.getString(2) === "2,10")
+    // VALUES block composes: restrict to x=4 only
+    val vals = Bgp.matchBgpGroupConcat(triplesDf,
+      Seq(Pattern(V("x"), "likes", V("z"))),
+      Seq("x"), "z", values = Map("x" -> Seq(4L)))
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(vals === Set((4L, "2")))
+    // duplicate ?z across residual bindings concatenates per solution:
+    // ?x likes ?z . ?z in ?y gives x=1 solutions (z=2,y=10),(z=3,y=11)
+    // grouping by x concatenating z keeps both
+    val multi = Bgp.matchBgpGroupConcat(triplesDf, Seq(
+      Pattern(V("x"), "likes", V("z")), Pattern(V("z"), "in", V("y"))),
+      Seq("x"), "z").collect()
+      .map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(multi(1L) === "2,3" && multi(4L) === "2")
+  }
 }

@@ -647,6 +647,104 @@ class GraphsSpec extends SparkSpec {
     assert(gotBig === want)
   }
 
+  // ---- SCC ----
+
+  /** mutual-reachability twin: scc(v) = min {w : v ->* w and w ->* v} */
+  private def seqScc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val es = edges.distinct
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+    val adj = es.filter(e => e._1 != e._2).groupBy(_._1)
+      .map { case (s, xs) => s -> xs.map(_._2) }
+    def reach(v: Long): Set[Long] = {
+      val seen = scala.collection.mutable.HashSet(v)
+      var frontier = Seq(v)
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(u => adj.getOrElse(u, Nil))
+          .distinct.filterNot(seen.contains)
+        frontier.foreach(seen += _)
+      }
+      seen.toSet
+    }
+    val r = nodes.map(v => v -> reach(v)).toMap
+    nodes.map(v => v -> r(v).filter(w => r(w)(v)).min).toMap
+  }
+
+  test("scc: hand graph — cycles, bridge DAG edge, self-loop, pendant") {
+    // cycle {1,2,3} -> bridge -> cycle {4,5}; 6 self-loop only; 7 pendant
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (5L, 4L),
+      (6L, 6L), (4L, 7L))
+    val got = Graphs.scc(edgesDf(es)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L,
+      6L -> 6L, 7L -> 7L))
+  }
+
+  test("scc: skewed digraph — twin equality, driver vs distributed") {
+    val want = seqScc(graph)
+    val gotDriver = Graphs.scc(edgesDf(graph, 7)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotDriver === want)
+    // threshold 0 forces the distributed trim/color/sweep loop
+    val gotDist = Graphs.scc(edgesDf(graph, 7), smallGraphThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotDist === want)
+  }
+
+  test("scc: pure DAG degenerates to singletons (trim-only fast path)") {
+    val dag = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+    for (thr <- Seq(100000L, 0L)) {
+      val got = Graphs.scc(edgesDf(dag), smallGraphThreshold = thr)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 5L))
+    }
+  }
+
+  // ---- link prediction ----
+
+  /** brute-force twin over neighbor sets */
+  private def seqLinkPred(edges: Seq[(Long, Long)])
+      : Set[(Long, Long, Long, Long, Long, Long)] = {
+    val e = simple(edges)
+    val nodes = e.flatMap(p => Seq(p._1, p._2)).toSeq.distinct
+    val adj = nodes.map(n =>
+      n -> e.collect { case (a, b) if a == n => b; case (a, b) if b == n => a }.toSet).toMap
+    (for {
+      a <- nodes; b <- nodes
+      if a < b && !e((a, b))
+      cn = (adj(a) intersect adj(b)).size.toLong
+      if cn >= 1
+    } yield (a, b, cn, adj(a).size.toLong, adj(b).size.toLong,
+      adj(a).size + adj(b).size - cn)).toSet
+  }
+
+  test("linkPrediction: square + diagonal — only the open pair remains") {
+    // square 1-2-3-4-1 plus diagonal 1-3: open pair (2,4), cn=2 (via 1,3)
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+    val got = Graphs.linkPrediction(edgesDf(es)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got === Set((2L, 4L, 2L, 2L, 2L, 2L)))
+  }
+
+  test("linkPrediction: skewed digraph — twin equality; hub cap drops loudly") {
+    val got = Graphs.linkPrediction(edgesDf(graph, 7)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got === seqLinkPred(graph))
+    // quadratic-residue targets keep the simple graph sparse (max degree
+    // 4); cap at 2 so the degree-3+ intermediaries drop and report
+    val capped = Graphs.linkPrediction(edgesDf(graph, 7),
+      maxNeighborDegree = 2L)
+    assert(capped.count() <= got.size)
+    val (nDropped, slots) = Graphs.lastDropReport("link_prediction")
+    assert(nDropped >= 1L && slots > 2L)
+    // degrees stay TRUE degrees in capped runs (only cn is a lower bound)
+    val degs = seqLinkPred(graph).map(t => (t._1, t._4)).toMap
+    capped.collect().foreach { r =>
+      assert(r.getLong(3) === degs(r.getLong(0)))
+    }
+  }
+
   // ---- HITS ----
 
   /** sequential replay of the integer HITS recurrence */

@@ -200,4 +200,16 @@ class KgFactsSpec extends SparkSpec {
     }
     assert(fused(tr) === want)
   }
+
+  test("predicateCooccurrence: alphabet-bounded pairs over distinct (subj,pred)") {
+    import spark.implicits._
+    // subj 1: {a,b,c} (b mentioned twice); subj 2: {a,b}; subj 3: {c}
+    val tr = Seq(
+      (1L, "a", 10L), (1L, "b", 11L), (1L, "b", 12L), (1L, "c", 13L),
+      (2L, "a", 10L), (2L, "b", 11L), (3L, "c", 10L)
+    ).toDF("subj", "pred", "obj").repartition(3)
+    val got = Triples.predicateCooccurrence(tr).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(("a", "b") -> 2L, ("a", "c") -> 1L, ("b", "c") -> 1L))
+  }
 }
