@@ -972,7 +972,30 @@ object SparkEntry {
     // with exact subject counts — fan-out bounded by the pred alphabet
     "q127_pred_cooccur" -> ((s, dir) =>
       graft.kg.Triples.predicateCooccurrence(
-        Pipeline.triples(s, dir).toDF()))
+        Pipeline.triples(s, dir).toDF())),
+    // SPARQL ASK: existence probe, short-circuited via limit(1) BEFORE
+    // the aggregation (CollectLimit stops scans at the first solution)
+    "q128_bgp_ask" -> ((s, dir) => {
+      import graft.kg.Bgp._
+      ask(Pipeline.triples(s, dir).toDF(), Seq(
+        Pattern(V("x"), "merge", V("z")),
+        Pattern(V("z"), "stream", V("w"))))
+    }),
+    // point-in-time snapshot: fact observations sessionized (1-day gap)
+    // then filtered to the intervals covering 2024-01-15T00:00:00Z —
+    // the bitemporal "what did the graph assert on day X" query
+    "q129_facts_valid_at" -> ((s, dir) =>
+      graft.kg.Temporal.validAt(
+        s.read.parquet(t(dir, "events")),
+        keys = Seq("user_id", "event_type"), tsCol = "ts",
+        maxGapMicros = 86400000000L, atMicros = 1705276800000000L)),
+    // one-row structure profile: reciprocity + exact integer
+    // assortativity sums over the full entity graph
+    "q130_degree_mixing" -> ((s, dir) => {
+      val tr = Pipeline.triples(s, dir).toDF()
+      graft.kg.Graphs.degreeMixingProfile(
+        tr.select(col("subj").as("src"), col("obj").as("dst")))
+    })
   )
 
   /** Literal VALUES block for q125 — canonical entity ids are
@@ -1326,6 +1349,52 @@ object SparkEntry {
       SELECT l.pred AS p1, r.pred AS p2, count(*) AS n_subjects
       FROM sp l JOIN sp r ON l.subj = r.subj AND l.pred < r.pred
       GROUP BY 1, 2""",
+    "q128_bgp_ask" -> s"""
+      WITH t AS (SELECT subj, pred, obj
+                 FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'),
+      p1 AS (SELECT DISTINCT subj AS x, obj AS z FROM t WHERE pred = 'merge'),
+      p2 AS (SELECT DISTINCT subj AS z, obj AS w FROM t WHERE pred = 'stream')
+      SELECT count(*) > 0 AS ask
+      FROM (SELECT 1 FROM p1 JOIN p2 USING (z) LIMIT 1)""",
+    "q129_facts_valid_at" -> """
+      WITH o AS (SELECT DISTINCT user_id, event_type, epoch_us(ts) AS us
+                 FROM events),
+      g AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                             OR us - lag(us) OVER w > 86400000000
+                           THEN 1 ELSE 0 END AS gap
+            FROM o WINDOW w AS (PARTITION BY user_id, event_type ORDER BY us)),
+      i AS (SELECT *, sum(gap) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY us ROWS UNBOUNDED PRECEDING)
+                        AS island FROM g),
+      iv AS (SELECT user_id, event_type,
+                    min(us) AS f, max(us) AS tt, count(*) AS n_obs
+             FROM i GROUP BY user_id, event_type, island)
+      SELECT user_id, event_type,
+             make_timestamp(f) AS valid_from, make_timestamp(tt) AS valid_to,
+             n_obs
+      FROM iv WHERE f <= 1705276800000000 AND tt >= 1705276800000000""",
+    "q130_degree_mixing" -> s"""
+      WITH t AS (SELECT subj, obj
+                 FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'),
+      dir AS (SELECT DISTINCT subj AS src, obj AS dst FROM t
+              WHERE subj <> obj),
+      und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM dir),
+      stubs AS (SELECT a AS x, b AS y FROM und
+                UNION ALL SELECT b, a FROM und),
+      deg AS (SELECT x AS node, count(*) AS d FROM stubs GROUP BY 1)
+      SELECT
+        (SELECT count(*) FROM dir) AS n_edges_directed,
+        (SELECT count(*) FROM dir d1 JOIN dir d2
+           ON d1.src = d2.dst AND d1.dst = d2.src) AS n_reciprocal,
+        (SELECT count(*) FROM und) AS n_edges,
+        (SELECT CAST(sum(dx.d * dy.d) AS VARCHAR) FROM stubs s
+           JOIN deg dx ON s.x = dx.node JOIN deg dy ON s.y = dy.node)
+          AS sum_xy,
+        (SELECT CAST(sum(dx.d) AS VARCHAR) FROM stubs s
+           JOIN deg dx ON s.x = dx.node) AS sum_x,
+        (SELECT CAST(sum(dx.d * dx.d) AS VARCHAR) FROM stubs s
+           JOIN deg dx ON s.x = dx.node) AS sum_x2""",
     "q119_bgp_minus" -> s"""
       WITH t AS (SELECT subj, pred, obj
                  FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet')

@@ -364,6 +364,20 @@ object Bgp {
           sep).as("group_concat"))
   }
 
+  /**
+   * SPARQL `ASK { ... }`: does the BGP have at least one solution? One
+   * boolean row — the existence probe of KG monitoring ("is there any
+   * entity that merges into a stream?"). The binding relation is
+   * `limit(1)`-ed BEFORE the aggregation, so execution short-circuits:
+   * Spark plans a CollectLimit whose partial limits stop each scan/join
+   * task at its first surviving row — the probe never materializes the
+   * full solution set (the difference between ASK and COUNT > 0 run
+   * naively).
+   */
+  def ask(triples: DataFrame, patterns: Seq[Pattern]): DataFrame =
+    matchBgp(triples, patterns).limit(1)
+      .agg((count(lit(1)) > 0).as("ask"))
+
   private def scan(triples: DataFrame, p: Pattern): (DataFrame, Set[String]) = {
       var df = triples.select(col("subj").cast("long"), col("pred"),
         col("obj").cast("long")).filter(col("pred") === lit(p.p))

@@ -230,6 +230,56 @@ object Graphs {
         (col("deg_a") + col("deg_b") - col("cn")).as("union_size"))
   }
 
+  /**
+   * Graph-level STRUCTURE PROFILE: reciprocity + the exact integer sums
+   * degree assortativity is a function of — the one-row health check a
+   * KG build pipeline runs per snapshot (a reciprocity jump means the
+   * extractor started emitting inverse predicates; an assortativity flip
+   * means hub wiring changed). Downstream computes Newman's r from the
+   * sums (r = [S·sum_xy - sum_x²] / [S·sum_x2 - sum_x²], S = 2·n_edges
+   * stubs) — no float leaves this operator, so the row is engine-exact.
+   *
+   * Exactly TWO shuffles: the simple-edge distinct and one degree join
+   * (reciprocity rides the directed distinct as a self-join on reversed
+   * 16-byte keys; every sum is a map-side partial agg in decimal(38,0) —
+   * overflow-proof at 10^12 edges × 10^6 degrees under ANSI).
+   *
+   * @return one row: (n_edges_directed, n_reciprocal — ordered pairs
+   *         whose reverse also exists, n_edges — undirected simple,
+   *         sum_xy, sum_x, sum_x2 — over the 2·n_edges oriented stubs
+   *         with x the tail degree, y the head degree)
+   */
+  def degreeMixingProfile(edgesIn: DataFrame): DataFrame = {
+    val dir = edgesIn
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src") =!= col("dst"))
+      .distinct().localCheckpoint(true)
+    val nDir = dir.agg(count(lit(1)).as("n_edges_directed"))
+    val nRecip = dir
+      .join(dir.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"))
+      .agg(count(lit(1)).as("n_reciprocal"))
+    val und = dir
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val stubs = und.select(col("a").as("x"), col("b").as("y"))
+      .unionAll(und.select(col("b").as("x"), col("a").as("y")))
+    val deg = stubs.groupBy(col("x").as("node")).agg(count(lit(1)).as("d"))
+    val sums = stubs
+      .join(deg.select(col("node").as("x"), col("d").as("dx")), Seq("x"))
+      .join(deg.select(col("node").as("y"), col("d").as("dy")), Seq("y"))
+      // cast BEFORE multiplying: long*long of two hub degrees overflows
+      // under ANSI; decimal(19,0)*decimal(19,0) widens exactly
+      .agg((count(lit(1)) / 2).cast("long").as("n_edges"),
+        sum(col("dx").cast("decimal(19,0)") * col("dy").cast("decimal(19,0)"))
+          .cast("decimal(38,0)").as("sum_xy"),
+        sum(col("dx").cast("decimal(38,0)")).as("sum_x"),
+        sum(col("dx").cast("decimal(19,0)") * col("dx").cast("decimal(19,0)"))
+          .cast("decimal(38,0)").as("sum_x2"))
+    nDir.crossJoin(nRecip).crossJoin(sums)
+  }
+
   /** ADAPTIVE small-graph fallback threshold — the [[PageRank]] /
     * [[graft.canon.ConnectedComponents]] convention: below this many
     * edges the hop expansion runs on the driver (2 Spark jobs total

@@ -59,4 +59,19 @@ object Temporal {
         count(lit(1)).as("n_obs"))
       .drop("__island", "__prev")
   }
+
+  /**
+   * Point-in-time KG snapshot: the facts VALID AT `atMicros` under the
+   * [[coalesceIntervals]] sessionization — the bitemporal query surface
+   * ("what did the graph assert on March 3rd?"). A fact is valid at t
+   * when one of its intervals covers t: `valid_from <= t <= valid_to`.
+   * One filter over the interval table; when intervals are materialized
+   * and partitioned (the production shape) the predicate prunes at the
+   * scan, so a point query never touches closed history.
+   */
+  def validAt(obsIn: DataFrame, keys: Seq[String], tsCol: String,
+              maxGapMicros: Long, atMicros: Long): DataFrame =
+    coalesceIntervals(obsIn, keys, tsCol, maxGapMicros)
+      .filter(unix_micros(col("valid_from")) <= atMicros &&
+        unix_micros(col("valid_to")) >= atMicros)
 }

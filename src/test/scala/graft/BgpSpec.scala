@@ -290,6 +290,17 @@ class BgpSpec extends SparkSpec {
     }
   }
 
+  test("ASK: true on satisfiable BGP, false on unsatisfiable; one row") {
+    val yes = Bgp.ask(triplesDf, Seq(
+      Pattern(V("x"), "likes", V("z")), Pattern(V("z"), "in", V("y"))))
+      .collect()
+    assert(yes.length === 1 && yes.head.getBoolean(0))
+    val no = Bgp.ask(triplesDf, Seq(
+      Pattern(V("x"), "likes", V("z")), Pattern(V("z"), "alone", V("y"))))
+      .collect()
+    assert(no.length === 1 && !no.head.getBoolean(0))
+  }
+
   test("VALUES: inline block restricts a bound variable; unbound rejected") {
     val got = Bgp.matchBgpValues(triplesDf,
       Seq(Pattern(V("x"), "likes", V("z"))), "x", Seq(1L, 99L))

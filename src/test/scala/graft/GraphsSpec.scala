@@ -745,6 +745,40 @@ class GraphsSpec extends SparkSpec {
     }
   }
 
+  // ---- degree mixing profile ----
+
+  test("degreeMixingProfile: hand graph — reciprocity + stub sums exact") {
+    // directed: 1->2, 2->1 (reciprocal pair), 2->3, 3->4
+    // undirected simple: {1-2, 2-3, 3-4}; degrees 1:1 2:2 3:2 4:1
+    val es = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (3L, 4L), (1L, 1L))
+    val r = Graphs.degreeMixingProfile(edgesDf(es)).head()
+    assert(r.getLong(0) === 4L) // directed simple edges (dup + loop dropped)
+    assert(r.getLong(1) === 2L) // both orientations of the 1<->2 pair
+    assert(r.getLong(2) === 3L) // undirected edges
+    // stubs (x,y) with degrees: (1,2):1*2 (2,1):2*1 (2,3):2*2 (3,2) (3,4):2*1 (4,3)
+    assert(r.getDecimal(3).longValueExact === (2L + 2L + 4L + 4L + 2L + 2L))
+    assert(r.getDecimal(4).longValueExact === (1L + 2L + 2L + 2L + 2L + 1L))
+    assert(r.getDecimal(5).longValueExact === (1L + 4L + 4L + 4L + 4L + 1L))
+  }
+
+  test("degreeMixingProfile: skewed digraph — twin sums at any partitioning") {
+    val e = simple(graph)
+    val dirE = graph.filter(p => p._1 != p._2).distinct
+    val deg = e.toSeq.flatMap(p => Seq(p._1, p._2)).groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong }
+    val stubs = e.toSeq.flatMap(p => Seq((p._1, p._2), (p._2, p._1)))
+    val r = Graphs.degreeMixingProfile(edgesDf(graph, 7)).head()
+    assert(r.getLong(0) === dirE.size.toLong)
+    assert(r.getLong(1) ===
+      dirE.count(p => dirE.contains((p._2, p._1))).toLong)
+    assert(r.getLong(2) === e.size.toLong)
+    assert(r.getDecimal(3).longValueExact ===
+      stubs.map(s => deg(s._1) * deg(s._2)).sum)
+    assert(r.getDecimal(4).longValueExact === stubs.map(s => deg(s._1)).sum)
+    assert(r.getDecimal(5).longValueExact ===
+      stubs.map(s => deg(s._1) * deg(s._1)).sum)
+  }
+
   // ---- HITS ----
 
   /** sequential replay of the integer HITS recurrence */

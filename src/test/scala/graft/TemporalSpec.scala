@@ -62,6 +62,20 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("validAt: picks exactly the intervals covering the probe instant") {
+    // key (1,x): islands [0,7] and [20,20] under gap 10
+    val rows = Seq(
+      (1L, "x", 0L), (1L, "x", 5L), (1L, "x", 7L), (1L, "x", 20L),
+      (2L, "x", 3L))
+    def at(t: Long) = Temporal.validAt(obsDf(rows), Seq("ent", "p"), "ts",
+        maxGapMicros = 10L, atMicros = t)
+      .collect().map(r => (r.getLong(0), r.getLong(4))).toSet
+    assert(at(3L) === Set((1L, 3L), (2L, 1L)))   // inside [0,7] and [3,3]
+    assert(at(5L) === Set((1L, 3L)))             // [3,3] closed by then
+    assert(at(15L) === Set.empty)                // between (1,x)'s islands
+    assert(at(20L) === Set((1L, 1L)))            // point island boundary
+  }
+
   test("coalesceIntervals: gap 0 splits every distinct timestamp") {
     val rows = Seq((1L, "x", 1L), (1L, "x", 2L), (1L, "x", 2L))
     val got = Temporal.coalesceIntervals(obsDf(rows), Seq("ent", "p"), "ts", 0L)
