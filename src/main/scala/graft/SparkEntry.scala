@@ -995,6 +995,37 @@ object SparkEntry {
       val tr = Pipeline.triples(s, dir).toDF()
       graft.kg.Graphs.degreeMixingProfile(
         tr.select(col("subj").as("src"), col("obj").as("dst")))
+    }),
+    // temporal RANGE JOIN: when was a user clicking WHILE purchasing —
+    // both sides sessionized (12h gap), then the grid-bucketed overlap
+    // join (1-day cells, each pair emitted exactly once in the cell of
+    // the later start — no dedup shuffle, no theta join)
+    "q131_interval_overlap" -> ((s, dir) => {
+      val ev = s.read.parquet(t(dir, "events"))
+      def iv(et: String) = graft.kg.Temporal.coalesceIntervals(
+        ev.filter(col("event_type") === et),
+        keys = Seq("user_id"), tsCol = "ts", maxGapMicros = 43200000000L)
+      graft.kg.Temporal.overlapJoin(iv("click"), iv("purchase"),
+        keys = Seq("user_id"), cellMicros = 86400000000L)
+    }),
+    // SPARQL DESCRIBE: the entity-page slice — one IN-filtered scan
+    // (subj or obj in the literal id set), set-semantics distinct
+    "q132_bgp_describe" -> ((s, dir) =>
+      graft.kg.Bgp.describe(Pipeline.triples(s, dir).toDF(),
+        SparqlValuesIds)),
+    // ego network: the INDUCED 2-hop subgraph around two seed entities —
+    // BFS reach + two semi-joins of the triple table (edges BETWEEN
+    // reached nodes appear even when no BFS tree uses them)
+    "q133_ego_graph" -> ((s, dir) =>
+      graft.kg.Graphs.egoTriples(Pipeline.triples(s, dir).toDF(),
+        SparqlValuesIds.take(2), maxDepth = 2)),
+    // effective diameter at the 90th percentile from the neighborhood
+    // function — cross-multiplied integer election, exact below sketch
+    // saturation (k = 1024 >> |V| here), one row
+    "q134_eff_diameter" -> ((s, dir) => {
+      val tr = Pipeline.triples(s, dir).toDF()
+      graft.kg.Graphs.effectiveDiameter(
+        tr.select(col("subj").as("src"), col("obj").as("dst")), maxHops = 3)
     })
   )
 
@@ -1005,6 +1036,9 @@ object SparkEntry {
   private val SparqlValuesIds: Seq[Long] = Seq(
     43742838867161564L, 68161420763871704L, 179267666149446318L,
     237728371366780273L, 530696702214124699L, 581772127397857594L)
+
+  /** The same ids as a SQL IN-list fragment (q132's DESCRIBE oracle). */
+  private def SparqlValuesIdsSql: String = SparqlValuesIds.mkString(", ")
 
   /** Golden-fixture oracle: DuckDB reads the committed parquet written by
     * graft.golden.GoldenGen (the sequential twin — NaiveKernel dense math,
@@ -1395,6 +1429,67 @@ object SparkEntry {
            JOIN deg dx ON s.x = dx.node) AS sum_x,
         (SELECT CAST(sum(dx.d * dx.d) AS VARCHAR) FROM stubs s
            JOIN deg dx ON s.x = dx.node) AS sum_x2""",
+    "q131_interval_overlap" -> """
+      WITH o AS (SELECT DISTINCT user_id, event_type, epoch_us(ts) AS us
+                 FROM events WHERE event_type IN ('click', 'purchase')),
+      g AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                             OR us - lag(us) OVER w > 43200000000
+                           THEN 1 ELSE 0 END AS gap
+            FROM o WINDOW w AS (PARTITION BY user_id, event_type ORDER BY us)),
+      i AS (SELECT *, sum(gap) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY us ROWS UNBOUNDED PRECEDING)
+                        AS island FROM g),
+      iv AS (SELECT user_id, event_type, min(us) AS f, max(us) AS tt
+             FROM i GROUP BY user_id, event_type, island),
+      l AS (SELECT user_id, f, tt FROM iv WHERE event_type = 'click'),
+      r AS (SELECT user_id, f, tt FROM iv WHERE event_type = 'purchase')
+      SELECT l.user_id,
+             make_timestamp(l.f) AS l_from, make_timestamp(l.tt) AS l_to,
+             make_timestamp(r.f) AS r_from, make_timestamp(r.tt) AS r_to,
+             make_timestamp(greatest(l.f, r.f)) AS overlap_from,
+             make_timestamp(least(l.tt, r.tt)) AS overlap_to
+      FROM l JOIN r ON l.user_id = r.user_id
+                   AND l.f <= r.tt AND r.f <= l.tt""",
+    "q132_bgp_describe" -> s"""
+      WITH t AS (SELECT subj, pred, obj
+                 FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet')
+      SELECT DISTINCT subj, pred, obj FROM t
+      WHERE subj IN ($SparqlValuesIdsSql) OR obj IN ($SparqlValuesIdsSql)""",
+    "q133_ego_graph" -> s"""
+      WITH RECURSIVE
+      t AS (SELECT subj, pred, obj
+            FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'),
+      e AS (SELECT DISTINCT subj AS src, obj AS dst FROM t WHERE subj <> obj),
+      reach(id, d) AS (
+        SELECT CAST(v.id AS BIGINT), 0
+        FROM (VALUES (${SparqlValuesIds(0)}), (${SparqlValuesIds(1)})) v(id)
+        UNION
+        SELECT e.dst, r.d + 1 FROM reach r JOIN e ON e.src = r.id
+        WHERE r.d < 2),
+      ids AS (SELECT DISTINCT id FROM reach)
+      SELECT DISTINCT subj, pred, obj FROM t
+      WHERE subj IN (SELECT id FROM ids) AND obj IN (SELECT id FROM ids)""",
+    "q134_eff_diameter" -> s"""
+      WITH RECURSIVE
+      t AS (SELECT subj, pred, obj
+            FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'),
+      e AS (SELECT DISTINCT subj AS src, obj AS dst FROM t WHERE subj <> obj),
+      nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+      reach(id, dst, d) AS (
+        SELECT id, id, 0 FROM nodes
+        UNION
+        SELECT r.id, e.dst, r.d + 1 FROM reach r JOIN e ON r.dst = e.src
+        WHERE r.d < 3),
+      md AS (SELECT id, dst, min(d) AS d FROM reach GROUP BY 1, 2),
+      ph AS (SELECT CAST(h.hop AS BIGINT) AS hop, count(*) AS pairs
+             FROM md JOIN (VALUES (0), (1), (2), (3)) AS h(hop)
+               ON md.d <= h.hop
+             GROUP BY 1),
+      tot AS (SELECT pairs AS pairs_total FROM ph WHERE hop = 3)
+      SELECT hop AS h_eff, CAST(pairs AS VARCHAR) AS n_pairs,
+             CAST(pairs_total AS VARCHAR) AS n_pairs_total
+      FROM ph, tot WHERE pairs * 10 >= pairs_total * 9
+      ORDER BY hop LIMIT 1""",
     "q119_bgp_minus" -> s"""
       WITH t AS (SELECT subj, pred, obj
                  FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet')

@@ -378,6 +378,27 @@ object Bgp {
     matchBgp(triples, patterns).limit(1)
       .agg((count(lit(1)) > 0).as("ask"))
 
+  /**
+   * SPARQL `DESCRIBE <id> ...`: the concise-bounded-description slice —
+   * every triple in which a described resource appears as subject or
+   * object, as a SET (SPARQL graphs are sets). Completes the query-verb
+   * family: SELECT ([[matchBgp]]), ASK ([[ask]]), CONSTRUCT
+   * ([[construct]]), DESCRIBE.
+   *
+   * The id list is query text (like a SPARQL query's IRIs), so it lowers
+   * to ONE `IN`-filtered scan — an OR of two pushed-down predicates, no
+   * join, no broadcast; the only shuffle is the set-semantics distinct.
+   * At 10^12 triples a DESCRIBE therefore costs one pruned pass, exactly
+   * what a KG serving layer wants for an entity page.
+   */
+  def describe(triples: DataFrame, ids: Seq[Long]): DataFrame = {
+    require(ids.nonEmpty, "DESCRIBE needs at least one resource id")
+    triples
+      .select(col("subj").cast("long"), col("pred"), col("obj").cast("long"))
+      .filter(col("subj").isin(ids: _*) || col("obj").isin(ids: _*))
+      .distinct()
+  }
+
   private def scan(triples: DataFrame, p: Pattern): (DataFrame, Set[String]) = {
       var df = triples.select(col("subj").cast("long"), col("pred"),
         col("obj").cast("long")).filter(col("pred") === lit(p.p))

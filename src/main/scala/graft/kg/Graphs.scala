@@ -1245,6 +1245,80 @@ object Graphs {
   }
 
   /**
+   * Hop-bounded EFFECTIVE DIAMETER from the [[neighborhoodFunction]]
+   * curve (the HyperANF use-case, Boldi et al. 2011): the smallest hop h
+   * at which at least `pctNum/pctDen` (default 90%) of all reachable
+   * pairs are already within distance h. The per-snapshot "is the graph
+   * getting longer or rounder" health metric next to
+   * [[degreeMixingProfile]]'s wiring view.
+   *
+   * All-integer: per-hop pair counts are exact decimal(38,0) sums of the
+   * KMV estimates (EXACT below sketch saturation, k >= per-node reach),
+   * and the percentile test is cross-multiplied (`pctDen·N(h) >=
+   * pctNum·N(H)`) — no float division, engine-exact, so a DuckDB
+   * recursive-CTE BFS replays it integer-for-integer.
+   *
+   * Shape: the [[neighborhoodFunction]] loop (per hop ONE keyed join +
+   * ONE partial-aggregated sketch merge) + ONE (maxHops+1)-group
+   * aggregation + a crossJoin against the single total row — the
+   * election runs over H+1 rows, driver-free and sort-free.
+   *
+   * @return one row: (h_eff, n_pairs — within h_eff, n_pairs_total —
+   *         within maxHops)
+   */
+  def effectiveDiameter(edgesIn: DataFrame, maxHops: Int, k: Int = 1024,
+                        pctNum: Long = 9L, pctDen: Long = 10L): DataFrame = {
+    require(maxHops >= 1, "maxHops must be >= 1")
+    require(pctNum >= 0 && pctDen > 0 && pctNum <= pctDen,
+      "need 0 <= pctNum/pctDen <= 1")
+    val perHop = neighborhoodFunction(edgesIn, maxHops, k)
+      .groupBy(col("hop"))
+      .agg(sum(col("n_reach").cast("decimal(38,0)")).as("pairs"))
+    val total = perHop.filter(col("hop") === maxHops)
+      .select(col("pairs").as("pairs_total"))
+    perHop.crossJoin(total)
+      .filter(col("pairs") * lit(pctDen) >= col("pairs_total") * lit(pctNum))
+      .agg(min(struct(col("hop"), col("pairs"), col("pairs_total"))).as("r"))
+      .select(col("r.hop").as("h_eff"),
+        col("r.pairs").cast("decimal(38,0)").as("n_pairs"),
+        col("r.pairs_total").cast("decimal(38,0)").as("n_pairs_total"))
+  }
+
+  /**
+   * EGO NETWORK / induced k-hop subgraph: the triples whose BOTH
+   * endpoints lie within `maxDepth` directed hops of a seed set — "give
+   * me the neighborhood graph around these entities", the KG-serving
+   * slice every entity page, GNN mini-batch, and manual-audit workflow
+   * starts from (the subgraph companion of [[bfs]]'s distance view and
+   * [[sampleNeighbors]]' sampled view — this one is exact and induced:
+   * edges BETWEEN reached nodes appear even when no BFS tree uses them).
+   *
+   * Shape: the [[bfs]] frontier loop (per level one keyed join over the
+   * frontier only, adaptive driver fallback on small graphs) + TWO
+   * LEFT SEMI joins of the triple table against the reached-id set +
+   * the set-semantics distinct. The triple table is scanned once; at
+   * 10^12 triples with a small ego set both semi-joins broadcast the
+   * reached ids, so the slice costs one pruned pass.
+   *
+   * @return distinct (subj, pred, obj) of the induced subgraph
+   */
+  def egoTriples(triples: DataFrame, seedIds: Seq[Long],
+                 maxDepth: Int): DataFrame = {
+    require(seedIds.nonEmpty, "need at least one seed")
+    val t = triples
+      .select(col("subj").cast("long"), col("pred"), col("obj").cast("long"))
+    val spark = triples.sparkSession
+    import spark.implicits._
+    val reached = bfs(
+      t.select(col("subj").as("src"), col("obj").as("dst")),
+      seedIds.toDF("id"), maxDepth).select(col("id"))
+    t.join(reached.withColumnRenamed("id", "subj"), Seq("subj"), "left_semi")
+      .join(reached.withColumnRenamed("id", "obj"), Seq("obj"), "left_semi")
+      .select(col("subj"), col("pred"), col("obj"))
+      .distinct()
+  }
+
+  /**
    * Canonical STRUCTURAL DIGEST per connected component — the
    * KG-versioning / subgraph-dedup primitive: two components receive
    * the same digest whenever [[wlColors]] cannot distinguish them

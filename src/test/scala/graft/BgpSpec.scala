@@ -301,6 +301,17 @@ class BgpSpec extends SparkSpec {
     assert(no.length === 1 && !no.head.getBoolean(0))
   }
 
+  test("DESCRIBE: subject-or-object slice, set semantics, empty rejected") {
+    val got = Bgp.describe(triplesDf, Seq(2L))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // (1,likes,2) duplicated in the input -> once; both roles matched
+    assert(got === Set((1L, "likes", 2L), (4L, "likes", 2L),
+      (2L, "in", 10L), (2L, "self", 2L)))
+    val two = Bgp.describe(triplesDf, Seq(10L, 11L)).count()
+    assert(two === 2L) // (2,in,10) and (3,in,11)
+    intercept[IllegalArgumentException] { Bgp.describe(triplesDf, Seq.empty) }
+  }
+
   test("VALUES: inline block restricts a bound variable; unbound rejected") {
     val got = Bgp.matchBgpValues(triplesDf,
       Seq(Pattern(V("x"), "likes", V("z"))), "x", Seq(1L, 99L))

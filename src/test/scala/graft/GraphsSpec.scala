@@ -779,6 +779,59 @@ class GraphsSpec extends SparkSpec {
       stubs.map(s => deg(s._1) * deg(s._1)).sum)
   }
 
+  // ---- ego network ----
+
+  test("egoTriples: induced k-hop subgraph — non-tree edges kept") {
+    import spark.implicits._
+    val t = Seq(
+      (1L, "p", 2L), (2L, "p", 3L), (3L, "p", 4L), (2L, "p", 1L),
+      (5L, "p", 1L), (2L, "q", 2L), (1L, "p", 2L))
+      .toDF("subj", "pred", "obj").repartition(3)
+    def ego(d: Int) = Graphs.egoTriples(t, Seq(1L), d)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // depth 1: reach {1,2}; (5,p,1) excluded (5 unreachable), the
+    // BACK edge (2,p,1) and self-loop (2,q,2) induced, dup collapsed
+    assert(ego(1) === Set((1L, "p", 2L), (2L, "p", 1L), (2L, "q", 2L)))
+    // depth 2 adds node 3 and its in-edge
+    assert(ego(2) === Set((1L, "p", 2L), (2L, "p", 1L), (2L, "q", 2L),
+      (2L, "p", 3L)))
+  }
+
+  // ---- effective diameter ----
+
+  test("effectiveDiameter: path graph — 90th percentile hop, exact sums") {
+    // 1->2->3->4: N(0)=4, N(1)=7, N(2)=9, N(3)=10; 10*9 >= 9*10 -> h=2
+    val r = Graphs.effectiveDiameter(
+      edgesDf(Seq((1L, 2L), (2L, 3L), (3L, 4L))), maxHops = 3).head()
+    assert(r.getLong(0) === 2L)
+    assert(r.getDecimal(1).longValueExact === 9L)
+    assert(r.getDecimal(2).longValueExact === 10L)
+  }
+
+  test("effectiveDiameter: skewed digraph — BFS-twin election") {
+    // exact per-hop cumulative reachable pairs by sequential BFS
+    val e = graph.filter(p => p._1 != p._2).distinct
+    val adj = e.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val nodes = e.flatMap(p => Seq(p._1, p._2)).distinct
+    val maxHops = 3
+    val cum = Array.fill(maxHops + 1)(0L)
+    nodes.foreach { n =>
+      var seen = Set(n); var frontier = Set(n)
+      cum(0) += 1
+      for (h <- 1 to maxHops) {
+        frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- seen
+        seen ++= frontier
+        cum(h) += seen.size.toLong
+      }
+    }
+    val hEff = (0 to maxHops)
+      .find(h => cum(h) * 10L >= cum(maxHops) * 9L).get
+    val r = Graphs.effectiveDiameter(edgesDf(graph, 7), maxHops).head()
+    assert(r.getLong(0) === hEff.toLong)
+    assert(r.getDecimal(1).longValueExact === cum(hEff))
+    assert(r.getDecimal(2).longValueExact === cum(maxHops))
+  }
+
   // ---- HITS ----
 
   /** sequential replay of the integer HITS recurrence */

@@ -76,6 +76,62 @@ class TemporalSpec extends SparkSpec {
     assert(at(20L) === Set((1L, 1L)))            // point island boundary
   }
 
+  // ---- overlap join ----
+
+  private def ivDf(rows: Seq[(Long, Long, Long)]) = {
+    import spark.implicits._
+    rows.toDF("k", "f", "t")
+      .select(col("k"), timestamp_micros(col("f")).as("valid_from"),
+        timestamp_micros(col("t")).as("valid_to"))
+      .repartition(3)
+  }
+
+  private def runOverlap(l: Seq[(Long, Long, Long)],
+                         r: Seq[(Long, Long, Long)], cell: Long) =
+    Temporal.overlapJoin(ivDf(l), ivDf(r), Seq("k"), cellMicros = cell)
+      .select(col("k"), unix_micros(col("l_from")), unix_micros(col("l_to")),
+        unix_micros(col("r_from")), unix_micros(col("r_to")),
+        unix_micros(col("overlap_from")), unix_micros(col("overlap_to")))
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5), x.getLong(6)))
+
+  /** naive all-pairs twin of the inclusive overlap join */
+  private def naiveOverlap(l: Seq[(Long, Long, Long)],
+                           r: Seq[(Long, Long, Long)]) =
+    (for {
+      (k, lf, lt) <- l
+      (k2, rf, rt) <- r
+      if k == k2 && lf <= rt && rf <= lt
+    } yield (k, lf, lt, rf, rt, math.max(lf, rf), math.min(lt, rt))).toSet
+
+  test("overlapJoin: hand case — inclusive boundaries, cross-key excluded") {
+    val l = Seq((1L, 0L, 10L), (1L, 20L, 30L), (2L, 0L, 5L))
+    val r = Seq((1L, 10L, 15L), (1L, 16L, 19L), (2L, 6L, 9L), (3L, 0L, 99L))
+    val got = runOverlap(l, r, cell = 7L).toSet
+    // [0,10]x[10,15] touch at 10 (inclusive); [20,30] misses both right
+    // intervals; key 2's intervals are adjacent-but-disjoint (5 < 6)
+    assert(got === Set((1L, 0L, 10L, 10L, 15L, 10L, 10L)))
+  }
+
+  test("overlapJoin: exactly-once at ANY cell width — naive twin equality") {
+    // pseudo-random interval sets incl. long spans crossing many cells
+    val l = (0 until 40).map { i =>
+      val k = (i % 4).toLong; val f = (i * 13L) % 90L
+      (k, f, f + (i * 7L) % 25L)
+    }
+    val r = (0 until 40).map { i =>
+      val k = (i % 5).toLong; val f = (i * 29L) % 90L
+      (k, f, f + (i * 11L) % 40L)
+    }
+    val want = naiveOverlap(l, r)
+    for (cell <- Seq(1L, 3L, 16L, 1000L))
+      assert(runOverlap(l, r, cell).toSet === want,
+        s"cellMicros=$cell diverged from the naive twin")
+    // bag semantics too: no pair emitted twice
+    assert(runOverlap(l, r, 3L).length === want.size)
+  }
+
   test("coalesceIntervals: gap 0 splits every distinct timestamp") {
     val rows = Seq((1L, "x", 1L), (1L, "x", 2L), (1L, "x", 2L))
     val got = Temporal.coalesceIntervals(obsDf(rows), Seq("ent", "p"), "ts", 0L)
