@@ -1026,6 +1026,35 @@ object SparkEntry {
       val tr = Pipeline.triples(s, dir).toDF()
       graft.kg.Graphs.effectiveDiameter(
         tr.select(col("subj").as("src"), col("obj").as("dst")), maxHops = 3)
+    }),
+    // schema induction: per-entity predicate-role signature (sorted
+    // slot string, engine-exact) — one explode + one bounded-state agg
+    "q135_entity_signatures" -> ((s, dir) =>
+      graft.kg.Triples.entitySignatures(Pipeline.triples(s, dir).toDF())),
+    // quotient graph: contract nodes to their k-core level (q95's
+    // labeling) and count distinct edges between levels — the
+    // multilevel "how do the cores wire to each other" summary
+    "q136_quotient_graph" -> ((s, dir) => {
+      val tr = Pipeline.triples(s, dir).toDF()
+      val edges = tr.select(col("subj").as("src"), col("obj").as("dst"))
+      graft.kg.Graphs.quotientGraph(edges,
+        graft.kg.Graphs.coreness(edges)
+          .select(col("id"), col("coreness").as("label")))
+    }),
+    // explainability: ALL simple <=3-hop paths between two seed
+    // entities — frontier of partial paths, loud combinatorial bound
+    "q137_enum_paths" -> ((s, dir) => {
+      val tr = Pipeline.triples(s, dir).toDF()
+      graft.kg.Graphs.enumPaths(
+        tr.select(col("subj").as("src"), col("obj").as("dst")),
+        SparqlValuesIds(0), SparqlValuesIds(1), maxLen = 3)
+    }),
+    // KG hygiene: per-component bipartiteness with exact odd-edge
+    // witness counts (BFS parity from the canonical component root)
+    "q138_bipartite" -> ((s, dir) => {
+      val tr = Pipeline.triples(s, dir).toDF()
+      graft.kg.Graphs.bipartiteness(
+        tr.select(col("subj").as("src"), col("obj").as("dst")))
     })
   )
 
@@ -1490,6 +1519,71 @@ object SparkEntry {
              CAST(pairs_total AS VARCHAR) AS n_pairs_total
       FROM ph, tot WHERE pairs * 10 >= pairs_total * 9
       ORDER BY hop LIMIT 1""",
+    "q135_entity_signatures" -> s"""
+      WITH t AS (SELECT subj, pred, obj
+                 FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'),
+      r AS (SELECT subj AS id, 's:' || pred AS role FROM t
+            UNION
+            SELECT obj AS id, 'o:' || pred AS role FROM t)
+      SELECT id, string_agg(role, ',' ORDER BY role) AS signature,
+             count(*) AS n_roles
+      FROM r GROUP BY 1""",
+    "q136_quotient_graph" -> s"""
+      WITH t AS (SELECT subj, pred, obj
+                 FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'),
+      e AS (SELECT DISTINCT subj AS src, obj AS dst FROM t WHERE subj <> obj),
+      lab AS (SELECT id, coreness AS label
+              FROM '$goldenRoot/__SF__/q95_coreness.parquet/*.parquet')
+      SELECT ls.label AS src_label, ld.label AS dst_label,
+             count(*) AS weight
+      FROM e JOIN lab ls ON ls.id = e.src JOIN lab ld ON ld.id = e.dst
+      GROUP BY 1, 2""",
+    "q137_enum_paths" -> s"""
+      WITH RECURSIVE
+      t AS (SELECT subj, pred, obj
+            FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'),
+      e AS (SELECT DISTINCT subj AS src, obj AS dst FROM t WHERE subj <> obj),
+      p(last, path, n) AS (
+        SELECT CAST(${SparqlValuesIds(0)} AS BIGINT),
+               ',${SparqlValuesIds(0)},', 0
+        UNION ALL
+        SELECT e.dst, p.path || e.dst || ',', p.n + 1
+        FROM p JOIN e ON e.src = p.last
+        WHERE p.n < 3 AND p.last <> ${SparqlValuesIds(1)}
+          AND position(',' || e.dst || ',' IN p.path) = 0)
+      SELECT trim(path, ',') AS path, CAST(n AS BIGINT) AS n_hops
+      FROM p WHERE last = ${SparqlValuesIds(1)} AND n >= 1""",
+    "q138_bipartite" -> s"""
+      WITH RECURSIVE
+      t AS (SELECT subj, pred, obj
+            FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'),
+      und AS (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+              FROM t WHERE subj <> obj),
+      sym AS (SELECT a AS src, b AS dst FROM und
+              UNION ALL SELECT b, a FROM und),
+      reach(id, r) AS (
+        SELECT src, src FROM sym
+        UNION
+        SELECT s.dst, r.r FROM reach r JOIN sym s ON s.src = r.id),
+      lab AS (SELECT id, min(r) AS component FROM reach GROUP BY 1),
+      roots AS (SELECT DISTINCT component AS id FROM lab),
+      d(id, dd) AS (
+        SELECT id, 0 FROM roots
+        UNION
+        SELECT s.dst, d.dd + 1 FROM d JOIN sym s ON s.src = d.id
+        WHERE d.dd < 32),
+      md AS (SELECT id, min(dd) AS dd FROM d GROUP BY 1),
+      odd AS (SELECT l.component, count(*) AS n_odd
+              FROM und u
+              JOIN md ma ON ma.id = u.a JOIN md mb ON mb.id = u.b
+              JOIN lab l ON l.id = u.a
+              WHERE ma.dd % 2 = mb.dd % 2
+              GROUP BY 1)
+      SELECT lab.component, count(*) AS n_nodes,
+             coalesce(max(o.n_odd), 0) AS n_odd_edges,
+             coalesce(max(o.n_odd), 0) = 0 AS is_bipartite
+      FROM lab LEFT JOIN odd o ON o.component = lab.component
+      GROUP BY 1""",
     "q119_bgp_minus" -> s"""
       WITH t AS (SELECT subj, pred, obj
                  FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet')

@@ -1319,6 +1319,140 @@ object Graphs {
   }
 
   /**
+   * QUOTIENT (coarsened) GRAPH: contract every node to its label and
+   * count the distinct simple directed edges between label classes —
+   * the multilevel primitive (communities → super-graph → recurse) and
+   * the "how do the k-cores wire to each other" summary view. Intra-
+   * class edges survive as (l, l) self-loop rows: they are the internal
+   * density a coarser level needs.
+   *
+   * Shape: ONE distinct + two keyed label-attach joins + ONE partial-
+   * aggregated count. Output is |labels|² at worst, in practice the
+   * class co-adjacency — a corpus-scale reduction.
+   *
+   * @param labels (id, label) — every edge endpoint must be labeled
+   *               (inner joins drop unlabeled endpoints silently; pass a
+   *               total labeling like [[coreness]] or
+   *               [[graft.canon.ConnectedComponents]] output)
+   * @return (src_label, dst_label, weight — distinct simple directed
+   *         edges between the classes)
+   */
+  def quotientGraph(edgesIn: DataFrame, labels: DataFrame): DataFrame = {
+    val e = edgesIn
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val lab = labels.select(col("id").cast("long"), col("label"))
+    e.join(lab.select(col("id").as("src"), col("label").as("src_label")),
+        Seq("src"))
+      .join(lab.select(col("id").as("dst"), col("label").as("dst_label")),
+        Seq("dst"))
+      .groupBy(col("src_label"), col("dst_label"))
+      .agg(count(lit(1)).as("weight"))
+  }
+
+  /**
+   * Bounded SIMPLE-PATH ENUMERATION between two entities — the KG
+   * explainability query ("HOW are these two related?"): every
+   * duplicate-free directed path src → … → dst of at most `maxLen`
+   * edges, as an auditable id string. The relation-extraction QA
+   * companion of [[bfs]] (which answers only "how far").
+   *
+   * Distributed loop: the frontier holds partial paths (id array
+   * column); each step is ONE keyed equi-join on the path head plus a
+   * per-row `array_contains` simplicity filter (arrays are <= maxLen
+   * long — constant work). Paths that reach `dst` retire immediately: a
+   * simple path cannot leave and revisit dst, so extending them is
+   * provably wasted work. Enumeration is inherently combinatorial —
+   * `maxFrontier` bounds each step LOUDLY (IllegalStateException, never
+   * a silent truncation: a partial path census would read as a lie).
+   *
+   * @return (path — comma-joined node ids, n_hops) for every simple
+   *         src→dst path with 1 <= n_hops <= maxLen
+   */
+  def enumPaths(edgesIn: DataFrame, srcId: Long, dstId: Long, maxLen: Int,
+                maxFrontier: Long = 10000000L): DataFrame = {
+    require(maxLen >= 1, "maxLen must be >= 1")
+    require(srcId != dstId, "src and dst must differ (simple paths)")
+    val spark = edgesIn.sparkSession
+    val e = edgesIn
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .repartition(col("src")).localCheckpoint(true)
+    var frontier = spark.range(1)
+      .select(lit(srcId).as("last"), array(lit(srcId)).as("path"))
+      .localCheckpoint(true)
+    val empty = frontier.filter(lit(false)).localCheckpoint(true)
+    var out = empty
+    var step = 0
+    while (step < maxLen && !frontier.isEmpty) {
+      step += 1
+      val ext = frontier
+        .join(e.withColumnRenamed("src", "last"), Seq("last"))
+        .filter(!array_contains(col("path"), col("dst")))
+        .select(col("dst").as("last"),
+          concat(col("path"), array(col("dst"))).as("path"))
+        .localCheckpoint(true)
+      val n = ext.count()
+      if (n > maxFrontier) throw new IllegalStateException(
+        s"enumPaths: frontier $n exceeds maxFrontier=$maxFrontier at " +
+          s"step $step — raise the bound or lower maxLen")
+      out = out.unionAll(ext.filter(col("last") === dstId))
+        .localCheckpoint(true)
+      frontier = ext.filter(col("last") =!= dstId)
+    }
+    out.select(
+      array_join(col("path").cast("array<string>"), ",").as("path"),
+      (size(col("path")) - 1).cast("long").as("n_hops"))
+  }
+
+  /**
+   * BIPARTITENESS check per connected component — the KG-hygiene probe
+   * for relation slices that SHOULD be two-sided (page→entity mention
+   * graphs, entity→attribute graphs): an odd cycle means the extractor
+   * wired two layers together. Standard BFS-layering argument: root
+   * each component at its canonical minimum node, take shortest-hop
+   * parities, and the graph is bipartite iff NO undirected edge joins
+   * two same-parity nodes — those edges are returned as the exact odd-
+   * cycle witness count.
+   *
+   * Shape: the [[graft.canon.ConnectedComponents]] labeling + ONE
+   * multi-source [[bfs]] over the symmetrized edges (components are
+   * disjoint, so all roots expand in the same frontier loop) + one
+   * parity join over the simple edge set + one partial-aggregated
+   * count. Components wider than `maxDepth` hops fail LOUDLY (an
+   * unreached node would silently vanish from the parity join and
+   * undercount witnesses).
+   *
+   * @return (component, n_nodes, n_odd_edges, is_bipartite)
+   */
+  def bipartiteness(edgesIn: DataFrame, maxDepth: Int = 32): DataFrame = {
+    val und = undirected(edgesIn).localCheckpoint(true)
+    val sym = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+    val comp = graft.canon.ConnectedComponents.run(
+      und.select(col("a").as("src"), col("b").as("dst")))
+      .localCheckpoint(true)
+    val dist = bfs(sym, comp.select(col("component").as("id")).distinct(),
+      maxDepth).localCheckpoint(true)
+    val (nComp, nDist) = (comp.count(), dist.count())
+    if (nDist != nComp) throw new IllegalStateException(
+      s"bipartiteness: ${nComp - nDist} nodes beyond maxDepth=$maxDepth " +
+        "hops of their component root — raise maxDepth")
+    val par = dist.select(col("id"), (col("dist") % 2).as("par"))
+    val odd = und
+      .join(par.select(col("id").as("a"), col("par").as("pa")), Seq("a"))
+      .join(par.select(col("id").as("b"), col("par").as("pb")), Seq("b"))
+      .filter(col("pa") === col("pb"))
+      .join(comp.select(col("id").as("a"), col("component")), Seq("a"))
+      .groupBy(col("component")).agg(count(lit(1)).as("n_odd"))
+    comp.groupBy(col("component")).agg(count(lit(1)).as("n_nodes"))
+      .join(odd, Seq("component"), "left")
+      .select(col("component"), col("n_nodes"),
+        coalesce(col("n_odd"), lit(0L)).as("n_odd_edges"),
+        (coalesce(col("n_odd"), lit(0L)) === 0L).as("is_bipartite"))
+  }
+
+  /**
    * Canonical STRUCTURAL DIGEST per connected component — the
    * KG-versioning / subgraph-dedup primitive: two components receive
    * the same digest whenever [[wlColors]] cannot distinguish them

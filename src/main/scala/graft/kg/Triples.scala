@@ -289,6 +289,37 @@ object Triples {
   }
 
   /**
+   * SCHEMA INDUCTION by predicate-role signature: each entity's TYPE, as
+   * far as an untyped KG can observe it, is the set of (role, predicate)
+   * slots it fills — "things that `merge` something and are `order`ed by
+   * something" behave as one class. Emitting the sorted signature STRING
+   * (not a hash) keeps the output engine-exact and human-auditable; a
+   * `groupBy(signature)` downstream is the class histogram, and a
+   * signature change between snapshots is the schema-drift alarm.
+   *
+   * Shape: one 2× role explode + ONE groupBy(id) whose `collect_set`
+   * state is bounded by 2·|pred alphabet| per entity — a corpus-scale
+   * reduction to |entities| rows with map-side partial aggregation;
+   * signatures sort INSIDE the row (array sort, no global sort).
+   *
+   * @return (id, signature — comma-joined sorted "s:pred"/"o:pred"
+   *         slots, n_roles — distinct slots filled)
+   */
+  def entitySignatures(triples: DataFrame): DataFrame = {
+    val roles = triples
+      .select(col("subj").cast("long").as("id"),
+        concat(lit("s:"), col("pred")).as("role"))
+      .unionAll(triples
+        .select(col("obj").cast("long").as("id"),
+          concat(lit("o:"), col("pred")).as("role")))
+    roles.groupBy(col("id"))
+      .agg(sort_array(collect_set(col("role"))).as("__roles"))
+      .select(col("id"),
+        concat_ws(",", col("__roles")).as("signature"),
+        size(col("__roles")).cast("long").as("n_roles"))
+  }
+
+  /**
    * Partitioned + bucketed sink (K6). Parquet stand-in for an Iceberg table
    * (no Iceberg jars offline — see SURVEY.md §7): directory-partitioned by
    * lang; files within a partition are split by `pmod(hash(subj), buckets)`

@@ -832,6 +832,83 @@ class GraphsSpec extends SparkSpec {
     assert(r.getDecimal(2).longValueExact === cum(maxHops))
   }
 
+  // ---- quotient graph ----
+
+  test("quotientGraph: contraction weights exact, intra-class self-loops") {
+    import spark.implicits._
+    // labels: {1,2}->A, {3,4}->B; edges incl dup + node self-loop
+    val lab = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "B"))
+      .toDF("id", "label")
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (2L, 4L), (3L, 1L),
+      (1L, 3L), (4L, 4L))
+    val got = Graphs.quotientGraph(edgesDf(e), lab).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      ("A", "A") -> 2L, // 1->2 and 2->1; node self-loop 4->4 dropped
+      ("A", "B") -> 2L, // 1->3 (dup collapsed) and 2->4
+      ("B", "A") -> 1L))
+  }
+
+  // ---- simple-path enumeration ----
+
+  test("enumPaths: exhaustive simple paths, dst retirement, loud bound") {
+    // diamond + shortcut: 1->2->4, 1->3->4, 1->4, plus cycle 2->1 and
+    // a continuation 4->5 that must NOT extend retired dst paths
+    val e = Seq((1L, 2L), (2L, 4L), (1L, 3L), (3L, 4L), (1L, 4L),
+      (2L, 1L), (4L, 5L))
+    val got = Graphs.enumPaths(edgesDf(e), 1L, 4L, maxLen = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === Set(("1,4", 1L), ("1,2,4", 2L), ("1,3,4", 2L)))
+    // maxLen cuts: only the direct edge at maxLen 1
+    assert(Graphs.enumPaths(edgesDf(e), 1L, 4L, 1)
+      .collect().map(_.getString(0)).toSet === Set("1,4"))
+    // dense K12: frontier 11 -> 110 partial paths blows a bound of 50
+    val k12 = for {
+      a <- 1L to 12L; b <- 1L to 12L; if a != b
+    } yield (a, b)
+    intercept[IllegalStateException] {
+      Graphs.enumPaths(edgesDf(k12), 1L, 99L, 3, maxFrontier = 50L)
+    }
+  }
+
+  test("enumPaths: brute-force twin on the skewed graph") {
+    val e = simple(graph).toSeq.flatMap(p => Seq(p)) // directed distinct
+    val dirE = graph.filter(p => p._1 != p._2).distinct
+    val adj = dirE.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    def walk(path: List[Long]): Seq[List[Long]] =
+      if (path.head == 7L) Seq(path)
+      else if (path.length > 3) Seq.empty
+      else adj.getOrElse(path.head, Seq.empty)
+        .filterNot(path.contains).flatMap(n => walk(n :: path))
+    val want = walk(List(0L)).filter(_.length > 1)
+      .map(p => (p.reverse.mkString(","), (p.length - 1).toLong)).toSet
+    val got = Graphs.enumPaths(edgesDf(graph, 7), 0L, 7L, maxLen = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === want)
+  }
+
+  // ---- bipartiteness ----
+
+  test("bipartiteness: even cycle passes, odd cycle flagged with witness") {
+    // comp A: 4-cycle 1-2-3-4 (bipartite); comp B: triangle 10,11,12
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L),
+      (10L, 11L), (11L, 12L), (12L, 10L))
+    val got = Graphs.bipartiteness(edgesDf(e)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toMap
+    assert(got === Map(
+      1L -> ((4L, 0L, true)),
+      10L -> ((3L, 1L, false)))) // exactly one same-parity edge witness
+    // star = trivially bipartite at any depth
+    val star = (1L to 20L).map(i => (0L, i))
+    assert(Graphs.bipartiteness(edgesDf(star)).head().getBoolean(3))
+    // loud failure when a component outruns maxDepth
+    val path = (0L until 40L).map(i => (i, i + 1))
+    intercept[IllegalStateException] {
+      Graphs.bipartiteness(edgesDf(path), maxDepth = 5)
+    }
+  }
+
   // ---- HITS ----
 
   /** sequential replay of the integer HITS recurrence */

@@ -212,4 +212,19 @@ class KgFactsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(got === Map(("a", "b") -> 2L, ("a", "c") -> 1L, ("b", "c") -> 1L))
   }
+
+  test("entitySignatures: sorted role slots, duplicates collapse") {
+    import spark.implicits._
+    // entity 2 fills o:a (twice), s:b; entity 1 fills s:a only
+    val tr = Seq(
+      (1L, "a", 2L), (1L, "a", 2L), (2L, "b", 3L), (4L, "a", 2L))
+      .toDF("subj", "pred", "obj").repartition(3)
+    val got = Triples.entitySignatures(tr).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got === Map(
+      1L -> ("s:a", 1L),
+      2L -> ("o:a,s:b", 2L),
+      3L -> ("o:b", 1L),
+      4L -> ("s:a", 1L)))
+  }
 }
