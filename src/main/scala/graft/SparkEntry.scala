@@ -1055,6 +1055,15 @@ object SparkEntry {
       val tr = Pipeline.triples(s, dir).toDF()
       graft.kg.Graphs.bipartiteness(
         tr.select(col("subj").as("src"), col("obj").as("dst")))
+    }),
+    // ranked companion of q137: which entities BROKER the two seeds —
+    // exact shortest-path counts through every on-path node from two
+    // BFS sweeps (sigma*tau), never one-BFS-per-node betweenness
+    "q139_path_brokerage" -> ((s, dir) => {
+      val tr = Pipeline.triples(s, dir).toDF()
+      graft.kg.Graphs.pathBrokerage(
+        tr.select(col("subj").as("src"), col("obj").as("dst")),
+        SparqlValuesIds(0), SparqlValuesIds(1), maxHops = 4)
     })
   )
 
@@ -1584,6 +1593,46 @@ object SparkEntry {
              coalesce(max(o.n_odd), 0) = 0 AS is_bipartite
       FROM lab LEFT JOIN odd o ON o.component = lab.component
       GROUP BY 1""",
+    "q139_path_brokerage" -> s"""
+      WITH RECURSIVE
+      t AS (SELECT subj, obj
+            FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'),
+      e AS (SELECT DISTINCT subj AS src, obj AS dst FROM t WHERE subj <> obj),
+      fd(id, d) AS (
+        SELECT CAST(${SparqlValuesIds(0)} AS BIGINT), 0
+        UNION
+        SELECT e.dst, fd.d + 1 FROM fd JOIN e ON e.src = fd.id
+        WHERE fd.d < 4),
+      mf AS (SELECT id, min(d) AS d FROM fd GROUP BY 1),
+      bd(id, d) AS (
+        SELECT CAST(${SparqlValuesIds(1)} AS BIGINT), 0
+        UNION
+        SELECT e.src, bd.d + 1 FROM bd JOIN e ON e.dst = bd.id
+        WHERE bd.d < 4),
+      mb AS (SELECT id, min(d) AS d FROM bd GROUP BY 1),
+      -- one row per shortest-path prefix: walks restricted to the
+      -- min-distance DAG, so count(*) per node = sigma(node)
+      sig(id, d) AS (
+        SELECT CAST(${SparqlValuesIds(0)} AS BIGINT), 0
+        UNION ALL
+        SELECT e.dst, sig.d + 1 FROM sig JOIN e ON e.src = sig.id
+        JOIN mf ON mf.id = e.dst AND mf.d = sig.d + 1
+        WHERE sig.d < 4),
+      tau(id, d) AS (
+        SELECT CAST(${SparqlValuesIds(1)} AS BIGINT), 0
+        UNION ALL
+        SELECT e.src, tau.d + 1 FROM tau JOIN e ON e.dst = tau.id
+        JOIN mb ON mb.id = e.src AND mb.d = tau.d + 1
+        WHERE tau.d < 4),
+      sg AS (SELECT id, count(*) AS c FROM sig GROUP BY 1),
+      tg AS (SELECT id, count(*) AS c FROM tau GROUP BY 1),
+      dt AS (SELECT d FROM mf WHERE id = ${SparqlValuesIds(1)})
+      SELECT sg.id, CAST(mf.d AS BIGINT) AS d_from_src,
+             CAST(CAST(sg.c AS DECIMAL(38,0)) * tg.c AS VARCHAR)
+               AS n_paths_through
+      FROM sg JOIN mf ON mf.id = sg.id
+      JOIN tg ON tg.id = sg.id JOIN mb ON mb.id = sg.id
+      JOIN dt ON mf.d + mb.d = dt.d""",
     "q119_bgp_minus" -> s"""
       WITH t AS (SELECT subj, pred, obj
                  FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet')

@@ -887,6 +887,89 @@ class GraphsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  // ---- path brokerage (pairwise stress centrality) ----
+
+  /** sequential twin: BFS distances, then exhaustive enumeration of the
+    * shortest src->dst paths along the distance DAG */
+  private def seqBrokerage(edges: Seq[(Long, Long)], src: Long, dst: Long,
+                           maxHops: Int): Map[Long, (Long, BigInt)] = {
+    val e = edges.filter(p => p._1 != p._2).distinct
+    val adj = e.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val dist = scala.collection.mutable.Map(src -> 0)
+    var frontier = Set(src)
+    var d = 0
+    while (d < maxHops && frontier.nonEmpty) {
+      d += 1
+      frontier = frontier.flatMap(n => adj.getOrElse(n, Seq.empty))
+        .filterNot(dist.contains)
+      frontier.foreach(n => dist(n) = d)
+    }
+    dist.get(dst) match {
+      case None => Map.empty
+      case Some(big) =>
+        def walk(node: Long, dd: Int): Seq[List[Long]] =
+          if (node == dst) Seq(List(node))
+          else adj.getOrElse(node, Seq.empty)
+            .filter(n => dist.get(n).contains(dd + 1))
+            .flatMap(n => walk(n, dd + 1).map(node :: _))
+        val paths = walk(src, 0)
+        assert(paths.forall(_.length == big + 1))
+        paths.flatten.groupBy(identity)
+          .map { case (n, occ) => n -> ((dist(n).toLong, BigInt(occ.size))) }
+    }
+  }
+
+  test("pathBrokerage: diamond hand case — sigma*tau per broker") {
+    // two shortest 1->4 routes (via 2 and via 3); 1->5->6->4 is longer
+    // and must be excluded; 2->3 is a non-DAG edge that must not count
+    val e = Seq((1L, 2L), (2L, 4L), (1L, 3L), (3L, 4L),
+      (1L, 5L), (5L, 6L), (6L, 4L), (2L, 3L))
+    val got = Graphs.pathBrokerage(edgesDf(e), 1L, 4L, maxHops = 4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), BigInt(r.getDecimal(2).toBigInteger))))
+      .toMap
+    assert(got === Map(
+      1L -> ((0L, BigInt(2))), // endpoint carries the total path count
+      2L -> ((1L, BigInt(1))), 3L -> ((1L, BigInt(1))),
+      4L -> ((2L, BigInt(2)))))
+    // unreachable within the hop bound -> empty, not an error
+    assert(Graphs.pathBrokerage(edgesDf(e), 1L, 4L, maxHops = 1).isEmpty)
+    assert(Graphs.pathBrokerage(edgesDf(e), 4L, 1L, maxHops = 6).isEmpty)
+  }
+
+  test("pathBrokerage: double diamond — interior sigma*tau product") {
+    // 1->{2,3}->4->{5,6}->7: four shortest paths, all through 4
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 7L), (6L, 7L))
+    val got = Graphs.pathBrokerage(edgesDf(e), 1L, 7L, maxHops = 8)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), BigInt(r.getDecimal(2).toBigInteger))))
+      .toMap
+    assert(got === Map(
+      1L -> ((0L, BigInt(4))), 7L -> ((4L, BigInt(4))),
+      2L -> ((1L, BigInt(2))), 3L -> ((1L, BigInt(2))),
+      4L -> ((2L, BigInt(4))), // sigma 2 * tau 2
+      5L -> ((3L, BigInt(2))), 6L -> ((3L, BigInt(2)))))
+  }
+
+  test("pathBrokerage: pseudo-random twins at any partitioning") {
+    // dense mixed-moduli digraph: multiple shortest 0->20 routes
+    val dense = (0 until 240)
+      .map(i => ((i * 7L + 1L) % 31L, (i.toLong * i * 11L + 2L) % 29L))
+    // the skewed hub graph: deep sparse component, many off-path nodes
+    for ((edges, src, dst) <- Seq((dense, 0L, 20L), (graph, 0L, 16L))) {
+      val want = seqBrokerage(edges, src, dst, maxHops = 6)
+      assert(want.nonEmpty)
+      for (parts <- Seq(1, 7)) {
+        val got = Graphs.pathBrokerage(edgesDf(edges, parts), src, dst, 6)
+          .collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), BigInt(r.getDecimal(2).toBigInteger))))
+          .toMap
+        assert(got === want)
+      }
+    }
+  }
+
   // ---- bipartiteness ----
 
   test("bipartiteness: even cycle passes, odd cycle flagged with witness") {
