@@ -1064,6 +1064,54 @@ object SparkEntry {
       graft.kg.Graphs.pathBrokerage(
         tr.select(col("subj").as("src"), col("obj").as("dst")),
         SparqlValuesIds(0), SparqlValuesIds(1), maxHops = 4)
+    }),
+    // embedding-based KG error detection: exact integer TransE residuals
+    // (no division — scores scaled by the predicate count), top-3 least
+    // plausible triples per predicate; entity->vector assignment is the
+    // deterministic pmod hash into the embedding table, SQL-replayable
+    "q140_transe_scores" -> ((s, dir) => {
+      val tr = Pipeline.triples(s, dir).toDF()
+      val emb = s.read.parquet(t(dir, "embeddings"))
+      val nv = emb.count()
+      val ents = tr.select(col("subj").as("id"))
+        .unionAll(tr.select(col("obj").as("id"))).distinct()
+      val entVecs = ents.join(
+          emb.select(col("vec_id"), col("embedding").as("vec")),
+          pmod(col("id"), lit(nv)) === col("vec_id"))
+        .select(col("id"), col("vec"))
+      val w = Window.partitionBy(col("pred"))
+        .orderBy(col("score").desc, col("subj").asc, col("obj").asc)
+      graft.kg.Embedding.transeScores(tr, entVecs)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+    }),
+    // page-level entity aboutness index: top-3 entities per url by
+    // (tf DESC, df ASC, id) with the exact tf-idf integer ingredients
+    "q141_entity_salience" -> ((s, dir) =>
+      graft.kg.Triples.entitySalience(Pipeline.triples(s, dir).toDF(), k = 3)),
+    // linking-drift monitor: per linked entity the surface-form
+    // distribution (dominant alias elected inside ONE aggregate via
+    // min(struct(-cnt, surface)), sorted alias signature)
+    "q142_alias_profile" -> ((s, dir) =>
+      graft.link.EntityLink.aliasProfile(
+        graft.link.EntityLink.linkBroadcast(
+          Pipeline.mentions(s, dir), Pipeline.aliasDict(s, dir)).toDF())),
+    // trending monitor over the event stream: daily buckets per
+    // event_type, burst iff cnt >= 5 and cnt > 2x the trailing-7-day
+    // mean — all-integer cross-multiplied test over the DENSE grid
+    "q143_bursts" -> ((s, dir) =>
+      graft.kg.Temporal.bursts(
+        s.read.parquet(t(dir, "events")),
+        keys = Seq("event_type"), tsCol = "ts",
+        bucketMicros = 86400000000L, trailing = 7,
+        numK = 2L, denK = 1L, minCount = 5L)),
+    // SPARQL property-path alternation + inverse: ?x (merge|sort)/^hash ?y
+    // — alternation is ONE IN-filtered scan, inversion a free column swap
+    "q144_path_alt_inverse" -> ((s, dir) => {
+      import graft.kg.Bgp._
+      matchPath(Pipeline.triples(s, dir).toDF(), Seq(
+        Step("merge", alts = Seq("sort")),
+        Step("hash", inverse = true)))
     })
   )
 
@@ -1633,6 +1681,96 @@ object SparkEntry {
       FROM sg JOIN mf ON mf.id = sg.id
       JOIN tg ON tg.id = sg.id JOIN mb ON mb.id = sg.id
       JOIN dt ON mf.d + mb.d = dt.d""",
+    // exact integer TransE: quantize floor(x*1024) (float32->double and
+    // *2^10 are exact, so both engines see identical integers), fit
+    // r_p = sum(q_o - q_s) per predicate, score = sum_i |rsum - cnt*diff|
+    "q140_transe_scores" -> s"""
+      WITH t AS (SELECT DISTINCT subj, pred, obj
+                 FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'),
+      n AS (SELECT count(*) AS nv FROM embeddings),
+      ents AS (SELECT DISTINCT id FROM
+               (SELECT subj AS id FROM t UNION SELECT obj FROM t)),
+      ev AS (SELECT e.id,
+               list_transform(em.embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS q
+             FROM ents e CROSS JOIN n JOIN embeddings em
+               ON em.vec_id = ((e.id % n.nv) + n.nv) % n.nv),
+      j AS (SELECT t.subj, t.pred, t.obj, s.q AS qs, o.q AS qo
+            FROM t JOIN ev s ON s.id = t.subj JOIN ev o ON o.id = t.obj),
+      m AS (SELECT pred, i, sum(o_el - s_el) AS rsum FROM (
+              SELECT pred, unnest(qo) AS o_el, unnest(qs) AS s_el,
+                     unnest(range(1, len(qo) + 1)) AS i FROM j) u
+            GROUP BY 1, 2),
+      r AS (SELECT pred, list(rsum ORDER BY i) AS rsum FROM m GROUP BY 1),
+      c AS (SELECT pred, count(*) AS cnt FROM j GROUP BY 1),
+      sc AS (SELECT j.subj, j.pred, j.obj,
+               CAST(list_sum(list_transform(list_zip(j.qo, j.qs, r.rsum),
+                 z -> abs(z[3] - c.cnt * (z[1] - z[2])))) AS BIGINT) AS score
+             FROM j JOIN r ON r.pred = j.pred JOIN c ON c.pred = j.pred)
+      SELECT pred, subj, obj, score, rank FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY pred
+            ORDER BY score DESC, subj, obj) AS BIGINT) AS rank
+        FROM sc) WHERE rank <= 3""",
+    "q141_entity_salience" -> s"""
+      WITH t AS (SELECT url, subj, obj
+                 FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'),
+      slots AS (SELECT url, subj AS id FROM t
+                UNION ALL SELECT url, obj FROM t),
+      tf AS (SELECT url, id, count(*) AS tf FROM slots GROUP BY 1, 2),
+      df AS (SELECT id, count(*) AS df FROM tf GROUP BY 1),
+      np AS (SELECT count(DISTINCT url) AS n_pages FROM t)
+      SELECT url, id, tf, df, n_pages, rank FROM (
+        SELECT tf.url, tf.id, tf.tf, df.df,
+               CAST(row_number() OVER (PARTITION BY tf.url
+                 ORDER BY tf.tf DESC, df.df ASC, tf.id ASC) AS BIGINT) AS rank
+        FROM tf JOIN df USING (id)) x CROSS JOIN np
+      WHERE rank <= 3""",
+    "q142_alias_profile" -> s"""
+      WITH l AS (SELECT entityId AS entity_id, surface
+                 FROM '$goldenRoot/__SF__/q44_linked.parquet/*.parquet'),
+      pair AS (SELECT entity_id, surface, count(*) AS cnt
+               FROM l GROUP BY 1, 2),
+      top AS (SELECT entity_id, surface AS top_surface, cnt AS top_count
+              FROM (SELECT *, row_number() OVER (PARTITION BY entity_id
+                      ORDER BY cnt DESC, surface ASC) AS rn FROM pair)
+              WHERE rn = 1),
+      agg AS (SELECT entity_id, CAST(sum(cnt) AS BIGINT) AS n_mentions,
+                     count(*) AS n_surfaces,
+                     string_agg(surface, '|' ORDER BY surface) AS alias_sig
+              FROM pair GROUP BY 1)
+      SELECT agg.entity_id, agg.n_mentions, agg.n_surfaces,
+             top.top_surface, top.top_count, agg.alias_sig
+      FROM agg JOIN top USING (entity_id)""",
+    "q143_bursts" -> s"""
+      WITH c AS (SELECT event_type,
+                   CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS b,
+                   count(*) AS cnt
+                 FROM events GROUP BY 1, 2),
+      g AS (SELECT event_type, unnest(range(lo, hi + 1)) AS b FROM (
+              SELECT event_type, min(b) AS lo, max(b) AS hi
+              FROM c GROUP BY 1)),
+      d AS (SELECT g.event_type, g.b, coalesce(c.cnt, 0) AS cnt
+            FROM g LEFT JOIN c USING (event_type, b)),
+      w AS (SELECT event_type, b, cnt,
+              CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY b
+                ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT)
+                AS trailing_total,
+              count(*) OVER (PARTITION BY event_type ORDER BY b
+                ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS n
+            FROM d)
+      SELECT event_type, make_timestamp(b * 86400000000) AS bucket_start,
+             cnt, trailing_total,
+             (cnt >= 5 AND cnt * 7 * 1 > 2 * trailing_total) AS is_burst
+      FROM w WHERE n = 7""",
+    "q144_path_alt_inverse" -> s"""
+      WITH t AS (SELECT DISTINCT subj, pred, obj
+                 FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'),
+      s1 AS (SELECT DISTINCT subj AS s, obj AS o FROM t
+             WHERE pred IN ('merge', 'sort')),
+      s2 AS (SELECT DISTINCT obj AS s, subj AS o FROM t
+             WHERE pred = 'hash')
+      SELECT DISTINCT s1.s AS x, s2.o AS y
+      FROM s1 JOIN s2 ON s2.s = s1.o""",
     "q119_bgp_minus" -> s"""
       WITH t AS (SELECT subj, pred, obj
                  FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet')

@@ -206,9 +206,15 @@ object Bgp {
     b.orderBy(head +: tieBreak: _*).limit(k)
   }
 
-  /** One element of a SPARQL property path: predicate `p` traversed once
-    * (`plus = false`) or one-or-more times (`plus = true`, SPARQL `p+`). */
-  final case class Step(p: String, plus: Boolean = false)
+  /** One element of a SPARQL property path: predicate `p` — or the
+    * ALTERNATION `(p|alts...)` when `alts` is non-empty — traversed once
+    * (`plus = false`) or one-or-more times (`plus = true`, SPARQL `p+`),
+    * in edge direction or INVERTED (`inverse = true`, SPARQL `^p`).
+    * Compositions nest the SPARQL way: `Step(p, plus = true,
+    * inverse = true)` is `(^p)+` — the closure of the REVERSED slice. */
+  final case class Step(p: String, plus: Boolean = false,
+                        inverse: Boolean = false,
+                        alts: Seq[String] = Nil)
 
   /**
    * SPARQL property-path matching `?x  p1[/p2+/...]  ?y`: the path is a
@@ -228,9 +234,18 @@ object Bgp {
   def matchPath(triples: DataFrame, steps: Seq[Step]): DataFrame = {
     require(steps.nonEmpty, "need at least one path step")
     def rel(st: Step): DataFrame = {
-      val slice = triples.filter(col("pred") === lit(st.p))
-        .select(col("subj").cast("long").as("s"),
-          col("obj").cast("long").as("o")).distinct()
+      // alternation = ONE IN-filtered scan (a union of slices would scan
+      // the triple table once per alternative); inversion is a free
+      // column swap BEFORE the distinct/closure, so (^p)+ closes the
+      // reversed relation, the SPARQL semantics
+      val preds = st.p +: st.alts
+      val base =
+        if (preds.size == 1) triples.filter(col("pred") === lit(st.p))
+        else triples.filter(col("pred").isin(preds: _*))
+      val (sCol, oCol) =
+        if (st.inverse) (col("obj"), col("subj")) else (col("subj"), col("obj"))
+      val slice = base.select(sCol.cast("long").as("s"),
+        oCol.cast("long").as("o")).distinct()
       if (!st.plus) slice
       else Graphs.transitiveClosure(
         slice.select(col("s").as("src"), col("o").as("dst")))

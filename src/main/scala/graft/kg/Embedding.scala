@@ -115,4 +115,78 @@ object Embedding {
         Seq("subj", "pred", "neg_obj"), "left_anti")
       .select(col("subj"), col("pred"), col("obj"), col("slot"), col("neg_obj"))
   }
+
+  /**
+   * TransE-style triple plausibility scoring (Bordes et al. 2013) in
+   * EXACT integer arithmetic — embedding-based KG ERROR DETECTION: rank
+   * each extracted triple by how badly it violates its predicate's
+   * translation vector, so the worst offenders surface for audit. The
+   * serving-side complement of [[negativeSamples]]/[[linkPredictionSplit]]
+   * (which PREPARE embedding training data): here a trained entity table
+   * scores the graph itself.
+   *
+   * Closed-form relation fit: TransE wants e_s + r_p ≈ e_o, whose
+   * least-squares r_p is the MEAN translation mean(q_o − q_s) over the
+   * predicate's triples. To keep every number an integer (engine-exact,
+   * shuffle-order invariant, oracle-replayable bit-for-bit) the residual
+   * is scaled by the predicate count — no division ever happens:
+   *
+   *   score(s,p,o) = Σ_i | Σ_(s',o')∈p (q_o'[i] − q_s'[i])
+   *                        − cnt_p · (q_o[i] − q_s[i]) |
+   *                = cnt_p · Σ_i | q_s[i] + r_p[i] − q_o[i] |
+   *
+   * — the same PER-PREDICATE ranking as the float L1 residual.
+   * Embeddings quantize as floor(x · scale): float32→double is exact and
+   * multiplication by a power of two is exact, so any two engines see
+   * identical integers. Sums stay in longs; under ANSI mode an overflow
+   * (scale · dim · cnt_p beyond 2^63 — requires ~10^14 triples on one
+   * predicate at the default scale) fails LOUDLY rather than wrapping.
+   *
+   * 100 TB shape: the entity-vector table joins the triple table twice
+   * on 8-byte ids (the big-side shuffles Spark plans as sort-merge or,
+   * when the vector table fits, broadcast); the model is ONE
+   * posexplode + partial-aggregated (pred, dim) sum — state bounded by
+   * |preds| · dim — rebuilt into arrays with a bounded collect_list; the
+   * scoring pass is map-only against the broadcast model. Triples whose
+   * entity has no vector are DROPPED (inner join) — score what the
+   * embedding can see, loudly countable by the caller as in − out.
+   *
+   * @param entVecsIn (id, vec: array<float|double>) — one vector per
+   *                  entity; duplicate ids are a caller error (they
+   *                  would double-score triples)
+   * @return (subj, pred, obj, score) — score ≥ 0, larger = less
+   *         plausible under the predicate's translation model
+   */
+  def transeScores(triplesIn: DataFrame, entVecsIn: DataFrame,
+                   scale: Long = 1024L): DataFrame = {
+    require(scale > 0, "scale must be > 0")
+    val t = triplesIn.select(col("subj").cast("long"), col("pred"),
+      col("obj").cast("long")).distinct()
+    // quantized integer embeddings — materialized (localCheckpoint)
+    // because HOF lambdas inline their argument expression per use
+    val q = entVecsIn.select(col("id").cast("long"),
+      transform(col("vec"), x => floor(x.cast("double") * scale)).as("q"))
+      .localCheckpoint(true)
+    val joined = t
+      .join(q.select(col("id").as("subj"), col("q").as("qs")), Seq("subj"))
+      .join(q.select(col("id").as("obj"), col("q").as("qo")), Seq("obj"))
+      .withColumn("diff", zip_with(col("qo"), col("qs"), (o, s) => o - s))
+      .localCheckpoint(true) // feeds the model agg AND the scoring pass
+    // per-predicate translation: Σ(q_o − q_s) per dimension, rebuilt as
+    // an array ordered by dimension (collect_list state bounded by dim)
+    val rsum = joined
+      .select(col("pred"), posexplode(col("diff")).as(Seq("i", "d")))
+      .groupBy(col("pred"), col("i")).agg(sum(col("d")).as("s"))
+      .groupBy(col("pred"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("s")))),
+        x => x.getField("s")).as("rsum"))
+    val cnt = joined.groupBy(col("pred")).agg(count(lit(1)).as("cnt"))
+    joined
+      .join(broadcast(rsum), Seq("pred"))
+      .join(broadcast(cnt), Seq("pred"))
+      .withColumn("resid", zip_with(col("rsum"), col("diff"),
+        (r, d) => abs(r - col("cnt") * d)))
+      .select(col("subj"), col("pred"), col("obj"),
+        aggregate(col("resid"), lit(0L), (acc, x) => acc + x).as("score"))
+  }
 }

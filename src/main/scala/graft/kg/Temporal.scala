@@ -134,4 +134,68 @@ object Temporal {
         timestamp_micros(least(col("__lt"), col("__rt")))
           .as("overlap_to")): _*)
   }
+
+  /**
+   * BURST DETECTION over an event/mention timeline — the "trending
+   * entity" monitor a web-scale KG runs on its own ingestion: bucket the
+   * stream per key into fixed windows, compare each bucket against its
+   * trailing baseline, and flag buckets whose rate exceeds the baseline
+   * by the caller's ratio. The test is the all-integer cross-multiplied
+   * form — bucket is a burst iff
+   *   `cnt · trailing · denK  >  numK · trailing_total`
+   * (i.e. cnt > (numK/denK) · trailing MEAN) AND `cnt ≥ minCount`
+   * (a 3-vs-0 blip on a silent key is noise, not news) — so no float
+   * division ever happens and the flag is engine-exact.
+   *
+   * EMPTY buckets count: the trailing baseline is over the DENSE bucket
+   * grid (per key, min..max observed bucket, zeros filled), not merely
+   * the buckets that happen to hold events — a window over sparse rows
+   * would silently compare against an inflated baseline for intermittent
+   * keys, the exact keys burst detection exists for. The grid fan-out
+   * per key is (time span / bucket width) — a corpus-lifetime property
+   * (10^4 buckets for 30 years of days), never corpus-size.
+   *
+   * Shape: ONE partial-aggregated (key, bucket) count; per-key min/max
+   * ride the same agg; the dense grid is one `sequence` explode; the
+   * trailing sum is ONE window partitioned by key ordered by bucket
+   * (rows between -trailing and -1) — millions of small per-key
+   * partitions, no global sort. Rows without a FULL trailing history
+   * are suppressed (a half-grown baseline flags startup noise).
+   *
+   * @return keys* ++ (bucket_start: timestamp, cnt, trailing_total,
+   *         is_burst) — one row per key per grid bucket from the
+   *         (trailing+1)-th observed bucket on
+   */
+  def bursts(eventsIn: DataFrame, keys: Seq[String], tsCol: String,
+             bucketMicros: Long, trailing: Int, numK: Long, denK: Long,
+             minCount: Long = 1L): DataFrame = {
+    require(keys.nonEmpty, "need at least one key column")
+    require(bucketMicros > 0 && trailing >= 1 && numK >= 1 && denK >= 1,
+      "bucketMicros/trailing/numK/denK must be positive")
+    val keyCols = keys.map(col)
+    val counted = eventsIn
+      .select(keyCols :+ floor(unix_micros(col(tsCol).cast("timestamp"))
+        / bucketMicros).cast("long").as("__b"): _*)
+      .groupBy(keyCols :+ col("__b"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val grid = counted.groupBy(keyCols: _*)
+      .agg(min(col("__b")).as("__lo"), max(col("__b")).as("__hi"))
+      .select(keyCols :+ explode(sequence(col("__lo"), col("__hi")))
+        .as("__b"): _*)
+    val dense = grid.join(counted, keys :+ "__b", "left")
+      .withColumn("cnt", coalesce(col("__c"), lit(0L))).drop("__c")
+    val w = Window.partitionBy(keyCols: _*).orderBy(col("__b"))
+      .rowsBetween(-trailing.toLong, -1L)
+    dense
+      .withColumn("trailing_total", sum(col("cnt")).over(w))
+      .withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__n") === trailing) // full baseline only
+      .select(keyCols ++ Seq(
+        timestamp_micros(col("__b") * bucketMicros).as("bucket_start"),
+        col("cnt"),
+        col("trailing_total"),
+        (col("cnt") >= minCount &&
+          col("cnt") * trailing * denK > lit(numK) * col("trailing_total"))
+          .as("is_burst")): _*)
+  }
 }

@@ -320,6 +320,47 @@ object Triples {
   }
 
   /**
+   * ENTITY SALIENCE per page: which entities a page is ABOUT — the
+   * page-level entity index every KG-backed search/recommendation layer
+   * builds (aboutness ranking, related-pages retrieval, entity-centric
+   * crawling priorities). Per (url, entity): tf = how many triple slots
+   * the entity fills on that page; per entity: df = how many pages
+   * mention it at all; n_pages = the corpus page count — the exact
+   * integer ingredients of any tf-idf-style salience score, emitted raw
+   * so the downstream weighting (log, BM25, whatever) stays the caller's
+   * float-precision decision, the [[graft.kg.Graphs.modularity]]
+   * convention. Rows are the top-`k` entities per page under the TOTAL
+   * order (tf DESC, df ASC, id ASC) — commonness breaks ties toward the
+   * RARER entity, the salience-useful direction.
+   *
+   * 100 TB shape: one 2× role explode + ONE partial-aggregated
+   * (url, id) count; df is ONE partial-aggregated count over the pair
+   * table (never the raw slots); n_pages rides in as a broadcast
+   * one-row cross join; the top-k window partitions by url — millions
+   * of small partitions, no skew, no global sort.
+   *
+   * @return (url, id, tf, df, n_pages, rank) — rank 1..k per url
+   */
+  def entitySalience(triples: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val slots = triples.select(col("url"), col("subj").cast("long").as("id"))
+      .unionAll(triples.select(col("url"), col("obj").cast("long").as("id")))
+    val tf = slots.groupBy(col("url"), col("id"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("id")).agg(count(lit(1)).as("df"))
+    val nPages = triples.select(col("url")).distinct()
+      .agg(count(lit(1)).as("n_pages"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("url"))
+      .orderBy(col("tf").desc, col("df").asc, col("id").asc)
+    tf.join(df, Seq("id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .join(broadcast(nPages))
+      .select(col("url"), col("id"), col("tf"), col("df"),
+        col("n_pages"), col("rank").cast("long").as("rank"))
+  }
+
+  /**
    * Partitioned + bucketed sink (K6). Parquet stand-in for an Iceberg table
    * (no Iceberg jars offline — see SURVEY.md §7): directory-partitioned by
    * lang; files within a partition are split by `pmod(hash(subj), buckets)`

@@ -120,4 +120,47 @@ object EntityLink {
         $"entity_id".as("entityId"), $"prior".as("score"))
       .as[LinkEdge]
   }
+
+  /**
+   * ALIAS PROFILE per linked entity — the surface-form distribution the
+   * linking stage itself should be monitored by: how many distinct ways
+   * the corpus names each entity, which name dominates, and the full
+   * sorted alias signature. An entity whose top-surface share collapses
+   * between snapshots (or whose signature grows a new alias) is the
+   * linking-drift alarm, exactly as [[graft.kg.Triples.entitySignatures]]
+   * is the schema-drift alarm; the profile is also the raw material for
+   * retraining the alias dictionary's priors.
+   *
+   * All-integer output (counts, no ratios — top_count/n_mentions is the
+   * caller's float decision); the dominant surface is elected inside ONE
+   * aggregate as min(struct(-count, surface)) — struct ordering makes
+   * that "highest count, then lexicographically first", no window sort
+   * over the mention log. Shape: ONE partial-aggregated
+   * (entity, surface) count — the mention log collapses map-side — then
+   * ONE groupBy(entity) whose collect_set state is bounded by the alias
+   * dictionary's fan-out per entity (a dictionary property, not a
+   * corpus-size property).
+   *
+   * @param linked rows with (entityId, surface) — e.g. [[linkBroadcast]]
+   *               output
+   * @return (entity_id, n_mentions, n_surfaces, top_surface, top_count,
+   *         alias_sig — '|'-joined sorted distinct surfaces)
+   */
+  def aliasProfile(linked: DataFrame): DataFrame = {
+    val pair = linked
+      .select(col("entityId").cast("long").as("entity_id"), col("surface"))
+      .groupBy(col("entity_id"), col("surface"))
+      .agg(count(lit(1)).as("cnt"))
+    pair.groupBy(col("entity_id"))
+      .agg(
+        sum(col("cnt")).as("n_mentions"),
+        count(lit(1)).as("n_surfaces"),
+        min(struct((-col("cnt")).as("nc"), col("surface").as("s")))
+          .as("__top"),
+        concat_ws("|", sort_array(collect_set(col("surface"))))
+          .as("alias_sig"))
+      .select(col("entity_id"), col("n_mentions"), col("n_surfaces"),
+        col("__top.s").as("top_surface"),
+        (-col("__top.nc")).as("top_count"), col("alias_sig"))
+  }
 }

@@ -355,4 +355,38 @@ class BgpSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(2))).toMap
     assert(multi(1L) === "2,3" && multi(4L) === "2")
   }
+
+  test("property paths: alternation and inverse steps") {
+    import spark.implicits._
+    val t = Seq(
+      (1L, "a", 2L), (1L, "b", 3L), (1L, "c", 4L), // c NOT in (a|b)
+      (9L, "d", 2L), (8L, "d", 3L)                 // inverted second step
+    ).toDF("subj", "pred", "obj").repartition(3)
+    // ?x (a|b) ?m . ?m ^d ?y  ==  x -(a|b)-> m <-d- y
+    val got = Bgp.matchPath(t, Seq(
+        Step("a", alts = Seq("b")), Step("d", inverse = true)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 9L), (1L, 8L)))
+    // inverse alone == the flipped slice
+    val inv = Bgp.matchPath(t, Seq(Step("d", inverse = true)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inv === Set((2L, 9L), (3L, 8L)))
+  }
+
+  test("property paths: (^p)+ closes the REVERSED relation") {
+    import spark.implicits._
+    // chain 1 -p-> 2 -p-> 3: reversed closure from 3 reaches {2, 1}
+    val chain = Seq((1L, "p", 2L), (2L, "p", 3L))
+      .toDF("subj", "pred", "obj").repartition(2)
+    val got = Bgp.matchPath(chain,
+        Seq(Step("p", plus = true, inverse = true)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((3L, 2L), (3L, 1L), (2L, 1L)))
+    // equivalence: (^p)+ on edges == p+ on the pre-reversed edge table
+    val rev = Seq((2L, "p", 1L), (3L, "p", 2L))
+      .toDF("subj", "pred", "obj").repartition(2)
+    val viaRev = Bgp.matchPath(rev, Seq(Step("p", plus = true)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === viaRev)
+  }
 }

@@ -97,4 +97,77 @@ class EmbeddingSpec extends SparkSpec {
       .collect().map(r => ((r.getLong(0), r.getString(1), r.getLong(2)), r.getString(3))).toMap
     assert(got(candidate) === "train") // demoted: obj unseen in train
   }
+
+  // ---- transeScores ----
+
+  /** sequential twin: quantize, per-pred diff sums, |rsum - cnt*diff| */
+  private def seqTranse(ts: Seq[(Long, String, Long)],
+                        vecs: Map[Long, Seq[Float]], scale: Long)
+      : Map[(Long, String, Long), BigInt] = {
+    val t = ts.distinct.filter(x => vecs.contains(x._1) && vecs.contains(x._3))
+    def q(id: Long): Seq[Long] =
+      vecs(id).map(x => math.floor(x.toDouble * scale).toLong)
+    val byPred = t.groupBy(_._2)
+    byPred.flatMap { case (p, xs) =>
+      val cnt = xs.size.toLong
+      val dim = q(xs.head._1).length
+      val rsum = (0 until dim).map(i =>
+        xs.map(x => q(x._3)(i) - q(x._1)(i)).sum)
+      xs.map { case (s, _, o) =>
+        val score = (0 until dim).map(i =>
+          BigInt(rsum(i) - cnt * (q(o)(i) - q(s)(i))).abs).sum
+        (s, p, o) -> score
+      }
+    }
+  }
+
+  test("transeScores: perfect-translation triples score zero under a pure predicate") {
+    import spark.implicits._
+    // e_o = e_s + (1, 2) exactly for every "p" triple -> every residual 0
+    val vecs = Map(
+      1L -> Seq(0.0f, 0.0f), 2L -> Seq(1.0f, 2.0f),
+      3L -> Seq(2.0f, 4.0f), 4L -> Seq(3.0f, 6.0f))
+    val t = Seq((1L, "p", 2L), (2L, "p", 3L), (3L, "p", 4L))
+    val ev = vecs.toSeq.map { case (id, v) => (id, v) }.toDF("id", "vec")
+    val got = Embedding.transeScores(t.toDF("subj", "pred", "obj"), ev)
+      .collect().map(r => ((r.getLong(0), r.getString(1), r.getLong(2)),
+        r.getLong(3))).toMap
+    assert(got.size === 3)
+    assert(got.values.forall(_ === 0L))
+  }
+
+  test("transeScores: the violating triple scores strictly highest") {
+    import spark.implicits._
+    val vecs = Map(
+      1L -> Seq(0.0f, 0.0f), 2L -> Seq(1.0f, 2.0f),
+      3L -> Seq(2.0f, 4.0f), 4L -> Seq(3.0f, 6.0f),
+      9L -> Seq(-5.0f, 7.5f)) // way off the (1,2) translation
+    val t = Seq((1L, "p", 2L), (2L, "p", 3L), (3L, "p", 4L), (1L, "p", 9L))
+    val ev = vecs.toSeq.map { case (id, v) => (id, v) }.toDF("id", "vec")
+    val got = Embedding.transeScores(t.toDF("subj", "pred", "obj"), ev)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getLong(3))).toMap
+    val bad = got((1L, 9L))
+    got.foreach { case (k, v) => if (k != ((1L, 9L))) assert(v < bad) }
+  }
+
+  test("transeScores: twin equality on pseudo-random vectors at any partitioning") {
+    import spark.implicits._
+    val ids = (0L until 12L)
+    val vecs = ids.map(i => i -> (0 until 5).map(d =>
+      (((i * 31 + d * 17 + 3) % 41) - 20).toFloat / 8.0f)).toMap
+    val ts = (0 until 40).map(i =>
+      ((i * 7L) % 12L, if (i % 3 == 0) "a" else "b", (i * i * 5L + 1L) % 12L))
+    // entity 11 gets NO vector in one variant: its triples must drop
+    for (drop <- Seq(false, true); parts <- Seq(1, 7)) {
+      val vv = if (drop) vecs - 11L else vecs
+      val want = seqTranse(ts, vv, 1024L)
+      val ev = vv.toSeq.map { case (id, v) => (id, v) }.toDF("id", "vec")
+        .repartition(parts)
+      val got = Embedding.transeScores(
+          ts.toDF("subj", "pred", "obj").repartition(parts), ev)
+        .collect().map(r => ((r.getLong(0), r.getString(1), r.getLong(2)),
+          BigInt(r.getLong(3)))).toMap
+      assert(got === want, s"drop=$drop parts=$parts")
+    }
+  }
 }

@@ -49,4 +49,21 @@ class EntityLinkSpec extends SparkSpec {
     assert(linked.length == 1)
     assert(linked.head.entityId == EntityLink.entityId("alpha"))
   }
+
+  test("aliasProfile: dominant surface by (count, lexicographic), sorted signature") {
+    import spark.implicits._
+    val linked = Seq(
+      (10L, "Beta"), (10L, "Beta"), (10L, "Alpha"), (10L, "Alpha"),
+      (10L, "Gamma"),                       // count tie Beta/Alpha -> Alpha
+      (20L, "Solo"),
+      (30L, "Zed"), (30L, "Zed"), (30L, "Ab") // clear winner Zed
+    ).toDF("entityId", "surface").repartition(3)
+    val got = EntityLink.aliasProfile(linked).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4), r.getString(5)))).toMap
+    assert(got === Map(
+      10L -> ((5L, 3L, "Alpha", 2L, "Alpha|Beta|Gamma")),
+      20L -> ((1L, 1L, "Solo", 1L, "Solo")),
+      30L -> ((3L, 2L, "Zed", 2L, "Ab|Zed"))))
+  }
 }

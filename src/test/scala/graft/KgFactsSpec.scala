@@ -227,4 +227,28 @@ class KgFactsSpec extends SparkSpec {
       3L -> ("o:b", 1L),
       4L -> ("s:a", 1L)))
   }
+
+  test("entitySalience: tf from both roles, df ties break to the rarer entity") {
+    import spark.implicits._
+    // u1: entity 1 fills 3 slots (2 subj + 1 obj), entities 2 and 3 fill
+    // 2 each — but 3 is on fewer pages (df 1 vs 2), so it outranks 2
+    val tr = Seq(
+      (1L, "a", 2L, "u1"), (1L, "a", 3L, "u1"), (2L, "b", 1L, "u1"),
+      (3L, "c", 9L, "u1"),
+      (2L, "a", 9L, "u2"), (9L, "b", 9L, "u2")
+    ).toDF("subj", "pred", "obj", "url").repartition(3)
+    val got = Triples.entitySalience(tr, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got === Map(
+      ("u1", 1L) -> ((3L, 1L, 2L, 1L)), // tf 3, df 1 (only u1), rank 1
+      ("u1", 3L) -> ((2L, 1L, 2L, 2L)), // tf 2 tie vs entity 2, rarer wins
+      ("u1", 2L) -> ((2L, 2L, 2L, 3L)),
+      ("u2", 9L) -> ((3L, 2L, 2L, 1L)), // 9 is also an object on u1
+      ("u2", 2L) -> ((1L, 2L, 2L, 2L))))
+    // k truncates: only the top entity per page survives k = 1
+    val top1 = Triples.entitySalience(tr, k = 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(top1 === Map("u1" -> 1L, "u2" -> 9L))
+  }
 }

@@ -138,4 +138,51 @@ class TemporalSpec extends SparkSpec {
     assert(got.count() === 2L)
     assert(got.agg(sum("n_obs")).head().getLong(0) === 2L)
   }
+
+  // ---- bursts ----
+
+  private def evDf(rows: Seq[(String, Long)]) = {
+    import spark.implicits._
+    rows.toDF("k", "us")
+      .select(col("k"), timestamp_micros(col("us")).as("ts"))
+      .repartition(3)
+  }
+
+  test("bursts: dense grid zeros, full-history gate, strict cross-multiplied test") {
+    // bucket width 10us, trailing 3, burst iff cnt >= 2 and cnt*3 > 2*trail
+    // key "a": counts per bucket 0..5 = [1, 2, 0(empty), 1, 6, 4]
+    val rows =
+      Seq.fill(1)(("a", 5L)) ++ Seq.fill(2)(("a", 15L)) ++
+      Seq.fill(1)(("a", 35L)) ++ Seq.fill(6)(("a", 42L)) ++
+      Seq.fill(4)(("a", 55L))
+    val got = Temporal.bursts(evDf(rows), Seq("k"), "ts",
+        bucketMicros = 10L, trailing = 3, numK = 2L, denK = 1L,
+        minCount = 2L)
+      .select(col("k"), unix_micros(col("bucket_start")).as("bs"),
+        col("cnt"), col("trailing_total"), col("is_burst"))
+      .collect()
+      .map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    // buckets 0..2 lack a full 3-bucket history -> suppressed
+    assert(got.keySet === Set(30L, 40L, 50L))
+    // bucket 3: cnt 1, trail [1,2,0]=3 -> below minCount, not a burst
+    assert(got(30L) === ((1L, 3L, false)))
+    // bucket 4: cnt 6, trail [2,0,1]=3: 6*3=18 > 2*3=6 -> burst
+    assert(got(40L) === ((6L, 3L, true)))
+    // bucket 5: cnt 4, trail [0,1,6]=7: 12 > 14 false -> not a burst
+    assert(got(50L) === ((4L, 7L, false)))
+  }
+
+  test("bursts: equality at the threshold is NOT a burst; empty-bucket baseline counts") {
+    // key counts buckets 0..4 = [2, 2, 2, 0, 4]: bucket 4 trail [2,2,0]=4,
+    // 4*3=12 > 2*4=8 -> burst; but at numK=3: 4*3=12 > 3*4=12 is FALSE
+    val rows = Seq.fill(2)(("b", 1L)) ++ Seq.fill(2)(("b", 11L)) ++
+      Seq.fill(2)(("b", 21L)) ++ Seq.fill(4)(("b", 41L))
+    def run(numK: Long) = Temporal.bursts(evDf(rows), Seq("k"), "ts",
+        10L, trailing = 3, numK = numK, denK = 1L, minCount = 1L)
+      .select(unix_micros(col("bucket_start")).as("bs"), col("is_burst"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(run(2L) === Map(30L -> false, 40L -> true))
+    assert(run(3L) === Map(30L -> false, 40L -> false))
+  }
 }
