@@ -1112,6 +1112,69 @@ object SparkEntry {
       matchPath(Pipeline.triples(s, dir).toDF(), Seq(
         Step("merge", alts = Seq("sort")),
         Step("hash", inverse = true)))
+    }),
+    // metapath INSTANCE counts (matchPath with multiplicity): how many
+    // merge/order chains connect each endpoint pair — the metapath2vec
+    // edge-weight / join-fan-out audit; count combines map-side
+    "q145_metapath_counts" -> ((s, dir) => {
+      import graft.kg.Bgp._
+      countPaths(Pipeline.triples(s, dir).toDF(),
+        Seq(Step("merge"), Step("order")))
+    }),
+    // semi-supervised typing: 4 trusted seed labels spread 2 synchronous
+    // majority-vote rounds over the non-related_to entity graph; seeds
+    // immutable, ties to the smallest type, unreached nodes absent
+    "q146_type_propagation" -> ((s, dir) => {
+      import s.implicits._
+      val tr = Pipeline.triples(s, dir).toDF()
+      val seeds = Seq(
+        (SparqlValuesIds(0), "A"), (SparqlValuesIds(1), "B"),
+        (SparqlValuesIds(2), "A"), (SparqlValuesIds(3), "C"))
+        .toDF("id", "type")
+      graft.kg.Graphs.propagateTypes(
+        tr.filter(col("pred").isin("merge", "sort", "hash", "join", "order"))
+          .select(col("subj").as("src"), col("obj").as("dst")),
+        seeds, rounds = 2)
+    }),
+    // GNN feature assembly: one wide integer feature row per entity —
+    // in/out degree over the simple edge set, k-core level, schema-role
+    // count — stitched with keyed left joins, zero-filled
+    "q147_entity_features" -> ((s, dir) => {
+      val tr = Pipeline.triples(s, dir).toDF()
+      val simple = tr.select(col("subj").as("src"), col("obj").as("dst"))
+        .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+      val outDeg = simple.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("out_deg"))
+      val inDeg = simple.groupBy(col("dst").as("id"))
+        .agg(count(lit(1)).as("in_deg"))
+      val core = graft.kg.Graphs.coreness(
+        tr.select(col("subj").as("src"), col("obj").as("dst")))
+      graft.kg.Triples.entitySignatures(tr)
+        .select(col("id"), col("n_roles"))
+        .join(inDeg, Seq("id"), "left")
+        .join(outDeg, Seq("id"), "left")
+        .join(core, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+          coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+          coalesce(col("coreness"), lit(0L)).as("coreness"),
+          col("n_roles"))
+    }),
+    // bitemporal churn: which (user, event_type) facts the graph asserted
+    // on Jan 15 but not Jan 8 (added) and vice versa (removed) — two
+    // point-in-time slices anti-joined both ways
+    "q148_temporal_churn" -> ((s, dir) => {
+      val ev = s.read.parquet(t(dir, "events"))
+      def va(at: Long) = graft.kg.Temporal.validAt(ev,
+        keys = Seq("user_id", "event_type"), tsCol = "ts",
+        maxGapMicros = 86400000000L, atMicros = at)
+        .select(col("user_id"), col("event_type")).distinct()
+      val before = va(1704672000000000L) // 2024-01-08T00:00:00Z
+      val after = va(1705276800000000L)  // 2024-01-15T00:00:00Z
+      after.join(before, Seq("user_id", "event_type"), "left_anti")
+        .withColumn("status", lit("added"))
+        .unionAll(before.join(after, Seq("user_id", "event_type"),
+          "left_anti").withColumn("status", lit("removed")))
     })
   )
 
@@ -1771,6 +1834,85 @@ object SparkEntry {
              WHERE pred = 'hash')
       SELECT DISTINCT s1.s AS x, s2.o AS y
       FROM s1 JOIN s2 ON s2.s = s1.o""",
+    "q145_metapath_counts" -> s"""
+      WITH t AS (SELECT DISTINCT subj, pred, obj
+                 FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'),
+      s1 AS (SELECT DISTINCT subj AS s, obj AS o FROM t
+             WHERE pred = 'merge'),
+      s2 AS (SELECT DISTINCT subj AS s, obj AS o FROM t
+             WHERE pred = 'order')
+      SELECT s1.s AS x, s2.o AS y, count(*) AS n_paths
+      FROM s1 JOIN s2 ON s2.s = s1.o GROUP BY 1, 2""",
+    // synchronous seeded majority vote, 2 rounds unrolled: v_k votes from
+    // labels l_{k-1}, seeds immutable, ties to the smallest type
+    "q146_type_propagation" -> s"""
+      WITH t AS (SELECT DISTINCT subj, obj
+                 FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'
+                 WHERE pred IN ('merge', 'sort', 'hash', 'join', 'order')),
+      e0 AS (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+             FROM t WHERE subj <> obj),
+      e AS (SELECT a AS src, b AS dst FROM e0
+            UNION ALL SELECT b, a FROM e0),
+      seeds(id, type) AS (VALUES
+        (${SparqlValuesIds(0)}, 'A'), (${SparqlValuesIds(1)}, 'B'),
+        (${SparqlValuesIds(2)}, 'A'), (${SparqlValuesIds(3)}, 'C')),
+      l0 AS (SELECT id, type FROM seeds),
+      v1 AS (SELECT e.dst AS id, l.type, count(*) AS c
+             FROM e JOIN l0 l ON l.id = e.src
+             WHERE e.dst NOT IN (SELECT id FROM seeds) GROUP BY 1, 2),
+      d1 AS (SELECT id, type FROM (SELECT *, row_number() OVER (
+               PARTITION BY id ORDER BY c DESC, type) AS rn FROM v1)
+             WHERE rn = 1),
+      l1 AS (SELECT * FROM l0 UNION ALL SELECT * FROM d1),
+      v2 AS (SELECT e.dst AS id, l.type, count(*) AS c
+             FROM e JOIN l1 l ON l.id = e.src
+             WHERE e.dst NOT IN (SELECT id FROM seeds) GROUP BY 1, 2),
+      d2 AS (SELECT id, type FROM (SELECT *, row_number() OVER (
+               PARTITION BY id ORDER BY c DESC, type) AS rn FROM v2)
+             WHERE rn = 1)
+      SELECT l.id, l.type,
+             CASE WHEN s.id IS NOT NULL THEN 'seed' ELSE 'derived' END
+               AS origin
+      FROM (SELECT * FROM l0 UNION ALL SELECT * FROM d2) l
+      LEFT JOIN seeds s ON s.id = l.id""",
+    "q147_entity_features" -> s"""
+      WITH t AS (SELECT subj, pred, obj
+                 FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'),
+      simple AS (SELECT DISTINCT subj AS src, obj AS dst FROM t
+                 WHERE subj <> obj),
+      od AS (SELECT src AS id, count(*) AS out_deg FROM simple GROUP BY 1),
+      idg AS (SELECT dst AS id, count(*) AS in_deg FROM simple GROUP BY 1),
+      core AS (SELECT id, coreness
+               FROM '$goldenRoot/__SF__/q95_coreness.parquet/*.parquet'),
+      roles AS (SELECT id, count(DISTINCT role) AS n_roles FROM (
+                  SELECT subj AS id, 's:' || pred AS role FROM t
+                  UNION ALL SELECT obj, 'o:' || pred FROM t) u GROUP BY 1)
+      SELECT r.id, coalesce(idg.in_deg, 0) AS in_deg,
+             coalesce(od.out_deg, 0) AS out_deg,
+             coalesce(core.coreness, 0) AS coreness, r.n_roles
+      FROM roles r LEFT JOIN od USING (id) LEFT JOIN idg USING (id)
+      LEFT JOIN core USING (id)""",
+    "q148_temporal_churn" -> """
+      WITH o AS (SELECT DISTINCT user_id, event_type, epoch_us(ts) AS us
+                 FROM events),
+      g AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                             OR us - lag(us) OVER w > 86400000000
+                           THEN 1 ELSE 0 END AS gap
+            FROM o WINDOW w AS (PARTITION BY user_id, event_type ORDER BY us)),
+      i AS (SELECT *, sum(gap) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY us ROWS UNBOUNDED PRECEDING)
+                        AS island FROM g),
+      iv AS (SELECT user_id, event_type, min(us) AS f, max(us) AS tt
+             FROM i GROUP BY user_id, event_type, island),
+      before AS (SELECT DISTINCT user_id, event_type FROM iv
+                 WHERE f <= 1704672000000000 AND tt >= 1704672000000000),
+      after AS (SELECT DISTINCT user_id, event_type FROM iv
+                WHERE f <= 1705276800000000 AND tt >= 1705276800000000)
+      SELECT user_id, event_type, 'added' AS status
+      FROM after ANTI JOIN before USING (user_id, event_type)
+      UNION ALL
+      SELECT user_id, event_type, 'removed' AS status
+      FROM before ANTI JOIN after USING (user_id, event_type)""",
     "q119_bgp_minus" -> s"""
       WITH t AS (SELECT subj, pred, obj
                  FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet')

@@ -233,30 +233,62 @@ object Bgp {
    */
   def matchPath(triples: DataFrame, steps: Seq[Step]): DataFrame = {
     require(steps.nonEmpty, "need at least one path step")
-    def rel(st: Step): DataFrame = {
-      // alternation = ONE IN-filtered scan (a union of slices would scan
-      // the triple table once per alternative); inversion is a free
-      // column swap BEFORE the distinct/closure, so (^p)+ closes the
-      // reversed relation, the SPARQL semantics
-      val preds = st.p +: st.alts
-      val base =
-        if (preds.size == 1) triples.filter(col("pred") === lit(st.p))
-        else triples.filter(col("pred").isin(preds: _*))
-      val (sCol, oCol) =
-        if (st.inverse) (col("obj"), col("subj")) else (col("subj"), col("obj"))
-      val slice = base.select(sCol.cast("long").as("s"),
-        oCol.cast("long").as("o")).distinct()
-      if (!st.plus) slice
-      else Graphs.transitiveClosure(
-        slice.select(col("s").as("src"), col("o").as("dst")))
-        .select(col("src").as("s"), col("dst").as("o"))
-    }
-    val first = rel(steps.head).select(col("s").as("x"), col("o").as("cur"))
+    val first = relOf(triples, steps.head)
+      .select(col("s").as("x"), col("o").as("cur"))
     steps.tail.foldLeft(first) { (acc, st) =>
-      acc.join(rel(st).select(col("s").as("cur"), col("o").as("nxt")),
-          Seq("cur"))
+      acc.join(relOf(triples, st).select(col("s").as("cur"),
+          col("o").as("nxt")), Seq("cur"))
         .select(col("x"), col("nxt").as("cur"))
     }.select(col("x"), col("cur").as("y")).distinct()
+  }
+
+  /** One path step as a deduped (s, o) relation. Alternation = ONE
+    * IN-filtered scan (a union of slices would scan the triple table once
+    * per alternative); inversion is a free column swap BEFORE the
+    * distinct/closure, so `(^p)+` closes the reversed relation, the
+    * SPARQL semantics. */
+  private def relOf(triples: DataFrame, st: Step): DataFrame = {
+    val preds = st.p +: st.alts
+    val base =
+      if (preds.size == 1) triples.filter(col("pred") === lit(st.p))
+      else triples.filter(col("pred").isin(preds: _*))
+    val (sCol, oCol) =
+      if (st.inverse) (col("obj"), col("subj")) else (col("subj"), col("obj"))
+    val slice = base.select(sCol.cast("long").as("s"),
+      oCol.cast("long").as("o")).distinct()
+    if (!st.plus) slice
+    else Graphs.transitiveClosure(
+      slice.select(col("s").as("src"), col("o").as("dst")))
+      .select(col("src").as("s"), col("dst").as("o"))
+  }
+
+  /**
+   * METAPATH INSTANCE COUNTS — [[matchPath]] with multiplicity instead of
+   * set semantics: for each endpoint pair, HOW MANY distinct step-instance
+   * chains connect them. The metapath2vec / heterogeneous-GNN edge-weight
+   * primitive (a pair connected by 40 p1/p2 chains is 40× the training
+   * signal of a pair connected by one) and the schema-level join-fan-out
+   * audit. Each step relation is still DEDUPED (a triple asserted by many
+   * pages is ONE edge — multiplicity comes from distinct intermediate
+   * nodes, never from extraction redundancy); `plus`/`inverse`/`alts`
+   * compose exactly as in [[matchPath]].
+   *
+   * Shape: the same keyed equi-join fold, then ONE partial-aggregated
+   * groupBy(x, y) count — the count combines map-side, so the shuffle
+   * carries (x, y, partial) rows, never the enumerated chains.
+   *
+   * @return (x, y, n_paths) — n_paths ≥ 1
+   */
+  def countPaths(triples: DataFrame, steps: Seq[Step]): DataFrame = {
+    require(steps.nonEmpty, "need at least one path step")
+    val first = relOf(triples, steps.head)
+      .select(col("s").as("x"), col("o").as("cur"))
+    steps.tail.foldLeft(first) { (acc, st) =>
+      acc.join(relOf(triples, st).select(col("s").as("cur"),
+          col("o").as("nxt")), Seq("cur"))
+        .select(col("x"), col("nxt").as("cur"))
+    }.groupBy(col("x"), col("cur").as("y"))
+      .agg(count(lit(1)).as("n_paths"))
   }
 
   /**

@@ -796,6 +796,61 @@ object Graphs {
   }
 
   /**
+   * SEMI-SUPERVISED TYPE PROPAGATION — the [[labelPropagation]] machinery
+   * pointed at the untyped-KG typing problem: a small trusted seed set
+   * (id → type, e.g. hand-curated or ontology-derived) spreads over the
+   * undirected entity graph by synchronous majority vote. Seeds are
+   * IMMUTABLE (the trust anchor — community LPA has no ground truth to
+   * protect, typing does); every non-seed node re-votes each round from
+   * its neighbors' CURRENT labels (derived labels propagate and can
+   * flip), majority with ties to the lexicographically smallest type,
+   * elected window-free as ONE `min(struct(-cnt, type))` aggregate.
+   * Nodes no labeled node reaches within `rounds` hops stay unlabeled —
+   * absent from the output, never defaulted. Integer counts only, so
+   * the labeling is bit-identical at any partitioning and replayable
+   * round-for-round by an oracle.
+   *
+   * Shape per round: one symmetric-edge join against the label table
+   * (8-byte keys) + two partial aggregations + one seed anti-join —
+   * the [[labelPropagation]] iteration discipline; a FIXED round budget
+   * is the honest contract (synchronous voting can 2-cycle).
+   *
+   * @param seedsIn (id, type); conflicting types for one id fail loudly
+   * @return (id, type, origin) with origin in {"seed", "derived"}
+   */
+  def propagateTypes(edgesIn: DataFrame, seedsIn: DataFrame,
+                     rounds: Int): DataFrame = {
+    require(rounds >= 0, "rounds must be >= 0")
+    val e = undirected(edgesIn)
+    val sym = e.select(col("a").as("node"), col("b").as("nbr"))
+      .unionAll(e.select(col("b").as("node"), col("a").as("nbr")))
+      .localCheckpoint(true)
+    val seeds = seedsIn.select(col("id").cast("long"),
+      col("type").cast("string")).distinct().localCheckpoint(true)
+    require(seeds.groupBy(col("id")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).isEmpty,
+      "conflicting seed types for one id — resolve upstream")
+    val seedIds = seeds.select(col("id"))
+    var labels = seeds
+    for (_ <- 1 to rounds) {
+      val derived = sym
+        .join(labels.withColumnRenamed("id", "nbr"), Seq("nbr"))
+        .join(seedIds.withColumnRenamed("id", "node"), Seq("node"),
+          "left_anti")
+        .groupBy(col("node"), col("type")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("node"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("type").as("t")))
+          .as("m"))
+        .select(col("node").as("id"), col("m.t").as("type"))
+      labels = seeds.unionAll(derived).localCheckpoint(true)
+    }
+    labels.join(seedIds.withColumn("__s", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("type"),
+        when(col("__s").isNotNull, lit("seed")).otherwise(lit("derived"))
+          .as("origin"))
+  }
+
+  /**
    * Local clustering coefficient per node as an EXACT integer fraction:
    * (id, triangles, pairs) with pairs = deg·(deg−1)/2 — coefficient =
    * triangles/pairs, left undivided so the output is engine-exact

@@ -172,12 +172,39 @@ object Temporal {
     require(keys.nonEmpty, "need at least one key column")
     require(bucketMicros > 0 && trailing >= 1 && numK >= 1 && denK >= 1,
       "bucketMicros/trailing/numK/denK must be positive")
+    val counted = bucketCounts(eventsIn, keys, tsCol, bucketMicros)
+    burstsFromCounts(counted, keys, bucketMicros, trailing, numK, denK,
+      minCount)
+  }
+
+  /** Per-(key, bucket) event counts — the mergeable burst-detection
+    * state: counts from disjoint event slices (micro-batches, shards)
+    * SUM to the counts of their union, so a streaming twin can log
+    * deltas and fold. Output: keys* ++ (__b: bucket index, __c). */
+  def bucketCounts(eventsIn: DataFrame, keys: Seq[String], tsCol: String,
+                   bucketMicros: Long): DataFrame = {
+    require(bucketMicros > 0, "bucketMicros must be > 0")
     val keyCols = keys.map(col)
-    val counted = eventsIn
+    eventsIn
       .select(keyCols :+ floor(unix_micros(col(tsCol).cast("timestamp"))
         / bucketMicros).cast("long").as("__b"): _*)
       .groupBy(keyCols :+ col("__b"): _*)
       .agg(count(lit(1)).as("__c"))
+  }
+
+  /** [[bursts]] from pre-aggregated [[bucketCounts]] rows (duplicate
+    * (key, bucket) rows sum — fold-friendly). Same contract as
+    * [[bursts]]. */
+  def burstsFromCounts(countsIn: DataFrame, keys: Seq[String],
+                       bucketMicros: Long, trailing: Int, numK: Long,
+                       denK: Long, minCount: Long = 1L): DataFrame = {
+    require(keys.nonEmpty, "need at least one key column")
+    require(bucketMicros > 0 && trailing >= 1 && numK >= 1 && denK >= 1,
+      "bucketMicros/trailing/numK/denK must be positive")
+    val keyCols = keys.map(col)
+    // small (keys × lifetime buckets) and referenced twice (grid + join)
+    val counted = countsIn.groupBy(keyCols :+ col("__b"): _*)
+      .agg(sum(col("__c")).as("__c")).localCheckpoint(true)
     val grid = counted.groupBy(keyCols: _*)
       .agg(min(col("__b")).as("__lo"), max(col("__b")).as("__hi"))
       .select(keyCols :+ explode(sequence(col("__lo"), col("__hi")))

@@ -393,6 +393,44 @@ object StreamIngest {
       .select(col("id"), col("component"))
   }
 
+  /**
+   * Streaming BURST DETECTION (foreachBatch) — the trending monitor of
+   * [[graft.kg.Temporal.bursts]] fed by micro-batches: each batch logs
+   * its per-(key, bucket) event counts as a crash-atomic delta partition
+   * (the [[factUpsertBatchStep]] merge-on-read shape — per-batch cost is
+   * ONE partial aggregation of the batch itself, never a join against
+   * accumulated state; counts from disjoint batches SUM, so the fold is
+   * exact regardless of how events split across batches, INCLUDING late
+   * events landing in an old bucket — a re-vote the fixed-window
+   * streaming aggregation can't do once the watermark passed).
+   *
+   * Exactly-once: the delta is a pure function of the batch rows
+   * ([[graft.core.TableIO.writeResumable]] makes a replayed write a
+   * no-op), and [[currentBursts]] is a deterministic read of committed
+   * deltas — a replayed batch re-emits the identical burst table. State
+   * is bounded by |keys| · lifetime buckets (counts, never events);
+   * [[compactState]] folds small files between batches.
+   */
+  def burstCountBatchStep(events: DataFrame, stateRoot: String,
+                          batchId: Long, keys: Seq[String], tsCol: String,
+                          bucketMicros: Long): Unit =
+    graft.core.TableIO.writeResumable(
+      graft.kg.Temporal.bucketCounts(events, keys, tsCol, bucketMicros)
+        .withColumn("batch_id", lit(batchId)),
+      stateRoot, "batch_id")
+
+  /** The burst table as of the committed count deltas (optionally only
+    * those with batch_id <= `uptoBatch` — the replay / as-of read). */
+  def currentBursts(spark: SparkSession, stateRoot: String,
+                    keys: Seq[String], bucketMicros: Long, trailing: Int,
+                    numK: Long, denK: Long, minCount: Long = 1L,
+                    uptoBatch: Long = Long.MaxValue): DataFrame =
+    graft.kg.Temporal.burstsFromCounts(
+      graft.core.TableIO.read(spark, stateRoot, "batch_id")
+        .withColumn("batch_id", col("batch_id").cast("long"))
+        .filter(col("batch_id") <= uptoBatch).drop("batch_id"),
+      keys, bucketMicros, trailing, numK, denK, minCount)
+
   /** Periodic state housekeeping for long-lived streams: rewrite state
     * partitions that accumulated many small files (one per executor per
     * batch). Run between batches (single-writer maintenance window). */

@@ -373,6 +373,24 @@ class BgpSpec extends SparkSpec {
     assert(inv === Set((2L, 9L), (3L, 8L)))
   }
 
+  test("countPaths: metapath multiplicities; endpoint set == matchPath") {
+    import spark.implicits._
+    val t = Seq(
+      (1L, "a", 2L), (1L, "a", 3L), (2L, "b", 4L), (3L, "b", 4L),
+      (3L, "b", 5L),
+      (1L, "a", 2L) // extraction redundancy: still ONE edge
+    ).toDF("subj", "pred", "obj").repartition(3)
+    val steps = Seq(Step("a"), Step("b"))
+    val got = Bgp.countPaths(t, steps).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === Map((1L, 4L) -> 2L, (1L, 5L) -> 1L))
+    // projection to endpoints == matchPath's set semantics
+    val pairs = Bgp.matchPath(t, steps).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.keySet === pairs)
+    assert(got.values.forall(_ >= 1L))
+  }
+
   test("property paths: (^p)+ closes the REVERSED relation") {
     import spark.implicits._
     // chain 1 -p-> 2 -p-> 3: reversed closure from 3 reaches {2, 1}

@@ -1067,4 +1067,71 @@ class GraphsSpec extends SparkSpec {
       .collect().map(_.getLong(2)).toSeq.sorted
     assert(d1 === d2)
   }
+
+  // ---- seeded type propagation ----
+
+  private def typeSeedsDf(seeds: Seq[(Long, String)]) = {
+    import spark.implicits._
+    seeds.toDF("id", "type").repartition(2)
+  }
+
+  /** sequential twin: synchronous majority vote, seeds immutable,
+    * ties to the smallest type string */
+  private def seqPropagate(edges: Seq[(Long, Long)],
+                           seeds: Map[Long, String], rounds: Int)
+      : Map[Long, (String, String)] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val adj = und.flatMap(e => Seq(e, (e._2, e._1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    var labels: Map[Long, String] = seeds
+    for (_ <- 1 to rounds) {
+      val derived = adj.keys.filterNot(seeds.contains).flatMap { n =>
+        val votes = adj(n).flatMap(labels.get)
+        if (votes.isEmpty) None
+        else Some(n -> votes.groupBy(identity)
+          .map { case (t, xs) => (t, xs.size) }
+          .toSeq.minBy { case (t, c) => (-c, t) }._1)
+      }.toMap
+      labels = seeds ++ derived
+    }
+    labels.map { case (id, t) =>
+      id -> ((t, if (seeds.contains(id)) "seed" else "derived")) }
+  }
+
+  test("propagateTypes: majority vote, smallest-type ties, seeds immutable, unreached absent") {
+    // 1(A) and 2(B) both touch 3: tie -> 'A'; 4 hangs off 2 -> 'B';
+    // 5-6 is a disconnected island: unreached, absent from the output;
+    // seed 2 keeps B even though its neighbors vote A
+    val e = Seq((1L, 3L), (2L, 3L), (2L, 4L), (5L, 6L), (3L, 1L))
+    val got = Graphs.propagateTypes(edgesDf(e),
+        typeSeedsDf(Seq((1L, "A"), (2L, "B"))), rounds = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(got === Map(
+      1L -> (("A", "seed")), 2L -> (("B", "seed")),
+      3L -> (("A", "derived")), 4L -> (("B", "derived"))))
+    // round 0 = seeds only
+    assert(Graphs.propagateTypes(edgesDf(e),
+      typeSeedsDf(Seq((1L, "A"))), rounds = 0).count() === 1L)
+  }
+
+  test("propagateTypes: conflicting seed types fail loudly; twin equality at any partitioning") {
+    intercept[IllegalArgumentException] {
+      Graphs.propagateTypes(edgesDf(Seq((1L, 2L))),
+        typeSeedsDf(Seq((1L, "A"), (1L, "B"))), rounds = 1)
+    }
+    // pseudo-random graph + 3 seeds, labels flip as majorities shift
+    val dense = (0 until 160)
+      .map(i => ((i * 7L + 1L) % 23L, (i.toLong * i * 11L + 2L) % 19L))
+    val seeds = Map(0L -> "t2", 7L -> "t1", 13L -> "t3")
+    for (rounds <- Seq(1, 2, 3); parts <- Seq(1, 7)) {
+      val want = seqPropagate(dense, seeds, rounds)
+      val got = Graphs.propagateTypes(edgesDf(dense, parts),
+          typeSeedsDf(seeds.toSeq), rounds)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+      assert(got === want, s"rounds=$rounds parts=$parts")
+    }
+  }
 }

@@ -385,4 +385,66 @@ class StreamIngestSpec extends SparkSpec {
     assert(rows.contains(("en", 2L, 3L)), rows.mkString(", "))
     q.stop()
   }
+
+  test("streaming burst detection (foreachBatch + TableIO count log): fold == batch bursts, late data re-votes, exact replay") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.timestamp_micros
+    val stateRoot = java.nio.file.Files.createTempDirectory("burst_state").toString
+    // bucket width 10us, trailing 2, burst iff cnt*2 > 3*trail, min 2
+    val b1 = Seq(("a", 5L), ("a", 15L), ("a", 15L), ("a", 25L))
+    val b2 = Seq(("a", 35L), ("a", 36L), ("a", 37L), ("a", 38L),
+                 ("b", 5L), ("b", 15L))
+    def evDf(rows: Seq[(String, Long)]) = rows.toDF("k", "us")
+      .select(col("k"), timestamp_micros(col("us")).as("ts"))
+    val stream = MemoryStream[(String, Long)]
+    val q = stream.toDS().toDF("k", "us")
+      .select(col("k"), timestamp_micros(col("us")).as("ts"))
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        StreamIngest.burstCountBatchStep(b, stateRoot, id,
+          keys = Seq("k"), tsCol = "ts", bucketMicros = 10L)
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+    stream.addData(b1: _*)
+    q.processAllAvailable()
+    stream.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    def burstMap(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("k"), org.apache.spark.sql.functions
+        .unix_micros(col("bucket_start")).as("bs"), col("cnt"),
+        col("trailing_total"), col("is_burst"))
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    val folded = burstMap(StreamIngest.currentBursts(spark, stateRoot,
+      keys = Seq("k"), bucketMicros = 10L, trailing = 2, numK = 3L,
+      denK = 2L, minCount = 2L))
+    val direct = burstMap(graft.kg.Temporal.bursts(evDf(b1 ++ b2),
+      Seq("k"), "ts", 10L, trailing = 2, numK = 3L, denK = 2L,
+      minCount = 2L))
+    assert(folded === direct)
+    // bucket 3 for key a: cnt 4, trail [2,1]=3 -> 8 > 9 false? no:
+    // numK/denK = 3/2 -> 4*2*2=16 > 3*3=9 -> burst
+    assert(folded(("a", 30L)) === ((4L, 3L, true)))
+    // LATE data re-votes a CLOSED bucket: batch 3 adds 3 events to
+    // a's bucket 1 -> bucket 2's baseline inflates, bucket 3 recounts
+    val b3 = Seq(("a", 16L), ("a", 17L), ("a", 18L))
+    StreamIngest.burstCountBatchStep(evDf(b3), stateRoot, 2L,
+      Seq("k"), "ts", 10L)
+    val withLate = burstMap(StreamIngest.currentBursts(spark, stateRoot,
+      Seq("k"), 10L, 2, 3L, 2L, 2L))
+    assert(withLate === burstMap(graft.kg.Temporal.bursts(
+      evDf(b1 ++ b2 ++ b3), Seq("k"), "ts", 10L, 2, 3L, 2L, 2L)))
+    assert(withLate(("a", 30L)) === ((4L, 6L, false))) // baseline grew
+    // REPLAY: rewriting batch 1's delta is a no-op; as-of read excludes
+    // the late batch and reproduces the pre-late table exactly
+    val before = graft.core.TableIO.read(spark, stateRoot, "batch_id").count()
+    StreamIngest.burstCountBatchStep(evDf(b2), stateRoot, 1L,
+      Seq("k"), "ts", 10L)
+    assert(graft.core.TableIO.read(spark, stateRoot, "batch_id").count()
+      === before)
+    assert(burstMap(StreamIngest.currentBursts(spark, stateRoot,
+      Seq("k"), 10L, 2, 3L, 2L, 2L, uptoBatch = 1L)) === folded)
+  }
 }
