@@ -1175,6 +1175,74 @@ object SparkEntry {
         .withColumn("status", lit("added"))
         .unionAll(before.join(after, Seq("user_id", "event_type"),
           "left_anti").withColumn("status", lit("removed")))
+    }),
+    // per-source template removal (C4 line-filter family, host-scoped):
+    // a paragraph in >= 3 distinct docs of one source is boilerplate and
+    // is excised EVERYWHERE (no keeper, unlike q68's first-wins dedup);
+    // enrichment plants a per-source nav header + even-doc_id footer
+    "q149_boilerplate_strip" -> ((s, dir) =>
+      Dedup.stripBoilerplate(
+        Dedup.syntheticBoilerplate(s.read.parquet(t(dir, "documents"))),
+        minDocs = 3L)),
+    // asymmetric 6-gram containment join (syndication detection):
+    // |S(src) ∩ S(dst)| >= 50% of |S(src)| — the reprinted-wire-article
+    // pairs symmetric Jaccard misses; exact inverted-index join with the
+    // loud hot-gram cap
+    "q150_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(s.read.parquet(t(dir, "documents")),
+        n = 6, minContainPct = 50)),
+    // sorted-neighborhood blocking over part names (merge/purge): window
+    // w=4 under the total order (name, id) — near-miss candidate pairs
+    // equality blocking hashes apart; range-partitioned sort + one
+    // bucket-keyed join, never a single-partition window
+    "q152_sorted_neighborhood" -> ((s, dir) =>
+      graft.link.Blocking.sortedNeighborhood(
+        s.read.parquet(t(dir, "part")), keyCol = "p_name",
+        idCol = "p_partkey", w = 4)),
+    // collective entity disambiguation: candidates rescored by KG
+    // coherence with the page's other entities (pass-1 graph), elected by
+    // (coherence DESC, prior DESC, id) — the AIDA-family reranking as one
+    // page-bounded join + one edge probe + one window-free election
+    "q151_coherent_linking" -> ((s, dir) =>
+      graft.link.EntityLink.linkCoherent(
+        Pipeline.mentions(s, dir), Pipeline.aliasDict(s, dir),
+        Pipeline.canonMap(s, dir), Pipeline.triples(s, dir).toDF())),
+    // SPARQL negated property set + zero-or-one:
+    // ?x !(related_to|merge)/hash? ?y — NOT-IN scan, then the optional
+    // step unions the untraversed endpoints through (p? semantics)
+    "q154_path_negated_opt" -> ((s, dir) => {
+      import graft.kg.Bgp._
+      matchPath(Pipeline.triples(s, dir).toDF(), Seq(
+        Step.notIn("related_to", "merge"), Step("hash", opt = true)))
+    }),
+    // SPARQL GRAPH ?g { ?x merge ?y . ?y related_to ?z } — the BGP
+    // co-grouped by provenance page; every join gains the graph key
+    "q155_bgp_graphs" -> ((s, dir) => {
+      import graft.kg.Bgp._
+      matchBgpGraphs(Pipeline.triples(s, dir).toDF(), Seq(
+        Pattern(V("x"), "merge", V("y")),
+        Pattern(V("y"), "related_to", V("z"))))
+    }),
+    // ordered conversion funnel view -> click -> purchase within 7 days
+    // of the first view: per stage one filtered scan + one keyed join +
+    // one min agg — greedy-earliest is exact (exchange argument)
+    "q156_funnel" -> ((s, dir) =>
+      graft.kg.Temporal.funnel(s.read.parquet(t(dir, "events")),
+        keyCol = "user_id", tsCol = "ts", stageCol = "event_type",
+        stages = Seq("view", "click", "purchase"),
+        windowMicros = 604800000000L)),
+    // ER-audit pair confusion: near-dup transitive clusters (LSH+CC)
+    // against exact-text clusters — tp/a/b pair counts via the C(n,2)
+    // cell identity, no pair materialization
+    "q153_cluster_agreement" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+      val near = Dedup.dedupClusters(docs)
+      val exact = docs.groupBy(col("text"))
+        .agg(min(col("doc_id")).as("exact_id"),
+          collect_list(col("doc_id")).as("ids"))
+        .select(explode(col("ids")).as("doc_id"), col("exact_id"))
+      graft.eval.ClusterMetrics.pairConfusion(
+        near.join(exact, Seq("doc_id")), aCol = "keep_id", bCol = "exact_id")
     })
   )
 
@@ -1913,6 +1981,109 @@ object SparkEntry {
       UNION ALL
       SELECT user_id, event_type, 'removed' AS status
       FROM before ANTI JOIN after USING (user_id, event_type)""",
+    // reconstructs the synthetic page independently (header pos 0, body
+    // chunks of 4+doc_id%5 tokens, even-doc_id footer), elects boilerplate
+    // per (source, paragraph) on distinct-doc support >= 3, then excises
+    "q149_boilerplate_strip" -> """
+      WITH toks AS (SELECT doc_id, source, string_split(text,' ') AS ts,
+                           CAST(4 + doc_id % 5 AS BIGINT) AS k FROM documents),
+      body AS (SELECT doc_id, source, ts, k,
+                      unnest(range(0, CAST(ceil(len(ts)::DOUBLE / k) AS BIGINT))) AS i
+               FROM toks),
+      chunks AS (SELECT doc_id, source, i + 1 AS pos,
+                        array_to_string(ts[(i*k+1):((i+1)*k)], ' ') AS p FROM body),
+      hdr AS (SELECT doc_id, source, 0 AS pos,
+                     'nav ' || source || ' home about' AS p FROM documents),
+      ftr AS (SELECT doc_id, source,
+                     CAST(ceil(len(ts)::DOUBLE / k) AS BIGINT) + 1 AS pos,
+                     'copyright ' || source || ' all rights reserved' AS p
+              FROM toks WHERE doc_id % 2 = 0),
+      pars AS (SELECT * FROM hdr UNION ALL SELECT * FROM chunks
+               UNION ALL SELECT * FROM ftr),
+      boiler AS (SELECT source, p FROM (
+                   SELECT source, p, count(DISTINCT doc_id) AS nd
+                   FROM pars GROUP BY 1, 2) WHERE nd >= 3),
+      flagged AS (SELECT pars.*, (b.p IS NOT NULL) AS is_b
+                  FROM pars LEFT JOIN boiler b USING (source, p))
+      SELECT doc_id, any_value(source) AS source,
+             count(*) AS n_paras,
+             count(*) FILTER (WHERE is_b) AS n_removed,
+             coalesce(string_agg(p, chr(10) ORDER BY pos)
+                        FILTER (WHERE NOT is_b), '') AS text_clean
+      FROM flagged GROUP BY doc_id""",
+    // exact containment in SQL — full inverted-index join, no cap (the
+    // Spark cap provably never bites: zero rows in lastDropReport)
+    "q150_containment" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      grams AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ts) - 4),
+                  i -> ts[i] || ts[i+1] || ts[i+2] || ts[i+3] || ts[i+4] || ts[i+5]))) AS g
+                FROM toks),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+      ip AS (SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS inter
+             FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id <> b.doc_id
+             GROUP BY 1, 2)
+      SELECT src, dst, inter, sz AS src_sz
+      FROM ip JOIN sizes ON sizes.doc_id = ip.src
+      WHERE inter * 100 >= sz * 50""",
+    "q152_sorted_neighborhood" -> """
+      WITH ranked AS (SELECT p_partkey AS id, p_name AS k,
+                             row_number() OVER (ORDER BY p_name, p_partkey) - 1 AS r
+                      FROM part)
+      SELECT a.id AS id1, b.id AS id2, a.k AS key1, b.k AS key2,
+             b.r - a.r AS dist
+      FROM ranked a JOIN ranked b ON b.r > a.r AND b.r - a.r < 4""",
+    "q151_coherent_linking" -> golden("q151_coherent_linking"),
+    "q154_path_negated_opt" -> s"""
+      WITH tt AS (SELECT DISTINCT subj, pred, obj
+                  FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'),
+      s1 AS (SELECT DISTINCT subj AS s, obj AS o FROM tt
+             WHERE pred NOT IN ('related_to', 'merge')),
+      s2 AS (SELECT DISTINCT subj AS s, obj AS o FROM tt WHERE pred = 'hash')
+      SELECT DISTINCT x, y FROM (
+        SELECT s1.s AS x, s2.o AS y FROM s1 JOIN s2 ON s1.o = s2.s
+        UNION ALL SELECT s AS x, o AS y FROM s1)""",
+    "q155_bgp_graphs" -> s"""
+      WITH tt AS (SELECT DISTINCT url AS g, subj, pred, obj
+                  FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'),
+      m AS (SELECT DISTINCT g, subj AS x, obj AS y FROM tt WHERE pred = 'merge'),
+      s AS (SELECT DISTINCT g, subj AS y, obj AS z FROM tt
+            WHERE pred = 'related_to')
+      SELECT DISTINCT g, x, y, z FROM m JOIN s USING (g, y)""",
+    "q156_funnel" -> """
+      WITH ev AS (SELECT user_id AS k, epoch_us(ts) AS us, event_type AS st
+                  FROM events),
+      l0 AS (SELECT k, min(us) AS t, min(us) AS t0 FROM ev
+             WHERE st = 'view' GROUP BY k),
+      l1 AS (SELECT l0.k, l0.t0, min(us) AS t FROM l0 JOIN ev
+             ON ev.k = l0.k AND ev.st = 'click' AND ev.us > l0.t
+                AND ev.us <= l0.t0 + 604800000000
+             GROUP BY l0.k, l0.t0),
+      l2 AS (SELECT l1.k, l1.t0, min(us) AS t FROM l1 JOIN ev
+             ON ev.k = l1.k AND ev.st = 'purchase' AND ev.us > l1.t
+                AND ev.us <= l1.t0 + 604800000000
+             GROUP BY l1.k, l1.t0)
+      SELECT * FROM (VALUES
+        (CAST(0 AS BIGINT), 'view', (SELECT count(*) FROM l0)),
+        (CAST(1 AS BIGINT), 'click', (SELECT count(*) FROM l1)),
+        (CAST(2 AS BIGINT), 'purchase', (SELECT count(*) FROM l2)))
+        AS v(stage_idx, stage, n_keys)""",
+    // near-dup clustering (golden q36 fixture) confused against exact-text
+    // clusters via the C(n,2) cell identity — integer-exact on both engines
+    "q153_cluster_agreement" -> s"""
+      WITH near AS (SELECT doc_id, keep_id
+                    FROM '$goldenRoot/__SF__/q36_dedup_clusters.parquet/*.parquet'),
+      exm AS (SELECT text, min(doc_id) AS exact_id FROM documents GROUP BY text),
+      items AS (SELECT d.doc_id, n.keep_id, m.exact_id
+                FROM documents d JOIN near n USING (doc_id)
+                JOIN exm m ON d.text = m.text),
+      cells AS (SELECT keep_id, exact_id, count(*) AS n FROM items GROUP BY 1, 2)
+      SELECT
+        (SELECT CAST(sum(n*(n-1)//2) AS BIGINT) FROM cells) AS tp_pairs,
+        (SELECT CAST(sum(n*(n-1)//2) AS BIGINT) FROM
+           (SELECT sum(n) AS n FROM cells GROUP BY keep_id)) AS a_pairs,
+        (SELECT CAST(sum(n*(n-1)//2) AS BIGINT) FROM
+           (SELECT sum(n) AS n FROM cells GROUP BY exact_id)) AS b_pairs,
+        (SELECT CAST(sum(n) AS BIGINT) FROM cells) AS n_items""",
     "q119_bgp_minus" -> s"""
       WITH t AS (SELECT subj, pred, obj
                  FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet')

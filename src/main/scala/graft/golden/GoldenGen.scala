@@ -102,6 +102,9 @@ object GoldenGen {
     write("q46_canon_components", Seq((canon.nNodes, canon.nComponents)), "n_nodes", "n_components")
     val trip = q47Triples(greedy, dict, canon)
     write("q47_triples", trip)
+    write("q151_coherent_linking", q151CoherentLinking(greedy, dict, canon),
+      "url", "lang", "sentIdx", "begin", "surface", "entity_id", "prior",
+      "coherence")
     write("q79_pagerank", q79PageRank(trip), "id", "rank")
     write("q82_ppr_salience", q82PersonalizedPagerank(trip), "id", "rank")
     write("q94_negative_samples", q94NegativeSamples(trip),

@@ -251,6 +251,40 @@ object SequentialTwin {
     }
   }
 
+  /** q151: coherence-reranked collective linking — per mention the
+    * candidate elected by (KG-coherence DESC, prior DESC, entity_id ASC),
+    * where coherence counts the page's distinct canonical exact-match
+    * entities (own canon excluded) sharing an undirected edge with the
+    * candidate's canon in the pass-1 triple graph. Straight nested loops
+    * over driver maps — no shared code with EntityLink.linkCoherent. */
+  def q151CoherentLinking(tagged: Seq[TaggedSent],
+      dict: scala.collection.SeqMap[String, Seq[(Long, Double)]],
+      canon: Canon): Seq[(String, String, Int, Int, String, Long, Double, Long)] = {
+    val edges: Set[(Long, Long)] = q47Triples(tagged, dict, canon).iterator
+      .filter(t => t.subj != t.obj)
+      .map(t => (math.min(t.subj, t.obj), math.max(t.subj, t.obj))).toSet
+    val ms = mentions(tagged)
+    def aliasOf(m: Mention): String =
+      splitKeepAll(m.surface)(0).toLowerCase(java.util.Locale.ROOT)
+    // page context: canonical exact-match entity per distinct dict alias
+    val ctxByUrl: Map[String, Set[Long]] = ms.groupBy(_.url).map { case (u, mm) =>
+      u -> mm.iterator.map(aliasOf).flatMap(a =>
+        dict.get(a).map(cands => canon.canon(cands.find(_._2 == 1.0).get._1))).toSet
+    }
+    ms.flatMap { m =>
+      dict.get(aliasOf(m)).map { cands =>
+        val ctx = ctxByUrl(m.url)
+        val best = cands.map { case (id, p) =>
+          val c = canon.canon(id)
+          val coh = ctx.count(e =>
+            e != c && edges.contains((math.min(e, c), math.max(e, c)))).toLong
+          (id, p, coh)
+        }.maxBy { case (id, p, coh) => (coh, p, -id) }
+        (m.url, m.lang, m.sentIdx, m.begin, m.surface, best._1, best._2, best._3)
+      }
+    }
+  }
+
   /** q48 rows: conlleval-style P/R/F of `pred` mentions vs `gold` mentions —
     * per entityType plus the ALL row, SpanEval.prf arithmetic. */
   def q48Prf(pred: Seq[Mention], gold: Seq[Mention]): Seq[(String, Long, Long, Long, Double, Double, Double)] = {

@@ -57,6 +57,57 @@ object Bgp {
   }
 
   /**
+   * SPARQL `GRAPH ?g { ... }` — the BGP evaluated WITHIN each named
+   * graph: every pattern must match in the same graph, and the graph term
+   * binds as the output variable `g`. Over the mention-level triple table
+   * the natural named graph is the provenance page (`url` — exactly
+   * [[Rdf.toNQuads]]' graph position), making this the provenance query
+   * the KG exists to answer: which pages assert this whole pattern.
+   *
+   * Lowering: identical to [[matchBgp]] except every pattern scan carries
+   * the graph column and every join adds it to the equi-join key set —
+   * the plan stays keyed equi-joins, now co-grouped by graph, and a
+   * pattern with no shared variable is still connected THROUGH the graph
+   * key (a per-graph existence guard, never a cartesian product).
+   */
+  def matchBgpGraphs(triples: DataFrame, patterns: Seq[Pattern],
+                     graphCol: String = "url"): DataFrame = {
+    require(patterns.nonEmpty, "need at least one pattern")
+    def scanG(p: Pattern): (DataFrame, Set[String]) = {
+      var df = triples.select(col(graphCol).as("g"),
+          col("subj").cast("long").as("subj"), col("pred"),
+          col("obj").cast("long").as("obj"))
+        .filter(col("pred") === lit(p.p))
+      val vars = scala.collection.mutable.LinkedHashSet.empty[String]
+      p.s match {
+        case C(id) => df = df.filter(col("subj") === lit(id))
+        case V(n)  => vars += n
+      }
+      p.o match {
+        case C(id) => df = df.filter(col("obj") === lit(id))
+        case V(n)  =>
+          if (vars.contains(n)) df = df.filter(col("subj") === col("obj"))
+          vars += n
+      }
+      val cols = col("g") +: ((p.s, p.o) match {
+        case (V(a), V(b)) if a != b => Seq(col("subj").as(a), col("obj").as(b))
+        case (V(a), _)              => Seq(col("subj").as(a))
+        case (_, V(b))              => Seq(col("obj").as(b))
+        case _                      => Seq.empty
+      })
+      (df.select(cols: _*).distinct(), vars.toSet)
+    }
+    val (first, firstVars) = scanG(patterns.head)
+    val (joined, allVars) = patterns.tail.foldLeft((first, firstVars)) {
+      case ((acc, bound), p) =>
+        val (df, vars) = scanG(p)
+        val keys = "g" +: (bound intersect vars).toSeq.sorted
+        (acc.join(df, keys), bound union vars)
+    }
+    joined.select((col("g") +: allVars.toSeq.sorted.map(col)): _*).distinct()
+  }
+
+  /**
    * BGP with SPARQL `OPTIONAL` groups: the required conjunction matches
    * as [[matchBgp]]; each optional pattern then LEFT-joins on its shared
    * variables — bindings that have no optional match keep their row with
@@ -211,10 +262,26 @@ object Bgp {
     * (`plus = false`) or one-or-more times (`plus = true`, SPARQL `p+`),
     * in edge direction or INVERTED (`inverse = true`, SPARQL `^p`).
     * Compositions nest the SPARQL way: `Step(p, plus = true,
-    * inverse = true)` is `(^p)+` — the closure of the REVERSED slice. */
+    * inverse = true)` is `(^p)+` — the closure of the REVERSED slice.
+    *
+    * NEGATED PROPERTY SET (SPARQL `!(p1|p2|...)`): [[Step.notIn]] — the
+    * step traverses every edge whose predicate is NOT in the set (one
+    * NOT-IN-filtered scan; `p` itself is unused). ZERO-OR-ONE
+    * (`opt = true`, SPARQL `p?`): the step may also be skipped — in a
+    * sequence the fold keeps the incoming endpoint alongside the
+    * traversal; as the FIRST step the zero-length side ranges over every
+    * node of the graph (the SPARQL zero-length-path semantics).
+    * `opt = true, plus = true` composes to `p*` (zero-or-more). */
   final case class Step(p: String, plus: Boolean = false,
                         inverse: Boolean = false,
-                        alts: Seq[String] = Nil)
+                        alts: Seq[String] = Nil,
+                        negated: Seq[String] = Nil,
+                        opt: Boolean = false)
+
+  object Step {
+    /** SPARQL negated property set `!(preds...)`. */
+    def notIn(preds: String*): Step = Step("", negated = preds)
+  }
 
   /**
    * SPARQL property-path matching `?x  p1[/p2+/...]  ?y`: the path is a
@@ -233,13 +300,29 @@ object Bgp {
    */
   def matchPath(triples: DataFrame, steps: Seq[Step]): DataFrame = {
     require(steps.nonEmpty, "need at least one path step")
-    val first = relOf(triples, steps.head)
+    foldSteps(triples, steps)
+      .select(col("x"), col("cur").as("y")).distinct()
+  }
+
+  /** The shared step-sequence fold: (x, cur) pairs, bag semantics (the
+    * callers dedup or count). A zero-or-one step unions the untraversed
+    * endpoints through; as the first step its zero-length side is the
+    * identity over ALL graph nodes. */
+  private def foldSteps(triples: DataFrame, steps: Seq[Step]): DataFrame = {
+    val rel0 = relOf(triples, steps.head)
       .select(col("s").as("x"), col("o").as("cur"))
+    val first =
+      if (!steps.head.opt) rel0
+      else rel0.unionAll(
+        triples.select(col("subj").cast("long").as("x"))
+          .unionAll(triples.select(col("obj").cast("long").as("x")))
+          .distinct().withColumn("cur", col("x")))
     steps.tail.foldLeft(first) { (acc, st) =>
-      acc.join(relOf(triples, st).select(col("s").as("cur"),
+      val stepped = acc.join(relOf(triples, st).select(col("s").as("cur"),
           col("o").as("nxt")), Seq("cur"))
         .select(col("x"), col("nxt").as("cur"))
-    }.select(col("x"), col("cur").as("y")).distinct()
+      if (st.opt) stepped.unionAll(acc) else stepped
+    }
   }
 
   /** One path step as a deduped (s, o) relation. Alternation = ONE
@@ -250,7 +333,12 @@ object Bgp {
   private def relOf(triples: DataFrame, st: Step): DataFrame = {
     val preds = st.p +: st.alts
     val base =
-      if (preds.size == 1) triples.filter(col("pred") === lit(st.p))
+      if (st.negated.nonEmpty) {
+        require(st.p.isEmpty && st.alts.isEmpty,
+          "a step is a predicate set OR a negated set, not both")
+        triples.filter(!col("pred").isin(st.negated: _*))
+      }
+      else if (preds.size == 1) triples.filter(col("pred") === lit(st.p))
       else triples.filter(col("pred").isin(preds: _*))
     val (sCol, oCol) =
       if (st.inverse) (col("obj"), col("subj")) else (col("subj"), col("obj"))
@@ -281,13 +369,8 @@ object Bgp {
    */
   def countPaths(triples: DataFrame, steps: Seq[Step]): DataFrame = {
     require(steps.nonEmpty, "need at least one path step")
-    val first = relOf(triples, steps.head)
-      .select(col("s").as("x"), col("o").as("cur"))
-    steps.tail.foldLeft(first) { (acc, st) =>
-      acc.join(relOf(triples, st).select(col("s").as("cur"),
-          col("o").as("nxt")), Seq("cur"))
-        .select(col("x"), col("nxt").as("cur"))
-    }.groupBy(col("x"), col("cur").as("y"))
+    foldSteps(triples, steps)
+      .groupBy(col("x"), col("cur").as("y"))
       .agg(count(lit(1)).as("n_paths"))
   }
 

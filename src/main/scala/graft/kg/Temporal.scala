@@ -225,4 +225,56 @@ object Temporal {
           col("cnt") * trailing * denK > lit(numK) * col("trailing_total"))
           .as("is_burst")): _*)
   }
+
+  /**
+   * ORDERED-SEQUENCE FUNNEL over an event log: how many keys (users)
+   * complete stage 1, then stage 2 strictly after it, ... within
+   * `windowMicros` of their FIRST stage-1 event — the product-analytics
+   * conversion query and the event-sequence twin of the SPARQL property
+   * path (a path through time instead of through edges).
+   *
+   * Semantics: the window anchors at each key's EARLIEST stage-1 event;
+   * at every later stage the earliest qualifying event (strictly after
+   * the previous stage's chosen event, at or before the anchor + window)
+   * is chosen. The greedy earliest choice is exact, not a heuristic:
+   * taking an earlier qualifying event can only widen what qualifies
+   * later, so a key completes the funnel under SOME choice of events iff
+   * it completes under the greedy one (the standard exchange argument).
+   *
+   * Shape: per stage ONE filtered scan of the event log + ONE
+   * partial-aggregated min per key (stage 1), or ONE keyed equi-join with
+   * the survivors + the min agg (later stages) — never a per-key sorted
+   * event buffer, so a key with 10^6 events costs its matching-stage rows
+   * only. Survivor sets shrink monotonically; with selective stages the
+   * joins broadcast under AQE.
+   *
+   * @return one row per stage: (stage_idx, stage, n_keys) — n_keys is the
+   *         count of keys whose funnel reached that stage.
+   */
+  def funnel(events: DataFrame, keyCol: String, tsCol: String,
+             stageCol: String, stages: Seq[String],
+             windowMicros: Long): DataFrame = {
+    require(stages.nonEmpty, "need at least one funnel stage")
+    val spark = events.sparkSession
+    val ev = events.select(col(keyCol).as("k"),
+      unix_micros(col(tsCol).cast("timestamp")).as("us"), col(stageCol).as("stage"))
+    val anchor = ev.filter(col("stage") === stages.head)
+      .groupBy(col("k")).agg(min(col("us")).as("t"))
+      .withColumn("t0", col("t"))
+    // persist each survivor set so counting level i never re-runs levels
+    // 0..i-1 (the survivor tables are one row per surviving key — tiny)
+    val levels = stages.tail.scanLeft(anchor.persist()) { (prev, st) =>
+      prev.join(ev.filter(col("stage") === st).select(col("k"),
+          col("us")), Seq("k"))
+        .filter(col("us") > col("t") && col("us") <= col("t0") + windowMicros)
+        .groupBy(col("k"), col("t0")).agg(min(col("us")).as("t"))
+        .persist()
+    }
+    import spark.implicits._
+    val counts = levels.map(_.count())
+    levels.foreach(_.unpersist(false))
+    stages.zipWithIndex.map { case (st, i) =>
+      (i.toLong, st, counts(i))
+    }.toDF("stage_idx", "stage", "n_keys")
+  }
 }

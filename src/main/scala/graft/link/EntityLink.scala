@@ -122,6 +122,78 @@ object EntityLink {
   }
 
   /**
+   * COLLECTIVE entity disambiguation — coherence reranking (the
+   * Cucerzan/AIDA family's document-level signal, integer-exact): a
+   * mention's candidates are rescored by how many OTHER entities on the
+   * same page the candidate is connected to in the KG, and the winner is
+   * elected by (coherence DESC, prior DESC, entity_id ASC) — so a
+   * lower-prior stem candidate beats the exact-match candidate exactly
+   * when the page's context supports it. Bootstrapped collective linking:
+   * pass 1 (prior-only [[linkBroadcast]]) builds the graph, pass 2 reranks
+   * against it.
+   *
+   * Page context = the canonical exact-match (prior 1.0) entity of every
+   * distinct dictionary alias on the page; a candidate's coherence = how
+   * many of those (its own canon excluded) share an edge with it in the
+   * undirected distinct KG edge set.
+   *
+   * Plan shape: dictionary broadcast (or [[linkSalted]]'s machinery at
+   * dictionary scale), canon map as keyed equi-joins, ONE per-page
+   * candidate x context join (bounded by page-length², a page property —
+   * never corpus-quadratic), ONE keyed equi-join probing the edge set on
+   * the (least, greatest) pair key, one partial-agg vote count, and the
+   * same window-free min(struct) election as [[linkBroadcast]].
+   *
+   * Returns (url, lang, sentIdx, begin, surface, entity_id, prior,
+   * coherence).
+   */
+  def linkCoherent(mentions: Dataset[Mention], dict: DataFrame,
+                   canonMap: DataFrame, triples: DataFrame): DataFrame = {
+    val canon = canonMap.select(col("id"), col("component"))
+    def canonize(df: DataFrame, idCol: String, outCol: String): DataFrame =
+      df.join(canon, df(idCol) === canon("id"), "left")
+        .withColumn(outCol, coalesce(col("component"), col(idCol)))
+        .drop("id", "component")
+    val m = normalizedMentions(mentions)
+    val cands = canonize(m.join(broadcast(dict), Seq("alias")), "entity_id", "cand_canon")
+    val ctx = canonize(
+        m.select(col("url"), col("alias")).distinct()
+          .join(broadcast(dict.filter(col("prior") === 1.0)), Seq("alias")),
+        "entity_id", "ctx_ent")
+      .select(col("url"), col("ctx_ent")).distinct()
+    val edges = triples
+      .select(least(col("subj"), col("obj")).as("e1"),
+        greatest(col("subj"), col("obj")).as("e2"))
+      .filter(col("e1") =!= col("e2")).distinct()
+    val votes = cands
+      .select(col("url"), col("sentIdx"), col("begin"), col("entity_id"),
+        col("cand_canon"))
+      .join(ctx, Seq("url"))
+      .filter(col("ctx_ent") =!= col("cand_canon"))
+      .join(edges,
+        least(col("cand_canon"), col("ctx_ent")) === col("e1") &&
+          greatest(col("cand_canon"), col("ctx_ent")) === col("e2"),
+        "left_semi")
+      // ctx is distinct per (url, ctx_ent), so the count IS the distinct
+      // supporting-entity count — no count_distinct state
+      .groupBy(col("url"), col("sentIdx"), col("begin"), col("entity_id"))
+      .agg(count(lit(1)).as("coherence"))
+    cands
+      .join(votes, Seq("url", "sentIdx", "begin", "entity_id"), "left")
+      .withColumn("coherence", coalesce(col("coherence"), lit(0L)))
+      .groupBy(col("url"), col("sentIdx"), col("begin"))
+      .agg(min_by(
+        struct(col("lang"), col("surface"), col("entity_id"), col("prior"),
+          col("coherence")),
+        struct(negate(col("coherence")), negate(col("prior")),
+          col("entity_id"))).as("top"))
+      .select(col("url"), col("top.lang").as("lang"), col("sentIdx"),
+        col("begin"), col("top.surface").as("surface"),
+        col("top.entity_id").as("entity_id"), col("top.prior").as("prior"),
+        col("top.coherence").as("coherence"))
+  }
+
+  /**
    * ALIAS PROFILE per linked entity — the surface-form distribution the
    * linking stage itself should be monitored by: how many distinct ways
    * the corpus names each entity, which name dominates, and the full

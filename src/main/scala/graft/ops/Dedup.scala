@@ -436,6 +436,124 @@ object Dedup {
           .as("text_clean"))
   }
 
+  /** Deterministic per-source boilerplate enrichment for the template-
+    * removal tests/benchmarks (the [[syntheticParagraphs]] convention): a
+    * nav header paragraph shared by EVERY document of a source, the
+    * chunked body, and a copyright footer on even doc_ids — all derived
+    * from (doc_id, source, text) alone so the SQL oracle reconstructs the
+    * exact same page without touching this code. */
+  def syntheticBoilerplate(docs: DataFrame): DataFrame =
+    syntheticParagraphs(docs).withColumn("text",
+      concat(
+        lit("nav "), col("source"), lit(" home about\n"),
+        col("text"),
+        when(pmod(col("doc_id"), lit(2L)) === 0,
+          concat(lit("\ncopyright "), col("source"),
+            lit(" all rights reserved"))).otherwise(lit(""))))
+
+  /**
+   * Per-source TEMPLATE/BOILERPLATE removal (the C4 line-filter family,
+   * Raffel et al. 2020 §2.2 — there applied corpus-wide; scoping the
+   * election to the source/host is the production form: nav bars, cookie
+   * banners and footers repeat WITHIN a site, and a sentence legitimately
+   * shared by two unrelated sites is not boilerplate). A \n-paragraph
+   * occurring in >= `minDocs` DISTINCT documents of the same source is
+   * template text and is excised from EVERY document of that source —
+   * unlike [[dedupParagraphs]], which keeps a first occurrence: boilerplate
+   * has no keeper.
+   *
+   * Returns (doc_id, source, n_paras, n_removed, text_clean).
+   *
+   * 100 TB shape: the election is two partial-aggregated shuffles keyed by
+   * (source, paragraph) — a distinct to collapse within-doc repeats to one
+   * vote, then a count — so a footer on 10^9 pages of one host costs
+   * counters, never a member list; `hashKeys = true` keys both shuffles on
+   * xxhash64(paragraph) (8 bytes rides, not the text; a 64-bit collision
+   * can only OVER-strip, and the two modes are equality-tested). The strip
+   * join back to the corpus is keyed by doc_id and carries int positions;
+   * excision is the sorted-merge `excise_positions` (O(paras + removed)).
+   */
+  def stripBoilerplate(docs: DataFrame, minDocs: Long = 3L,
+                       hashKeys: Boolean = false): DataFrame = {
+    val paras = split(col("text"), "\n")
+    val pKey = if (hashKeys) xxhash64(col("p0")) else col("p0")
+    val ex = docs
+      .select(col("doc_id"), col("source"), posexplode(paras).as(Seq("pos", "p0")))
+      .select(col("doc_id"), col("source"), col("pos"), pKey.as("p"))
+    val boiler = ex.select(col("source"), col("p"), col("doc_id")).distinct()
+      .groupBy(col("source"), col("p"))
+      .agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("source"), col("p"))
+    val removed = ex.join(boiler, Seq("source", "p"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_set(col("pos"))).as("removed"))
+    docs
+      .withColumn("paras", paras)
+      .join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        size(col("paras")).cast("long").as("n_paras"),
+        coalesce(size(col("removed")), lit(0)).cast("long").as("n_removed"),
+        when(col("removed").isNull, col("text"))
+          .otherwise(concat_ws("\n",
+            graft.functions.GraftFunctions.excise_positions(col("paras"), col("removed"))))
+          .as("text_clean"))
+  }
+
+  /**
+   * Asymmetric n-gram CONTAINMENT join (Broder 1997's containment, the
+   * syndication/quotation detector): emit (src, dst, inter, src_sz) where
+   * |S(src) ∩ S(dst)| * 100 >= minContainPct * |S(src)| and src != dst.
+   * Direction matters — a wire article reprinted inside a longer page
+   * scores high article->page and low page->article, exactly the pairs
+   * symmetric Jaccard (q26/q39) misses because the big union drowns them.
+   *
+   * Exact inverted-index join: distinct n-gram shingles per doc, pair
+   * through shared grams (one keyed equi-join), count intersections with a
+   * map-side partial agg, then the cross-multiplied integer test against
+   * the SOURCE size only — no float division, both directions fall out of
+   * one pair aggregation. Shingle length is the selectivity knob: 6-grams
+   * make unrelated-doc collisions rare while syndicated runs of >= n+k
+   * tokens still share k+1 grams.
+   *
+   * HOT-GRAM GUARD ([[ngramJaccardPairsPrefix]]'s convention): a gram whose
+   * posting list exceeds `maxGramPostings` would be an unguarded quadratic
+   * bucket; such grams are dropped LOUDLY (logged +
+   * `lastDropReport("containmentPairs")`). With zero drops (queryable) the
+   * result is EXACT; a drop can only lower `inter` (never invent a pair).
+   */
+  def containmentPairs(docs: DataFrame, n: Int = 6, minContainPct: Int = 50,
+                       maxGramPostings: Int = 10000): DataFrame = {
+    val withG = persistIntermediate(docs
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), shinglesFromTokens(col("toks"), n).as("g"))
+      .filter(size(col("g")) > 0))
+    val grams = withG.select(col("doc_id"),
+      size(col("g")).cast("long").as("sz"), explode(col("g")).as("gram"))
+    val postings = persistIntermediate(
+      grams.groupBy(col("gram")).agg(count(lit(1)).as("psz")))
+    val okGrams = postings.filter(col("psz").between(2, maxGramPostings))
+      .select(col("gram"))
+    val g1 = grams.join(okGrams, Seq("gram"))
+    val g2 = g1.select(col("gram"), col("doc_id").as("dst"))
+    val verified = g1.join(g2, Seq("gram"))
+      .filter(col("doc_id") =!= col("dst"))
+      // sz is functionally dependent on doc_id — riding it in the group key
+      // keeps the count a one-pass partial agg (no second sizes join)
+      .groupBy(col("doc_id"), col("sz"), col("dst"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter") * 100 >= col("sz") * minContainPct)
+      .select(col("doc_id").as("src"), col("dst"), col("inter"),
+        col("sz").as("src_sz"))
+    if (eagerOps) {
+      val out = verified.localCheckpoint(true)
+      reportDrops(postings, "psz", maxGramPostings, "containmentPairs",
+        "gram posting list(s)", (_, _) => ())
+      Seq(withG, postings).foreach(_.unpersist(false))
+      out
+    } else verified
+  }
+
   /** 64-bit SimHash per document: per-token hash bits vote +1/-1; the sign
     * vector is the fingerprint. Native codegen'd expression (one compiled
     * pass; value-identical to the HOF bit-vote form, parity-tested in

@@ -407,4 +407,56 @@ class BgpSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === viaRev)
   }
+
+  test("property paths: negated property set !(a|b) and zero-or-one p?") {
+    import spark.implicits._
+    import Bgp._
+    val t = Seq((1L, "a", 2L), (1L, "b", 3L), (1L, "c", 4L), (4L, "d", 5L),
+      (2L, "q", 6L)).toDF("subj", "pred", "obj").repartition(2)
+    def pairs(steps: Seq[Step]) = matchPath(t, steps).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // !(a|b) keeps the c, d and q edges
+    assert(pairs(Seq(Step.notIn("a", "b"))) ===
+      Set((1L, 4L), (4L, 5L), (2L, 6L)))
+    // c/d? — the optional tail keeps (1,4) alongside the traversal (1,5)
+    assert(pairs(Seq(Step("c"), Step("d", opt = true))) ===
+      Set((1L, 4L), (1L, 5L)))
+    // a FIRST optional step: zero-length side is the identity over ALL
+    // graph nodes, plus the a-edge traversals continued by q
+    assert(pairs(Seq(Step("a", opt = true), Step("q", opt = true))) ===
+      Set(1L, 2L, 3L, 4L, 5L, 6L).map(n => (n, n)) ++
+        Set((1L, 2L), (1L, 6L), (2L, 6L)))
+    // p* = plus + opt: closure unioned with the identity
+    val chain = Seq((1L, "p", 2L), (2L, "p", 3L)).toDF("subj", "pred", "obj")
+    assert(Bgp.matchPath(chain, Seq(Step("p", plus = true, opt = true)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 1L), (2L, 2L), (3L, 3L), (1L, 2L), (1L, 3L), (2L, 3L)))
+    // countPaths multiplicity: skip and traverse are DISTINCT chains
+    val dbl = Seq((1L, "p", 2L), (2L, "r", 2L)).toDF("subj", "pred", "obj")
+    val got = Bgp.countPaths(dbl, Seq(Step("p"), Step("r", opt = true)))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got === Map((1L, 2L) -> 2L)) // 1-p->2 (skip r) and 1-p->2-r->2
+  }
+
+  test("matchBgpGraphs: the BGP matches WITHIN each named graph") {
+    import spark.implicits._
+    import Bgp._
+    // g1 asserts the whole pattern; g2 has the pieces split across graphs
+    val t = Seq(
+      ("g1", 1L, "m", 2L), ("g1", 2L, "r", 3L),
+      ("g2", 1L, "m", 2L), ("g3", 2L, "r", 3L),
+      ("g1", 1L, "m", 2L) // duplicate assertion — set semantics
+    ).toDF("url", "subj", "pred", "obj").repartition(3)
+    val got = matchBgpGraphs(t, Seq(
+        Pattern(V("x"), "m", V("y")), Pattern(V("y"), "r", V("z"))))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got === Set(("g1", 1L, 2L, 3L)))
+    // constant existence guard joins through the graph key: only graphs
+    // asserting BOTH the constant fact and the variable pattern survive
+    val guarded = matchBgpGraphs(t, Seq(
+        Pattern(V("x"), "m", V("y")), Pattern(C(2L), "r", C(3L))))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(guarded === Set(("g1", 1L, 2L)))
+  }
 }

@@ -66,4 +66,48 @@ class EntityLinkSpec extends SparkSpec {
       20L -> ((1L, 1L, "Solo", 1L, "Solo")),
       30L -> ((3L, 2L, "Zed", 2L, "Ab|Zed"))))
   }
+
+  test("linkCoherent: KG coherence flips the prior-only winner") {
+    import spark.implicits._
+    val dict = EntityLink.aliasDict(spark,
+      spark.createDataset(Seq("deltas", "other")))
+    val emptyCanon = Seq.empty[(Long, Long)].toDF("id", "component")
+    // the page-1 graph connects the STEM candidate "delta" to "other"'s
+    // exact entity; "deltas" (prior 1.0) has no support
+    val triples = Seq(
+      (EntityLink.entityId("delta"), "p", EntityLink.entityId("other")))
+      .toDF("subj", "pred", "obj")
+    val page = spark.createDataset(Seq(
+      Mention("u1", "en", 0, 0, 1, "deltas", "PER"),
+      Mention("u1", "en", 0, 2, 3, "other", "ORG"),
+      // a second page WITHOUT context keeps the prior-only winner
+      Mention("u2", "en", 0, 0, 1, "deltas", "PER")))
+    def rows(m: org.apache.spark.sql.Dataset[Mention]) =
+      EntityLink.linkCoherent(m, dict, emptyCanon, triples).collect()
+        .map(r => (r.getString(0), r.getInt(2), r.getInt(3),
+          r.getLong(5), r.getDouble(6), r.getLong(7))).toSet
+    val got = rows(page)
+    assert(got.contains(("u1", 0, 0, EntityLink.entityId("delta"), 0.5, 1L)),
+      got.toString) // coherence 1 beats prior 1.0 with coherence 0
+    assert(got.contains(("u2", 0, 0, EntityLink.entityId("deltas"), 1.0, 0L)))
+    // "other"'s own winner: no candidate reaches "deltas"' exact entity in
+    // the graph except via "delta" — its exact match keeps the crown only
+    // if no lower-prior candidate gets support; assert election ran
+    assert(got.size == 3)
+    assert(rows(page.repartition(5)) == got)
+  }
+
+  test("linkCoherent: own canon never supports itself, ties to smaller id") {
+    import spark.implicits._
+    val dict = EntityLink.aliasDict(spark, spark.createDataset(Seq("solo")))
+    val emptyCanon = Seq.empty[(Long, Long)].toDF("id", "component")
+    // self-loop edge on solo's exact entity must NOT grant coherence
+    val selfLoop = Seq((EntityLink.entityId("solo"), "p",
+      EntityLink.entityId("solo"))).toDF("subj", "pred", "obj")
+    val m = spark.createDataset(Seq(Mention("u1", "en", 0, 0, 1, "solo", "PER")))
+    val got = EntityLink.linkCoherent(m, dict, emptyCanon, selfLoop).collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(5) == EntityLink.entityId("solo"))
+    assert(got(0).getLong(7) == 0L)
+  }
 }

@@ -950,4 +950,83 @@ class OpsSpec extends SparkSpec {
     assert(got(3L)._1 == ((0, 0, 0)) && got(3L)._2 == "no pii here at all")
     assert(got(4L)._2 == "ip <IP> text <IP>")
   }
+
+  test("stripBoilerplate: source-scoped election, no keeper, hash parity") {
+    import spark.implicits._
+    // "x y" is boilerplate in source A (3 distinct docs) and must be
+    // excised from ALL of them — but doc 5 in source B also contains
+    // "x y" once and must keep it (the election is per-source)
+    val planted = Seq(
+      (1L, "x y\na a", "A"), (2L, "x y\nb b", "A"),
+      (3L, "c c\nx y", "A"), (4L, "d d", "A"),
+      (5L, "x y\ne e", "B"), (6L, "f f", "B"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.stripBoilerplate(planted, minDocs = 3L).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getString(4)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 2L, 1L, "a a"), (2L, 2L, 1L, "b b"), (3L, 2L, 1L, "c c"),
+      (4L, 1L, 0L, "d d"), (5L, 2L, 0L, "x y\ne e"), (6L, 1L, 0L, "f f")))
+    // a doc that is PURE boilerplate survives as empty text; within-doc
+    // repeats count ONE distinct-doc vote but are all excised
+    val wiped = Dedup.stripBoilerplate(Seq(
+        (1L, "x y", "A"), (2L, "x y\nx y", "A"), (3L, "x y\nz", "A"))
+        .toDF("doc_id", "text", "source"), minDocs = 3L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getString(4)))).toMap
+    assert(wiped(1L) == ((1L, "")) && wiped(2L) == ((2L, "")) &&
+      wiped(3L) == ((1L, "z")), wiped.toString)
+    // corpus enrichment: hash-key mode and partitioning change nothing;
+    // every doc loses its nav header, even doc_ids the footer too
+    val docs = Dedup.syntheticBoilerplate(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSet
+    val exact = rows(Dedup.stripBoilerplate(docs))
+    assert(rows(Dedup.stripBoilerplate(docs, hashKeys = true)) == exact)
+    assert(rows(Dedup.stripBoilerplate(docs.repartition(7))) == exact)
+    assert(exact.forall { case (id, _, _, nRem, clean) =>
+      nRem == (if (id % 2 == 0) 2L else 1L) && !clean.contains("nav ") &&
+        !clean.contains("copyright ") })
+  }
+
+  test("containmentPairs: asymmetric, brute-force twin, loud cap") {
+    import spark.implicits._
+    // doc 2 contains doc 1 verbatim plus as much again: every 6-gram of
+    // doc 1 is in doc 2 (containment 100%), but not vice versa
+    val small = (1 to 12).map(i => s"w$i").mkString(" ")
+    val big = small + " " + (100 to 114).map(i => s"v$i").mkString(" ")
+    val other = (200 to 215).map(i => s"u$i").mkString(" ")
+    val got = Dedup.containmentPairs(
+        docs(1L -> small, 2L -> big, 3L -> other), n = 6, minContainPct = 80)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)), got.toString) // 7/22 grams the other way
+    // brute-force twin on the corpus slice at two partitionings
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val exact = rows(Dedup.containmentPairs(corpus, n = 6, minContainPct = 50))
+    assert(rows(Dedup.containmentPairs(corpus.repartition(7), n = 6,
+      minContainPct = 50)) == exact)
+    assert(exact.nonEmpty)
+    val twin = {
+      val ds = corpus.select("doc_id", "text").as[(Long, String)].collect()
+      val sh = ds.map { case (id, t) =>
+        id -> t.split(" ", -1).sliding(6).filter(_.length == 6)
+          .map(_.mkString("")).toSet }.toMap
+      (for {
+        (a, sa) <- sh.toSeq; (b, sb) <- sh.toSeq if a != b
+        inter = (sa & sb).size if inter * 100 >= sa.size * 50
+      } yield (a, b, inter.toLong, sa.size.toLong)).toSet
+    }
+    assert(exact == twin,
+      s"sym diff: ${(exact diff twin).take(2)} / ${(twin diff exact).take(2)}")
+    assert(Dedup.lastDropReport("containmentPairs") == ((0L, 0L)))
+    // a tiny cap drops hot grams LOUDLY and can only lose pairs
+    val capped = rows(Dedup.containmentPairs(corpus, n = 6,
+      minContainPct = 50, maxGramPostings = 2))
+    assert(Dedup.lastDropReport("containmentPairs")._1 > 0L)
+    assert(capped.map(p => (p._1, p._2))
+      .subsetOf(exact.map(p => (p._1, p._2))))
+  }
 }

@@ -185,4 +185,58 @@ class TemporalSpec extends SparkSpec {
     assert(run(2L) === Map(30L -> false, 40L -> true))
     assert(run(3L) === Map(30L -> false, 40L -> false))
   }
+
+  test("funnel: order, window anchor, strict succession, greedy exactness") {
+    import spark.implicits._
+    def ev(rows: (Long, Long, String)*) = rows.toSeq.toDF("k", "us", "st")
+      .select(col("k"), timestamp_micros(col("us")).as("ts"), col("st"))
+    def run(df: org.apache.spark.sql.DataFrame, w: Long) =
+      graft.kg.Temporal.funnel(df, "k", "ts", "st",
+          Seq("A", "B", "C"), windowMicros = w)
+        .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    val log = ev(
+      (1L, 0L, "A"), (1L, 5L, "B"), (1L, 9L, "C"),    // completes
+      (2L, 0L, "A"), (2L, 5L, "C"), (2L, 9L, "B"),    // C before B: depth B
+      (3L, 0L, "A"), (3L, 5L, "B"), (3L, 30L, "C"),   // C outside window
+      (4L, 0L, "B"), (4L, 5L, "C"),                   // never entered
+      (5L, 0L, "A"), (5L, 0L, "B"))                   // same-ts: not AFTER
+    assert(run(log, 10L) === Map("A" -> 4L, "B" -> 3L, "C" -> 1L))
+    // the window anchors at the FIRST A — a second, later A cannot re-arm
+    val reArm = ev((1L, 0L, "A"), (1L, 100L, "A"), (1L, 101L, "B"))
+    assert(run(reArm, 10L) === Map("A" -> 1L, "B" -> 0L, "C" -> 0L))
+    // greedy exactness: the EARLIEST qualifying B (5) leaves room for the
+    // C at 7; choosing the later B (8) would miss it — greedy must count
+    val greedy = ev((1L, 0L, "A"), (1L, 5L, "B"), (1L, 8L, "B"), (1L, 7L, "C"))
+    assert(run(greedy, 10L) === Map("A" -> 1L, "B" -> 1L, "C" -> 1L))
+    // brute-force twin on pseudo-random logs, partition-invariant
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 400).map(_ => (rnd.nextInt(25).toLong + 1L,
+      rnd.nextInt(60).toLong, Vector("A", "B", "C", "X")(rnd.nextInt(4))))
+    val w = 20L
+    val twin: Map[String, Long] = {
+      val byK = rows.groupBy(_._1)
+      def depth(es: Seq[(Long, Long, String)]): Int = {
+        val sorted = es.sortBy(e => (e._2, e._3))
+        sorted.filter(_._3 == "A").map(_._2).minOption match {
+          case None => 0
+          case Some(t0) =>
+            var t = t0; var d = 1
+            for (st <- Seq("B", "C")) {
+              val nxt = sorted.filter(e =>
+                e._3 == st && e._2 > t && e._2 <= t0 + w).map(_._2)
+              if (d == Seq("B", "C").indexOf(st) + 1 && nxt.nonEmpty) {
+                t = nxt.min; d += 1
+              }
+            }
+            d
+        }
+      }
+      val depths = byK.values.map(depth).toSeq
+      Map("A" -> depths.count(_ >= 1).toLong,
+        "B" -> depths.count(_ >= 2).toLong,
+        "C" -> depths.count(_ >= 3).toLong)
+    }
+    assert(run(ev(rows: _*), w) === twin)
+    assert(run(ev(rows: _*).repartition(7), w) === twin)
+  }
 }
