@@ -1231,6 +1231,92 @@ object SparkEntry {
         keyCol = "user_id", tsCol = "ts", stageCol = "event_type",
         stages = Seq("view", "click", "purchase"),
         windowMicros = 604800000000L)),
+    // fuzzy alias lookup (ER recall path): mention surfaces perturbed
+    // deterministically (drop last char / append 'x') then matched to the
+    // dictionary by exact char-bigram Jaccard >= 60% via the R×S
+    // prefix-filtered inverted index — misspellings equality blocking
+    // and stemming both miss
+    "q157_fuzzy_alias" -> ((s, dir) => {
+      val surf = Pipeline.mentions(s, dir).toDF()
+        .select(lower(split(col("surface"), " ").getItem(0)).as("a")).distinct()
+        .select(when(length(col("a")) > 3,
+            expr("substring(a, 1, length(a) - 1)"))
+          .otherwise(concat(col("a"), lit("x"))).as("qs"))
+      graft.link.Blocking.fuzzyJoin(surf, "qs",
+        Pipeline.aliasDict(s, dir), "alias", n = 2, minJaccardPct = 60)
+    }),
+    // one synchronous Louvain local-move round from singletons over the
+    // entity graph: argmax modularity gain = argmin neighbor degree
+    // (2m > ki*kj cross-multiplied), ties to the smallest id, all moves
+    // simultaneous — the gain-based seed for multilevel contraction
+    "q158_louvain_move" -> ((s, dir) => {
+      val tr = Pipeline.triples(s, dir).toDF()
+      graft.kg.Graphs.modularityMove(
+        tr.select(col("subj").as("src"), col("obj").as("dst")))
+    }),
+    // hop-bounded harmonic centrality from the KMV neighborhood function:
+    // sum of delta_h * (lcm(1..3) div h) — integer-exact, well-defined on
+    // disconnected graphs (unreachable nodes contribute 0)
+    "q159_harmonic" -> ((s, dir) => {
+      val tr = Pipeline.triples(s, dir).toDF()
+      graft.kg.Graphs.harmonic(
+        tr.select(col("subj").as("src"), col("obj").as("dst")), maxHops = 3)
+    }),
+    // per-key funnel outcomes: deepest stage, anchor, greedy-chosen last
+    // stage time, elapsed micros — the time-to-convert / drop-off surface
+    "q161_funnel_times" -> ((s, dir) =>
+      graft.kg.Temporal.funnelTimes(s.read.parquet(t(dir, "events")),
+        keyCol = "user_id", tsCol = "ts", stageCol = "event_type",
+        stages = Seq("view", "click", "purchase"),
+        windowMicros = 604800000000L)),
+    // per-predicate cardinality profile: functional / inverse-functional
+    // induction over the distinct assertion set — the schema the corpus
+    // actually uses, and the fusion stage's precondition
+    "q162_pred_cardinality" -> ((s, dir) =>
+      graft.kg.Triples.predCardinality(Pipeline.triples(s, dir).toDF())),
+    // per-edge triangle support (k-truss inner primitive / weak-tie
+    // detector): degree-ordered orientation, one explode crediting each
+    // triangle's 3 edges, zero-support edges kept
+    "q163_edge_support" -> ((s, dir) => {
+      val tr = Pipeline.triples(s, dir).toDF()
+      graft.kg.Graphs.edgeSupport(
+        tr.select(col("subj").as("src"), col("obj").as("dst")))
+    }),
+    // Flesch readability ingredients + integer-exact hard flag
+    "q164_readability" -> ((s, dir) =>
+      TextStats.readability(s.read.parquet(t(dir, "documents")))),
+    // full truss decomposition (edge-level coreness): k-level peel
+    // distributed, min-support bucket-queue peel on the driver below
+    // threshold — the over-merge audit (low-truss high-degree edges)
+    "q165_trussness" -> ((s, dir) => {
+      val tr = Pipeline.triples(s, dir).toDF()
+      graft.kg.Graphs.trussness(
+        tr.select(col("subj").as("src"), col("obj").as("dst")))
+    }),
+    // SPARQL bounded repetition related_to{1,2}: n-1 frontier joins,
+    // never the unbounded fixpoint — the bounded form that stays sane on
+    // DENSE predicates
+    "q166_path_bounded" -> ((s, dir) => {
+      import graft.kg.Bgp._
+      matchPath(Pipeline.triples(s, dir).toDF(),
+        Seq(Step("related_to", plus = true, maxHops = 2)))
+    }),
+    // char-CNN cosine rerank of the fuzzy candidates (north_star:
+    // "scoring with character-embedding cosine features mirroring the
+    // char-CNN"): bigram blocker proposes, the tagger's own convolution
+    // weights dispose — (cosine DESC, candidate ASC) election per query
+    "q160_char_cosine_rerank" -> ((s, dir) => {
+      val surf = Pipeline.mentions(s, dir).toDF()
+        .select(lower(split(col("surface"), " ").getItem(0)).as("a")).distinct()
+        .select(when(length(col("a")) > 3,
+            expr("substring(a, 1, length(a) - 1)"))
+          .otherwise(concat(col("a"), lit("x"))).as("qs"))
+      val pairs = graft.link.Blocking.fuzzyJoin(surf, "qs",
+          Pipeline.aliasDict(s, dir), "alias", n = 2, minJaccardPct = 60)
+        .select(col("q"), col("c"))
+      val models = Pipeline.models(s, dir)
+      graft.link.EntityLink.rerankCharCosine(pairs, models(models.keys.min))
+    }),
     // ER-audit pair confusion: near-dup transitive clusters (LSH+CC)
     // against exact-text clusters — tp/a/b pair counts via the C(n,2)
     // cell identity, no pair materialization
@@ -2033,6 +2119,134 @@ object SparkEntry {
              b.r - a.r AS dist
       FROM ranked a JOIN ranked b ON b.r > a.r AND b.r - a.r < 4""",
     "q151_coherent_linking" -> golden("q151_coherent_linking"),
+    "q160_char_cosine_rerank" -> golden("q160_char_cosine_rerank"),
+    "q165_trussness" -> golden("q165_trussness"),
+    "q166_path_bounded" -> s"""
+      WITH t AS (SELECT subj, pred, obj
+                 FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'),
+      one AS (SELECT DISTINCT subj AS s, obj AS o FROM t
+              WHERE pred = 'related_to'),
+      two AS (SELECT a.s, b.o FROM one a JOIN one b ON a.o = b.s)
+      SELECT DISTINCT x, y FROM (
+        SELECT s AS x, o AS y FROM one
+        UNION ALL SELECT s AS x, o AS y FROM two)""",
+    "q161_funnel_times" -> """
+      WITH ev AS (SELECT user_id AS k, epoch_us(ts) AS us, event_type AS st
+                  FROM events),
+      l0 AS (SELECT k, min(us) AS t, min(us) AS t0 FROM ev
+             WHERE st = 'view' GROUP BY k),
+      l1 AS (SELECT l0.k, l0.t0, min(us) AS t FROM l0 JOIN ev
+             ON ev.k = l0.k AND ev.st = 'click' AND ev.us > l0.t
+                AND ev.us <= l0.t0 + 604800000000
+             GROUP BY l0.k, l0.t0),
+      l2 AS (SELECT l1.k, l1.t0, min(us) AS t FROM l1 JOIN ev
+             ON ev.k = l1.k AND ev.st = 'purchase' AND ev.us > l1.t
+                AND ev.us <= l1.t0 + 604800000000
+             GROUP BY l1.k, l1.t0),
+      lv AS (SELECT k, t0, t, CAST(1 AS BIGINT) AS depth FROM l0
+             UNION ALL SELECT k, t0, t, 2 FROM l1
+             UNION ALL SELECT k, t0, t, 3 FROM l2),
+      best AS (SELECT k, max(depth) AS d FROM lv GROUP BY k)
+      SELECT lv.k, lv.depth, lv.t0, lv.t AS t_last,
+             lv.t - lv.t0 AS convert_micros
+      FROM lv JOIN best ON lv.k = best.k AND lv.depth = best.d""",
+    "q162_pred_cardinality" -> s"""
+      WITH t AS (SELECT DISTINCT subj, pred, obj
+                 FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'),
+      base AS (SELECT pred, count(*) AS n_triples,
+                      count(DISTINCT subj) AS n_subj,
+                      count(DISTINCT obj) AS n_obj FROM t GROUP BY pred),
+      o AS (SELECT pred, max(c) AS max_out FROM
+              (SELECT pred, subj, count(*) AS c FROM t GROUP BY 1, 2)
+            GROUP BY pred),
+      i AS (SELECT pred, max(c) AS max_in FROM
+              (SELECT pred, obj, count(*) AS c FROM t GROUP BY 1, 2)
+            GROUP BY pred)
+      SELECT base.pred, n_triples, n_subj, n_obj, max_out, max_in,
+             (max_out = 1) AS functional, (max_in = 1) AS inverse_functional
+      FROM base JOIN o ON o.pred = base.pred JOIN i ON i.pred = base.pred""",
+    // brute-force: support = common-neighbor count per undirected edge
+    "q163_edge_support" -> s"""
+      WITH t AS (SELECT subj, obj
+                 FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'),
+      e AS (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+            FROM t WHERE subj <> obj),
+      sym AS (SELECT a AS x, b AS y FROM e UNION ALL SELECT b, a FROM e),
+      cn AS (SELECT e.a, e.b, count(*) AS c
+             FROM e JOIN sym n1 ON n1.x = e.a
+                    JOIN sym n2 ON n2.x = e.b AND n2.y = n1.y
+             GROUP BY e.a, e.b)
+      SELECT e.a, e.b, CAST(coalesce(cn.c, 0) AS BIGINT) AS support
+      FROM e LEFT JOIN cn ON cn.a = e.a AND cn.b = e.b""",
+    "q164_readability" -> """
+      SELECT doc_id, n_words, n_sents, n_syllables,
+             (206835 * n_sents * n_words - 1015 * n_words * n_words
+              - 84600 * n_syllables * n_sents
+              < 50000 * n_sents * n_words) AS hard
+      FROM (SELECT doc_id,
+              CAST(len(ts) AS BIGINT) AS n_words,
+              CAST(greatest(1, len(list_filter(ts,
+                tk -> regexp_matches(tk, '[.!?।]$')))) AS BIGINT) AS n_sents,
+              CAST(list_sum(list_transform(ts,
+                w -> greatest(1, len(regexp_extract_all(w, '[aeiou]+')))))
+                AS BIGINT) AS n_syllables
+            FROM (SELECT doc_id, string_split(text, ' ') AS ts
+                  FROM documents))""",
+    // full quadratic exact bigram Jaccard in SQL — proves the prefix
+    // filter loses no pair (same surfaces from the golden mention fixture,
+    // same perturbation, dictionary = the corpus token universe)
+    "q157_fuzzy_alias" -> s"""
+      WITH surf AS (SELECT DISTINCT lower(string_split(surface, ' ')[1]) AS a
+                    FROM '$goldenRoot/__SF__/q42_mentions.parquet/*.parquet'),
+      q0 AS (SELECT DISTINCT CASE WHEN length(a) > 3 THEN a[1:length(a)-1]
+                                  ELSE a || 'x' END AS s FROM surf),
+      c0 AS (SELECT DISTINCT unnest(string_split(lower(text), ' ')) AS s
+             FROM documents),
+      qg AS (SELECT s, list_distinct(list_transform(range(1, length(s)),
+                       i -> s[i:i+1])) AS g FROM q0 WHERE length(s) >= 2),
+      cg AS (SELECT s, list_distinct(list_transform(range(1, length(s)),
+                       i -> s[i:i+1])) AS g FROM c0 WHERE length(s) >= 2),
+      pairs AS (SELECT qg.s AS q, cg.s AS c,
+                       len(list_intersect(qg.g, cg.g)) AS inter,
+                       len(qg.g) + len(cg.g) - len(list_intersect(qg.g, cg.g)) AS uni
+                FROM qg, cg)
+      SELECT q, c, CAST(inter AS BIGINT) AS inter, CAST(uni AS BIGINT) AS uni
+      FROM pairs WHERE inter * 100 >= uni * 60""",
+    "q158_louvain_move" -> s"""
+      WITH t AS (SELECT subj, obj
+                 FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'),
+      e AS (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+            FROM t WHERE subj <> obj),
+      m AS (SELECT count(*) AS m FROM e),
+      deg AS (SELECT id, count(*) AS deg FROM
+                (SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+      dir AS (SELECT a AS i, b AS j FROM e UNION ALL SELECT b, a FROM e),
+      cand AS (SELECT i, j, kj.deg AS kj
+               FROM dir JOIN deg ki ON ki.id = dir.i
+                        JOIN deg kj ON kj.id = dir.j, m
+               WHERE 2 * m.m > ki.deg * kj.deg),
+      best AS (SELECT id, comm FROM (
+                 SELECT i AS id, j AS comm,
+                        row_number() OVER (PARTITION BY i ORDER BY kj, j) AS rn
+                 FROM cand) WHERE rn = 1)
+      SELECT deg.id, coalesce(best.comm, deg.id) AS comm
+      FROM deg LEFT JOIN best USING (id)""",
+    "q159_harmonic" -> s"""
+      WITH RECURSIVE
+      t AS (SELECT subj, obj
+            FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'),
+      e AS (SELECT DISTINCT subj AS src, obj AS dst FROM t WHERE subj <> obj),
+      nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+      reach(id, dst, d) AS (
+        SELECT id, id, 0 FROM nodes
+        UNION
+        SELECT r.id, e.dst, r.d + 1 FROM reach r JOIN e ON r.dst = e.src
+        WHERE r.d < 3),
+      md AS (SELECT id, dst, min(d) AS d FROM reach GROUP BY 1, 2)
+      SELECT id, count(*) AS n_reach,
+             CAST(coalesce(sum(6 // d) FILTER (WHERE d > 0), 0) AS BIGINT)
+               AS harmonic_num
+      FROM md GROUP BY 1""",
     "q154_path_negated_opt" -> s"""
       WITH tt AS (SELECT DISTINCT subj, pred, obj
                   FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'),

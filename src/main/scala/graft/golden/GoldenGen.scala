@@ -105,6 +105,11 @@ object GoldenGen {
     write("q151_coherent_linking", q151CoherentLinking(greedy, dict, canon),
       "url", "lang", "sentIdx", "begin", "surface", "entity_id", "prior",
       "coherence")
+    write("q160_char_cosine_rerank",
+      q160CharCosineRerank(greedy, dict, models(models.keys.min)),
+      "q", "c", "cosine")
+    write("q165_trussness", q165Trussness(greedy, dict, canon),
+      "a", "b", "trussness")
     write("q79_pagerank", q79PageRank(trip), "id", "rank")
     write("q82_ppr_salience", q82PersonalizedPagerank(trip), "id", "rank")
     write("q94_negative_samples", q94NegativeSamples(trip),

@@ -285,6 +285,137 @@ object SequentialTwin {
     }
   }
 
+  /** q160: fuzzy-candidate char-CNN cosine rerank — brute-force bigram
+    * Jaccard blocking (>= pct) between the deterministic perturbations of
+    * the mention head-aliases and the dictionary keys, then NaiveKernel
+    * DENSE char-CNN features + double cosine, electing
+    * (cosine DESC, candidate ASC) per query. Same model weights as the
+    * production operator; entirely different math path (dense one-hot
+    * convolution vs production's bit-addressed kernel). */
+  def q160CharCosineRerank(tagged: Seq[TaggedSent],
+      dict: scala.collection.SeqMap[String, Seq[(Long, Double)]],
+      model: graft.ner.Models.LangModel,
+      minJaccardPct: Int = 60): Seq[(String, String, Double)] = {
+    def bigrams(s: String): Set[String] =
+      if (s.length < 2) Set.empty else s.sliding(2).toSet
+    val perturbed = mentions(tagged)
+      .map(m => splitKeepAll(m.surface)(0).toLowerCase(java.util.Locale.ROOT))
+      .distinct
+      .map(a => if (a.length > 3) a.dropRight(1) else a + "x")
+      .distinct
+    val aliases = dict.keys.toSeq
+    // dense one-hot char matrix + double convolution (the NaiveKernel
+    // decomposition, in double): scanning j ascending IS the canonical
+    // (position, vocab-index) term order, so the sums are bit-identical
+    // to production's sorted-bit accumulation
+    val w = model.weights
+    val memo = scala.collection.mutable.HashMap.empty[String, Array[Double]]
+    def vec(s: String): Array[Double] = memo.getOrElseUpdate(s, {
+      val V = w.charVocabSize
+      val cps = {
+        val n = s.codePointCount(0, s.length)
+        val out = new Array[String](n)
+        var i = 0; var k = 0
+        while (i < s.length) {
+          val cp = s.codePointAt(i)
+          out(k) = new String(Character.toChars(cp))
+          k += 1; i += Character.charCount(cp)
+        }
+        out
+      }
+      val cMax = math.max(cps.length, w.maxWidth)
+      val dense = new Array[Double](cMax * V)
+      model.charVocab.getWord("<S>").foreach(id => dense(id) = 1.0)
+      var k = 0
+      while (k < cps.length) {
+        if (k < cMax - 1)
+          model.charVocab.tokToInd.get(cps(k))
+            .foreach(id => dense((k + 1) * V + id) = 1.0)
+        k += 1
+      }
+      if (cps.length < cMax)
+        model.charVocab.getWord("</S>").foreach(id =>
+          dense(cps.length * V + id) = 1.0)
+      val out = new Array[Double](w.nWidths * w.numFilters)
+      for (wi <- 0 until w.nWidths) {
+        val n = w.minWidth + wi
+        val kernelLen = n * V
+        val nPos = cMax - n + 1
+        for (f <- 0 until w.numFilters) {
+          var best = Double.NegativeInfinity
+          for (p <- 0 until nPos) {
+            var acc = w.convB(wi)(f).toDouble
+            var j = 0
+            while (j < kernelLen) {
+              acc += w.convW(wi)(f)(j).toDouble * dense(p * V + j)
+              j += 1
+            }
+            if (acc > best) best = acc
+          }
+          out(wi * w.numFilters + f) = best
+        }
+      }
+      out
+    })
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    perturbed.flatMap { q =>
+      val gq = bigrams(q)
+      val cands = aliases.filter { c =>
+        val gc = bigrams(c)
+        gq.nonEmpty && gc.nonEmpty && {
+          val inter = (gq & gc).size
+          val uni = (gq | gc).size
+          inter * 100 >= uni * minJaccardPct
+        }
+      }
+      if (cands.isEmpty) None
+      else {
+        val best = cands.map(c => (c, cosine(vec(q), vec(c))))
+          .minBy { case (c, cos) => (-cos, c) }
+        Some((q, best._1, best._2))
+      }
+    }
+  }
+
+  /** q165: truss decomposition twin — the k-LEVEL peel straight from the
+    * definition (for k = 3, 4, ... repeatedly delete every edge closing
+    * fewer than k−2 triangles among survivors; deleted edges take
+    * trussness k−1), recomputing neighbor sets from scratch each round.
+    * A genuinely different algorithm from BOTH production paths (the
+    * distributed level-peel shares the schedule but not the code; the
+    * driver fallback is the min-support bucket-queue peel). */
+  def q165Trussness(tagged: Seq[TaggedSent],
+      dict: scala.collection.SeqMap[String, Seq[(Long, Double)]],
+      canon: Canon): Seq[(Long, Long, Long)] = {
+    val edges = q47Triples(tagged, dict, canon).iterator
+      .filter(t => t.subj != t.obj)
+      .map(t => (math.min(t.subj, t.obj), math.max(t.subj, t.obj)))
+      .toSet
+    var alive = edges
+    val truss = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    var k = 3
+    while (alive.nonEmpty) {
+      var changed = true
+      while (changed && alive.nonEmpty) {
+        val nbrMap = alive.toSeq
+          .flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+          .groupBy(_._1).map { case (n, vs) => n -> vs.map(_._2).toSet }
+        val drops = alive.filter { case (a, b) =>
+          (nbrMap(a) & nbrMap(b)).size < k - 2 }
+        if (drops.isEmpty) changed = false
+        else { drops.foreach(e => truss(e) = (k - 1).toLong); alive --= drops }
+      }
+      k += 1
+    }
+    truss.iterator.map { case ((a, b), t) => (a, b, t) }.toSeq
+  }
+
   /** q48 rows: conlleval-style P/R/F of `pred` mentions vs `gold` mentions —
     * per entityType plus the ALL row, SpanEval.prf arithmetic. */
   def q48Prf(pred: Seq[Mention], gold: Seq[Mention]): Seq[(String, Long, Long, Long, Double, Double, Double)] = {

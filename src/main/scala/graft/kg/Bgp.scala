@@ -271,12 +271,21 @@ object Bgp {
     * sequence the fold keeps the incoming endpoint alongside the
     * traversal; as the FIRST step the zero-length side ranges over every
     * node of the graph (the SPARQL zero-length-path semantics).
-    * `opt = true, plus = true` composes to `p*` (zero-or-more). */
+    * `opt = true, plus = true` composes to `p*` (zero-or-more).
+    *
+    * BOUNDED REPETITION (`plus = true, maxHops = n`, the SPARQL 1.0
+    * property-path `p{1,n}` — dropped from 1.1 but ubiquitous in
+    * practice because unbounded closure over a dense predicate is the
+    * modeling error this engine refuses to absorb): the closure stops
+    * after n hops — n−1 delta-joins against the one-hop slice, each
+    * round's frontier deduped, never the full-closure fixpoint.
+    * `maxHops = 0` (default) keeps the unbounded `p+` fixpoint. */
   final case class Step(p: String, plus: Boolean = false,
                         inverse: Boolean = false,
                         alts: Seq[String] = Nil,
                         negated: Seq[String] = Nil,
-                        opt: Boolean = false)
+                        opt: Boolean = false,
+                        maxHops: Int = 0)
 
   object Step {
     /** SPARQL negated property set `!(preds...)`. */
@@ -345,6 +354,21 @@ object Bgp {
     val slice = base.select(sCol.cast("long").as("s"),
       oCol.cast("long").as("o")).distinct()
     if (!st.plus) slice
+    else if (st.maxHops > 0) {
+      // p{1,n}: n-1 frontier joins, each deduped; the accumulated pair
+      // set unions once at the end (semi-naive without the fixpoint)
+      val one = slice.localCheckpoint(true)
+      var frontier = one
+      var acc = one
+      for (_ <- 2 to st.maxHops) {
+        frontier = frontier
+          .join(one.select(col("s").as("o"), col("o").as("o2")), Seq("o"))
+          .select(col("s"), col("o2").as("o")).distinct()
+          .localCheckpoint(true)
+        acc = acc.unionAll(frontier)
+      }
+      acc.distinct()
+    }
     else Graphs.transitiveClosure(
       slice.select(col("s").as("src"), col("o").as("dst")))
       .select(col("src").as("s"), col("dst").as("o"))

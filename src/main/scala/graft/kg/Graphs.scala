@@ -94,6 +94,168 @@ object Graphs {
       .select(col("id"), coalesce(col("cnt"), lit(0L)).as("triangles"))
   }
 
+  /**
+   * Per-EDGE triangle support over the undirected simple graph — the
+   * k-truss inner primitive (an edge is in the k-truss iff its support
+   * is >= k−2 after peeling) and the strong-tie detector on its own: an
+   * edge embedded in many triangles is community-internal, a
+   * zero-support edge is a bridge candidate (Granovetter's weak ties).
+   *
+   * Same degree-ordered orientation as [[triangles]] (each triangle
+   * enumerated exactly once at its min-(deg, id) corner, wedge fan-out
+   * O(sqrt m) under any hub skew); each found triangle (src, lo, hi)
+   * then credits its THREE undirected edges via one explode + one
+   * partial-agg count, and the full edge set left-joins the credits so
+   * zero-support edges surface explicitly.
+   *
+   * @return (a, b, support) with a < b, one row per edge of the simple
+   *         graph
+   */
+  def edgeSupport(edgesIn: DataFrame): DataFrame =
+    supportOf(undirected(edgesIn).localCheckpoint(true))
+
+  /** [[edgeSupport]]'s core over an ALREADY-canonical (a < b, distinct)
+    * edge set — shared with the [[trussness]] peeling loop so each peel
+    * round re-enumerates triangles over the survivors only. */
+  private def supportOf(e: DataFrame): DataFrame = {
+    val deg = e.select(col("a").as("id"))
+      .unionAll(e.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val withDeg = e
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), Seq("b"))
+    val aFirst = struct(col("da"), col("a")) < struct(col("db"), col("b"))
+    val oriented = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("src"),
+      when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+      when(aFirst, col("db")).otherwise(col("da")).as("ddeg"))
+      .localCheckpoint(true)
+    val o1 = oriented.select(col("src"), col("dst").as("lo"), col("ddeg").as("lodeg"))
+    val o2 = oriented.select(col("src"), col("dst").as("hi"), col("ddeg").as("hideg"))
+    val tris = o1.join(o2, Seq("src"))
+      .filter(struct(col("lodeg"), col("lo")) < struct(col("hideg"), col("hi")))
+      .join(oriented.select(col("src").as("lo"), col("dst").as("hi")),
+        Seq("lo", "hi"))
+      .select(col("src"), col("lo"), col("hi"))
+    val credits = tris.select(explode(array(
+        struct(least(col("src"), col("lo")).as("a"),
+          greatest(col("src"), col("lo")).as("b")),
+        struct(least(col("src"), col("hi")).as("a"),
+          greatest(col("src"), col("hi")).as("b")),
+        struct(least(col("lo"), col("hi")).as("a"),
+          greatest(col("lo"), col("hi")).as("b")))).as("ed"))
+      .select(col("ed.a").as("a"), col("ed.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+    e.join(credits, Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
+
+  /** Sequential truss peel (Wang & Cheng 2012's in-memory algorithm —
+    * min-support edge first, the edge analog of Matula–Beck core
+    * peeling): trussness(e) = max over the running k of support(e) + 2
+    * at removal. Bounded by `smallGraphThreshold` edges. */
+  private def driverTruss(spark: org.apache.spark.sql.SparkSession,
+                          edges: Array[(Long, Long)]): DataFrame = {
+    import scala.collection.mutable
+    val nbr = mutable.Map.empty[Long, mutable.Set[Long]]
+    edges.foreach { case (a, b) =>
+      nbr.getOrElseUpdate(a, mutable.Set.empty) += b
+      nbr.getOrElseUpdate(b, mutable.Set.empty) += a
+    }
+    def ord(x: Long, y: Long): (Long, Long) = (math.min(x, y), math.max(x, y))
+    val support = mutable.Map.empty[(Long, Long), Int]
+    edges.foreach { case (a, b) =>
+      support((a, b)) = (nbr(a) & nbr(b)).size
+    }
+    // bucket queue by support (Matula–Beck): O(m + Σ decrements) moves,
+    // never an O(m) min scan per removal
+    val maxSup = if (edges.isEmpty) 0 else support.valuesIterator.max
+    val buckets = Array.fill(maxSup + 1)(mutable.TreeSet.empty[(Long, Long)])
+    support.foreach { case (e, s) => buckets(s) += e }
+    def moveDown(e: (Long, Long)): Unit = {
+      val s = support(e)
+      buckets(s) -= e; buckets(s - 1) += e; support(e) = s - 1
+    }
+    val truss = mutable.Map.empty[(Long, Long), Int]
+    var removed = 0
+    var cur = 0
+    var kRun = 2
+    while (removed < edges.length) {
+      while (cur <= maxSup && buckets(cur).isEmpty) cur += 1
+      val e @ (a, b) = buckets(cur).head
+      buckets(cur) -= e
+      kRun = math.max(kRun, cur + 2)
+      truss(e) = kRun
+      removed += 1
+      nbr(a) -= b; nbr(b) -= a
+      (nbr(a) & nbr(b)).foreach { w =>
+        moveDown(ord(a, w)); moveDown(ord(b, w))
+      }
+      if (cur > 0) cur -= 1
+    }
+    import spark.implicits._
+    truss.iterator.map { case ((a, b), t) => (a, b, t.toLong) }.toSeq
+      .toDF("a", "b", "trussness")
+  }
+
+  /**
+   * Full TRUSS DECOMPOSITION: trussness(e) = the largest k such that e
+   * survives in the k-truss — the subgraph where every edge closes
+   * >= k−2 triangles (Cohen 2008). The edge-level strengthening of
+   * [[coreness]]: cores bound communities by degree, trusses by actual
+   * triangle embedding, so truss levels separate "hub-touching" from
+   * "community-internal" far more sharply — the canonicalization-audit
+   * signal for over-merged entities (a merged entity's edges span
+   * communities and carry LOW trussness despite high degree).
+   *
+   * Distributed loop (the standard level-peel): for k = 3, 4, ...,
+   * repeatedly drop every surviving edge whose support among survivors
+   * is < k−2 (dropped edges take trussness k−1), iterating to the
+   * fixpoint before advancing k. Each inner round is ONE oriented
+   * triangle enumeration over the SURVIVORS ([[supportOf]] — wedge
+   * fan-out O(sqrt m) under any skew) + one anti-join; work shrinks
+   * with the peel. Below `smallGraphThreshold` edges the adaptive
+   * driver fallback runs the min-support sequential peel
+   * (equality-tested against the distributed loop at threshold 0, the
+   * [[coreness]]/[[ConnectedComponents]] convention).
+   *
+   * @return (a, b, trussness) per edge of the simple graph,
+   *         trussness >= 2
+   */
+  def trussness(edgesIn: DataFrame,
+                smallGraphThreshold: Long = 100000L): DataFrame = {
+    val e0 = undirected(edgesIn).localCheckpoint(true)
+    val m = e0.count()
+    if (m == 0) return e0.withColumn("trussness", lit(0L))
+    if (m <= smallGraphThreshold) {
+      val edges = e0.collect().map(r => (r.getLong(0), r.getLong(1)))
+      return driverTruss(e0.sparkSession, edges)
+    }
+    var alive = e0
+    var nAlive = m
+    var k = 3
+    val peeled = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    while (nAlive > 0) {
+      var changed = true
+      while (changed && nAlive > 0) {
+        val sup = supportOf(alive).localCheckpoint(true)
+        val drop = sup.filter(col("support") < k - 2)
+          .select(col("a"), col("b")).localCheckpoint(true)
+        val nDrop = drop.count()
+        if (nDrop == 0) changed = false
+        else {
+          peeled += drop.withColumn("trussness", lit(k - 1L))
+          alive = alive.join(drop, Seq("a", "b"), "left_anti")
+            .localCheckpoint(true)
+          nAlive -= nDrop
+        }
+      }
+      k += 1
+    }
+    peeled.reduce(_ unionAll _)
+  }
+
   /** Symmetric neighbor relation of the simple undirected graph:
     * (node: long, w: long) — one row per direction of each edge. Feed to
     * [[mergeCandidates]] for graph-context overlap. */
@@ -948,6 +1110,46 @@ object Graphs {
   }
 
   /**
+   * One SYNCHRONOUS Louvain-style local-move round from singleton
+   * communities (the move step of Blondel et al. 2008, in this engine's
+   * all-integer discipline) — the modularity-GAIN move the
+   * [[labelPropagation]] family lacks: over the undirected unit-weight
+   * simple graph with m edges, moving node i out of its own singleton
+   * into neighbor j's singleton changes modularity by
+   * ΔQ = (1/m)·(1 − k_i·k_j / 2m), positive iff 2m − k_i·k_j > 0 (the
+   * own-singleton removal term is zero). Every node elects its best
+   * positive-gain neighbor — maximal gain = minimal k_j, ties to the
+   * smallest neighbor id — inside ONE window-free min(struct(k_j, j))
+   * aggregate; all moves apply SIMULTANEOUSLY (shuffle-order invariant);
+   * non-movers keep their own id. The output seeds [[quotientGraph]]'s
+   * contraction for the multilevel pass, and [[modularity]] certifies
+   * the round never lowered Q.
+   *
+   * Shape: the canonical undirected distinct + ONE degree agg + two
+   * degree-attach keyed joins + ONE partial-agg election. All integer
+   * arithmetic (2m and k_i·k_j cross-multiplied, no division).
+   *
+   * @return (id, comm) for every node of the simple graph
+   */
+  def modularityMove(edgesIn: DataFrame): DataFrame = {
+    val e = undirected(edgesIn).localCheckpoint(true)
+    val m = e.count()
+    val deg = e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg")).localCheckpoint(true)
+    val dir = e.select(col("a").as("i"), col("b").as("j"))
+      .unionAll(e.select(col("b").as("i"), col("a").as("j")))
+    val best = dir
+      .join(deg.select(col("id").as("i"), col("deg").as("ki")), Seq("i"))
+      .join(deg.select(col("id").as("j"), col("deg").as("kj")), Seq("j"))
+      .filter(lit(2L * m) > col("ki") * col("kj"))
+      .groupBy(col("i"))
+      .agg(min(struct(col("kj"), col("j"))).as("best"))
+      .select(col("i").as("id"), col("best.j").as("comm"))
+    deg.select(col("id")).join(best, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comm"), col("id")).as("comm"))
+  }
+
+  /**
    * Weisfeiler–Lehman color refinement (1-WL, the graph-fingerprint /
    * GNN-expressiveness primitive): every node starts with the uniform
    * color and each round re-colors to
@@ -1297,6 +1499,48 @@ object Graphs {
       .groupBy(col("id"))
       .agg(max(col("n_reach")).as("n_reach"),
         sum(col("hop") * col("delta")).as("dist_sum"))
+  }
+
+  /** lcm(1..h) — the common denominator that keeps hop-bounded harmonic
+    * sums integer. */
+  def harmonicDenominator(maxHops: Int): Long = {
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    (1L to maxHops.toLong).foldLeft(1L)((l, h) => l / gcd(l, h) * h)
+  }
+
+  /**
+   * Hop-bounded HARMONIC centrality from the [[neighborhoodFunction]] —
+   * the distance-based centrality that, unlike closeness, is
+   * well-defined on DISCONNECTED graphs (unreachable nodes contribute 0
+   * instead of poisoning the sum; Boldi & Vigna, "Axioms for
+   * Centrality"):
+   *
+   *   harmonic(v) = Σ_{u reachable, u≠v} 1 / d(v, u)
+   *               = Σ_{h=1..H} Δ(v, h) / h .
+   *
+   * This engine's integer discipline: the sum is returned as
+   * `harmonic_num` over the fixed denominator L = lcm(1..maxHops)
+   * ([[harmonicDenominator]]) — Δ·(L div h) is exact because L is
+   * divisible by every h, so rankings are engine-exact with no float
+   * summation order anywhere. Same cost and saturation contract as
+   * [[closeness]]: the KMV sketch loop (per hop ONE keyed join + ONE
+   * partial-agg merge), one per-id lag window over H+1 rows, one agg.
+   *
+   * @return (id, n_reach, harmonic_num) — harmonic(v) = harmonic_num / L
+   */
+  def harmonic(edgesIn: DataFrame, maxHops: Int, k: Int = 1024): DataFrame = {
+    require(maxHops >= 1, "maxHops must be >= 1")
+    val L = harmonicDenominator(maxHops)
+    val nf = neighborhoodFunction(edgesIn, maxHops, k)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("hop"))
+    nf.withColumn("delta",
+        col("n_reach") - lag(col("n_reach"), 1, 1L).over(w))
+      .groupBy(col("id"))
+      .agg(max(col("n_reach")).as("n_reach"),
+        coalesce(sum(when(col("hop") >= 1,
+            col("delta") * expr(s"$L div hop"))),
+          lit(0L)).as("harmonic_num"))
   }
 
   /**

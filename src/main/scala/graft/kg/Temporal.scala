@@ -277,4 +277,43 @@ object Temporal {
       (i.toLong, st, counts(i))
     }.toDF("stage_idx", "stage", "n_keys")
   }
+
+  /**
+   * Per-key funnel OUTCOME — [[funnel]]'s row-level companion, the
+   * time-to-convert / drop-off-analysis surface: for every key that
+   * entered the funnel, the deepest stage reached (1-based), the anchor
+   * time, the greedy-chosen time of the deepest stage, and the elapsed
+   * micros. Same greedy-earliest semantics (exact, exchange argument),
+   * same per-stage join chain; levels are materialized eagerly
+   * (localCheckpoint — one row per surviving key) so the final union
+   * re-reads them instead of re-running the chain, then ONE
+   * max(struct(depth, ...)) election per key.
+   *
+   * @return (k, depth, t0, t_last, convert_micros)
+   */
+  def funnelTimes(events: DataFrame, keyCol: String, tsCol: String,
+                  stageCol: String, stages: Seq[String],
+                  windowMicros: Long): DataFrame = {
+    require(stages.nonEmpty, "need at least one funnel stage")
+    val ev = events.select(col(keyCol).as("k"),
+      unix_micros(col(tsCol).cast("timestamp")).as("us"), col(stageCol).as("stage"))
+    val anchor = ev.filter(col("stage") === stages.head)
+      .groupBy(col("k")).agg(min(col("us")).as("t"))
+      .withColumn("t0", col("t")).localCheckpoint(true)
+    val levels = stages.tail.scanLeft(anchor) { (prev, st) =>
+      prev.join(ev.filter(col("stage") === st).select(col("k"),
+          col("us")), Seq("k"))
+        .filter(col("us") > col("t") && col("us") <= col("t0") + windowMicros)
+        .groupBy(col("k"), col("t0")).agg(min(col("us")).as("t"))
+        .localCheckpoint(true)
+    }
+    levels.zipWithIndex.map { case (df, i) =>
+      df.select(col("k"), col("t0"), col("t"), lit(i + 1L).as("depth"))
+    }.reduce(_ unionAll _)
+      .groupBy(col("k"))
+      .agg(max(struct(col("depth"), col("t0"), col("t"))).as("top"))
+      .select(col("k"), col("top.depth").as("depth"),
+        col("top.t0").as("t0"), col("top.t").as("t_last"),
+        (col("top.t") - col("top.t0")).as("convert_micros"))
+  }
 }

@@ -374,4 +374,44 @@ object Triples {
       .partitionBy("lang")
       .parquet(path)
   }
+
+  /**
+   * Per-predicate CARDINALITY profile — the OWL-characteristic induction
+   * the fusion stage ([[fuseConflicts]]) and the SHACL shapes
+   * ([[graft.kg.Shacl]]) both presuppose: over the DISTINCT (subj, pred,
+   * obj) assertion set, each predicate's usage counts and its maximum
+   * fan-outs in both directions. `max_out = 1` means the predicate is
+   * FUNCTIONAL (each subject has one object — safe to fuse by vote);
+   * `max_in = 1` means INVERSE-FUNCTIONAL (the object identifies the
+   * subject — an ER blocking key). On an untyped extracted KG this
+   * profile IS the schema the corpus actually uses, and predicates whose
+   * profile drifts between snapshots are extraction-regression alarms.
+   *
+   * Shape: one distinct, then three partial-aggregated groupBys stitched
+   * by two keyed joins on the (tiny) predicate dimension — fan-out maxima
+   * aggregate (subj, pred) / (obj, pred) counters first, so a celebrity
+   * object costs one counter, never a member list.
+   *
+   * @return (pred, n_triples, n_subj, n_obj, max_out, max_in,
+   *         functional, inverse_functional)
+   */
+  def predCardinality(triples: DataFrame): DataFrame = {
+    val t = triples.select(col("subj"), col("pred"), col("obj")).distinct()
+      .localCheckpoint(true)
+    val base = t.groupBy(col("pred")).agg(
+      count(lit(1)).as("n_triples"),
+      count_distinct(col("subj")).as("n_subj"),
+      count_distinct(col("obj")).as("n_obj"))
+    val outF = t.groupBy(col("pred"), col("subj"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("pred")).agg(max(col("c")).as("max_out"))
+    val inF = t.groupBy(col("pred"), col("obj"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("pred")).agg(max(col("c")).as("max_in"))
+    base.join(outF, Seq("pred")).join(inF, Seq("pred"))
+      .select(col("pred"), col("n_triples"), col("n_subj"), col("n_obj"),
+        col("max_out"), col("max_in"),
+        (col("max_out") === 1L).as("functional"),
+        (col("max_in") === 1L).as("inverse_functional"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.link
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -55,5 +56,99 @@ object Blocking {
       .select(col("id").as("id1"), col("id2"),
         col("k").as("key1"), col("k2").as("key2"),
         (col("rank2") - col("rank")).as("dist"))
+  }
+
+  /** Last hot-gram drop report per label — the shared loud-drop
+    * convention (`ops.Dedup.lastDropReport`). */
+  val lastDropReport: scala.collection.concurrent.TrieMap[String, (Long, Long)] =
+    scala.collection.concurrent.TrieMap.empty
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /**
+   * Character-n-gram FUZZY string join (approximate dictionary lookup —
+   * the ER recall path for misspelled / OOV surfaces that equality and
+   * stem blocking both miss): every (query, catalog) pair whose char
+   * n-gram Jaccard clears `minJaccardPct`, computed EXACTLY.
+   *
+   * This is the R×S adaptation of the PPJoin/AllPairs prefix filter
+   * (`ops.Dedup.ngramJaccardPairsPrefix`'s family, Bayardo WWW'07): gram
+   * document-frequencies over the UNION of both sides define one
+   * canonical rarest-first (freq, gram) order; each string indexes only
+   * its PREFIX — the first |G| − ceil(t·|G|) + 1 grams — because a pair
+   * at Jaccard ≥ t must share a gram inside both prefixes, so prefix
+   * indexing loses nothing while the frequent grams (the quadratic
+   * blowup on a 26²-bigram alphabet) fall out of most prefixes. The
+   * PPJoin LENGTH filter (t·|A| ≤ |B| ≤ |A|/t, cross-multiplied) prunes
+   * before verification; the exact array intersection runs on surviving
+   * candidates only. A prefix gram whose posting list still exceeds
+   * `maxGramPostings` on either side is dropped LOUDLY
+   * (`lastDropReport("fuzzyJoin")`) — with zero drops the result is
+   * exact.
+   *
+   * Plan: one gram-frequency agg over the union, one per-string window
+   * (keyed by string — no global rank), one keyed equi-join of the two
+   * prefix indexes, exact verification joins. All integer arithmetic.
+   *
+   * @return (q, c, inter, uni) with inter·100 ≥ uni·minJaccardPct
+   */
+  def fuzzyJoin(queries: DataFrame, qCol: String,
+                catalog: DataFrame, cCol: String,
+                n: Int = 2, minJaccardPct: Int = 50,
+                maxGramPostings: Int = 10000): DataFrame = {
+    import graft.functions.GraftFunctions.word_shingles
+    def prep(df: DataFrame, c: String, side: String): DataFrame = df
+      .select(col(c).cast("string").as("s"))
+      .filter(col("s").isNotNull).distinct()
+      .select(col("s"), word_shingles(split(col("s"), ""), n).as("g"))
+      .filter(size(col("g")) > 0)
+      .withColumn("side", lit(side))
+    val strs = prep(queries, qCol, "q").unionAll(prep(catalog, cCol, "c"))
+      .persist()
+    val grams = strs.select(col("side"), col("s"),
+      size(col("g")).cast("long").as("gsz"), explode(col("g")).as("gram"))
+    val freq = grams.groupBy(col("gram")).agg(count(lit(1)).as("freq"))
+    val w = Window.partitionBy(col("side"), col("s"))
+      .orderBy(col("freq"), col("gram"))
+    val prefixes = grams.join(freq, Seq("gram"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <=
+        col("gsz") - floor((col("gsz") * minJaccardPct + 99) / 100) + 1)
+      .select(col("side"), col("gram"), col("s"), col("gsz"))
+      .persist()
+    val postings = prefixes.groupBy(col("gram"), col("side"))
+      .agg(count(lit(1)).as("psz")).persist()
+    val okGrams = postings.groupBy(col("gram"))
+      .agg(max(col("psz")).as("mx")).filter(col("mx") <= maxGramPostings)
+      .select(col("gram"))
+    val qp = prefixes.filter(col("side") === "q").join(okGrams, Seq("gram"))
+      .select(col("gram"), col("s").as("q"), col("gsz").as("qsz"))
+    val cp = prefixes.filter(col("side") === "c").join(okGrams, Seq("gram"))
+      .select(col("gram"), col("s").as("c"), col("gsz").as("csz"))
+    val cands = qp.join(cp, Seq("gram"))
+      .filter( // PPJoin length filter, cross-multiplied
+        col("qsz") * 100 >= col("csz") * minJaccardPct &&
+          col("csz") * 100 >= col("qsz") * minJaccardPct)
+      .select(col("q"), col("c")).distinct()
+    val verified = cands
+      .join(strs.filter(col("side") === "q")
+        .select(col("s").as("q"), col("g").as("g1")), Seq("q"))
+      .join(strs.filter(col("side") === "c")
+        .select(col("s").as("c"), col("g").as("g2")), Seq("c"))
+      .withColumn("inter", size(array_intersect(col("g1"), col("g2"))).cast("long"))
+      .withColumn("uni", size(array_union(col("g1"), col("g2"))).cast("long"))
+      .filter(col("inter") * 100 >= col("uni") * minJaccardPct)
+      .select(col("q"), col("c"), col("inter"), col("uni"))
+    val out = verified.localCheckpoint(true)
+    val dropRow = postings.filter(col("psz") > maxGramPostings)
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("psz")), lit(0L)).as("sl"))
+      .head()
+    lastDropReport("fuzzyJoin") = (dropRow.getLong(0), dropRow.getLong(1))
+    if (dropRow.getLong(0) > 0)
+      log.warn(s"[fuzzyJoin] dropped ${dropRow.getLong(0)} hot prefix " +
+        s"gram posting list(s) covering ${dropRow.getLong(1)} slots " +
+        s"(cap=$maxGramPostings)")
+    Seq(strs, prefixes, postings).foreach(_.unpersist(false))
+    out
   }
 }

@@ -194,6 +194,111 @@ object EntityLink {
   }
 
   /**
+   * CHAR-CNN COSINE candidate rescoring (north_star: "scoring with
+   * character-embedding cosine features mirroring NeuralNER's char-CNN"):
+   * rescores fuzzy candidate pairs (q, c) by the cosine between the NER
+   * model's char-CNN feature vectors of the two strings and elects the
+   * best candidate per query. The morphology-aware second stage of OOV /
+   * misspelled alias lookup: [[Blocking.fuzzyJoin]]'s bigram blocker
+   * PROPOSES, the char-CNN — the SAME convolution weights the tagger
+   * runs, so the typo-robust representation costs nothing extra —
+   * DISPOSES. Standalone-string semantics are the model's batch-1
+   * semantics: cMax = max(codepoint length, max filter width), exactly
+   * the longest-word-in-sentence case of `Kernel.bilstmStatesBatch`.
+   *
+   * Per partition the model comes from ONE broadcast and feature
+   * vectors are memoized per distinct string — a candidate list touching
+   * one alias 10^4 times pays one convolution. The feature is computed
+   * in DOUBLE precision with a canonical term order (window position
+   * ascending, then char-vocab index — [[charVecDouble]]): the tagger's
+   * float kernel sums weights in bit order, which differs from the dense
+   * twin's index order exactly when a word's last char shares its matrix
+   * position with `</S>`, and that 1-ulp float drift would make election
+   * ties engine-dependent. In canonical-order double both engines
+   * produce bit-identical vectors, so cosines and elections are exact.
+   * Election per query is ONE window-free min_by aggregate on
+   * (cosine DESC, candidate ASC).
+   *
+   * @param pairs candidate pairs with string columns (q, c)
+   * @return (q, c, cosine) — the elected candidate per query
+   */
+  def rerankCharCosine(pairs: DataFrame,
+                       model: graft.ner.Models.LangModel): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    val scored = pairs
+      .select(col("q").cast("string"), col("c").cast("string"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val m = bc.value
+        val memo = scala.collection.mutable.HashMap.empty[String, Array[Double]]
+        def vec(s: String): Array[Double] =
+          memo.getOrElseUpdate(s, charVecDouble(s, m))
+        it.map { case (q, c) => (q, c, cosineDouble(vec(q), vec(c))) }
+      }
+      .toDF("q", "c", "cosine")
+    scored.groupBy(col("q"))
+      .agg(min_by(struct(col("c"), col("cosine")),
+        struct(negate(col("cosine")), col("c"))).as("top"))
+      .select(col("q"), col("top.c").as("c"), col("top.cosine").as("cosine"))
+  }
+
+  /** The model's char-CNN feature of ONE standalone string in DOUBLE
+    * precision under a canonical term order (window position asc, then
+    * char-vocab index asc) — the batch-1 semantics with
+    * cMax = max(codepoint length, max filter width). Engine-exact: the
+    * sequential dense twin sums the identical nonzero terms in the
+    * identical order, so the doubles agree bit-for-bit. */
+  def charVecDouble(s: String,
+                    m: graft.ner.Models.LangModel): Array[Double] = {
+    import graft.ner.Kernel
+    val w = m.weights
+    val cps = graft.text.TextExtract.codePoints(s)
+    val cMax = math.max(cps.length, w.maxWidth)
+    val bits = Kernel.charBits(cps, m.charVocab, cMax)
+      .sortBy(b => (b.pos, b.idx))
+    val V = w.charVocabSize
+    val out = new Array[Double](w.nWidths * w.numFilters)
+    var wi = 0
+    while (wi < w.nWidths) {
+      val n = w.minWidth + wi
+      val nPos = cMax - n + 1
+      var f = 0
+      while (f < w.numFilters) {
+        val wf = w.convW(wi)(f)
+        var best = Double.NegativeInfinity
+        var p = 0
+        while (p < nPos) {
+          var acc = w.convB(wi)(f).toDouble
+          var bi = 0
+          while (bi < bits.length) {
+            val bit = bits(bi)
+            if (bit.pos >= p && bit.pos <= p + n - 1)
+              acc += wf((bit.pos - p) * V + bit.idx).toDouble
+            bi += 1
+          }
+          if (acc > best) best = acc
+          p += 1
+        }
+        out(wi * w.numFilters + f) = best
+        f += 1
+      }
+      wi += 1
+    }
+    out
+  }
+
+  /** Cosine of two double vectors (0.0 on a zero norm). */
+  def cosineDouble(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /**
    * ALIAS PROFILE per linked entity — the surface-form distribution the
    * linking stage itself should be monitored by: how many distinct ways
    * the corpus names each entity, which name dominates, and the full

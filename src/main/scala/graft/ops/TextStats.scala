@@ -658,4 +658,38 @@ object TextStats {
         col("hl").getItem(0).as("n_grams"),
         col("hl").getItem(1).as("logit"),
         (col("hl").getItem(1) > 0).as("keep"))
+
+  /**
+   * READABILITY profile (Flesch reading-ease ingredients, Flesch 1948 —
+   * the classic curation quality axis the Gopher/C4 counters don't
+   * cover): per document the exact integer ingredients (words, sentences,
+   * heuristic syllables = vowel groups with a 1-per-word floor, the
+   * standard approximation) and the `hard` flag F < `hardBelow`, decided
+   * ENTIRELY in integers by cross-multiplying
+   * F = 206.835 − 1.015·W/S − 84.6·Y/W through 1000·S·W:
+   *
+   *   hard ⟺ 206835·S·W − 1015·W² − 84600·Y·S < 1000·hardBelow·S·W .
+   *
+   * Sentences = terminator-ending tokens ('.', '!', '?', danda), floored
+   * at 1. Pure column expressions, one scan, zero shuffle; long
+   * arithmetic holds to ~10^8-word documents (W² < 2^63 territory).
+   */
+  def readability(docs: DataFrame, hardBelow: Int = 50): DataFrame = {
+    val toks = split(col("text"), " ")
+    val words = size(toks).cast("long")
+    val sents = greatest(lit(1L),
+      size(filter(toks, t => t.rlike("[.!?।]$"))).cast("long"))
+    val syll = expr(
+      "aggregate(transform(split(text, ' '), " +
+        "w -> greatest(1, size(regexp_extract_all(w, '[aeiou]+', 0)))), " +
+        "0L, (acc, x) -> acc + x)")
+    docs
+      .select(col("doc_id"), words.as("n_words"), sents.as("n_sents"),
+        syll.as("n_syllables"))
+      .withColumn("hard",
+        lit(206835L) * col("n_sents") * col("n_words")
+          - lit(1015L) * col("n_words") * col("n_words")
+          - lit(84600L) * col("n_syllables") * col("n_sents")
+          < lit(1000L * hardBelow) * col("n_sents") * col("n_words"))
+  }
 }

@@ -438,6 +438,71 @@ object StreamIngest {
                    maxFilesPerPartition: Int = 8): Seq[String] =
     graft.core.TableIO.compact(spark, stateRoot, "batch_id", maxFilesPerPartition)
 
+  /**
+   * Streaming ORDERED FUNNEL (merge-on-read, the [[factUpsertBatchStep]]
+   * shape): each micro-batch appends its DISTINCT relevant
+   * (key, stage, us) rows as a crash-atomic delta — per-batch cost is ONE
+   * stage-filtered scan + ONE map-side distinct, no state read — and the
+   * funnel is computed ON READ by the batch operator
+   * ([[graft.kg.Temporal.funnel]]) over the folded log. Exact by
+   * construction: funnel(union of batches) IS the definition, so LATE
+   * events are handled for free — a late stage-1 event re-anchors the
+   * key's window and can retract a previously counted completion, a
+   * correction no watermark-evicting streaming aggregation can make.
+   * Replay of a crashed batch is a `writeResumable` no-op; `uptoBatch`
+   * gives as-of reads.
+   *
+   * State is bounded by [[rebaseFunnelState]] (maintenance window, the
+   * [[rebaseFactState]] convention): a row past its key's current
+   * deadline (anchor + window) can NEVER qualify later — the anchor only
+   * moves earlier, deadlines only shrink — so the rebase drops it,
+   * leaving per key only in-window events (for keys not yet entered the
+   * funnel, later-stage rows are kept: an earlier anchor may still
+   * arrive and qualify them).
+   */
+  def funnelEventBatchStep(events: DataFrame, stateRoot: String,
+                           batchId: Long, keyCol: String, tsCol: String,
+                           stageCol: String, stages: Seq[String]): Unit =
+    graft.core.TableIO.writeResumable(
+      events.filter(col(stageCol).isin(stages: _*))
+        .select(col(keyCol).as("k"),
+          unix_micros(col(tsCol).cast("timestamp")).as("us"),
+          col(stageCol).as("stage"))
+        .distinct()
+        .withColumn("batch_id", lit(batchId)),
+      stateRoot, "batch_id")
+
+  /** The funnel as of the committed deltas (optionally only batch_id <=
+    * `uptoBatch` — the replay / as-of read). */
+  def currentFunnel(spark: SparkSession, stateRoot: String,
+                    stages: Seq[String], windowMicros: Long,
+                    uptoBatch: Long = Long.MaxValue): DataFrame =
+    graft.kg.Temporal.funnel(
+      graft.core.TableIO.read(spark, stateRoot, "batch_id")
+        .withColumn("batch_id", col("batch_id").cast("long"))
+        .filter(col("batch_id") <= uptoBatch)
+        .select(col("k"), timestamp_micros(col("us")).as("ts"), col("stage")),
+      "k", "ts", "stage", stages, windowMicros)
+
+  /** Prune + re-base the funnel event log into a fresh generation:
+    * drops every row past its key's current deadline (exactness proven
+    * in [[funnelEventBatchStep]]'s scaladoc) and folds the survivors
+    * into ONE base partition. Single-writer maintenance window;
+    * `baseBatchId` must be >= the largest folded batch id. */
+  def rebaseFunnelState(spark: SparkSession, oldRoot: String,
+                        newRoot: String, stages: Seq[String],
+                        windowMicros: Long, baseBatchId: Long): Unit = {
+    val log = graft.core.TableIO.read(spark, oldRoot, "batch_id")
+      .drop("batch_id").distinct()
+    val anchors = log.filter(col("stage") === stages.head)
+      .groupBy(col("k")).agg(min(col("us")).as("t0"))
+    val kept = log.join(anchors, Seq("k"), "left")
+      .filter(col("t0").isNull || col("us") <= col("t0") + windowMicros)
+      .drop("t0")
+    graft.core.TableIO.writeResumable(
+      kept.withColumn("batch_id", lit(baseBatchId)), newRoot, "batch_id")
+  }
+
   def sha256Hex(s: String): String = {
     val d = java.security.MessageDigest.getInstance("SHA-256")
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))

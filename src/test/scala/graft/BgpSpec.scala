@@ -438,6 +438,28 @@ class BgpSpec extends SparkSpec {
     assert(got === Map((1L, 2L) -> 2L)) // 1-p->2 (skip r) and 1-p->2-r->2
   }
 
+  test("property paths: bounded repetition p{1,n}") {
+    import spark.implicits._
+    import Bgp._
+    // chain 1->2->3->4->5
+    val chain = (1L to 4L).map(i => (i, "p", i + 1))
+      .toDF("subj", "pred", "obj").repartition(3)
+    def pairs(n: Int) = matchPath(chain,
+        Seq(Step("p", plus = true, maxHops = n)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(1) === Set((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+    assert(pairs(2) === pairs(1) ++ Set((1L, 3L), (2L, 4L), (3L, 5L)))
+    // maxHops >= diameter == the unbounded closure
+    val full = matchPath(chain, Seq(Step("p", plus = true)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(4) === full && pairs(9) === full)
+    // a 2-cycle reached within bounds yields the (x, x) pair
+    val cyc = Seq((1L, "p", 2L), (2L, "p", 1L)).toDF("subj", "pred", "obj")
+    assert(matchPath(cyc, Seq(Step("p", plus = true, maxHops = 2)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 2L), (2L, 1L), (1L, 1L), (2L, 2L)))
+  }
+
   test("matchBgpGraphs: the BGP matches WITHIN each named graph") {
     import spark.implicits._
     import Bgp._

@@ -53,4 +53,59 @@ class BlockingSpec extends SparkSpec {
     assert(Blocking.sortedNeighborhood(one.filter(col("id") < 0L), "k", "id",
       w = 3).count() == 0L)
   }
+
+  private def bigrams(s: String): Set[String] =
+    if (s.length < 2) Set.empty else s.sliding(2).toSet
+
+  test("fuzzyJoin: exact bigram Jaccard R×S, prefix filter loses nothing") {
+    import spark.implicits._
+    val qs = Seq("batc", "windw", "zz", "merge").toDF("q")
+    val cs = Seq("batch", "window", "merge", "sort", "windows").toDF("alias")
+    val got = Blocking.fuzzyJoin(qs, "q", cs, "alias", minJaccardPct = 50)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSet
+    // driver brute force
+    val expect = (for {
+      q <- Seq("batc", "windw", "zz", "merge"); c <- Seq("batch", "window", "merge", "sort", "windows")
+      gq = bigrams(q); gc = bigrams(c)
+      if gq.nonEmpty && gc.nonEmpty
+      inter = (gq & gc).size; uni = (gq | gc).size
+      if inter * 100 >= uni * 50
+    } yield (q, c, inter.toLong, uni.toLong)).toSet
+    assert(got === expect)
+    assert(got.contains(("merge", "merge", 4L, 4L))) // identical string
+    assert(got.exists(p => p._1 == "batc" && p._2 == "batch"))
+    assert(!got.exists(_._1 == "zz")) // 1-bigram string matches nothing here
+    assert(Blocking.lastDropReport("fuzzyJoin") == ((0L, 0L)))
+  }
+
+  test("fuzzyJoin: random twin at two partitionings; loud cap only loses") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val alpha = "abcd"
+    def word() = (0 until 3 + rnd.nextInt(4))
+      .map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    val qw = (1 to 40).map(_ => word()).distinct
+    val cw = (1 to 60).map(_ => word()).distinct
+    val expect = (for {
+      q <- qw; c <- cw
+      gq = bigrams(q); gc = bigrams(c)
+      if gq.nonEmpty && gc.nonEmpty
+      inter = (gq & gc).size; uni = (gq | gc).size
+      if inter * 100 >= uni * 60
+    } yield (q, c, inter.toLong, uni.toLong)).toSet
+    def run(parts: Int, cap: Int = 10000) = Blocking.fuzzyJoin(
+        qw.toDF("q").repartition(parts), "q",
+        cw.toDF("c").repartition(parts), "c",
+        minJaccardPct = 60, maxGramPostings = cap)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSet
+    assert(run(3) === expect)
+    assert(run(7) === expect)
+    assert(expect.nonEmpty)
+    // a tiny cap reports drops loudly and can only LOSE pairs
+    val capped = run(5, cap = 2)
+    assert(Blocking.lastDropReport("fuzzyJoin")._1 > 0L)
+    assert(capped.subsetOf(expect))
+  }
 }

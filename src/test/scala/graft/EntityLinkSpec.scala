@@ -97,6 +97,64 @@ class EntityLinkSpec extends SparkSpec {
     assert(rows(page.repartition(5)) == got)
   }
 
+  test("rerankCharCosine: NaiveKernel twin bit-equality, election, OOV tie") {
+    import spark.implicits._
+    import graft.ner.{Embeddings, Kernel, Models, Vocab}
+    val chV = Vocab.newCharVocab()
+    "abcdeghimnortw".foreach(c => chV.add(c.toString))
+    val emb = Embeddings.fromLines(
+      Embeddings.syntheticLines(Seq("x"), 8, 7L).iterator)
+    val wts = Kernel.randomWeights(embedDim = 8, minWidth = 2, maxWidth = 4,
+      numFilters = 5, hidden = 6, charVocabSize = chV.size, tagCount = 3,
+      embeddings = emb.matrix, seed = 5L)
+    val model = Models.LangModel("en", Embeddings.toInputVocab(emb), chV,
+      Embeddings.toInputVocab(emb), wts)
+    val pairs = Seq(("batc", "batch"), ("batc", "merge"),
+      ("windw", "window"), ("windw", "merge"), ("tie", "ZZ"), ("tie", "QQ"))
+    val got = EntityLink.rerankCharCosine(pairs.toDF("q", "c"), model)
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getDouble(2))))
+      .toMap
+    // independent dense-matrix double twin, bit-identical doubles
+    def nv(s: String): Array[Double] = {
+      val V = wts.charVocabSize
+      val cMax = math.max(s.length, wts.maxWidth)
+      val dense = new Array[Double](cMax * V)
+      chV.getWord("<S>").foreach(id => dense(id) = 1.0)
+      s.zipWithIndex.foreach { case (ch, k) =>
+        if (k < cMax - 1)
+          chV.tokToInd.get(ch.toString).foreach(id => dense((k + 1) * V + id) = 1.0)
+      }
+      if (s.length < cMax)
+        chV.getWord("</S>").foreach(id => dense(s.length * V + id) = 1.0)
+      val out = new Array[Double](wts.nWidths * wts.numFilters)
+      for (wi <- 0 until wts.nWidths; f <- 0 until wts.numFilters) {
+        val n = wts.minWidth + wi
+        var best = Double.NegativeInfinity
+        for (p <- 0 until cMax - n + 1) {
+          var acc = wts.convB(wi)(f).toDouble
+          for (j <- 0 until n * V) acc += wts.convW(wi)(f)(j).toDouble * dense(p * V + j)
+          if (acc > best) best = acc
+        }
+        out(wi * wts.numFilters + f) = best
+      }
+      out
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      if (na == 0.0 || nb == 0.0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val twin = pairs.groupBy(_._1).view.mapValues(cs =>
+      cs.map { case (q, c) => (c, cos(nv(q), nv(c))) }
+        .minBy { case (c, s) => (-s, c) }).toMap
+    assert(got === twin)
+    // like-string candidate out-scores the unrelated one
+    assert(got("batc")._1 == "batch" && got("windw")._1 == "window")
+    // all-OOV candidates have identical bias-only vectors: exact tie,
+    // elected lexicographically
+    assert(got("tie")._1 == "QQ")
+  }
+
   test("linkCoherent: own canon never supports itself, ties to smaller id") {
     import spark.implicits._
     val dict = EntityLink.aliasDict(spark, spark.createDataset(Seq("solo")))

@@ -1134,4 +1134,134 @@ class GraphsSpec extends SparkSpec {
       assert(got === want, s"rounds=$rounds parts=$parts")
     }
   }
+
+  test("modularityMove: gain election, tie-break, brute-force twin") {
+    import graft.kg.Graphs
+    def run(es: Seq[(Long, Long)], parts: Int = 5) =
+      Graphs.modularityMove(edgesDf(es, parts)).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // star 1-(2,3,4): leaves elect the hub (their only neighbor,
+    // 2m=6 > 1·3), the hub elects the min-id leaf (deg 1 < ... ties -> 2)
+    assert(run(Seq((1L, 2L), (1L, 3L), (1L, 4L))) ===
+      Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    // tie-break: triangle — all degrees equal, everyone elects its
+    // smallest-id neighbor
+    assert(run(Seq((1L, 2L), (2L, 3L), (3L, 1L))) ===
+      Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
+    // brute-force twin on a pseudo-random graph, partition-invariant
+    val rnd = new scala.util.Random(17)
+    val es = (1 to 60).map(_ =>
+      (rnd.nextInt(14).toLong + 1L, rnd.nextInt(14).toLong + 1L))
+    val und = es.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val m = und.size.toLong
+    val deg = und.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong }
+    val nbrs = (und ++ und.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2) }
+    val twin = deg.keys.map { i =>
+      val cand = nbrs(i).filter(j => 2L * m > deg(i) * deg(j))
+      i -> (if (cand.isEmpty) i
+            else cand.minBy(j => (deg(j), j)))
+    }.toMap
+    assert(run(es) === twin)
+    assert(run(es, 2) === twin)
+  }
+
+  test("harmonic: exact integer 1/d sums over lcm denominator") {
+    import graft.kg.Graphs
+    assert(Graphs.harmonicDenominator(3) == 6L)
+    assert(Graphs.harmonicDenominator(6) == 60L)
+    // directed path 1->2->3->4, H=3, L=6: hn(1)=6+3+2, hn(2)=6+3,
+    // hn(3)=6, hn(4)=0 (sink reaches nothing)
+    val got = Graphs.harmonic(
+        edgesDf(Seq((1L, 2L), (2L, 3L), (3L, 4L))), maxHops = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(1L -> ((4L, 11L)), 2L -> ((3L, 9L)),
+      3L -> ((2L, 6L)), 4L -> ((1L, 0L))))
+    // disconnected component: harmonic well-defined (closeness's selling
+    // point), unreachable nodes contribute 0 — and n_reach matches
+    // closeness's on the same graph
+    val es = Seq((1L, 2L), (3L, 4L), (4L, 3L))
+    // maxHops=2 -> L = lcm(1,2) = 2: a 1-hop reach contributes 2
+    val h = Graphs.harmonic(edgesDf(es), maxHops = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(h === Map(1L -> ((2L, 2L)), 2L -> ((1L, 0L)),
+      3L -> ((2L, 2L)), 4L -> ((2L, 2L))))
+    val c = Graphs.closeness(edgesDf(es), maxHops = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h.view.mapValues(_._1).toMap === c)
+  }
+
+  test("edgeSupport: triangle credits all 3 edges, bridges report zero") {
+    import graft.kg.Graphs
+    def run(es: Seq[(Long, Long)], parts: Int = 5) =
+      Graphs.edgeSupport(edgesDf(es, parts)).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // triangle 1-2-3 plus pendant bridge 3-4
+    assert(run(Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))) ===
+      Map((1L, 2L) -> 1L, (2L, 3L) -> 1L, (1L, 3L) -> 1L, (3L, 4L) -> 0L))
+    // K4: every edge sits in 2 triangles
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    assert(run(k4).values.toSet === Set(2L))
+    // brute-force twin (common-neighbor counts), partition-invariant
+    val rnd = new scala.util.Random(29)
+    val es = (1 to 70).map(_ =>
+      (rnd.nextInt(12).toLong + 1L, rnd.nextInt(12).toLong + 1L))
+    val und = es.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val nbrs = (und ++ und.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    val twin = und.map { case (a, b) =>
+      (a, b) -> (nbrs(a) & nbrs(b)).size.toLong
+    }.toMap
+    assert(run(es) === twin)
+    assert(run(es, 2) === twin)
+  }
+
+  test("trussness: hand cases, k-level twin, distributed == driver") {
+    import graft.kg.Graphs
+    def run(es: Seq[(Long, Long)], thr: Long = 100000L) =
+      Graphs.trussness(edgesDf(es), smallGraphThreshold = thr).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // triangle + pendant: triangle edges truss 3, bridge truss 2
+    val triPend = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+    assert(run(triPend) === Map((1L, 2L) -> 3L, (2L, 3L) -> 3L,
+      (1L, 3L) -> 3L, (3L, 4L) -> 2L))
+    // K5: every edge survives to the 5-truss
+    val k5 = for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)
+    assert(run(k5).values.toSet === Set(5L))
+    // two K4s joined by one bridge: clique edges 4, bridge 2
+    val twoK4 = (for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)) ++
+      (for (i <- 5L to 8L; j <- (i + 1) to 8L) yield (i, j)) :+ ((4L, 5L))
+    val tk = run(twoK4)
+    assert(tk((4L, 5L)) == 2L && tk((1L, 2L)) == 4L && tk((5L, 6L)) == 4L)
+    // k-level definitional twin on a random graph; and the distributed
+    // level-peel (threshold 0) agrees with the driver bucket-queue peel
+    val rnd = new scala.util.Random(31)
+    val es = (1 to 80).map(_ =>
+      (rnd.nextInt(13).toLong + 1L, rnd.nextInt(13).toLong + 1L))
+    val und = es.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val twin = {
+      var alive = und.toSet
+      val truss = scala.collection.mutable.Map.empty[(Long, Long), Long]
+      var k = 3
+      while (alive.nonEmpty) {
+        var changed = true
+        while (changed && alive.nonEmpty) {
+          val nbr = alive.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+            .groupBy(_._1).map { case (n, vs) => n -> vs.map(_._2).toSet }
+          val drops = alive.filter { case (a, b) =>
+            (nbr(a) & nbr(b)).size < k - 2 }
+          if (drops.isEmpty) changed = false
+          else { drops.foreach(e => truss(e) = (k - 1).toLong); alive --= drops }
+        }
+        k += 1
+      }
+      truss.toMap
+    }
+    assert(run(es) === twin)
+    assert(run(es, thr = 0L) === twin)
+  }
 }

@@ -251,4 +251,25 @@ class KgFactsSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(top1 === Map("u1" -> 1L, "u2" -> 9L))
   }
+
+  test("predCardinality: functional/inverse-functional induction") {
+    import spark.implicits._
+    val tr = Seq(
+      // "born_in": every subj once (functional), city 20 shared (not IF)
+      (1L, "born_in", 20L), (2L, "born_in", 20L), (3L, "born_in", 21L),
+      // duplicate assertion collapses before profiling
+      (1L, "born_in", 20L),
+      // "ssn_of": both directions unique
+      (1L, "ssn_of", 30L), (2L, "ssn_of", 31L),
+      // "knows": fan-out both ways
+      (1L, "knows", 2L), (1L, "knows", 3L), (2L, "knows", 3L)
+    ).toDF("subj", "pred", "obj").repartition(3)
+    val got = graft.kg.Triples.predCardinality(tr).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6), r.getBoolean(7)))).toMap
+    assert(got === Map(
+      "born_in" -> ((3L, 3L, 2L, 1L, 2L, true, false)),
+      "ssn_of" -> ((2L, 2L, 2L, 1L, 1L, true, true)),
+      "knows" -> ((3L, 2L, 2L, 2L, 2L, false, false))))
+  }
 }

@@ -951,6 +951,35 @@ class OpsSpec extends SparkSpec {
     assert(got(4L)._2 == "ip <IP> text <IP>")
   }
 
+  test("readability: integer Flesch ingredients and hard flag") {
+    import spark.implicits._
+    val d = Seq(
+      // 4 words, 1 sentence (no terminators -> floor), syllables 1+1+2+1=5
+      (1L, "the dog barked loud"),
+      // terminators count sentences; 'zz' has no vowel -> 1-syllable floor
+      (2L, "go now. stop! zz"),
+      // polysyllabic words push F below 50 -> hard
+      (3L, "unquestionably extraordinary unbelievable organizational" +
+        " incomprehensibilities administratively")
+    ).toDF("doc_id", "text")
+    val got = TextStats.readability(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))).toMap
+    // doc1: W=4 S=1 Y= the(1)+dog(1)+barked(2: a,e)+loud(1: ou) = 5
+    //   F = 206.835 - 1.015*4 - 84.6*5/4 = 96.9 -> easy
+    assert(got(1L) === ((4L, 1L, 5L, false)))
+    // doc2: W=4 S=2 ("now." and "stop!"), Y = go(1)+now(1)+stop(1)+zz(1)=4
+    //   F = 206.835 - 1.015*2 - 84.6*1 = 120.2 -> easy
+    assert(got(2L) === ((4L, 2L, 4L, false)))
+    // doc3: 6 long words, many vowel groups -> hard
+    assert(got(3L)._4 === true)
+    // integer identity: hard iff the cross-multiplied form says so
+    got.values.foreach { case (wds, s, y, hard) =>
+      val lhs = 206835L * s * wds - 1015L * wds * wds - 84600L * y * s
+      assert(hard === (lhs < 50000L * s * wds))
+    }
+  }
+
   test("stripBoilerplate: source-scoped election, no keeper, hash parity") {
     import spark.implicits._
     // "x y" is boilerplate in source A (3 distinct docs) and must be

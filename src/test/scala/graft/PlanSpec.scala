@@ -408,4 +408,42 @@ class PlanSpec extends SparkSpec {
       orderVar = "y", k = 10, descending = true))
     assert(topk.contains("TakeOrderedAndProject"), topk.take(2500))
   }
+
+  test("q149/q150/q153: keyed joins only, partial aggs, no cross product") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    graft.ops.Dedup.withLazyPlans {
+      val pBoiler = plan(graft.ops.Dedup.stripBoilerplate(
+        graft.ops.Dedup.syntheticBoilerplate(docs)))
+      assert(!pBoiler.contains("CartesianProduct") &&
+        !pBoiler.contains("BroadcastNestedLoopJoin"), pBoiler.take(2000))
+      assert(pBoiler.contains("partial_count") ||
+        pBoiler.contains("HashAggregate"), pBoiler.take(2000))
+      val pCont = plan(graft.ops.Dedup.containmentPairs(docs))
+      assert(!pCont.contains("CartesianProduct") &&
+        !pCont.contains("BroadcastNestedLoopJoin"), pCont.take(2000))
+    }
+    // cluster metrics: the contingency cells partial-aggregate map-side
+    val items = docs.select(col("doc_id"),
+      (col("doc_id") % 7).as("a"), (col("doc_id") % 5).as("b"))
+    val pCm = plan(graft.eval.ClusterMetrics.pairConfusion(items, "a", "b"))
+    assert(pCm.contains("partial_count") || pCm.contains("partial_sum"),
+      pCm.take(2000))
+    // the only joins are the two 1-row aggregate stitches (intended);
+    // the contingency table itself must aggregate, never join or sort
+    assert(!pCm.contains("SortMergeJoin"), pCm.take(2000))
+  }
+
+  test("q158/q163: gain election and support credits are keyed equi-joins") {
+    import org.apache.spark.sql.functions.col
+    val tr = graft.Pipeline.triples(spark, sf).toDF()
+      .select(col("subj").as("src"), col("obj").as("dst"))
+    for ((name, df) <- Seq(
+        "modularityMove" -> graft.kg.Graphs.modularityMove(tr),
+        "edgeSupport" -> graft.kg.Graphs.edgeSupport(tr))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$name:\n${p.take(2000)}")
+    }
+  }
 }

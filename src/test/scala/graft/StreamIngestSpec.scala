@@ -447,4 +447,54 @@ class StreamIngestSpec extends SparkSpec {
     assert(burstMap(StreamIngest.currentBursts(spark, stateRoot,
       Seq("k"), 10L, 2, 3L, 2L, 2L, uptoBatch = 1L)) === folded)
   }
+
+  test("streaming funnel == batch funnel; late re-anchor; replay; rebase") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val stages = Seq("A", "B", "C")
+    def ev(rows: (Long, Long, String)*) = rows.toSeq.toDF("k", "us", "st")
+      .select(col("k"), timestamp_micros(col("us")).as("ts"), col("st"),
+        lit("noise").as("extra"))
+    def fm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    val b0 = ev((1L, 10L, "A"), (1L, 12L, "B"), (2L, 0L, "A"), (9L, 1L, "X"))
+    val b1 = ev((1L, 14L, "C"), (2L, 3L, "B"))
+    // LATE batch: an earlier A for key 1 re-anchors its window to t0=1 —
+    // deadline 1+8=9, so the B@12/C@14 completions RETRACT
+    val b2 = ev((1L, 1L, "A"))
+    val all = Seq(b0, b1, b2)
+    val stateRoot = java.nio.file.Files.createTempDirectory("funnel_state").toString
+    all.zipWithIndex.foreach { case (b, i) =>
+      StreamIngest.funnelEventBatchStep(b, stateRoot, i.toLong,
+        "k", "ts", "st", stages)
+    }
+    val w = 8L
+    def batchFunnel(dfs: Seq[org.apache.spark.sql.DataFrame]) =
+      fm(graft.kg.Temporal.funnel(dfs.reduce(_ unionAll _),
+        "k", "ts", "st", stages, w))
+    // stream fold == batch operator over the union, at every as-of point
+    assert(fm(StreamIngest.currentFunnel(spark, stateRoot, stages, w))
+      === batchFunnel(all))
+    assert(fm(StreamIngest.currentFunnel(spark, stateRoot, stages, w,
+      uptoBatch = 1L)) === batchFunnel(all.take(2)))
+    // the late A really retracted key 1's depth (B@12 > deadline 9)
+    assert(batchFunnel(all) === Map("A" -> 2L, "B" -> 1L, "C" -> 0L))
+    assert(batchFunnel(all.take(2)) === Map("A" -> 2L, "B" -> 2L, "C" -> 1L))
+    // crash replay: re-running a committed batch is a no-op
+    val before = graft.core.TableIO.read(spark, stateRoot, "batch_id").count()
+    StreamIngest.funnelEventBatchStep(b1, stateRoot, 1L, "k", "ts", "st", stages)
+    assert(graft.core.TableIO.read(spark, stateRoot, "batch_id").count() === before)
+    // rebase prunes rows past their key's deadline without changing the
+    // funnel; key 1's A@10/B@12/C@14 (> 1+8) drop — a later-than-anchor
+    // stage-1 event can never re-become the min — key 2 keeps everything
+    val newRoot = java.nio.file.Files.createTempDirectory("funnel_rebase").toString
+    StreamIngest.rebaseFunnelState(spark, stateRoot, newRoot, stages, w,
+      baseBatchId = 10L)
+    assert(fm(StreamIngest.currentFunnel(spark, newRoot, stages, w))
+      === batchFunnel(all))
+    val keptRows = graft.core.TableIO.read(spark, newRoot, "batch_id")
+      .select("k", "us", "stage").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(keptRows === Set((1L, 1L, "A"), (2L, 0L, "A"), (2L, 3L, "B")))
+  }
 }

@@ -239,4 +239,30 @@ class TemporalSpec extends SparkSpec {
     assert(run(ev(rows: _*), w) === twin)
     assert(run(ev(rows: _*).repartition(7), w) === twin)
   }
+
+  test("funnelTimes: per-key depth/times agree with funnel counts") {
+    import spark.implicits._
+    def ev(rows: (Long, Long, String)*) = rows.toSeq.toDF("k", "us", "st")
+      .select(col("k"), timestamp_micros(col("us")).as("ts"), col("st"))
+    val log = ev(
+      (1L, 0L, "A"), (1L, 5L, "B"), (1L, 9L, "C"),
+      (2L, 2L, "A"), (2L, 5L, "C"), (2L, 9L, "B"),
+      (3L, 0L, "B"), (3L, 5L, "C"))
+    val got = graft.kg.Temporal.funnelTimes(log, "k", "ts", "st",
+        Seq("A", "B", "C"), windowMicros = 10L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // key 1 completes: depth 3, anchor 0, last 9, elapsed 9
+    // key 2 reaches B only (C precedes B): depth 2, anchor 2, last 9
+    // key 3 never enters (no A): absent
+    assert(got === Map(1L -> ((3L, 0L, 9L, 9L)), 2L -> ((2L, 2L, 9L, 7L))))
+    // counts derived from depths == funnel's stage counts
+    val counts = graft.kg.Temporal.funnel(log, "k", "ts", "st",
+        Seq("A", "B", "C"), windowMicros = 10L)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(counts === Map(
+      "A" -> got.values.count(_._1 >= 1L).toLong,
+      "B" -> got.values.count(_._1 >= 2L).toLong,
+      "C" -> got.values.count(_._1 >= 3L).toLong))
+  }
 }
