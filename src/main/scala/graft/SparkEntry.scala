@@ -1293,6 +1293,33 @@ object SparkEntry {
       graft.kg.Graphs.trussness(
         tr.select(col("subj").as("src"), col("obj").as("dst")))
     }),
+    // perceptual image fingerprint: aHash64 of the REAL javax.imageio
+    // decode per image row — golden-oracled against the analytic twin
+    // that predicts the hash from the closed-form pixel spec without
+    // touching a codec
+    "q170_image_phash" -> ((s, dir) =>
+      Multimodal.imageHashes(
+        Multimodal.syntheticMedia(s.read.parquet(t(dir, "documents"))))),
+    // per-subject top-3 fact ranking by predicate rarity (entity card —
+    // the serving layer's summarization query): one broadcast df join +
+    // one subject-keyed window
+    "q168_entity_card" -> ((s, dir) =>
+      graft.kg.Triples.entityCard(Pipeline.triples(s, dir).toDF(), k = 3)),
+    // one-round handshake matching (multilevel-coarsening seed): propose
+    // to the (deg, id)-min neighbor, keep mutual proposals
+    "q169_matching" -> ((s, dir) => {
+      val tr = Pipeline.triples(s, dir).toDF()
+      graft.kg.Graphs.handshakeMatching(
+        tr.select(col("subj").as("src"), col("obj").as("dst")))
+    }),
+    // rich-club connectivity profile: per degree threshold the node and
+    // hub-hub edge counts from cumulative sums over the DEGREE HISTOGRAM
+    // (sketch-size axis) — the over-merge curve monitor
+    "q167_rich_club" -> ((s, dir) => {
+      val tr = Pipeline.triples(s, dir).toDF()
+      graft.kg.Graphs.richClub(
+        tr.select(col("subj").as("src"), col("obj").as("dst")))
+    }),
     // SPARQL bounded repetition related_to{1,2}: n-1 frontier joins,
     // never the unbounded fixpoint — the bounded form that stays sane on
     // DENSE predicates
@@ -2121,6 +2148,48 @@ object SparkEntry {
     "q151_coherent_linking" -> golden("q151_coherent_linking"),
     "q160_char_cosine_rerank" -> golden("q160_char_cosine_rerank"),
     "q165_trussness" -> golden("q165_trussness"),
+    "q170_image_phash" -> golden("q170_image_phash"),
+    "q168_entity_card" -> s"""
+      WITH t AS (SELECT DISTINCT subj, pred, obj
+                 FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'),
+      pdf AS (SELECT pred, count(*) AS pred_df FROM t GROUP BY pred)
+      SELECT subj, pred, obj, pred_df, rank FROM (
+        SELECT t.subj, t.pred, t.obj, pdf.pred_df,
+               row_number() OVER (PARTITION BY t.subj
+                 ORDER BY pdf.pred_df ASC, t.pred ASC, t.obj ASC) AS rank
+        FROM t JOIN pdf ON pdf.pred = t.pred)
+      WHERE rank <= 3""",
+    "q169_matching" -> s"""
+      WITH t AS (SELECT subj, obj
+                 FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'),
+      e AS (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+            FROM t WHERE subj <> obj),
+      deg AS (SELECT id, count(*) AS deg FROM
+                (SELECT a AS id FROM e UNION ALL SELECT b FROM e)
+              GROUP BY 1),
+      dir AS (SELECT a AS i, b AS j FROM e UNION ALL SELECT b, a FROM e),
+      prop AS (SELECT i, j FROM (
+                 SELECT dir.i, dir.j,
+                        row_number() OVER (PARTITION BY dir.i
+                          ORDER BY d.deg, dir.j) AS rn
+                 FROM dir JOIN deg d ON d.id = dir.j) WHERE rn = 1)
+      SELECT p1.i AS a, p1.j AS b
+      FROM prop p1 JOIN prop p2 ON p2.i = p1.j AND p2.j = p1.i
+      WHERE p1.i < p1.j""",
+    "q167_rich_club" -> s"""
+      WITH t AS (SELECT subj, obj
+                 FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'),
+      e AS (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+            FROM t WHERE subj <> obj),
+      deg AS (SELECT id, count(*) AS deg FROM
+                (SELECT a AS id FROM e UNION ALL SELECT b FROM e)
+              GROUP BY 1),
+      em AS (SELECT least(da.deg, db.deg) AS md
+             FROM e JOIN deg da ON da.id = e.a JOIN deg db ON db.id = e.b)
+      SELECT d.deg AS k,
+             (SELECT count(*) FROM deg x WHERE x.deg > d.deg) AS n_nodes,
+             (SELECT count(*) FROM em WHERE em.md > d.deg) AS n_edges
+      FROM (SELECT DISTINCT deg FROM deg) d""",
     "q166_path_bounded" -> s"""
       WITH t AS (SELECT subj, pred, obj
                  FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'),

@@ -1381,6 +1381,23 @@ object SequentialTwin {
   def twinImageDims(docId: Long): (Int, Int) =
     ((16L + docId % 48L).toInt, (16L + docId % 32L).toInt) // corpus ids >= 0
 
+  /** q170: aHash predicted ANALYTICALLY from the closed-form pixel spec —
+    * 8×8 nearest-neighbor grayscale, bit = gray > floor(mean) — without
+    * ever decoding a PNG, so the golden certifies production's real
+    * ImageIO decode + integer hash end to end. */
+  def q170ImageHashes(docs: Seq[Doc]): Seq[(Long, Long)] =
+    docs.filter(_.docId % 3 == 0).map { d =>
+      val (w, h) = twinImageDims(d.docId)
+      val g = Array.tabulate(64) { i =>
+        val px = twinPixel(d.docId, (i % 8) * w / 8, (i / 8) * h / 8)
+        ((((px >> 16) & 0xff) + ((px >> 8) & 0xff) + (px & 0xff)) / 3).toLong
+      }
+      val mean = g.sum / 64
+      var bits = 0L
+      for (i <- 0 until 64) if (g(i) > mean) bits |= (1L << i)
+      (d.docId, bits)
+    }
+
   def twinPixel(docId: Long, x: Int, y: Int): Int = {
     val r = ((7L * x + 13L * y + docId) % 256L).toInt
     val g = ((3L * x + 5L * y + 2L * docId) % 256L).toInt

@@ -256,6 +256,82 @@ object Graphs {
     peeled.reduce(_ unionAll _)
   }
 
+  /**
+   * RICH-CLUB connectivity profile (Zhou & Mondragón 2004): for every
+   * degree threshold k that occurs in the graph, how many nodes exceed
+   * it (N_k) and how many edges connect two such nodes (E_k) — the
+   * caller derives φ(k) = 2·E_k / (N_k·(N_k−1)). A rising φ(k) means
+   * the hubs form a club (they preferentially interlink — in an entity
+   * graph, a densely self-referential head vocabulary); extraction
+   * pipelines watch it because over-merging inflates exactly this curve.
+   *
+   * Shape: degree agg + two degree-attach keyed joins + per-edge
+   * min-degree, then BOTH profiles fall out of cumulative sums over the
+   * DEGREE HISTOGRAMS — tables bounded by |distinct degree values|, a
+   * sketch-size artifact, so the unpartitioned cumsum windows order a
+   * few hundred rows, never corpus-scale data. All integers.
+   *
+   * @return (k, n_nodes, n_edges) per distinct degree value k
+   */
+  def richClub(edgesIn: DataFrame): DataFrame = {
+    val e = undirected(edgesIn).localCheckpoint(true)
+    val deg = e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg")).localCheckpoint(true)
+    val edgeMin = e
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), Seq("b"))
+      .select(least(col("da"), col("db")).as("md"))
+    val nh = deg.groupBy(col("deg").as("d")).agg(count(lit(1)).as("nc"))
+    val eh = edgeMin.groupBy(col("md").as("d")).agg(count(lit(1)).as("ec"))
+    // suffix sums over the joint (tiny) threshold axis: rows with value
+    // STRICTLY above k — shift the descending cumulative by the own row
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("d").desc)
+    val joint = nh.join(eh, Seq("d"), "full")
+      .select(col("d"), coalesce(col("nc"), lit(0L)).as("nc"),
+        coalesce(col("ec"), lit(0L)).as("ec"))
+      .withColumn("n_ge", sum(col("nc")).over(w))
+      .withColumn("e_ge", sum(col("ec")).over(w))
+      .select(col("d").as("k"),
+        (col("n_ge") - col("nc")).as("n_nodes"),
+        (col("e_ge") - col("ec")).as("n_edges"))
+    // report thresholds that exist as NODE degrees (the standard axis)
+    joint.join(nh.select(col("d").as("k")), Seq("k"), "left_semi")
+  }
+
+  /**
+   * One-round HANDSHAKE MATCHING over the undirected simple graph — the
+   * deterministic distributed greedy matching that seeds multilevel
+   * coarsening (pair matched nodes, contract via [[quotientGraph]],
+   * recurse — the Metis/Graclus discipline; [[modularityMove]] is the
+   * gain-driven sibling): every node PROPOSES to its (degree, id)-minimal
+   * neighbor — preferring low-degree partners keeps hubs from absorbing
+   * everything — and exactly the MUTUAL proposals become matches. One
+   * synchronous round, shuffle-order invariant, each node in at most one
+   * match by construction (its single proposal).
+   *
+   * Shape: one degree agg + degree-attach joins + ONE window-free
+   * min(struct) election per node + ONE self-join on the reversed
+   * proposal pair. All 8/16-byte integer keys.
+   *
+   * @return (a, b) matched pairs with a < b
+   */
+  def handshakeMatching(edgesIn: DataFrame): DataFrame = {
+    val e = undirected(edgesIn).localCheckpoint(true)
+    val deg = e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val dir = e.select(col("a").as("i"), col("b").as("j"))
+      .unionAll(e.select(col("b").as("i"), col("a").as("j")))
+    val proposal = dir
+      .join(deg.select(col("id").as("j"), col("deg").as("kj")), Seq("j"))
+      .groupBy(col("i"))
+      .agg(min(struct(col("kj"), col("j"))).as("best"))
+      .select(col("i"), col("best.j").as("j"))
+    proposal.join(
+        proposal.select(col("j").as("i"), col("i").as("j")), Seq("i", "j"))
+      .filter(col("i") < col("j"))
+      .select(col("i").as("a"), col("j").as("b"))
+  }
+
   /** Symmetric neighbor relation of the simple undirected graph:
     * (node: long, w: long) — one row per direction of each edge. Feed to
     * [[mergeCandidates]] for graph-context overlap. */

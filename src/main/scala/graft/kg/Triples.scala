@@ -376,6 +376,31 @@ object Triples {
   }
 
   /**
+   * ENTITY CARD — per-subject top-k fact ranking (the LinkSum/RELIN
+   * entity-summarization family, integer-exact): the facts a serving
+   * layer shows first when a user opens an entity page. Informativeness
+   * = predicate RARITY (a fact asserted through a rare predicate says
+   * more than one more `related_to`): facts rank by (global predicate
+   * df ASC, pred ASC, obj ASC) within each subject, top-k kept.
+   *
+   * Shape: one distinct, ONE small predicate-df aggregation broadcast
+   * onto the fact scan, one per-subject window (keyed by subj — groups
+   * are entity fan-outs, never a global sort).
+   *
+   * @return (subj, pred, obj, pred_df, rank) with rank <= k
+   */
+  def entityCard(triples: DataFrame, k: Int): DataFrame = {
+    val t = triples.select(col("subj"), col("pred"), col("obj")).distinct()
+    val df = t.groupBy(col("pred")).agg(count(lit(1)).as("pred_df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("subj"))
+      .orderBy(col("pred_df").asc, col("pred").asc, col("obj").asc)
+    t.join(broadcast(df), Seq("pred"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("subj"), col("pred"), col("obj"), col("pred_df"), col("rank"))
+  }
+
+  /**
    * Per-predicate CARDINALITY profile — the OWL-characteristic induction
    * the fusion stage ([[fuseConflicts]]) and the SHACL shapes
    * ([[graft.kg.Shacl]]) both presuppose: over the DISTINCT (subj, pred,

@@ -726,21 +726,14 @@ object Dedup {
       return emb.limit(0).select(col("vec_id").as("v1"), col("vec_id").as("v2"),
         lit(0.0d).as("cosine"))
     val dim = dimRow(0).getInt(0)
-    val planeW: Array[Array[Float]] = Array.tabulate(planes) { p =>
-      Array.tabulate(dim) { i =>
-        val h = graft.functions.Xxh64.hashString(s"plane$p:$i", graft.functions.Xxh64.SparkSeed)
-        (((h % 2 + 2) % 2) * 2 - 1).toFloat
-      }
-    }
     // native codegen'd sign bits (one pass over the vector for all planes;
     // value-identical to the per-plane zip_with/aggregate HOF form, parity-
     // tested in FunctionsSpec); materialized once, reused across bands
     val withSig = persistIntermediate(emb.select(col("vec_id"),
-      graft.functions.GraftFunctions.signlsh_bits(col("embedding"), planeW).as("bits")))
+      graft.functions.GraftFunctions.signlsh_bits(col("embedding"),
+        signlshPlanes(dim, planes)).as("bits")))
     val banded = withSig.select(col("vec_id").as("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        aggregate(slice(col("bits"), b * lit(rows) + 1, lit(rows)),
-          lit(0L), (a, bit) => a * 2 + bit))).as(Seq("band", "bucket")))
+      bandPosexplode(bands, rows).as(Seq("band", "bucket")))
     val vecs = emb.select(col("vec_id"), col("embedding"))
     val verified = idPairsFromBuckets(banded, maxBucket, dropLabel = "embeddingNearDup")
       .join(vecs.withColumnRenamed("vec_id", "doc1").withColumnRenamed("embedding", "e1"), Seq("doc1"))
@@ -749,5 +742,45 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("doc1").as("v1"), col("doc2").as("v2"), col("cosine"))
     finish(verified, withSig)
+  }
+
+  /** The deterministic ±1 hyperplane matrix behind [[embeddingNearDup]] —
+    * a (planes × dim) model artifact derived from xxhash64 parity of
+    * "plane<p>:<i>", identical on the driver, in the codegen'd
+    * expression, and in the sequential twin. */
+  private[graft] def signlshPlanes(dim: Int, planes: Int): Array[Array[Float]] =
+    Array.tabulate(planes) { p =>
+      Array.tabulate(dim) { i =>
+        val h = graft.functions.Xxh64.hashString(s"plane$p:$i",
+          graft.functions.Xxh64.SparkSeed)
+        (((h % 2 + 2) % 2) * 2 - 1).toFloat
+      }
+    }
+
+  /** posexplode of the `bands` per-band bucket codes from a `bits`
+    * column ([[graft.functions.GraftFunctions.signlsh_bits]] output). */
+  private[graft] def bandPosexplode(bands: Int, rows: Int) =
+    posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+      aggregate(slice(col("bits"), b * lit(rows) + 1, lit(rows)),
+        lit(0L), (a, bit) => a * 2 + bit)))
+
+  /** Sign-LSH band rows (vec_id, band, bucket) of an embedding table —
+    * [[embeddingNearDup]]'s banding exposed for the streaming state
+    * table (`StreamIngest.embeddingNearDupBatchStep` stores state
+    * PRE-BANDED, the nearDupBatchStep convention). Empty input yields an
+    * empty frame with the right schema. */
+  private[graft] def signlshBanded(emb: DataFrame, planes: Int,
+                                   bands: Int): DataFrame = {
+    require(planes % bands == 0, "planes must be divisible by bands")
+    val rows = planes / bands
+    val dimRow = emb.select(size(col("embedding"))).limit(1).collect()
+    if (dimRow.isEmpty)
+      return emb.limit(0).select(col("vec_id"),
+        lit(0).as("band"), lit(0L).as("bucket"))
+    val dim = dimRow(0).getInt(0)
+    emb.select(col("vec_id"),
+        graft.functions.GraftFunctions.signlsh_bits(col("embedding"),
+          signlshPlanes(dim, planes)).as("bits"))
+      .select(col("vec_id"), bandPosexplode(bands, rows).as(Seq("band", "bucket")))
   }
 }

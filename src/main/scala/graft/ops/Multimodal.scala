@@ -253,4 +253,74 @@ object Multimodal {
       .filter(col("media_type").startsWith("video"))
       .select(col("doc_id"), explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
   }
+
+  /**
+   * 64-bit AVERAGE HASH (aHash, the classic perceptual image
+   * fingerprint): nearest-neighbor 8×8 grayscale downsample — sample at
+   * (x·w/8, y·h/8), gray = (r+g+b)/3, all integer — then bit i set iff
+   * gray_i > floor(mean). Brightness-SHIFT INVARIANT (adding a constant
+   * to every pixel moves the mean identically, so no bit flips) — the
+   * property that makes re-encoded / re-exposed copies of one image
+   * hash together while structurally different images do not.
+   */
+  def aHash64(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    val g = new Array[Long](64)
+    var s = 0L
+    var i = 0
+    while (i < 64) {
+      val px = img.getRGB((i % 8) * w / 8, (i / 8) * h / 8)
+      val gray = (((px >> 16) & 0xff) + ((px >> 8) & 0xff) + (px & 0xff)) / 3
+      g(i) = gray.toLong; s += gray
+      i += 1
+    }
+    val mean = s / 64
+    var bits = 0L
+    i = 0
+    while (i < 64) { if (g(i) > mean) bits |= (1L << i); i += 1 }
+    bits
+  }
+
+  /** Per image row the aHash of the REAL `javax.imageio` decode —
+    * (doc_id, ahash). Golden-oracled against the analytic twin (which
+    * predicts the hash from the closed-form pixel spec and never touches
+    * a codec), so any decode/resample drift breaks the fixture. */
+  def imageHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("media_type") === "image/png")
+      .select(col("doc_id"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, blob) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+          (id, aHash64(img))
+        }
+      }
+      .toDF("doc_id", "ahash")
+  }
+
+  /**
+   * Perceptual NEAR-DUP image pairs: the simhash discipline
+   * (`Dedup.simhashNearDup`) applied to [[aHash64]] — 4×16-bit band
+   * equi-join (pigeonhole: hamming <= 3 shares a band; higher
+   * `maxHamming` still prunes hard), hot buckets capped LOUDLY through
+   * the shared `idPairsFromBuckets`, candidates verified by true
+   * hamming distance. Returns (doc1, doc2, hamming).
+   */
+  def imageNearDup(media: DataFrame, maxHamming: Int = 3,
+                   maxBucket: Int = 64): DataFrame = {
+    val hashes = imageHashes(media).localCheckpoint(true)
+    val banded = hashes.select(col("doc_id"),
+      posexplode(expr(
+        "transform(sequence(0, 3), c -> shiftright(ahash, c * 16) & 65535)"))
+        .as(Seq("band", "bucket")))
+    graft.ops.Dedup.idPairsFromBuckets(banded, maxBucket,
+        dropLabel = "imageNearDup")
+      .join(hashes.select(col("doc_id").as("doc1"), col("ahash").as("h1")), Seq("doc1"))
+      .join(hashes.select(col("doc_id").as("doc2"), col("ahash").as("h2")), Seq("doc2"))
+      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc1"), col("doc2"), col("hamming"))
+  }
 }

@@ -439,6 +439,67 @@ object StreamIngest {
     graft.core.TableIO.compact(spark, stateRoot, "batch_id", maxFilesPerPartition)
 
   /**
+   * Streaming EMBEDDING near-dup — completes the streaming dedup family
+   * (exact sha / simhash text / paragraph / Bloom / embedding) for the
+   * continuously-landing embedding column (SemDeDup-style semantic
+   * dedup at ingest). The [[nearDupBatchStep]] shape exactly:
+   *
+   *  1. within-batch transitive clustering over verified cosine
+   *     near-dup pairs (`Dedup.embeddingNearDup` -> connected
+   *     components), representative = min vec_id;
+   *  2. representatives sharing a sign-LSH band bucket with ANY vector
+   *     kept by a PRIOR batch (state PRE-BANDED; `batch_id < current`
+   *     partition-pruned — exact crash replay) are cosine-verified
+   *     against those kept vectors and dropped at >= `threshold`;
+   *  3. survivors' banded rows — (band, bucket, vec_id, embedding) —
+   *     append crash-atomically (`TableIO.writeResumable`). The verify
+   *     needs the vector, so it rides the state's band rows (`bands`×
+   *     per kept vector; int8 quantization halves deployment footprint,
+   *     kept exact here). `compactState` bounds the file count.
+   *
+   * Returns the kept rows of this batch. Same documented incremental
+   * semantics as text near-dup: a chain crossing batches collapses only
+   * through kept representatives.
+   */
+  def embeddingNearDupBatchStep(batch: DataFrame, stateRoot: String,
+                                batchId: Long, threshold: Double = 0.95,
+                                planes: Int = 16, bands: Int = 4,
+                                maxBucket: Int = 256): DataFrame = {
+    import graft.ops.{Dedup, Similarity}
+    import graft.core.TableIO
+    val spark = batch.sparkSession
+    val pairs = Dedup.embeddingNearDup(batch, threshold, planes, bands, maxBucket)
+      .select(col("v1").as("src"), col("v2").as("dst"))
+    val comp = graft.canon.ConnectedComponents.run(pairs)
+    val reps = batch.select(col("vec_id"), col("embedding"))
+      .join(comp.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+      .filter(coalesce(col("component"), col("vec_id")) === col("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+    val stateExists = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(stateRoot, "data"))
+    val kept =
+      if (!stateExists) reps
+      else {
+        val seen = priorBandedState(spark, stateRoot, batchId)
+          .select(col("band"), col("bucket"), col("embedding").as("seen_vec"))
+        val dropped = Dedup.signlshBanded(reps, planes, bands)
+          .join(reps, Seq("vec_id"))
+          .join(seen, Seq("band", "bucket"))
+          .withColumn("cos", Similarity.cosine(col("embedding"), col("seen_vec")))
+          .filter(col("cos") >= threshold)
+          .select(col("vec_id")).distinct()
+        reps.join(dropped, Seq("vec_id"), "left_anti")
+      }
+    val keptC = kept.localCheckpoint()
+    TableIO.writeResumable(
+      Dedup.signlshBanded(keptC, planes, bands)
+        .join(keptC, Seq("vec_id"))
+        .withColumn("batch_id", lit(batchId)),
+      stateRoot, "batch_id")
+    batch.join(keptC.select(col("vec_id")), Seq("vec_id"))
+  }
+
+  /**
    * Streaming ORDERED FUNNEL (merge-on-read, the [[factUpsertBatchStep]]
    * shape): each micro-batch appends its DISTINCT relevant
    * (key, stage, us) rows as a crash-atomic delta — per-batch cost is ONE

@@ -1264,4 +1264,64 @@ class GraphsSpec extends SparkSpec {
     assert(run(es) === twin)
     assert(run(es, thr = 0L) === twin)
   }
+
+  test("richClub: strict-threshold counts, brute-force twin") {
+    import graft.kg.Graphs
+    def run(es: Seq[(Long, Long)], parts: Int = 5) =
+      Graphs.richClub(edgesDf(es, parts)).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // star 1-(2,3,4) + edge 2-3: degrees 1->3, 2->2, 3->2, 4->1
+    // k=1: nodes {1,2,3} (deg>1), hub-hub edges {12,13,23} -> 3
+    // k=2: nodes {1}, edges with min-deg>2: none
+    // k=3: nothing above
+    assert(run(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L))) ===
+      Map(1L -> ((3L, 3L)), 2L -> ((1L, 0L)), 3L -> ((0L, 0L))))
+    // brute-force twin on a random graph, partition-invariant
+    val rnd = new scala.util.Random(37)
+    val es = (1 to 90).map(_ =>
+      (rnd.nextInt(15).toLong + 1L, rnd.nextInt(15).toLong + 1L))
+    val und = es.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val deg = und.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong }
+    val twin = deg.values.toSeq.distinct.map { k =>
+      k -> ((deg.values.count(_ > k).toLong,
+        und.count { case (a, b) => math.min(deg(a), deg(b)) > k }.toLong))
+    }.toMap
+    assert(run(es) === twin)
+    assert(run(es, 3) === twin)
+  }
+
+  test("handshakeMatching: mutual proposals only, brute-force twin") {
+    import graft.kg.Graphs
+    def run(es: Seq[(Long, Long)], parts: Int = 5) =
+      Graphs.handshakeMatching(edgesDf(es, parts)).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // path 1-2-3: 1<->2 mutual; 3's proposal to 2 is unrequited
+    assert(run(Seq((1L, 2L), (2L, 3L))) === Set((1L, 2L)))
+    // star: hub matches its min-id leaf only
+    assert(run(Seq((1L, 2L), (1L, 3L), (1L, 4L))) === Set((1L, 2L)))
+    // two disjoint edges: both matched
+    assert(run(Seq((1L, 2L), (5L, 6L))) === Set((1L, 2L), (5L, 6L)))
+    // brute-force twin, partition-invariant; matching is valid (each
+    // node in at most one pair)
+    val rnd = new scala.util.Random(41)
+    val es = (1 to 80).map(_ =>
+      (rnd.nextInt(16).toLong + 1L, rnd.nextInt(16).toLong + 1L))
+    val und = es.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val deg = und.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong }
+    val nbrs = (und ++ und.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2) }
+    val prop = nbrs.map { case (i, js) =>
+      i -> js.minBy(j => (deg(j), j)) }
+    val twin = prop.collect { case (i, j)
+      if prop.get(j).contains(i) && i < j => (i, j) }.toSet
+    val got = run(es)
+    assert(got === twin)
+    assert(run(es, 2) === twin)
+    val touched = got.toSeq.flatMap(p => Seq(p._1, p._2))
+    assert(touched.distinct.size == touched.size)
+  }
 }

@@ -272,4 +272,23 @@ class KgFactsSpec extends SparkSpec {
       "ssn_of" -> ((2L, 2L, 2L, 1L, 1L, true, true)),
       "knows" -> ((3L, 2L, 2L, 2L, 2L, false, false))))
   }
+
+  test("entityCard: predicate rarity ranks facts, top-k per subject") {
+    import spark.implicits._
+    val tr = Seq(
+      (1L, "common", 10L), (1L, "common", 11L), (1L, "common", 12L),
+      (1L, "rare", 20L),
+      (2L, "common", 10L), (2L, "mid", 30L),
+      (3L, "mid", 30L),
+      (1L, "rare", 20L) // duplicate collapses
+    ).toDF("subj", "pred", "obj").repartition(3)
+    val got = graft.kg.Triples.entityCard(tr, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(4)) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // dfs: rare=1, mid=2, common=4 -> rarest first, obj tie-break
+    assert(got === Map(
+      (1L, 1L) -> (("rare", 20L, 1L)), (1L, 2L) -> (("common", 10L, 4L)),
+      (2L, 1L) -> (("mid", 30L, 2L)), (2L, 2L) -> (("common", 10L, 4L)),
+      (3L, 1L) -> (("mid", 30L, 2L))))
+  }
 }

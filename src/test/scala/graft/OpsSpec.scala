@@ -951,6 +951,63 @@ class OpsSpec extends SparkSpec {
     assert(got(4L)._2 == "ip <IP> text <IP>")
   }
 
+  test("aHash64: shift-invariant, twin-predicted, near-dup pair caught") {
+    import spark.implicits._
+    def img(w: Int, h: Int, px: (Int, Int) => Int) = {
+      val b = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) b.setRGB(x, y, px(x, y))
+      b
+    }
+    // brightness shift: +40 on every channel flips no bit
+    def base(x: Int, y: Int) = ((x * 9 % 160) << 16) |
+      ((y * 7 % 160) << 8) | ((x + y) % 160)
+    def bright(x: Int, y: Int) = {
+      val p = base(x, y)
+      (((p >> 16) + 40) << 16) | ((((p >> 8) & 0xff) + 40) << 8) |
+        ((p & 0xff) + 40)
+    }
+    val h0 = Multimodal.aHash64(img(32, 24, base))
+    assert(h0 === Multimodal.aHash64(img(32, 24, bright)))
+    // production REAL-decode hashes == the analytic twin on the corpus
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = Multimodal.imageHashes(Multimodal.syntheticMedia(corpus))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val seqDocs = corpus.select("doc_id", "text", "lang", "source")
+      .as[(Long, String, String, String)].collect().sortBy(_._1)
+      .map { case (id, t, l, s) => graft.golden.SequentialTwin.Doc(id, t, l, s) }
+    val twin = graft.golden.SequentialTwin.q170ImageHashes(seqDocs.toSeq).toMap
+    assert(got === twin)
+    assert(got.nonEmpty)
+    // a RE-ENCODED copy (same pixels, fresh PNG container — the classic
+    // perceptual-dup case byte hashing misses) lands at hamming 0 and the
+    // banded near-dup join catches the pair; an unrelated flat image
+    // stays out
+    val orig = Multimodal.pngFor(3L)
+    val reenc = {
+      val im = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(orig))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+    val flat = {
+      val im = img(20, 20, (x, y) => if ((x / 10 + y / 10) % 2 == 0) 0xffffff else 0)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq((3L, "image/png", orig), (1003L, "image/png", reenc),
+        (2000L, "image/png", flat))
+      .toDF("doc_id", "media_type", "blob")
+    val pairs = Multimodal.imageNearDup(media, maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
+    assert(pairs.exists(p => p._1 == 3L && p._2 == 1003L && p._3 == 0L),
+      pairs.mkString(","))
+    assert(!pairs.exists(p => p._1 == 2000L || p._2 == 2000L),
+      pairs.mkString(","))
+  }
+
   test("readability: integer Flesch ingredients and hard flag") {
     import spark.implicits._
     val d = Seq(

@@ -448,6 +448,31 @@ class StreamIngestSpec extends SparkSpec {
       Seq("k"), 10L, 2, 3L, 2L, 2L, uptoBatch = 1L)) === folded)
   }
 
+  test("streaming embedding near-dup: cross-batch drops, replay, first-kept") {
+    import spark.implicits._
+    def emb(rows: (Long, Seq[Float])*) = rows.toSeq.toDF("vec_id", "embedding")
+    // batch 0: 1 and 2 are near-identical (within-batch cluster, rep 1);
+    // 10 is orthogonal and kept
+    val b0 = emb(1L -> Seq(1f, 0f, 0f, 0f), 2L -> Seq(0.999f, 0.012f, 0f, 0f),
+      10L -> Seq(0f, 1f, 0f, 0f))
+    // batch 1: 3 near kept-1 (drop), 11 near kept-10 (drop), 20 new (keep)
+    val b1 = emb(3L -> Seq(0.998f, 0.02f, 0f, 0f),
+      11L -> Seq(0f, 0.99f, 0.1f, 0f), 20L -> Seq(0f, 0f, 1f, 0f))
+    val root = java.nio.file.Files.createTempDirectory("embdedup_state").toString
+    def step(b: org.apache.spark.sql.DataFrame, id: Long) =
+      StreamIngest.embeddingNearDupBatchStep(b, root, id)
+        .select("vec_id").as[Long].collect().toSet
+    assert(step(b0, 0L) === Set(1L, 10L))
+    assert(step(b1, 1L) === Set(20L))
+    // crash replay: same kept set, state append is a no-op
+    val before = graft.core.TableIO.read(spark, root, "batch_id").count()
+    assert(step(b1, 1L) === Set(20L))
+    assert(graft.core.TableIO.read(spark, root, "batch_id").count() === before)
+    // state is pre-banded with the vector riding the band rows
+    val cols = graft.core.TableIO.read(spark, root, "batch_id").columns.toSet
+    assert(Set("band", "bucket", "vec_id", "embedding").subsetOf(cols))
+  }
+
   test("streaming funnel == batch funnel; late re-anchor; replay; rebase") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
