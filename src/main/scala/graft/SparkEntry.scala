@@ -1293,6 +1293,36 @@ object SparkEntry {
       graft.kg.Graphs.trussness(
         tr.select(col("subj").as("src"), col("obj").as("dst")))
     }),
+    // evidence-weighted entity importance: PageRank with rank mass split
+    // by mention multiplicity — (rank·85·w) div (wout·100), the same
+    // all-integer fixed point, twin-exact
+    "q171_weighted_pagerank" -> ((s, dir) => {
+      val tr = Pipeline.triples(s, dir).toDF()
+      val edgesW = tr.filter(col("subj") =!= col("obj"))
+        .groupBy(col("subj").as("src"), col("obj").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      graft.kg.PageRank.runWeighted(edgesW)
+    }),
+    // one multilevel round end-to-end: handshake matching -> quotient
+    // contraction -> Louvain gain move on the coarse graph, mapped back
+    // to fine nodes — the pieces composing is the point
+    "q172_coarsen_move" -> ((s, dir) => {
+      val tr = Pipeline.triples(s, dir).toDF()
+      val edges = tr.select(col("subj").as("src"), col("obj").as("dst"))
+      val matched = graft.kg.Graphs.handshakeMatching(edges)
+      val simple = edges.filter(col("src") =!= col("dst"))
+      val nodes = simple.select(col("src").as("id"))
+        .unionAll(simple.select(col("dst").as("id"))).distinct()
+      val mLab = matched.select(col("a").as("id"), col("a").as("label"))
+        .unionAll(matched.select(col("b").as("id"), col("a").as("label")))
+      val labels = nodes.join(mLab, Seq("id"), "left")
+        .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+      val contracted = graft.kg.Graphs.quotientGraph(edges, labels)
+      val move = graft.kg.Graphs.modularityMove(contracted.select(
+        col("src_label").as("src"), col("dst_label").as("dst")))
+      labels.join(move.withColumnRenamed("id", "label"), Seq("label"))
+        .select(col("id"), col("comm"))
+    }),
     // perceptual image fingerprint: aHash64 of the REAL javax.imageio
     // decode per image row — golden-oracled against the analytic twin
     // that predicts the hash from the closed-form pixel spec without
@@ -2149,6 +2179,51 @@ object SparkEntry {
     "q160_char_cosine_rerank" -> golden("q160_char_cosine_rerank"),
     "q165_trussness" -> golden("q165_trussness"),
     "q170_image_phash" -> golden("q170_image_phash"),
+    "q171_weighted_pagerank" -> golden("q171_weighted_pagerank"),
+    // full SQL replay of the multilevel round: q169's matching, label
+    // derivation, quotient contraction, then q158's gain move on the
+    // coarse simple graph, inner-joined back to fine nodes
+    "q172_coarsen_move" -> s"""
+      WITH t AS (SELECT subj, obj
+                 FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'),
+      e AS (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+            FROM t WHERE subj <> obj),
+      deg AS (SELECT id, count(*) AS deg FROM
+                (SELECT a AS id FROM e UNION ALL SELECT b FROM e)
+              GROUP BY 1),
+      dir AS (SELECT a AS i, b AS j FROM e UNION ALL SELECT b, a FROM e),
+      prop AS (SELECT i, j FROM (
+                 SELECT dir.i, dir.j,
+                        row_number() OVER (PARTITION BY dir.i
+                          ORDER BY d.deg, dir.j) AS rn
+                 FROM dir JOIN deg d ON d.id = dir.j) WHERE rn = 1),
+      mtch AS (SELECT p1.i AS a, p1.j AS b
+               FROM prop p1 JOIN prop p2 ON p2.i = p1.j AND p2.j = p1.i
+               WHERE p1.i < p1.j),
+      mlab AS (SELECT a AS id, a AS label FROM mtch
+               UNION ALL SELECT b, a FROM mtch),
+      lab AS (SELECT deg.id, coalesce(mlab.label, deg.id) AS label
+              FROM deg LEFT JOIN mlab ON mlab.id = deg.id),
+      ce AS (SELECT DISTINCT least(l1.label, l2.label) AS a,
+                             greatest(l1.label, l2.label) AS b
+             FROM e JOIN lab l1 ON l1.id = e.a JOIN lab l2 ON l2.id = e.b
+             WHERE l1.label <> l2.label),
+      m2 AS (SELECT count(*) AS m FROM ce),
+      deg2 AS (SELECT id, count(*) AS deg FROM
+                 (SELECT a AS id FROM ce UNION ALL SELECT b FROM ce)
+               GROUP BY 1),
+      dir2 AS (SELECT a AS i, b AS j FROM ce UNION ALL SELECT b, a FROM ce),
+      cand2 AS (SELECT i, j, kj.deg AS kj
+                FROM dir2 JOIN deg2 ki ON ki.id = dir2.i
+                          JOIN deg2 kj ON kj.id = dir2.j, m2
+                WHERE 2 * m2.m > ki.deg * kj.deg),
+      best2 AS (SELECT id, comm FROM (
+                  SELECT i AS id, j AS comm,
+                         row_number() OVER (PARTITION BY i
+                           ORDER BY kj, j) AS rn FROM cand2) WHERE rn = 1),
+      mm AS (SELECT deg2.id, coalesce(best2.comm, deg2.id) AS comm
+             FROM deg2 LEFT JOIN best2 USING (id))
+      SELECT lab.id, mm.comm FROM lab JOIN mm ON mm.id = lab.label""",
     "q168_entity_card" -> s"""
       WITH t AS (SELECT DISTINCT subj, pred, obj
                  FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'),

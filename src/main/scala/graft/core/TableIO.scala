@@ -223,6 +223,29 @@ object TableIO {
   }
 
   /**
+   * SNAPSHOT EXPIRY (the Iceberg `expire_snapshots` analog — the
+   * metadata-retention half of housekeeping, next to [[compact]]'s
+   * data-file half): drop all but the most recent `keepLast` snapshot
+   * manifests. Data files are untouched — snapshots here are CUMULATIVE
+   * partition manifests, so the live read path and every surviving
+   * snapshot still resolve; only TIME TRAVEL to an expired id dies, and
+   * it dies LOUDLY ([[readAt]] already throws on unknown ids, listing
+   * what remains). Snapshot numbering continues from the surviving
+   * maximum, so a concurrent-free expire never collides with the next
+   * commit. Single-writer maintenance window, the [[compact]] contract.
+   *
+   * @return the expired snapshot ids
+   */
+  def expireSnapshots(root: String, keepLast: Int = 3): Seq[Int] = {
+    require(keepLast >= 1, "must keep at least the latest snapshot")
+    val snaps = listSnapshots(root).sortBy(_.id)
+    val expire = snaps.dropRight(keepLast)
+    expire.foreach(s =>
+      Files.deleteIfExists(snapDir(root).resolve(s"snapshot-${s.id}.json")))
+    expire.map(_.id)
+  }
+
+  /**
    * Bucketed + sorted catalog table (K6's bucketing contract): downstream
    * equi-joins on `bucketCol` between tables bucketed the same way need no
    * shuffle at all — Catalyst sees the hash-partitioned layout and plans a

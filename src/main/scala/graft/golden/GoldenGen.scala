@@ -111,6 +111,7 @@ object GoldenGen {
     write("q165_trussness", q165Trussness(greedy, dict, canon),
       "a", "b", "trussness")
     write("q170_image_phash", q170ImageHashes(docs), "doc_id", "ahash")
+    write("q171_weighted_pagerank", q171WeightedPagerank(trip), "id", "rank")
     write("q79_pagerank", q79PageRank(trip), "id", "rank")
     write("q82_ppr_salience", q82PersonalizedPagerank(trip), "id", "rank")
     write("q94_negative_samples", q94NegativeSamples(trip),

@@ -462,6 +462,29 @@ object SequentialTwin {
     nodes.map(v => (v, ranks(v)))
   }
 
+  /** q171: WEIGHTED-PageRank twin — edge weight = the triple table's
+    * (subj, obj) mention multiplicity, rank mass split proportionally:
+    * contrib = (rank·85·w) div (wout·100), the same all-integer fixed
+    * point, sequential HashMap loop. */
+  def q171WeightedPagerank(triples: Seq[Triple], iterations: Int = 10,
+                           scale: Long = 1000000000L): Seq[(Long, Long)] = {
+    val edges = triples.filter(t => t.subj != t.obj)
+      .groupBy(t => (t.subj, t.obj))
+      .map { case ((s, o), ts) => (s, o, ts.size.toLong) }.toSeq
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val wout = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    val base = 15L * scale / 100L
+    var ranks = nodes.map(_ -> scale).toMap
+    for (_ <- 0 until iterations) {
+      val in = scala.collection.mutable.HashMap.empty[Long, Long]
+      edges.foreach { case (u, v, w) =>
+        in(v) = in.getOrElse(v, 0L) + (ranks(u) * 85L * w) / (wout(u) * 100L)
+      }
+      ranks = nodes.map(v => v -> (base + in.getOrElse(v, 0L))).toMap
+    }
+    nodes.map(v => (v, ranks(v)))
+  }
+
   /** q82: personalized-PageRank twin. Seeds = the 3 entities with the most
     * out-TRIPLES (multigraph count, ties by min id — the degreeProfile
     * ordering); teleport base and initial mass land only on seeds, same

@@ -458,6 +458,16 @@ class BgpSpec extends SparkSpec {
     assert(matchPath(cyc, Seq(Step("p", plus = true, maxHops = 2)))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
       Set((1L, 2L), (2L, 1L), (1L, 1L), (2L, 2L)))
+    // flags compose: ^!(a) — negated set inverted; and p{0,2} via
+    // opt + plus + maxHops (bounded closure unioned with the identity)
+    val mix = Seq((1L, "a", 2L), (1L, "b", 3L)).toDF("subj", "pred", "obj")
+    assert(matchPath(mix, Seq(Step("", negated = Seq("a"), inverse = true)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((3L, 1L)))
+    val zeroTwo = matchPath(chain,
+        Seq(Step("p", plus = true, maxHops = 2, opt = true)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(zeroTwo === pairs(2) ++ (1L to 5L).map(n => (n, n)).toSet)
   }
 
   test("matchBgpGraphs: the BGP matches WITHIN each named graph") {

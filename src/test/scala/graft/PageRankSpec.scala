@@ -140,4 +140,35 @@ class PageRankSpec extends SparkSpec {
     assert(got(3L) == ((0L, 0L, 2L, 2L))) // sink: in from {1,2}
     assert(got(4L) == ((1L, 1L, 0L, 0L))) // source only
   }
+
+  test("runWeighted: reduces to run on equal weights; mass splits by w") {
+    import spark.implicits._
+    import graft.kg.PageRank
+    def ranks(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rnd = new scala.util.Random(43)
+    val es = (1 to 50).map(_ =>
+      (rnd.nextInt(10).toLong + 1L, rnd.nextInt(10).toLong + 1L))
+      .filter(e => e._1 != e._2).distinct
+    // every weight 7: identical to the unweighted fixed point
+    val w7 = es.map(e => (e._1, e._2, 7L)).toDF("src", "dst", "w")
+    assert(ranks(PageRank.runWeighted(w7, iterations = 6)) ===
+      ranks(PageRank.run(es.toDF("src", "dst"), iterations = 6)))
+    // hand case, one iteration: 1 -> 2 (w 9), 1 -> 3 (w 1)
+    val scale = 1000000000L
+    val base = 15L * scale / 100L
+    val got = ranks(PageRank.runWeighted(
+      Seq((1L, 2L, 9L), (1L, 3L, 1L)).toDF("src", "dst", "w"),
+      iterations = 1, scale = scale))
+    assert(got === Map(
+      1L -> base,
+      2L -> (base + (scale * 85L * 9L) / (10L * 100L)),
+      3L -> (base + (scale * 85L * 1L) / (10L * 100L))))
+    // distributed loop == driver fallback (threshold 0)
+    val wRnd = es.map(e => (e._1, e._2, (e._1 * 3 + e._2) % 5 + 1))
+      .toDF("src", "dst", "w")
+    assert(ranks(PageRank.runWeighted(wRnd, iterations = 5)) ===
+      ranks(PageRank.runWeighted(wRnd, iterations = 5,
+        smallGraphThreshold = 0L)))
+  }
 }

@@ -110,4 +110,31 @@ class TableIOSpec extends SparkSpec {
     assert(content.contains("\"rowsIn\":10"))
     assert(content.contains("\"stage\":\"ner.tag\""))
   }
+
+  test("expireSnapshots: retention keeps reads + latest time travel, " +
+      "expired ids die loudly, numbering continues") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("tableio-expire").toString
+    def batch(lang: String, v: Long) =
+      Seq((v, lang)).toDF("v", "lang")
+    TableIO.writeResumable(batch("en", 1L), root, "lang")   // snapshot 0
+    TableIO.writeResumable(batch("de", 2L), root, "lang")   // snapshot 1
+    TableIO.writeResumable(batch("hi", 3L), root, "lang")   // snapshot 2
+    assert(TableIO.listSnapshots(root).map(_.id) == Seq(0, 1, 2))
+    val expired = TableIO.expireSnapshots(root, keepLast = 1)
+    assert(expired == Seq(0, 1))
+    assert(TableIO.listSnapshots(root).map(_.id) == Seq(2))
+    // live reads and the surviving snapshot unchanged
+    assert(TableIO.read(spark, root, "lang").count() == 3L)
+    assert(TableIO.readAt(spark, root, "lang", 2).count() == 3L)
+    // expired time travel fails loudly
+    val ex = intercept[IllegalArgumentException] {
+      TableIO.readAt(spark, root, "lang", 0).count()
+    }
+    assert(ex.getMessage.contains("no snapshot 0"))
+    // numbering continues past the expired range
+    TableIO.writeResumable(batch("es", 4L), root, "lang")
+    assert(TableIO.listSnapshots(root).map(_.id) == Seq(2, 3))
+    assert(TableIO.read(spark, root, "lang").count() == 4L)
+  }
 }
