@@ -34,12 +34,13 @@ object ClusterMetrics {
     def c2(n: org.apache.spark.sql.Column) = shiftright(n * (n - lit(1L)), 1)
     val cells = items.groupBy(col(aCol).as("a"), col(bCol).as("b"))
       .agg(count(lit(1)).as("n"))
-    val tp = cells.agg(sum(c2(col("n"))).as("tp_pairs"),
-      sum(col("n")).as("n_items"))
+    // coalesce: zero input rows must read as (0,0,0,0), not one NULL row
+    val tp = cells.agg(coalesce(sum(c2(col("n"))), lit(0L)).as("tp_pairs"),
+      coalesce(sum(col("n")), lit(0L)).as("n_items"))
     val ap = cells.groupBy(col("a")).agg(sum(col("n")).as("n"))
-      .agg(sum(c2(col("n"))).as("a_pairs"))
+      .agg(coalesce(sum(c2(col("n"))), lit(0L)).as("a_pairs"))
     val bp = cells.groupBy(col("b")).agg(sum(col("n")).as("n"))
-      .agg(sum(c2(col("n"))).as("b_pairs"))
+      .agg(coalesce(sum(c2(col("n"))), lit(0L)).as("b_pairs"))
     tp.crossJoin(ap).crossJoin(bp)
       .select(col("tp_pairs").cast("long").as("tp_pairs"),
         col("a_pairs").cast("long").as("a_pairs"),

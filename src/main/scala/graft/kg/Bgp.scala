@@ -340,6 +340,9 @@ object Bgp {
     * distinct/closure, so `(^p)+` closes the reversed relation, the
     * SPARQL semantics. */
   private def relOf(triples: DataFrame, st: Step): DataFrame = {
+    require(st.maxHops == 0 || st.plus,
+      s"maxHops=${st.maxHops} requires plus=true (p{1,n} is bounded " +
+        "REPETITION; without plus the step would silently degrade to one hop)")
     val preds = st.p +: st.alts
     val base =
       if (st.negated.nonEmpty) {

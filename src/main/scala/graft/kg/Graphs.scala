@@ -1580,6 +1580,10 @@ object Graphs {
   /** lcm(1..h) — the common denominator that keeps hop-bounded harmonic
     * sums integer. */
   def harmonicDenominator(maxHops: Int): Long = {
+    // lcm(1..43) > 2^63 — fail LOUDLY instead of silently wrapping the
+    // denominator (a hop bound past 42 is far beyond any sketch-accurate
+    // neighborhood function anyway)
+    require(maxHops <= 42, s"lcm(1..$maxHops) overflows Long (max 42)")
     def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
     (1L to maxHops.toLong).foldLeft(1L)((l, h) => l / gcd(l, h) * h)
   }

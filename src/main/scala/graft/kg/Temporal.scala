@@ -251,25 +251,37 @@ object Temporal {
    * @return one row per stage: (stage_idx, stage, n_keys) — n_keys is the
    *         count of keys whose funnel reached that stage.
    */
-  def funnel(events: DataFrame, keyCol: String, tsCol: String,
-             stageCol: String, stages: Seq[String],
-             windowMicros: Long): DataFrame = {
+  /** The shared greedy stage chain behind [[funnel]] and [[funnelTimes]]
+    * (ONE encoding of the semantics — us > t strictly-after, us <= t0 +
+    * window, min-per-key — so the two surfaces cannot diverge): one
+    * survivor table per stage, each materialized via `mat` so no level
+    * ever re-runs the chain above it. */
+  private def funnelLevels(events: DataFrame, keyCol: String, tsCol: String,
+                           stageCol: String, stages: Seq[String],
+                           windowMicros: Long,
+                           mat: DataFrame => DataFrame): Seq[DataFrame] = {
     require(stages.nonEmpty, "need at least one funnel stage")
-    val spark = events.sparkSession
     val ev = events.select(col(keyCol).as("k"),
       unix_micros(col(tsCol).cast("timestamp")).as("us"), col(stageCol).as("stage"))
     val anchor = ev.filter(col("stage") === stages.head)
       .groupBy(col("k")).agg(min(col("us")).as("t"))
       .withColumn("t0", col("t"))
-    // persist each survivor set so counting level i never re-runs levels
-    // 0..i-1 (the survivor tables are one row per surviving key — tiny)
-    val levels = stages.tail.scanLeft(anchor.persist()) { (prev, st) =>
-      prev.join(ev.filter(col("stage") === st).select(col("k"),
+    stages.tail.scanLeft(mat(anchor)) { (prev, st) =>
+      mat(prev.join(ev.filter(col("stage") === st).select(col("k"),
           col("us")), Seq("k"))
         .filter(col("us") > col("t") && col("us") <= col("t0") + windowMicros)
-        .groupBy(col("k"), col("t0")).agg(min(col("us")).as("t"))
-        .persist()
+        .groupBy(col("k"), col("t0")).agg(min(col("us")).as("t")))
     }
+  }
+
+  def funnel(events: DataFrame, keyCol: String, tsCol: String,
+             stageCol: String, stages: Seq[String],
+             windowMicros: Long): DataFrame = {
+    val spark = events.sparkSession
+    // persist each survivor set so counting level i never re-runs levels
+    // 0..i-1 (the survivor tables are one row per surviving key — tiny)
+    val levels = funnelLevels(events, keyCol, tsCol, stageCol, stages,
+      windowMicros, _.persist())
     import spark.implicits._
     val counts = levels.map(_.count())
     levels.foreach(_.unpersist(false))
@@ -294,19 +306,8 @@ object Temporal {
   def funnelTimes(events: DataFrame, keyCol: String, tsCol: String,
                   stageCol: String, stages: Seq[String],
                   windowMicros: Long): DataFrame = {
-    require(stages.nonEmpty, "need at least one funnel stage")
-    val ev = events.select(col(keyCol).as("k"),
-      unix_micros(col(tsCol).cast("timestamp")).as("us"), col(stageCol).as("stage"))
-    val anchor = ev.filter(col("stage") === stages.head)
-      .groupBy(col("k")).agg(min(col("us")).as("t"))
-      .withColumn("t0", col("t")).localCheckpoint(true)
-    val levels = stages.tail.scanLeft(anchor) { (prev, st) =>
-      prev.join(ev.filter(col("stage") === st).select(col("k"),
-          col("us")), Seq("k"))
-        .filter(col("us") > col("t") && col("us") <= col("t0") + windowMicros)
-        .groupBy(col("k"), col("t0")).agg(min(col("us")).as("t"))
-        .localCheckpoint(true)
-    }
+    val levels = funnelLevels(events, keyCol, tsCol, stageCol, stages,
+      windowMicros, _.localCheckpoint(true))
     levels.zipWithIndex.map { case (df, i) =>
       df.select(col("k"), col("t0"), col("t"), lit(i + 1L).as("depth"))
     }.reduce(_ unionAll _)

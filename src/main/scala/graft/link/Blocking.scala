@@ -40,6 +40,9 @@ object Blocking {
     val spark = records.sparkSession
     val ranked0 = records
       .select(col(keyCol).cast("string").as("k"), col(idCol).cast("long").as("id"))
+      // null keys cannot take a place in the total order — dropped, the
+      // standard blocking behavior (and fuzzyJoin's)
+      .filter(col("k").isNotNull)
       .rdd.map(r => (r.getString(0), r.getLong(1)))
       .sortBy(identity) // range-partitioned total order (k, id)
       .zipWithIndex()
@@ -96,11 +99,13 @@ object Blocking {
                 catalog: DataFrame, cCol: String,
                 n: Int = 2, minJaccardPct: Int = 50,
                 maxGramPostings: Int = 10000): DataFrame = {
-    import graft.functions.GraftFunctions.word_shingles
+    import graft.functions.GraftFunctions.char_ngrams
     def prep(df: DataFrame, c: String, side: String): DataFrame = df
       .select(col(c).cast("string").as("s"))
       .filter(col("s").isNotNull).distinct()
-      .select(col("s"), word_shingles(split(col("s"), ""), n).as("g"))
+      // native code-point n-gram walk (one compiled pass), distinct set
+      // semantics via array_distinct — no per-character regex split
+      .select(col("s"), array_distinct(char_ngrams(col("s"), n)).as("g"))
       .filter(size(col("g")) > 0)
       .withColumn("side", lit(side))
     val strs = prep(queries, qCol, "q").unionAll(prep(catalog, cCol, "c"))

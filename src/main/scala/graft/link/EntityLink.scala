@@ -155,7 +155,11 @@ object EntityLink {
         .withColumn(outCol, coalesce(col("component"), col(idCol)))
         .drop("id", "component")
     val m = normalizedMentions(mentions)
-    val cands = canonize(m.join(broadcast(dict), Seq("alias")), "entity_id", "cand_canon")
+    // cands feeds BOTH the coherence votes and the final election —
+    // materialize once (the reused-intermediate convention) so the
+    // mention scan + dictionary + canon joins never run twice
+    val cands = canonize(m.join(broadcast(dict), Seq("alias")),
+      "entity_id", "cand_canon").localCheckpoint(true)
     val ctx = canonize(
         m.select(col("url"), col("alias")).distinct()
           .join(broadcast(dict.filter(col("prior") === 1.0)), Seq("alias")),

@@ -457,14 +457,23 @@ object StreamIngest {
    *     per kept vector; int8 quantization halves deployment footprint,
    *     kept exact here). `compactState` bounds the file count.
    *
+   * The cross-batch probe is HOT-BUCKET GUARDED: prior-state buckets
+   * holding more than `maxSeenBucket` vectors are excluded from the
+   * join LOUDLY (`Dedup.lastDropReport("embeddingNearDupStream")`) —
+   * without it a degenerate bucket accumulating over the stream's
+   * lifetime turns every batch's verify join quadratic. Default
+   * geometry is 64 planes / 4 bands = 16-bit buckets (the simhash band
+   * width), so unrelated vectors spread over 65k buckets per band.
+   *
    * Returns the kept rows of this batch. Same documented incremental
    * semantics as text near-dup: a chain crossing batches collapses only
    * through kept representatives.
    */
   def embeddingNearDupBatchStep(batch: DataFrame, stateRoot: String,
                                 batchId: Long, threshold: Double = 0.95,
-                                planes: Int = 16, bands: Int = 4,
-                                maxBucket: Int = 256): DataFrame = {
+                                planes: Int = 64, bands: Int = 4,
+                                maxBucket: Int = 256,
+                                maxSeenBucket: Int = 1024): DataFrame = {
     import graft.ops.{Dedup, Similarity}
     import graft.core.TableIO
     val spark = batch.sparkSession
@@ -480,8 +489,21 @@ object StreamIngest {
     val kept =
       if (!stateExists) reps
       else {
-        val seen = priorBandedState(spark, stateRoot, batchId)
+        val seen0 = priorBandedState(spark, stateRoot, batchId)
           .select(col("band"), col("bucket"), col("embedding").as("seen_vec"))
+          .localCheckpoint()
+        // size every prior bucket first (one counter per bucket), drop
+        // the hot ones loudly — the idPairsFromBuckets contract applied
+        // to the cross-batch state
+        val sizes = seen0.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("bsz")).localCheckpoint()
+        val dropRow = sizes.filter(col("bsz") > maxSeenBucket)
+          .agg(count(lit(1)), coalesce(sum(col("bsz")), lit(0L))).head()
+        Dedup.lastDropReport("embeddingNearDupStream") =
+          (dropRow.getLong(0), dropRow.getLong(1))
+        val seen = seen0.join(
+          sizes.filter(col("bsz") <= maxSeenBucket)
+            .select(col("band"), col("bucket")), Seq("band", "bucket"))
         val dropped = Dedup.signlshBanded(reps, planes, bands)
           .join(reps, Seq("vec_id"))
           .join(seen, Seq("band", "bucket"))

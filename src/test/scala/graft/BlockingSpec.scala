@@ -52,6 +52,11 @@ class BlockingSpec extends SparkSpec {
     assert(Blocking.sortedNeighborhood(one, "k", "id", w = 2).count() == 0L)
     assert(Blocking.sortedNeighborhood(one.filter(col("id") < 0L), "k", "id",
       w = 3).count() == 0L)
+    // null keys drop instead of NPE-ing the sort
+    val withNull = Seq((Some("a"), 1L), (None, 2L), (Some("b"), 3L))
+      .toDF("k", "id")
+    assert(rows(Blocking.sortedNeighborhood(withNull, "k", "id", w = 2)) ===
+      Set((1L, 3L, "a", "b", 1L)))
   }
 
   private def bigrams(s: String): Set[String] =

@@ -36,6 +36,15 @@ class ClusterMetricsSpec extends SparkSpec {
     assert(run(single) == ((0L, 0L, 0L, 2L)))
   }
 
+  test("pairConfusion: empty input reads as zeros, not a NULL row") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long, Long)].toDF("id", "a", "b")
+    val r = ClusterMetrics.pairConfusion(empty, "a", "b").collect()
+    assert(r.length == 1)
+    assert((r(0).getLong(0), r(0).getLong(1), r(0).getLong(2),
+      r(0).getLong(3)) == ((0L, 0L, 0L, 0L)))
+  }
+
   test("pairConfusion: random labelings brute-force twin, partition-invariant") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
