@@ -446,4 +446,24 @@ class PlanSpec extends SparkSpec {
         !p.contains("BroadcastNestedLoopJoin"), s"$name:\n${p.take(2000)}")
     }
   }
+
+  test("q168/q171: card window keyed by subject, weighted PR keyed joins") {
+    import org.apache.spark.sql.functions.col
+    val tr = graft.Pipeline.triples(spark, sf).toDF()
+    // entity card: the predicate-df side broadcasts; the rank window is
+    // PARTITIONED (by subj) — never a single-partition global sort
+    val pCard = plan(graft.kg.Triples.entityCard(tr, k = 3))
+    assert(pCard.contains("BroadcastHashJoin"), pCard.take(2000))
+    assert(pCard.contains("partition"), pCard.take(2000))
+    // weighted PageRank (distributed path via threshold 0): keyed
+    // equi-joins only, partial-agg weight sums
+    val edgesW = tr.filter(col("subj") =!= col("obj"))
+      .groupBy(col("subj").as("src"), col("obj").as("dst"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("w"))
+    val pPr = plan(graft.kg.PageRank.runWeighted(edgesW, iterations = 1,
+      smallGraphThreshold = 0L))
+    assert(!pPr.contains("CartesianProduct") &&
+      !pPr.contains("BroadcastNestedLoopJoin"), pPr.take(2000))
+  }
 }
