@@ -193,6 +193,13 @@ object SparkEntry {
     // independent sequential PQ twin
     "q78_ann_pq" -> ((s, dir) =>
       Similarity.pqTopK(s.read.parquet(t(dir, "embeddings")), col("vec_id") < 20, 10)),
+    // composed IVF-PQ (Jégou et al. 2011 §IV): the trained coarse quantizer
+    // prunes the ADC scan to nProbe lists per query — the 10^10-vector
+    // serving plan (pqTopK's flat scan isolates the PQ contribution; this
+    // is the production composition); golden-oracled vs the sequential
+    // coarse-kmeans + probe-filtered ADC twin
+    "q173_ann_ivf_pq" -> ((s, dir) =>
+      Similarity.ivfPqTopK(s.read.parquet(t(dir, "embeddings")), col("vec_id") < 20, 10)),
     // SemDeDup (Abbas et al. 2023): k-means clusters -> exact within-cluster
     // cosine pairs (triangle-blocked all-pairs join) -> CC duplicate groups,
     // keep the least-centroid-similar representative; golden-oracled vs an
@@ -200,9 +207,12 @@ object SparkEntry {
     "q67_semdedup" -> ((s, dir) =>
       Similarity.semDedup(s.read.parquet(t(dir, "embeddings")), threshold = 0.4)),
     "q32_embedding_neardup" -> ((s, dir) =>
-      // 0.4: the synthetic embeddings' most-similar pairs sit around
-      // 0.45-0.6 cosine; 0.95-style near-dup recall is property-tested on
-      // planted duplicates in OpsSpec
+      // 0.4: the synthetic embeddings hold no true near-dups (their
+      // most-similar pairs sit around 0.45-0.6 cosine), so at the honest
+      // 64/4 production geometry the 16-bit bands surface only the most
+      // collinear few — the row matters as the banding+verify machinery's
+      // oracle; design-point (cosine 0.95+) recall is property-tested on
+      // planted duplicates at up to 50k vectors in GoldenTwinSpec
       Dedup.embeddingNearDup(s.read.parquet(t(dir, "embeddings")), threshold = 0.4)
         .select(col("v1"), col("v2"), round(col("cosine"), 6).as("cosine"))),
     "q33_fingerprint" -> ((s, dir) =>
@@ -215,6 +225,17 @@ object SparkEntry {
       Multimodal.frameSample(
         Multimodal.extract(Multimodal.syntheticMedia(s.read.parquet(t(dir, "documents")))))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sampled"))
+    }),
+    // real in-JDK WAV decode (javax.sound.sampled): sample rate / channel
+    // count / PCM frame count read from the actual RIFF bitstream; the
+    // golden twin predicts every field analytically from the synthetic
+    // audio spec without touching the codec
+    "q174_audio_meta" -> ((s, dir) => {
+      Multimodal.extract(Multimodal.syntheticMedia(s.read.parquet(t(dir, "documents"))))
+        .toDF().filter(col("media_type") === "audio/wav")
+        .select(col("doc_id"), col("width").cast("long").as("sample_rate"),
+          col("height").cast("long").as("channels"),
+          col("n_frames").cast("long").as("n_frames"), col("n_bytes"))
     }),
     // transitive near-dup clusters: LSH pairs -> connected components ->
     // keep-list (A~B, B~C collapse to one representative without an A~C pair)
@@ -1428,6 +1449,7 @@ object SparkEntry {
     "q67_semdedup" -> golden("q67_semdedup"),
     "q33_fingerprint" -> golden("q33_fingerprint"),
     "q35_frame_sample" -> golden("q35_frame_sample"),
+    "q174_audio_meta" -> golden("q174_audio_meta"),
     "q41_sentences" -> golden("q41_sentences"),
     "q42_mentions" -> golden("q42_mentions"),
     "q43_tagged_tokens" -> golden("q43_tagged_tokens"),
@@ -2819,6 +2841,7 @@ object SparkEntry {
     "q65_packing_subwords" -> golden("q65_packing_subwords"),
     "q66_ann_ivf_trained" -> golden("q66_ann_ivf_trained"),
     "q78_ann_pq" -> golden("q78_ann_pq"),
+    "q173_ann_ivf_pq" -> golden("q173_ann_ivf_pq"),
     // INDEPENDENT oracle: constructs the expected canonical form from
     // (source, doc_id) directly — never re-runs a canonicalizer. Tracking
     // params (utm_source, ref) vanish; surviving params byte-sorted

@@ -30,8 +30,12 @@ object ClusterMetrics {
     * @return one row (tp_pairs, a_pairs, b_pairs, n_items) */
   def pairConfusion(items: DataFrame, aCol: String, bCol: String): DataFrame = {
     // n*(n-1) is even, so a right shift is the exact integer halving
-    // (Column./ is DOUBLE division — exactness would die past 2^53)
-    def c2(n: org.apache.spark.sql.Column) = shiftright(n * (n - lit(1L)), 1)
+    // (Column./ is DOUBLE division — exactness would die past 2^53).
+    // UNSIGNED shift: for n in [~3.04e9, ~4.3e9] the product n*(n-1)
+    // wraps negative in signed Long, but the wrapped bit pattern is the
+    // correct value mod 2^64 and C(n,2) < 2^63, so the unsigned halving
+    // recovers it exactly — a signed (sign-extending) shift would not.
+    def c2(n: org.apache.spark.sql.Column) = shiftrightunsigned(n * (n - lit(1L)), 1)
     val cells = items.groupBy(col(aCol).as("a"), col(bCol).as("b"))
       .agg(count(lit(1)).as("n"))
     // coalesce: zero input rows must read as (0,0,0,0), not one NULL row

@@ -52,6 +52,8 @@ object GoldenGen {
     write("q36_dedup_clusters", q36DedupClusters(docs), "doc_id", "keep_id")
     write("q49_media_resize", q49Resize(docs))
     write("q34_multimodal_meta", q34MultimodalMeta(docs), "doc_id", "media_type", "n_bytes")
+    write("q174_audio_meta", q174AudioMeta(docs),
+      "doc_id", "sample_rate", "channels", "n_frames", "n_bytes")
     write("q51_sequence_packing", q51Pack(docs, budget = 512L),
       "doc_id", "n_tokens", "bucket", "pack_id")
     write("q38_hash_sample", q38HashSample(docs, pctKeep = 37).map(Tuple1(_)), "doc_id")
@@ -68,6 +70,8 @@ object GoldenGen {
     write("q65_packing_subwords", q65PackBySubwords(docs),
       "doc_id", "n_tokens", "bucket", "pack_id")
     write("q66_ann_ivf_trained", q66IvfTrained(vecs),
+      "query_id", "neighbor_id", "rank")
+    write("q173_ann_ivf_pq", q173IvfPqTopK(vecs),
       "query_id", "neighbor_id", "rank")
     write("q78_ann_pq", q78PqTopK(vecs),
       "query_id", "neighbor_id", "rank")

@@ -267,9 +267,13 @@ object SequentialTwin {
     def aliasOf(m: Mention): String =
       splitKeepAll(m.surface)(0).toLowerCase(java.util.Locale.ROOT)
     // page context: canonical exact-match entity per distinct dict alias
+    // flatMap over the exact-match lookup: an alias whose candidate list
+    // has no prior-1.0 entry contributes no context entity (mirrors
+    // production linkCoherent instead of throwing NoSuchElementException)
     val ctxByUrl: Map[String, Set[Long]] = ms.groupBy(_.url).map { case (u, mm) =>
       u -> mm.iterator.map(aliasOf).flatMap(a =>
-        dict.get(a).map(cands => canon.canon(cands.find(_._2 == 1.0).get._1))).toSet
+        dict.get(a).toSeq.flatMap(cands =>
+          cands.find(_._2 == 1.0).map(c => canon.canon(c._1)))).toSet
     }
     ms.flatMap { m =>
       dict.get(aliasOf(m)).map { cands =>
@@ -948,9 +952,10 @@ object SequentialTwin {
     if (acc > 0) 1 else 0
   }
 
-  /** q32 rows: (v1, v2, cosine rounded 6) via 16-plane / 4-band sign-LSH. */
+  /** q32 rows: (v1, v2, cosine rounded 6) via 64-plane / 4-band sign-LSH
+    * (the production default — 16-bit buckets per band). */
   def q32EmbeddingNearDup(vecs: Seq[(Long, Array[Float])], threshold: Double = 0.5,
-                          planes: Int = 16, bands: Int = 4, maxBucket: Int = 256): Seq[(Long, Long, Double)] = {
+                          planes: Int = 64, bands: Int = 4, maxBucket: Int = 256): Seq[(Long, Long, Double)] = {
     val rows = planes / bands
     val byId = vecs.toMap
     val banded = vecs.flatMap { case (id, v) =>
@@ -1077,7 +1082,17 @@ object SequentialTwin {
     * everywhere — bit-identical operand order to production. */
   def q78PqTopK(vecs: Seq[(Long, Array[Float])], queryMax: Long = 20L,
                 k: Int = 10, m: Int = 8, nCodes: Int = 16,
-                iters: Int = 3, fanout: Int = 16): Seq[(Long, Long, Int)] = {
+                iters: Int = 3, fanout: Int = 16): Seq[(Long, Long, Int)] =
+    twinPqAdc(vecs, queryMax, k, m, nCodes, iters, fanout, (_, _) => true)
+
+  /** The PQ ADC pipeline with a per-(query, neighbor) admission predicate —
+    * `keep = always` is the flat q78 scan; the q173 IVF-PQ twin admits only
+    * neighbors whose coarse list the query probes. Scores and ordering are
+    * byte-for-byte those of the flat scan for every admitted pair. */
+  private def twinPqAdc(vecs: Seq[(Long, Array[Float])], queryMax: Long,
+                        k: Int, m: Int, nCodes: Int,
+                        iters: Int, fanout: Int,
+                        keep: (Long, Long) => Boolean): Seq[(Long, Long, Int)] = {
     if (vecs.isEmpty) return Nil
     val dim = vecs.head._2.length
     require(dim % m == 0)
@@ -1119,7 +1134,7 @@ object SequentialTwin {
         }
       }
       codes.iterator
-        .filter(_._1 != qid)
+        .filter { case (nid, _) => nid != qid && keep(qid, nid) }
         .map { case (nid, code) =>
           var ip = 0.0; var ns = 0.0
           for (s <- 0 until m) { ip += lut(s)(code(s)); ns += normSq(s)(code(s)) }
@@ -1130,6 +1145,27 @@ object SequentialTwin {
         .take(k).zipWithIndex
         .map { case ((_, nid), r) => (qid, nid, r + 1) }
     }
+  }
+
+  /** q173 rows: composed IVF-PQ — independent sequential coarse k-means
+    * (twinKmeans, cosine) assigns every vector to one list; each query
+    * probes its nProbe best lists (cosine desc, cid asc) and the flat PQ
+    * ADC scan (twinPqAdc, the q78 machinery verbatim) admits only
+    * neighbors in probed lists. */
+  def q173IvfPqTopK(vecs: Seq[(Long, Array[Float])], queryMax: Long = 20L,
+                    k: Int = 10, nList: Int = 16, nProbe: Int = 4,
+                    m: Int = 8, nCodes: Int = 16,
+                    iters: Int = 3, fanout: Int = 16): Seq[(Long, Long, Int)] = {
+    if (vecs.isEmpty) return Nil
+    val coarse = twinKmeans(vecs, nList, iters, fanout)
+    val assign: Map[Long, Long] =
+      vecs.map { case (id, v) => id -> twinNearest(v, coarse)._1 }.toMap
+    val probed: Map[Long, Set[Long]] = vecs.filter(_._1 < queryMax).map { case (qid, qv) =>
+      qid -> coarse.map { case (cid, cv) => (cosine(qv, cv), cid) }
+        .sortBy { case (s, cid) => (-s, cid) }.take(nProbe).map(_._2).toSet
+    }.toMap
+    twinPqAdc(vecs, queryMax, k, m, nCodes, iters, fanout,
+      (qid, nid) => probed(qid).contains(assign(nid)))
   }
 
   def q66IvfTrained(vecs: Seq[(Long, Array[Float])], queryMax: Long = 20L,
@@ -1441,14 +1477,59 @@ object SequentialTwin {
     pngEncode(w, h, (x, y) => twinPixel(docId, x, y))
   }
 
+  /** The twin's OWN re-derivation of the synthetic-audio spec (the
+    * `Multimodal.synthAudioSpec` scaladoc contract — no shared code):
+    * rate = 8000·(1 + id mod 3) Hz, channels = 1 + id mod 2,
+    * frames = 256 + id mod 512. Returns (rate, channels, frames). */
+  def twinAudioSpec(docId: Long): (Int, Int, Int) = {
+    val rate = 8000 * (1 + (((docId % 3) + 3) % 3)).toInt
+    val channels = 1 + (((docId % 2) + 2) % 2).toInt
+    val frames = 256 + (((docId % 512) + 512) % 512).toInt
+    (rate, channels, frames)
+  }
+
+  /** Canonical RIFF PCM size the codec must emit for that spec: a
+    * 44-byte header + 16-bit samples — predicted WITHOUT the codec. */
+  def twinWavBytes(docId: Long): Long = {
+    val (_, channels, frames) = twinAudioSpec(docId)
+    44L + frames.toLong * channels * 2
+  }
+
+  /** The documented amp formula, re-derived: ((31·id + 7·i + 13·c) mod
+    * 65536) − 32768. */
+  def twinAmp(docId: Long, frame: Int, channel: Int): Int =
+    ((((31L * docId + 7L * frame + 13L * channel) % 65536L) + 65536L) % 65536L).toInt - 32768
+
+  /** The 8-dim audio feature predicted analytically: mean |amp| of
+    * channel 0 over 8 equal frame segments, Long sum then one double
+    * division per segment (/32768) — the decode scaladoc's contract. */
+  def twinAudioFeature(docId: Long): Array[Float] = {
+    val (_, _, frames) = twinAudioSpec(docId)
+    Array.tabulate(8) { s =>
+      val lo = s * frames / 8; val hi = (s + 1) * frames / 8
+      var sum = 0L
+      var j = lo
+      while (j < hi) { sum += math.abs(twinAmp(docId, j, 0).toLong); j += 1 }
+      if (hi > lo) (sum.toDouble / ((hi - lo) * 32768.0)).toFloat else 0f
+    }
+  }
+
+  /** q174 rows: (doc_id, sample_rate, channels, n_frames, n_bytes) for
+    * audio docs (doc_id % 3 == 1) — every field analytic, no codec. */
+  def q174AudioMeta(docs: Seq[Doc]): Seq[(Long, Long, Long, Long, Long)] =
+    docs.filter(d => d.docId % 3 == 1).map { d =>
+      val (rate, channels, frames) = twinAudioSpec(d.docId)
+      (d.docId, rate.toLong, channels.toLong, frames.toLong, twinWavBytes(d.docId))
+    }
+
   /** q34 rows: (doc_id, media_type, n_bytes) — image rows sized by the
-    * twin's own PNG construction, audio/video by the UTF-8 text bytes. */
+    * twin's own PNG construction, audio rows by the analytic RIFF size
+    * prediction (real WAVs downstream), video by the UTF-8 text bytes. */
   def q34MultimodalMeta(docs: Seq[Doc]): Seq[(Long, String, Long)] =
     docs.map { d =>
       (d.docId % 3) match {
         case 0 => (d.docId, "image/png", twinPngBytes(d.docId).length.toLong)
-        case 1 => (d.docId, "audio/wav",
-          d.text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong)
+        case 1 => (d.docId, "audio/wav", twinWavBytes(d.docId))
         case _ => (d.docId, "video/mp4",
           d.text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong)
       }

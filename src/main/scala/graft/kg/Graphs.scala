@@ -284,7 +284,10 @@ object Graphs {
     val nh = deg.groupBy(col("deg").as("d")).agg(count(lit(1)).as("nc"))
     val eh = edgeMin.groupBy(col("md").as("d")).agg(count(lit(1)).as("ec"))
     // suffix sums over the joint (tiny) threshold axis: rows with value
-    // STRICTLY above k — shift the descending cumulative by the own row
+    // STRICTLY above k — shift the descending cumulative by the own row.
+    // BOUNDED UNPARTITIONED WINDOW: its input is one row per DISTINCT
+    // degree value (<= max degree — thousands even on a 10^12-edge graph),
+    // never the node or edge table, so the single-task sort is O(|degrees|)
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("d").desc)
     val joint = nh.join(eh, Seq("d"), "full")
       .select(col("d"), coalesce(col("nc"), lit(0L)).as("nc"),

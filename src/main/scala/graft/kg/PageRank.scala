@@ -162,7 +162,9 @@ object PageRank {
    * exactly when every weight is equal (spec-tested). Overflow bound:
    * maxRank · 85 · maxW < 2^63 with maxRank <= N · Scale — at
    * Scale = 1e9 that allows N · maxW up to ~10^8, and the caller drops
-   * Scale a decade per decade of weight mass beyond it.
+   * Scale a decade per decade of weight mass beyond it. The bound is
+   * ENFORCED at entry (a loud require over BigInt N·scale·85·maxW), not
+   * just documented.
    *
    * Same adaptive driver fallback / distributed-loop split as [[run]],
    * equality-tested at threshold 0. Duplicate (src, dst) rows pre-SUM
@@ -181,6 +183,23 @@ object PageRank {
       .filter(col("src") =!= col("dst") && col("w") > 0)
       .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
       .localCheckpoint(true)
+    // LOUD overflow guard (the scaladoc bound, enforced like
+    // harmonicDenominator's): any node's rank is bounded by the total
+    // initial mass N*scale (the recurrence never creates mass), so the
+    // contribution product rank*85*w stays inside Long iff
+    // N*scale*85*maxW < 2^63. Checked in BigInt; one tiny extra agg +
+    // distinct-count over the (already checkpointed) edge table.
+    locally {
+      val mwRow = raw.agg(max(col("w"))).head()
+      if (!mwRow.isNullAt(0)) {
+        val maxW = mwRow.getLong(0)
+        val n = raw.select(col("src").as("id"))
+          .union(raw.select(col("dst").as("id"))).distinct().count()
+        require(BigInt(n) * scale * 85 * maxW < BigInt(Long.MaxValue),
+          s"runWeighted overflow: n=$n nodes * scale=$scale * 85 * maxW=$maxW " +
+            "exceeds Long range — drop `scale` a decade per decade of weight mass")
+      }
+    }
     if (raw.count() <= smallGraphThreshold) {
       val spark = edgesW.sparkSession
       import spark.implicits._

@@ -384,20 +384,18 @@ object Triples {
    * df ASC, pred ASC, obj ASC) within each subject, top-k kept.
    *
    * Shape: one distinct, ONE small predicate-df aggregation broadcast
-   * onto the fact scan, one per-subject window (keyed by subj — groups
-   * are entity fan-outs, never a global sort).
+   * onto the fact scan, then a bounded k-heap fact-rank aggregate
+   * ([[graft.ops.FactRankAgg]]) keyed by subj — a MEGA-SUBJECT (a
+   * celebrity entity with 10^7 facts) costs O(k) state per map partial,
+   * never a single-task sort of its whole fan-out (the per-subject
+   * `row_number` window this replaces did exactly that).
    *
    * @return (subj, pred, obj, pred_df, rank) with rank <= k
    */
   def entityCard(triples: DataFrame, k: Int): DataFrame = {
     val t = triples.select(col("subj"), col("pred"), col("obj")).distinct()
     val df = t.groupBy(col("pred")).agg(count(lit(1)).as("pred_df"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("subj"))
-      .orderBy(col("pred_df").asc, col("pred").asc, col("obj").asc)
-    t.join(broadcast(df), Seq("pred"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("subj"), col("pred"), col("obj"), col("pred_df"), col("rank"))
+    graft.ops.TopK.rankFacts(t.join(broadcast(df), Seq("pred")), k)
   }
 
   /**

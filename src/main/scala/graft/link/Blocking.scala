@@ -108,21 +108,25 @@ object Blocking {
       .select(col("s"), array_distinct(char_ngrams(col("s"), n)).as("g"))
       .filter(size(col("g")) > 0)
       .withColumn("side", lit(side))
-    val strs = prep(queries, qCol, "q").unionAll(prep(catalog, cCol, "c"))
-      .persist()
+    // every persisted intermediate registers here so the finally-block
+    // unpins them even when the join/verify stages throw (a failed call
+    // must not leave cached frames pinned for the session's lifetime)
+    val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def pin(df: DataFrame): DataFrame = { pinned += df.persist(); df }
+    try {
+    val strs = pin(prep(queries, qCol, "q").unionAll(prep(catalog, cCol, "c")))
     val grams = strs.select(col("side"), col("s"),
       size(col("g")).cast("long").as("gsz"), explode(col("g")).as("gram"))
     val freq = grams.groupBy(col("gram")).agg(count(lit(1)).as("freq"))
     val w = Window.partitionBy(col("side"), col("s"))
       .orderBy(col("freq"), col("gram"))
-    val prefixes = grams.join(freq, Seq("gram"))
+    val prefixes = pin(grams.join(freq, Seq("gram"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <=
         col("gsz") - floor((col("gsz") * minJaccardPct + 99) / 100) + 1)
-      .select(col("side"), col("gram"), col("s"), col("gsz"))
-      .persist()
-    val postings = prefixes.groupBy(col("gram"), col("side"))
-      .agg(count(lit(1)).as("psz")).persist()
+      .select(col("side"), col("gram"), col("s"), col("gsz")))
+    val postings = pin(prefixes.groupBy(col("gram"), col("side"))
+      .agg(count(lit(1)).as("psz")))
     val okGrams = postings.groupBy(col("gram"))
       .agg(max(col("psz")).as("mx")).filter(col("mx") <= maxGramPostings)
       .select(col("gram"))
@@ -153,7 +157,7 @@ object Blocking {
       log.warn(s"[fuzzyJoin] dropped ${dropRow.getLong(0)} hot prefix " +
         s"gram posting list(s) covering ${dropRow.getLong(1)} slots " +
         s"(cap=$maxGramPostings)")
-    Seq(strs, prefixes, postings).foreach(_.unpersist(false))
     out
+    } finally pinned.foreach(_.unpersist(false))
   }
 }

@@ -706,12 +706,27 @@ object Dedup {
     * MULTI-BAND random-hyperplane sign-LSH (the minhashLsh banding pattern)
     * and verified by true cosine. `planes` sign bits are split into `bands`
     * bands of planes/bands bits; a pair is a candidate if ANY band's bits
-    * all agree — for cosine-0.95 pairs (theta ~ 18deg, per-plane agreement
-    * ~0.9) the 4x4 default catches ~98.6% vs ~43% for the single 8-plane
-    * band it replaces. Recall is property-tested on planted near-dups.
-    * An empty input returns an empty (v1, v2, cosine) result. */
+    * all agree. Recall math (Charikar sign-LSH): per-plane agreement
+    * p = 1 - theta/pi, band hit p^(planes/bands), recall
+    * 1-(1-p^r)^bands — at the 64/4 default (r = 16), TRUE duplicates
+    * (cosine 0.999, p~0.99) are caught at ~0.9995 (property-tested on
+    * planted near-dups, incl. at 50k vectors), cosine-0.95 pairs at
+    * ~0.55; a caller needing high recall at the looser end raises
+    * `bands` while keeping r = 16 (planes = 16*bands: 256/16 gives
+    * ~0.96 at cosine 0.95) — r below ~16 shrinks the bucket space into
+    * the hot-bucket cap instead (see the constraint below). An empty
+    * input returns an empty (v1, v2, cosine) result.
+    *
+    * GEOMETRY CONSTRAINT (the scale bound): each band hashes the corpus
+    * into 2^(planes/bands) buckets, and any bucket past `maxBucket` is
+    * LOUDLY dropped (hot-bucket cap) — so the bucket space per band MUST
+    * exceed |corpus| / maxBucket or every bucket saturates and the
+    * operator finds nothing. The 64/4 default gives 2^16 buckets per band
+    * (~16M vectors at the default cap); the old 16/4 default gave 16 (!)
+    * bucket values per band and died past ~4k vectors. Matches the
+    * streaming twin's geometry (StreamIngest.embeddingNearDupBatchStep). */
   def embeddingNearDup(emb: DataFrame, threshold: Double = 0.95,
-                       planes: Int = 16, bands: Int = 4, maxBucket: Int = 256): DataFrame = {
+                       planes: Int = 64, bands: Int = 4, maxBucket: Int = 256): DataFrame = {
     require(planes % bands == 0, "planes must be divisible by bands")
     val rows = planes / bands
     // The hyperplane weights are constants of (plane, position) — a model

@@ -61,9 +61,54 @@ object Multimodal {
   private[graft] def isPng(blob: Array[Byte]): Boolean =
     blob.length >= 8 && (blob(0) & 0xff) == 0x89 && blob(1) == 'P' && blob(2) == 'N' && blob(3) == 'G'
 
-  /** Deterministic synthetic media blobs — image rows carry a REAL PNG
-    * (decoded by the real `javax.imageio` path downstream); audio/video
-    * rows carry opaque text-derived bytes for the disclosed stub codec. */
+  /** Synthetic-audio SPEC (the analytic contract the twin re-derives
+    * without the codec): sample rate = 8000·(1 + doc_id mod 3) Hz,
+    * channels = 1 + doc_id mod 2, frames = 256 + doc_id mod 512; 16-bit
+    * signed little-endian PCM, frame i channel c carrying
+    * amp = ((31·doc_id + 7·i + 13·c) mod 65536) − 32768. Canonical RIFF:
+    * n_bytes = 44 + frames·channels·2. Returns (rate, channels, frames). */
+  def synthAudioSpec(docId: Long): (Int, Int, Int) =
+    (8000 * (1 + Math.floorMod(docId, 3L).toInt),
+      1 + Math.floorMod(docId, 2L).toInt,
+      256 + Math.floorMod(docId, 512L).toInt)
+
+  def synthAmp(docId: Long, frame: Int, channel: Int): Int =
+    Math.floorMod(31L * docId + 7L * frame + 13L * channel, 65536L).toInt - 32768
+
+  /** A REAL deterministic WAV for audio rows (javax.sound.sampled — in
+    * the JDK, no external codec dep), samples per [[synthAmp]]. */
+  def wavFor(docId: Long): Array[Byte] = {
+    val (rate, channels, frames) = synthAudioSpec(docId)
+    val data = new Array[Byte](frames * channels * 2)
+    var i = 0
+    while (i < frames) {
+      var c = 0
+      while (c < channels) {
+        val v = synthAmp(docId, i, c)
+        val off = (i * channels + c) * 2
+        data(off) = (v & 0xff).toByte
+        data(off + 1) = ((v >> 8) & 0xff).toByte
+        c += 1
+      }
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, channels, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  private[graft] def isRiffWave(blob: Array[Byte]): Boolean =
+    blob.length >= 12 && blob(0) == 'R' && blob(1) == 'I' && blob(2) == 'F' &&
+      blob(3) == 'F' && blob(8) == 'W' && blob(9) == 'A' && blob(10) == 'V' && blob(11) == 'E'
+
+  /** Deterministic synthetic media blobs — image rows carry a REAL PNG,
+    * audio rows a REAL WAV (both decoded by real in-JDK codecs
+    * downstream); video rows carry opaque text-derived bytes for the
+    * disclosed stub codec (no video codec ships in the JDK). */
   def syntheticMedia(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -75,9 +120,11 @@ object Multimodal {
             case 1L => "audio/wav"
             case _  => "video/mp4"
           }
-          val blob =
-            if (mt == "image/png") pngFor(id)
-            else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val blob = mt match {
+            case "image/png" => pngFor(id)
+            case "audio/wav" => wavFor(id)
+            case _           => text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          }
           (id, mt, blob)
         }
       }
@@ -113,7 +160,44 @@ object Multimodal {
         ((corner >> 16) & 0xff) / 255f, ((corner >> 8) & 0xff) / 255f,
         (corner & 0xff) / 255f)
       (w, h, 1, feat)
-    } else decodeStub(mediaType, blob)
+    } else if (mediaType == "audio/wav" && isRiffWave(blob)) decodeWav(blob)
+    else decodeStub(mediaType, blob)
+
+  /** REAL WAV decode via `javax.sound.sampled` (in the JDK): metadata
+    * read from the actual RIFF bitstream — in the returned tuple, width
+    * carries the SAMPLE RATE (Hz), height the CHANNEL count, n_frames
+    * the PCM frame count (duration = n_frames / rate). The 8-dim feature
+    * is the mean |amplitude| of channel 0 over 8 equal frame segments
+    * (Long accumulation, ONE double division per segment, /32768) — so
+    * the analytic twin reproduces it bit-for-bit from the sample spec
+    * without ever touching the codec. */
+  def decodeWav(blob: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(blob))
+    try {
+      val fmt = in.getFormat
+      val rate = fmt.getSampleRate.toInt
+      val channels = fmt.getChannels
+      val frames = in.getFrameLength.toInt
+      val bytes = in.readAllBytes()
+      val feat = new Array[Float](8)
+      var s = 0
+      while (s < 8) {
+        val lo = s * frames / 8
+        val hi = (s + 1) * frames / 8
+        var sum = 0L
+        var j = lo
+        while (j < hi) {
+          val off = j * channels * 2 // channel 0, 16-bit LE
+          sum += math.abs(((bytes(off) & 0xff) | (bytes(off + 1) << 8)).toLong)
+          j += 1
+        }
+        feat(s) = if (hi > lo) (sum.toDouble / ((hi - lo) * 32768.0)).toFloat else 0f
+        s += 1
+      }
+      (rate, channels, frames, feat)
+    } finally in.close()
+  }
 
   /** STUB codec: a real implementation would decode the container and
     * return pixel/sample planes. This stand-in derives metadata and an

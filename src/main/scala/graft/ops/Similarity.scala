@@ -47,18 +47,19 @@ object Similarity {
 
   /** Exact top-k neighbors for each query vector (query ids given by
     * `queryFilter` over the same table). Returns
-    * (query_id, neighbor_id, rank) — rank 1 = most similar, self excluded. */
+    * (query_id, neighbor_id, rank) — rank 1 = most similar, self excluded.
+    * Ranking is the bounded k-heap aggregate ([[TopK.rankTopK]]) — the full
+    * scored set never sorts; each map task keeps k candidates per query and
+    * only k-entry buffers shuffle (a per-query `row_number` window would
+    * exchange every query's full candidate list to ONE task — the
+    * scale-killer in the family whose point is the 10^10-vector scan). */
   def bruteForceTopK(emb: DataFrame, queryFilter: Column, k: Int): DataFrame = {
     val queries = emb.filter(queryFilter)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val scored = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
       .join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("qv"), col("nv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(round(col("cosine"), 9).desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    TopK.rankTopK(scored, "query_id", "neighbor_id", round(col("cosine"), 9), k)
   }
 
   /** One coarse-quantizer centroid: id, vector, precomputed L2 norm. */
@@ -312,11 +313,69 @@ object Similarity {
     val scored = codes
       .join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
       .withColumn("score", pq_adc(col("code"), col("lut"), normSq))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(round(col("score"), 9).desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    // bounded k-heap ranking: the |codes| x |queries| scored set never
+    // sorts or exchanges whole — k-entry partial buffers only
+    TopK.rankTopK(scored, "query_id", "neighbor_id", round(col("score"), 9), k)
+  }
+
+  /**
+   * IVF-PQ composed search (Jégou et al. 2011 §IV — the serving plan the
+   * [[pqTopK]] scaladoc prescribes): the trained coarse quantizer prunes
+   * the ADC scan to each query's `nProbe` probed lists, so scan cost drops
+   * to ~nProbe/nList of the flat PQ scan while keeping the m-byte code
+   * footprint (the 10^10-vector configuration: codes + list ids are a
+   * one-time fact-table artifact; a query batch touches nProbe lists of
+   * m-byte codes each). Codes are the SAME raw-vector PQ codes as
+   * [[pqTopK]] (no residual re-encoding), so each surviving pair's ADC
+   * score is bit-identical to the flat scan's and recall loss vs flat PQ
+   * is exactly the coarse probe miss rate (reported by IvfPqSpec against
+   * the exact scan). Output (query_id, neighbor_id, rank), self excluded;
+   * ranking contract identical to the whole family (round-9 DESC, id ASC).
+   *
+   * Plan shape (plan-tested): one mapPartitions assignment pass over the
+   * broadcast coarse codebook (no shuffle, no explode), codes joined to
+   * the BROADCAST probe side on list_id (the big side never exchanges,
+   * and no Exchange keys on the nList-valued list_id), bounded k-heap
+   * top-k (no window).
+   */
+  def ivfPqTopK(emb: DataFrame, queryFilter: Column, k: Int,
+                nList: Int = 16, nProbe: Int = 4, m: Int = 8,
+                nCodes: Int = 16, iters: Int = 3, fanout: Int = 16): DataFrame = {
+    import graft.functions.GraftFunctions._
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val coarse = kmeansCodebook(emb, nList, iters, fanout)
+    if (coarse.isEmpty)
+      return emb.limit(0).select(col("vec_id").as("query_id"),
+        col("vec_id").as("neighbor_id"), lit(1).as("rank"))
+    val books = pqCodebooks(emb, m, nCodes, iters, fanout)
+    val normSq: Array[Double] = books.flatMap(_.map { cent =>
+      var ns = 0.0; var i = 0
+      while (i < cent.length) { ns += cent(i).toDouble * cent(i).toDouble; i += 1 }
+      ns
+    })
+    val bcCoarse = spark.sparkContext.broadcast(coarse)
+    // one partition-local pass: coarse list assignment (the float
+    // embedding column is read here at encode time and never again)
+    val assigned = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bcCoarse.value
+        it.map { case (id, v) => (id, v, nearestList(v, cs)) }
+      }.toDF("neighbor_id", "embedding", "list_id")
+    val codes = assigned.select(col("neighbor_id"), col("list_id"),
+      pq_encode(col("embedding"), books).as("code"))
+    val probes = emb.filter(queryFilter)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (qid, qv) =>
+        probeLists(qv, bcCoarse.value, nProbe).iterator.map(listId => (qid, qv, listId))
+      }.toDF("query_id", "qv", "list_id")
+      .select(col("query_id"), col("list_id"), pq_lut(col("qv"), books).as("lut"))
+    val scored = codes.join(broadcast(probes), Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", pq_adc(col("code"), col("lut"), normSq))
+    TopK.rankTopK(scored, "query_id", "neighbor_id", round(col("score"), 9), k)
   }
 
   private def ivfWithCodebook(emb: DataFrame, queryFilter: Column, k: Int,
@@ -351,12 +410,9 @@ object Similarity {
       .withColumn("cosine", cosine(col("qv"), col("embedding")))
     // unrounded ordering: cosine() sums in array order in double, which is
     // bit-identical to the scalar twin and to DuckDB's list_inner_product
-    // form — no rounding needed for deterministic cross-engine agreement
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
+    // form — no rounding needed for deterministic cross-engine agreement.
+    // Bounded k-heap ranking (TopK.rankTopK): no per-query window sort.
+    TopK.rankTopK(scored, "query_id", "vec_id", col("cosine"), k)
   }
 
   /**

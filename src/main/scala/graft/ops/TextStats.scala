@@ -454,6 +454,8 @@ object TextStats {
       .withColumn("log_w", (col("lp_t") - col("lp_r")) * col("n_grams"))
       .withColumn("gkey", col("log_w") - log(-log(u)))
       .orderBy(col("gkey").desc, col("doc_id").asc).limit(k)
+    // BOUNDED UNPARTITIONED WINDOW: `top` is the TakeOrdered(k) output —
+    // exactly k rows reach this rank window, never the corpus
     val out = top.withColumn("rank",
         row_number().over(Window.orderBy(col("gkey").desc, col("doc_id").asc)))
       .select(col("doc_id"), round(col("log_w"), 6).as("log_w"), col("rank"))

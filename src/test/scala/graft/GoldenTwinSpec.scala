@@ -233,6 +233,39 @@ class GoldenTwinSpec extends SparkSpec {
     assert(twin == sparkExact)
   }
 
+  test("embeddingNearDup at 50k vectors: 64/4 geometry keeps recall >= 0.95 with ZERO drops; old 16/4 drops everything") {
+    import spark.implicits._
+    // the round-4 scale defect: 16 planes / 4 bands = 16 bucket values per
+    // band, so past ~4k vectors EVERY band-bucket exceeds maxBucket=256 and
+    // the operator loudly drops all of them — while the 64/4 default (2^16
+    // buckets per band) stays drop-free well past this size
+    val dim = 32
+    val rng2 = new scala.util.Random(4242)
+    def randVec(): Array[Float] = Array.fill(dim)((rng2.nextDouble() * 2 - 1).toFloat)
+    val planted = (0 until 100).map { k =>
+      val v = randVec()
+      val nearDup = v.map(x => x + (rng2.nextDouble() * 0.02 - 0.01).toFloat)
+      (1_000_000L + 2 * k, v, 1_000_001L + 2 * k, nearDup)
+    }
+    val background = (0 until 50_000).map(k => (k.toLong, randVec()))
+    val rows = planted.flatMap { case (i1, v1, i2, v2) => Seq((i1, v1), (i2, v2)) } ++ background
+    val df = rows.toDF("vec_id", "embedding").repartition(16)
+
+    val found = Dedup.embeddingNearDup(df, threshold = 0.95) // 64/4 default
+      .select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = planted.count { case (i1, _, i2, _) => found.contains((i1, i2)) }.toDouble / planted.size
+    info(f"50k-vector recall at 64/4: $recall%.3f (${found.size} pairs, drops=${Dedup.lastDropReport("embeddingNearDup")})")
+    assert(recall >= 0.95, f"recall $recall%.3f < 0.95 at 50k vectors")
+    assert(Dedup.lastDropReport("embeddingNearDup") == ((0L, 0L)),
+      s"64/4 must not drop any bucket at 50k vectors: ${Dedup.lastDropReport("embeddingNearDup")}")
+
+    // negative control: the retired 16/4 geometry saturates every bucket
+    val old = Dedup.embeddingNearDup(df, threshold = 0.95, planes = 16, bands = 4)
+    assert(old.count() == 0, "16/4 at 50k vectors should drop every bucket and find nothing")
+    val (dropped, covered) = Dedup.lastDropReport("embeddingNearDup")
+    assert(dropped > 0 && covered > 0, s"expected loud drops from 16/4: ($dropped, $covered)")
+  }
+
   test("twin minhash pairs == distributed minhashLsh; dedup clusters are transitive") {
     import spark.implicits._
     // A~B and B~C are near-dups; A~C differs in 2 tokens (may or may not

@@ -190,6 +190,31 @@ class OpsSpec extends SparkSpec {
       Seq(SequentialTwin.twinImageDims(0L), SequentialTwin.twinImageDims(3L)))
   }
 
+  test("real WAV path: decode reads true rate/channels/frames; twin predicts all fields codec-free") {
+    import spark.implicits._
+    import graft.golden.SequentialTwin
+    // production decodes the actual RIFF stream; the twin never decodes —
+    // it predicts rate, channels, frames, byte size AND the amplitude
+    // feature in closed form from the synthetic-audio spec
+    for (id <- Seq(1L, 4L, 7L, 22L, 511L, 1024L + 1L)) {
+      val blob = Multimodal.wavFor(id)
+      assert(blob.length.toLong == SequentialTwin.twinWavBytes(id),
+        s"id=$id: codec size ${blob.length} != analytic RIFF prediction")
+      val (rate, channels, frames, feat) = Multimodal.decodeWav(blob)
+      assert((rate, channels, frames) == SequentialTwin.twinAudioSpec(id), s"id=$id meta")
+      assert(feat.toSeq == SequentialTwin.twinAudioFeature(id).toSeq,
+        s"id=$id: decoded feature diverges from the analytic twin")
+    }
+    // the distributed plumbing carries the real WAV end-to-end (audio rows
+    // are doc_id % 3 == 1)
+    val meta = Multimodal.extract(Multimodal.syntheticMedia(docs(1L -> "x", 4L -> "y")))
+      .collect().sortBy(_.doc_id)
+    assert(meta.map(m => (m.width, m.height, m.n_frames)).toSeq ==
+      Seq(SequentialTwin.twinAudioSpec(1L), SequentialTwin.twinAudioSpec(4L)))
+    assert(meta.map(_.n_bytes).toSeq ==
+      Seq(SequentialTwin.twinWavBytes(1L), SequentialTwin.twinWavBytes(4L)))
+  }
+
   test("multimodal extract: deterministic stub metadata, batch plumbing") {
     import spark.implicits._
     val meta = Multimodal.extract(Multimodal.syntheticMedia(docs(

@@ -85,16 +85,29 @@ class PlanSpec extends SparkSpec {
     assert(scanLine.contains("lang"), s"expected lang partition filter:\n${p.take(1200)}")
   }
 
-  test("IVF: assignment never shuffles — no Exchange on list_id, probes broadcast, one window") {
+  test("IVF: assignment never shuffles — no Exchange on list_id, probes broadcast, no window") {
     val p = plan(SparkEntry.queries("q31_ann_ivf")(spark, sf))
     // nearest-centroid assignment is a mapPartitions projection (no xNList
     // explode, no per-vector window); the nList-valued list_id must never
     // key an Exchange (it would cap parallelism at nList and skew)
     assert(!p.contains("hashpartitioning(list_id"), p.take(3000))
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
-    // exact node match — WindowGroupLimit (the top-k pushdown) is expected
-    val windows = p.linesIterator.count(_.trim.matches("\\(\\d+\\) Window"))
-    assert(windows == 1, s"expected only the final per-query top-k window, got $windows")
+    // the per-query top-k is the bounded k-heap aggregate: ZERO windows
+    // (a window would exchange each query's full candidate list to one
+    // task), and the aggregate runs partial (map-side) + final
+    assert(!p.linesIterator.exists(_.trim.matches("\\(\\d+\\) Window")), p.take(3000))
+    val objAggs = p.linesIterator.count(_.contains("ObjectHashAggregate"))
+    assert(objAggs >= 2, s"expected partial+final ObjectHashAggregate, got $objAggs:\n${p.take(3000)}")
+  }
+
+  test("ANN rankers (brute-force, PQ): bounded k-heap top-k — no window, partial agg") {
+    for (q <- Seq("q30_ann_bruteforce", "q78_ann_pq")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(!p.linesIterator.exists(_.trim.matches("\\(\\d+\\) Window")),
+        s"$q still ranks with a window:\n${p.take(3000)}")
+      val objAggs = p.linesIterator.count(_.contains("ObjectHashAggregate"))
+      assert(objAggs >= 2, s"$q: expected partial+final ObjectHashAggregate:\n${p.take(3000)}")
+    }
   }
 
   test("entity-link top-1 is a partial-merge aggregate, not a window sort") {
@@ -450,11 +463,14 @@ class PlanSpec extends SparkSpec {
   test("q168/q171: card window keyed by subject, weighted PR keyed joins") {
     import org.apache.spark.sql.functions.col
     val tr = graft.Pipeline.triples(spark, sf).toDF()
-    // entity card: the predicate-df side broadcasts; the rank window is
-    // PARTITIONED (by subj) — never a single-partition global sort
+    // entity card: the predicate-df side broadcasts; the per-subject
+    // rank is the bounded k-heap fact aggregate — NO window (a
+    // mega-subject's fan-out must never sort in one task), partial+final
+    // ObjectHashAggregate
     val pCard = plan(graft.kg.Triples.entityCard(tr, k = 3))
     assert(pCard.contains("BroadcastHashJoin"), pCard.take(2000))
-    assert(pCard.contains("partition"), pCard.take(2000))
+    assert(!pCard.linesIterator.exists(_.trim.matches("\\(\\d+\\) Window")), pCard.take(3000))
+    assert(pCard.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2, pCard.take(3000))
     // weighted PageRank (distributed path via threshold 0): keyed
     // equi-joins only, partial-agg weight sums
     val edgesW = tr.filter(col("subj") =!= col("obj"))
