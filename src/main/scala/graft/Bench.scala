@@ -41,7 +41,12 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // reps + methodology ride in the JSON so a single driver capture is
+    // self-describing (each per-query figure is already min-of-`reps`
+    // within this process; BENCH.md's min-merged numbers additionally
+    // min across processes)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
+      s""""method":"min_of_reps_per_query","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

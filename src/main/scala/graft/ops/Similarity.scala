@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /**
  * Similarity search over an embedding column (`embeddings` table:
@@ -508,17 +507,24 @@ object Similarity {
     val assigned = Dedup.persistIntermediate(assignedIn)
     val comps = graft.canon.ConnectedComponents.run(
       semDedupEdges(assigned, threshold, blocks)) // (id, component)
-    val w = Window.partitionBy(col("component"))
-      .orderBy(col("cent_cos").asc, col("id").asc)
-    val reps = comps
+    // representative election: the member LEAST similar to its centroid,
+    // ties to the smaller id — a TOP-1 election, so a partial-aggregated
+    // min(struct) (field-wise struct order == the (cent_cos ASC, id ASC)
+    // window ordering it replaces) instead of a per-component row_number
+    // window: a MEGA duplicate-group never sorts its member list in one
+    // task; each map partial carries one (cos, id) pair per component
+    val members = comps
       .join(assigned.select(col("vec_id").as("id"), col("cent_cos")), Seq("id"))
-      .withColumn("rn", row_number().over(w))
+    val keepers = members.groupBy(col("component"))
+      .agg(min(struct(col("cent_cos"), col("id"))).as("kp"))
+      .select(col("component"), col("kp.id").as("keeper"))
     val out = assigned.select(col("vec_id"))
-      .join(reps.select(col("id").as("vec_id"), col("component"), col("rn")),
+      .join(members.select(col("id").as("vec_id"), col("component")),
         Seq("vec_id"), "left")
+      .join(keepers, Seq("component"), "left")
       .select(col("vec_id"),
         coalesce(col("component"), col("vec_id")).as("group_id"),
-        coalesce(col("rn") === 1, lit(true)).as("keep"))
+        coalesce(col("vec_id") === col("keeper"), lit(true)).as("keep"))
     Dedup.finish(out, assigned)
   }
 }

@@ -214,6 +214,15 @@ class PlanSpec extends SparkSpec {
       assert(parts.nonEmpty, pe.take(2000))
       parts.filter(_.contains("list_id")).foreach(l0 =>
         assert(l0.contains("bp"), s"exchange keyed on list_id without bp: $l0"))
+      // representative election is a min(struct) partial aggregate — a
+      // mega duplicate-group must never sort its member list in one task
+      graft.ops.Dedup.withLazyPlans {
+        val pSem = plan(graft.ops.Similarity.semDedupAssigned(
+          assigned.withColumn("cent_cos",
+            org.apache.spark.sql.functions.col("vec_id").cast("double") / 100d), 0.5))
+        assert(!pSem.linesIterator.exists(_.trim.matches("\\(\\d+\\) Window")),
+          pSem.take(3000))
+      }
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcThreshold)
     // DSIR: the global k-selection is TakeOrdered, never Sort+GlobalLimit
     graft.ops.Dedup.withLazyPlans {
