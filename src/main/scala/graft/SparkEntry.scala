@@ -226,6 +226,28 @@ object SparkEntry {
         Multimodal.extract(Multimodal.syntheticMedia(s.read.parquet(t(dir, "documents")))))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sampled"))
     }),
+    // real in-JDK animated-GIF video decode: the aHash64 of every 4th
+    // frame, read frame-by-frame from the actual bitstream — the
+    // frame-level perceptual fingerprint that is the standard video
+    // near-dup primitive; the golden twin predicts every hash from the
+    // closed-form gray spec without ever opening a codec
+    "q175_video_frame_hashes" -> ((s, dir) =>
+      Multimodal.videoFrameHashes(
+        Multimodal.syntheticMedia(s.read.parquet(t(dir, "documents"))))),
+    // perceptual video near-dup over the banded frame-hash join, with a
+    // planted +768 union: the synthetic-video spec's moduli (dims 24/16,
+    // gray 256, frames 12) all align at id+768 (≡ 0 mod 3, so the copy
+    // stays a video row), making every planted copy a bit-identical GIF —
+    // guaranteed-recall targets at every sf, beyond the natural id≡id+768k
+    // duplicates sf0.1 already contains; golden twin = quadratic
+    // definitional all-pairs (lossless vs the band join by pigeonhole)
+    "q176_video_neardup" -> ((s, dir) => {
+      val base = s.read.parquet(t(dir, "documents")).select(col("doc_id"))
+      val planted = base.filter(pmod(col("doc_id"), lit(3)) === 2)
+        .select((col("doc_id") + 768L).as("doc_id"))
+      Multimodal.videoNearDup(
+        Multimodal.syntheticMedia(base.union(planted).distinct()))
+    }),
     // real in-JDK WAV decode (javax.sound.sampled): sample rate / channel
     // count / PCM frame count read from the actual RIFF bitstream; the
     // golden twin predicts every field analytically from the synthetic
@@ -245,8 +267,9 @@ object SparkEntry {
     // hash-bucketed, per-bucket doc_id order, 512-token cumulative budget
     "q51_sequence_packing" -> ((s, dir) =>
       TextStats.packByTokenBudget(s.read.parquet(t(dir, "documents")), budget = 512L)),
-    // batched media resize (stub codec, real mapPartitions plumbing):
-    // aspect-fitted dims + deterministic rendition bytes; audio passes out.
+    // batched media resize (REAL codecs: PNG decode+NN-resample for image
+    // rows, GIF frame-0 poster thumbnails for video rows, both re-encoded
+    // as PNG): aspect-fitted dims + rendition bytes; audio passes out.
     // The rendition bytes are emitted HEX-ENCODED — the driver's pandas
     // compare cannot hash/sort raw binary columns (round-2 q49 err).
     "q49_media_resize" -> ((s, dir) =>
@@ -1450,6 +1473,8 @@ object SparkEntry {
     "q33_fingerprint" -> golden("q33_fingerprint"),
     "q35_frame_sample" -> golden("q35_frame_sample"),
     "q174_audio_meta" -> golden("q174_audio_meta"),
+    "q175_video_frame_hashes" -> golden("q175_video_frame_hashes"),
+    "q176_video_neardup" -> golden("q176_video_neardup"),
     "q41_sentences" -> golden("q41_sentences"),
     "q42_mentions" -> golden("q42_mentions"),
     "q43_tagged_tokens" -> golden("q43_tagged_tokens"),

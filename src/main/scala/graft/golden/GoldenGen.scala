@@ -54,6 +54,10 @@ object GoldenGen {
     write("q34_multimodal_meta", q34MultimodalMeta(docs), "doc_id", "media_type", "n_bytes")
     write("q174_audio_meta", q174AudioMeta(docs),
       "doc_id", "sample_rate", "channels", "n_frames", "n_bytes")
+    write("q175_video_frame_hashes", q175VideoFrameHashes(docs),
+      "doc_id", "frame_idx", "ahash")
+    write("q176_video_neardup", q176VideoNearDup(docs),
+      "doc1", "doc2", "matched1", "matched2", "n1", "n2")
     write("q51_sequence_packing", q51Pack(docs, budget = 512L),
       "doc_id", "n_tokens", "bucket", "pack_id")
     write("q38_hash_sample", q38HashSample(docs, pctKeep = 37).map(Tuple1(_)), "doc_id")

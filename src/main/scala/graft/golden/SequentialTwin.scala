@@ -1522,28 +1522,152 @@ object SequentialTwin {
       (d.docId, rate.toLong, channels.toLong, frames.toLong, twinWavBytes(d.docId))
     }
 
-  /** q34 rows: (doc_id, media_type, n_bytes) — image rows sized by the
-    * twin's own PNG construction, audio rows by the analytic RIFF size
-    * prediction (real WAVs downstream), video by the UTF-8 text bytes. */
+  /** The twin's OWN re-derivation of the synthetic-video spec (the
+    * `Multimodal.synthVideoSpec` scaladoc contract — no shared code):
+    * w = 16 + id mod 24, h = 16 + id mod 16, frames = 4 + id mod 12;
+    * frame f pixel (x, y) = gray (5x + 11y + 17f + id) mod 256. */
+  def twinVideoSpec(docId: Long): (Int, Int, Int) =
+    ((16L + docId % 24L).toInt, (16L + docId % 16L).toInt,
+      (4L + docId % 12L).toInt) // corpus ids >= 0
+
+  def twinVideoGray(docId: Long, f: Int, x: Int, y: Int): Int =
+    (((5L * x + 11L * y + 17L * f + docId) % 256L + 256L) % 256L).toInt
+
+  /** The twin's OWN animated-GIF construction from its own pixel spec
+    * (the GIF container encoding itself is the JDK's ImageIO on both
+    * sides, as with PNG — the twin never DECODES a GIF, so agreement
+    * certifies production's real ImageReader sequence path). */
+  def twinGifBytes(docId: Long): Array[Byte] = {
+    val (w, h, nf) = twinVideoSpec(docId)
+    val grays = Array.tabulate(256)(_.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      for (f <- 0 until nf) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+        for (y <- 0 until h; x <- 0 until w)
+          img.getRaster.setSample(x, y, 0, twinVideoGray(docId, f, x, y))
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { ios.close(); writer.dispose() }
+    bos.toByteArray
+  }
+
+  /** The decode feature predicted analytically: mean gray of frame s·n/8
+    * per segment s (Long pixel sum, one double division, /255) — the
+    * `decodeGif` scaladoc contract, no codec anywhere. */
+  def twinVideoFeature(docId: Long): Array[Float] = {
+    val (w, h, nf) = twinVideoSpec(docId)
+    Array.tabulate(8) { s =>
+      val fi = s * nf / 8
+      var sum = 0L
+      for (y <- 0 until h; x <- 0 until w) sum += twinVideoGray(docId, fi, x, y).toLong
+      (sum.toDouble / (w.toLong * h * 255.0)).toFloat
+    }
+  }
+
+  /** q175 rows: (doc_id, frame_idx, ahash) for video docs — the aHash of
+    * every `stride`-th frame predicted ANALYTICALLY from the closed-form
+    * gray spec (8×8 nearest-neighbor sample, bit = gray > floor(mean)),
+    * never decoding a GIF — certifying production's real per-frame
+    * ImageReader decode + integer hash end to end. */
+  /** One frame's aHash predicted analytically (8×8 NN sample of the
+    * closed-form gray, bit = gray > floor(mean)) — never decodes a GIF. */
+  def twinFrameHash(docId: Long, fi: Int): Long = {
+    val (w, h, _) = twinVideoSpec(docId)
+    val g = Array.tabulate(64) { i =>
+      twinVideoGray(docId, fi, (i % 8) * w / 8, (i / 8) * h / 8).toLong
+    }
+    val mean = g.sum / 64
+    var bits = 0L
+    for (i <- 0 until 64) if (g(i) > mean) bits |= (1L << i)
+    bits
+  }
+
+  def q175VideoFrameHashes(docs: Seq[Doc], stride: Int = 4): Seq[(Long, Long, Long)] =
+    docs.filter(_.docId % 3 == 2).flatMap { d =>
+      val (_, _, nf) = twinVideoSpec(d.docId)
+      (0 until nf by stride).map(fi => (d.docId, fi.toLong, twinFrameHash(d.docId, fi)))
+    }
+
+  /** q176 rows: (doc1, doc2, matched1, matched2, n1, n2) — the
+    * DEFINITIONAL video near-dup semantics computed quadratically over
+    * every cross-video sampled-frame pair (no banding, no caps): a frame
+    * matches when the analytic aHashes are within `maxHamming`, a pair
+    * survives when >= `minMatchPct`% of EACH side's sampled frames match
+    * (integer cross-multiplication, like production). Pigeonhole makes
+    * production's 4×16-band join lossless at maxHamming <= 3, so the two
+    * computations must agree exactly while sharing no plan. Mirrors the
+    * query's planted +768 union: by the synthetic-video spec all of
+    * dims (mod 24/16), gray (mod 256) and frame count (mod 12) align at
+    * id + 768 (and 768 ≡ 0 mod 3 keeps the row a video), so every
+    * planted copy is a bit-identical GIF — guaranteed recall targets. */
+  def q176VideoNearDup(docs: Seq[Doc], stride: Int = 4, maxHamming: Int = 3,
+                       minMatchPct: Int = 50): Seq[(Long, Long, Long, Long, Long, Long)] = {
+    val base = docs.map(_.docId).filter(_ % 3 == 2)
+    val ids = (base ++ base.map(_ + 768L)).distinct.sorted
+    val fh: Array[(Long, Int, Long)] = ids.toArray.flatMap { id =>
+      val (_, _, nf) = twinVideoSpec(id)
+      (0 until nf by stride).map(fi => (id, fi, twinFrameHash(id, fi)))
+    }
+    val n: Map[Long, Long] =
+      fh.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val m1 = scala.collection.mutable.Map.empty[(Long, Long), scala.collection.mutable.Set[Int]]
+    val m2 = scala.collection.mutable.Map.empty[(Long, Long), scala.collection.mutable.Set[Int]]
+    var i = 0
+    while (i < fh.length) {
+      var j = i + 1
+      while (j < fh.length) {
+        val (id1, f1, h1) = fh(i); val (id2, f2, h2) = fh(j)
+        if (id1 != id2 && java.lang.Long.bitCount(h1 ^ h2) <= maxHamming) {
+          val key = if (id1 < id2) (id1, id2) else (id2, id1)
+          val (fa, fb) = if (id1 < id2) (f1, f2) else (f2, f1)
+          m1.getOrElseUpdate(key, scala.collection.mutable.Set.empty) += fa
+          m2.getOrElseUpdate(key, scala.collection.mutable.Set.empty) += fb
+        }
+        j += 1
+      }
+      i += 1
+    }
+    m1.keys.toSeq.sorted.flatMap { case (d1, d2) =>
+      val (c1, c2) = (m1((d1, d2)).size.toLong, m2((d1, d2)).size.toLong)
+      val (n1, n2) = (n(d1), n(d2))
+      if (c1 * 100 >= minMatchPct.toLong * n1 && c2 * 100 >= minMatchPct.toLong * n2)
+        Some((d1, d2, c1, c2, n1, n2))
+      else None
+    }
+  }
+
+  /** q34 rows: (doc_id, media_type, n_bytes) — image/video rows sized by
+    * the twin's own PNG/GIF construction from its own pixel specs, audio
+    * rows by the analytic RIFF size prediction (real codecs decode all
+    * three downstream). */
   def q34MultimodalMeta(docs: Seq[Doc]): Seq[(Long, String, Long)] =
     docs.map { d =>
       (d.docId % 3) match {
         case 0 => (d.docId, "image/png", twinPngBytes(d.docId).length.toLong)
         case 1 => (d.docId, "audio/wav", twinWavBytes(d.docId))
-        case _ => (d.docId, "video/mp4",
-          d.text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong)
+        case _ => (d.docId, "video/gif", twinGifBytes(d.docId).length.toLong)
       }
     }
 
   /** q49 rows: the batched resize twin — image rows via the ANALYTIC
     * pixel spec (own aspect-fit + nearest-neighbor sampling of the closed-
-    * form source, no decode anywhere); video rows via the disclosed stub. */
+    * form source, no decode anywhere); video rows the same move over the
+    * closed-form FRAME-0 gray spec (the poster-frame PNG thumbnail
+    * production re-encodes after its real GIF decode). */
   def q49Resize(docs: Seq[Doc], box: Int = 256): Seq[Multimodal.Resized] =
     docs.flatMap { d =>
       val mt = (d.docId % 3) match {
         case 0 => "image/png"
         case 1 => "audio/wav"
-        case _ => "video/mp4"
+        case _ => "video/gif"
       }
       if (mt.startsWith("audio")) None
       else if (mt == "image/png") {
@@ -1555,9 +1679,14 @@ object SequentialTwin {
           (ox, oy) => twinPixel(d.docId, ox * w / ow, oy * h / oh))
         Some(Multimodal.Resized(d.docId, mt, w, h, ow, oh, thumb))
       } else {
-        val blob = d.text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        val (w, h, _) = twinStubDims(mt, blob)
-        val (ow, oh, thumb) = twinStubResize(blob, w, h, box)
+        val (w, h, _) = twinVideoSpec(d.docId)
+        val scale = math.min(1.0, box.toDouble / math.max(w, h))
+        val ow = math.max(1, math.round(w * scale).toInt)
+        val oh = math.max(1, math.round(h * scale).toInt)
+        val thumb = pngEncode(ow, oh, (ox, oy) => {
+          val g = twinVideoGray(d.docId, 0, (ox.toLong * w / ow).toInt, (oy.toLong * h / oh).toInt)
+          (g << 16) | (g << 8) | g
+        })
         Some(Multimodal.Resized(d.docId, mt, w, h, ow, oh, thumb))
       }
     }
@@ -1600,11 +1729,12 @@ object SequentialTwin {
     x
   }
 
-  /** q35 rows: (doc_id, n_sampled) for video docs (doc_id % 3 == 2). */
+  /** q35 rows: (doc_id, n_sampled) for video docs (doc_id % 3 == 2) —
+    * the real frame count from the ANALYTIC video spec (production reads
+    * it from the actual GIF bitstream). */
   def q35FrameSamples(docs: Seq[Doc], stride: Int = 10): Seq[(Long, Long)] =
     docs.filter(d => d.docId % 3 == 2).map { d =>
-      val blob = d.text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val (_, _, nFrames) = twinStubDims("video/mp4", blob)
+      val (_, _, nFrames) = twinVideoSpec(d.docId)
       (d.docId, ((nFrames - 1) / stride + 1).toLong)
     }
 

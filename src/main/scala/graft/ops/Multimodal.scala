@@ -21,10 +21,14 @@ final case class MediaMeta(
  * same batch shape: the iterator hands the whole partition to native code
  * once, not row-at-a-time).
  *
- * The actual codec step is a clearly-marked deterministic STUB (no
- * image/audio libraries ship in this container); everything Spark-side —
- * schema, binary column handling, batch iteration, partitioning — is real
- * and tested. Swap `decodeStub` for a JNI/FFI codec at deployment.
+ * All three synthetic media types run REAL in-JDK codecs end to end:
+ * PNG (javax.imageio) for images, RIFF/WAV (javax.sound.sampled) for
+ * audio, multi-frame animated GIF (ImageReader/ImageWriter sequences)
+ * for video. The clearly-marked deterministic STUB (`decodeStub`/
+ * `resizeStub`) remains only as the documented fallback for container
+ * formats whose codecs do not ship in the JDK (mp4/mkv/jpeg-XL …) —
+ * swap in a JNI/FFI codec there at deployment; the Spark-side shape
+ * (schema, binary columns, partition-batched iteration) is identical.
  */
 object Multimodal {
 
@@ -105,38 +109,91 @@ object Multimodal {
     blob.length >= 12 && blob(0) == 'R' && blob(1) == 'I' && blob(2) == 'F' &&
       blob(3) == 'F' && blob(8) == 'W' && blob(9) == 'A' && blob(10) == 'V' && blob(11) == 'E'
 
+  /** Synthetic-video SPEC (the analytic contract the twin re-derives
+    * without the codec): w = 16 + doc_id mod 24, h = 16 + doc_id mod 16,
+    * n_frames = 4 + doc_id mod 12; frame f pixel (x, y) is the GRAY
+    * level (5x + 11y + 17f + doc_id) mod 256, r = g = b = gray.
+    * Grayscale is deliberate: 256 gray levels fit EXACTLY in one GIF
+    * palette, so the in-JDK animated-GIF encode is LOSSLESS and the twin
+    * can predict every decoded pixel in closed form (an RGB spec would
+    * force the writer to quantize >256 colors and break bit-exactness).
+    * Returns (w, h, nFrames). */
+  def synthVideoSpec(docId: Long): (Int, Int, Int) =
+    (16 + Math.floorMod(docId, 24L).toInt, 16 + Math.floorMod(docId, 16L).toInt,
+      4 + Math.floorMod(docId, 12L).toInt)
+
+  def synthVideoGray(docId: Long, frame: Int, x: Int, y: Int): Int =
+    Math.floorMod(5L * x + 11L * y + 17L * frame + docId, 256L).toInt
+
+  /** A REAL deterministic multi-frame ANIMATED GIF for video rows
+    * (javax.imageio — in the JDK, no external codec dep): each frame a
+    * full 256-gray indexed image per [[synthVideoGray]], written with
+    * `ImageWriter.writeToSequence`. GIF is the one video-ish container
+    * the JDK both encodes and decodes, so the video path gets the same
+    * real-codec treatment as PNG (images) and WAV (audio). */
+  def gifFor(docId: Long): Array[Byte] = {
+    val (w, h, nf) = synthVideoSpec(docId)
+    val grays = Array.tabulate(256)(_.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nf) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { raster.setSample(x, y, 0, synthVideoGray(docId, f, x, y)); x += 1 }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { ios.close(); writer.dispose() }
+    bos.toByteArray
+  }
+
+  private[graft] def isGif(blob: Array[Byte]): Boolean =
+    blob.length >= 6 && blob(0) == 'G' && blob(1) == 'I' && blob(2) == 'F' && blob(3) == '8'
+
   /** Deterministic synthetic media blobs — image rows carry a REAL PNG,
-    * audio rows a REAL WAV (both decoded by real in-JDK codecs
-    * downstream); video rows carry opaque text-derived bytes for the
-    * disclosed stub codec (no video codec ships in the JDK). */
+    * audio rows a REAL WAV, video rows a REAL multi-frame animated GIF
+    * (all three decoded by real in-JDK codecs downstream; the disclosed
+    * stub codec remains only as the documented fallback for container
+    * formats with no in-JDK codec, e.g. mp4/mkv). */
   def syntheticMedia(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    // only doc_id is read — the blobs derive from the id alone, so the
+    // text column never leaves the scan (column pruning reaches parquet)
+    docs.select(col("doc_id")).as[Long]
       .mapPartitions { it =>
-        it.map { case (id, text) =>
-          val mt = Math.floorMod(id, 3L) match {
-            case 0L => "image/png"
-            case 1L => "audio/wav"
-            case _  => "video/mp4"
+        it.map { id =>
+          Math.floorMod(id, 3L) match {
+            case 0L => (id, "image/png", pngFor(id))
+            case 1L => (id, "audio/wav", wavFor(id))
+            case _  => (id, "video/gif", gifFor(id))
           }
-          val blob = mt match {
-            case "image/png" => pngFor(id)
-            case "audio/wav" => wavFor(id)
-            case _           => text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          }
-          (id, mt, blob)
         }
       }
       .toDF("doc_id", "media_type", "blob")
   }
 
-  /** Dispatching codec: REAL PNG decode via javax.imageio for image rows
-    * (dimensions read from the actual bitstream; 8-dim feature = mean
-    * R/G/B over the pixels (÷255) then w/256, h/256, and the corner pixel's
-    * R/G/B (÷255) — a deterministic stand-in for a learned embedding);
-    * the disclosed stub for audio/video (no codecs ship in this
-    * container). */
+  /** Dispatching codec — all three synthetic media types decode through
+    * REAL in-JDK codecs: PNG via javax.imageio for image rows (dimensions
+    * read from the actual bitstream; 8-dim feature = mean R/G/B over the
+    * pixels (÷255) then w/256, h/256, and the corner pixel's R/G/B
+    * (÷255) — a deterministic stand-in for a learned embedding), WAV via
+    * javax.sound.sampled, animated GIF via ImageReader sequences. The
+    * disclosed stub remains only for container formats with no in-JDK
+    * codec (mp4/mkv/jpeg-in-this-container …). */
   def decode(mediaType: String, blob: Array[Byte]): (Int, Int, Int, Array[Float]) =
     if (mediaType == "image/png" && isPng(blob)) {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
@@ -161,7 +218,48 @@ object Multimodal {
         (corner & 0xff) / 255f)
       (w, h, 1, feat)
     } else if (mediaType == "audio/wav" && isRiffWave(blob)) decodeWav(blob)
+    else if (mediaType == "video/gif" && isGif(blob)) decodeGif(blob)
     else decodeStub(mediaType, blob)
+
+  /** REAL animated-GIF decode via `javax.imageio` (in the JDK): width /
+    * height / frame count read from the actual bitstream
+    * (`ImageReader.getNumImages`). The 8-dim feature is the mean gray of
+    * 8 evenly-spaced frames (frame s·n/8 for segment s; Long pixel sum,
+    * ONE double division per segment, /255) — so the analytic twin
+    * reproduces it bit-for-bit from the pixel spec without the codec. */
+  def decodeGif(blob: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(blob))
+    try {
+      reader.setInput(iis)
+      val nf = reader.getNumImages(true)
+      val feat = new Array[Float](8)
+      var w = 0; var h = 0
+      var s = 0
+      var lastIdx = -1
+      var img: java.awt.image.BufferedImage = null
+      while (s < 8) {
+        val fi = s * nf / 8
+        if (fi != lastIdx) { img = reader.read(fi); lastIdx = fi }
+        if (s == 0) { w = img.getWidth; h = img.getHeight }
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y) // same gray convention as aHash64
+            sum += (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+            x += 1
+          }
+          y += 1
+        }
+        feat(s) = (sum.toDouble / (w.toLong * h * 255.0)).toFloat
+        s += 1
+      }
+      (w, h, nf, feat)
+    } finally { iis.close(); reader.dispose() }
+  }
 
   /** REAL WAV decode via `javax.sound.sampled` (in the JDK): metadata
     * read from the actual RIFF bitstream — in the returned tuple, width
@@ -283,6 +381,35 @@ object Multimodal {
     (w, h, ow, oh, bos.toByteArray)
   }
 
+  /** REAL resize kernel for video (animated GIF): decode FRAME 0, apply
+    * the same explicit nearest-neighbor kernel as [[resizePng]], emit the
+    * thumbnail re-encoded as PNG (the rendition is a still poster frame —
+    * the standard video-thumbnail shape). Returns (src_w, src_h, out_w,
+    * out_h, pngBytes). */
+  def resizeGifPoster(blob: Array[Byte], box: Int): (Int, Int, Int, Int, Array[Byte]) = {
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(blob))
+    val img = try { reader.setInput(iis); reader.read(0) }
+      finally { iis.close(); reader.dispose() }
+    val (w, h) = (img.getWidth, img.getHeight)
+    val (ow, oh) = fitBox(w, h, box)
+    val out = new java.awt.image.BufferedImage(ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var oy = 0
+    while (oy < oh) {
+      val sy = (oy.toLong * h / oh).toInt
+      var ox = 0
+      while (ox < ow) {
+        out.setRGB(ox, oy, img.getRGB((ox.toLong * w / ow).toInt, sy))
+        ox += 1
+      }
+      oy += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", bos)
+    (w, h, ow, oh, bos.toByteArray)
+  }
+
   /** STUB resize kernel: fits (w, h) into `box` x `box` preserving aspect
     * ratio (never upscales), and derives the rendition bytes
     * deterministically from the source bytes + target dims — a real
@@ -319,6 +446,9 @@ object Multimodal {
           else if (mt == "image/png" && isPng(blob)) {
             val (w, h, ow, oh, thumb) = resizePng(blob, box)
             Iterator.single(Resized(id, mt, w, h, ow, oh, thumb))
+          } else if (mt == "video/gif" && isGif(blob)) {
+            val (w, h, ow, oh, thumb) = resizeGifPoster(blob, box)
+            Iterator.single(Resized(id, mt, w, h, ow, oh, thumb))
           } else {
             val (w, h, _, _) = decodeStub(mt, blob)
             val (ow, oh, thumb) = resizeStub(blob, w, h, box)
@@ -329,13 +459,102 @@ object Multimodal {
   }
 
   /** Deterministic frame sampling plan for video rows: every `stride`-th
-    * frame index — the shuffle-free precursor to a real frame decode. */
+    * frame index — the shuffle-free precursor to a real frame decode.
+    * `n_frames` is the REAL frame count (read from the GIF bitstream by
+    * [[decodeGif]] upstream). */
   def frameSample(meta: Dataset[MediaMeta], stride: Int = 10): DataFrame = {
     val spark = meta.sparkSession
     import spark.implicits._
     meta.toDF()
       .filter(col("media_type").startsWith("video"))
       .select(col("doc_id"), explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+  }
+
+  /** Per video row the [[aHash64]] of every `stride`-th REAL decoded
+    * frame — (doc_id, frame_idx, ahash). The frame-level perceptual
+    * fingerprint is the standard video near-dup primitive (two uploads of
+    * one clip share sampled-frame hashes even after re-encoding); feed
+    * the output to the same banded join as [[imageNearDup]]. One decode
+    * pass per blob inside mapPartitions: the reader is opened once per
+    * row and only the sampled frames are materialized — at 10^12 docs the
+    * work is (docs/3)·(frames/stride) bounded decodes, map-only, zero
+    * shuffle. Golden-oracled against the analytic twin that predicts
+    * every hash from the closed-form gray spec without the codec. */
+  def videoFrameHashes(media: DataFrame, stride: Int = 4): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("media_type") === "video/gif")
+      .select(col("doc_id"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, blob) =>
+          val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(blob))
+          try {
+            reader.setInput(iis)
+            val nf = reader.getNumImages(true)
+            (0 until nf by stride).map { fi => (id, fi, aHash64(reader.read(fi))) }
+          } finally { iis.close(); reader.dispose() }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "ahash")
+  }
+
+  /**
+   * Perceptual NEAR-DUP video pairs — the banded join [[videoFrameHashes]]'s
+   * scaladoc prescribes, shipped: two videos are near-dups when at least
+   * `minMatchPct`% of EACH video's sampled frames perceptually match a
+   * frame of the other (frame match = aHash hamming <= `maxHamming`; two
+   * uploads of one clip share sampled-frame hashes even after
+   * re-encoding / brightness shifts, the [[aHash64]] invariance).
+   *
+   * Plan (the [[imageNearDup]] discipline lifted to (video, frame) keys):
+   * frame hashes band 4x16 bits and candidate FRAME pairs come from the
+   * shared `idPairsFromBuckets` — keyed by a (doc_id, frame_idx) STRUCT,
+   * so nothing is packed into a Long and hot buckets (black frames, test
+   * cards) are capped LOUDLY with one counter each, never a materialized
+   * member list. Pigeonhole makes the band join LOSSLESS for
+   * `maxHamming` <= 3: any two hashes within hamming 3 agree on >= 1 of
+   * the 4 bands, so the result equals the definitional all-pairs
+   * semantics the sequential twin computes quadratically. Candidates
+   * verify by true hamming, then per video pair the DISTINCT matched
+   * frame indices of each side count up (the pair table is LSH-pruned —
+   * tiny relative to the corpus) and the match fraction gates
+   * integer-exactly (m·100 >= pct·n, no doubles). Returns
+   * (doc1, doc2, matched1, matched2, n1, n2).
+   */
+  def videoNearDup(media: DataFrame, stride: Int = 4, maxHamming: Int = 3,
+                   minMatchPct: Int = 50, maxBucket: Int = 64): DataFrame = {
+    val fh = videoFrameHashes(media, stride).localCheckpoint(true)
+    val nPerVideo = fh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val banded = fh.select(
+      struct(col("doc_id"), col("frame_idx")).as("doc_id"),
+      posexplode(expr(
+        "transform(sequence(0, 3), c -> shiftright(ahash, c * 16) & 65535)"))
+        .as(Seq("band", "bucket")))
+    val framePairs = graft.ops.Dedup.idPairsFromBuckets(banded, maxBucket,
+        dropLabel = "videoNearDup")
+      .select(col("doc1.doc_id").as("d1"), col("doc1.frame_idx").as("f1"),
+        col("doc2.doc_id").as("d2"), col("doc2.frame_idx").as("f2"))
+      .filter(col("d1") =!= col("d2"))
+    // struct order sorts by doc_id first, so d1 < d2 already holds for
+    // cross-video pairs; verify by true hamming on the full 64-bit hashes
+    val verified = framePairs
+      .join(fh.select(col("doc_id").as("d1"), col("frame_idx").as("f1"),
+        col("ahash").as("h1")), Seq("d1", "f1"))
+      .join(fh.select(col("doc_id").as("d2"), col("frame_idx").as("f2"),
+        col("ahash").as("h2")), Seq("d2", "f2"))
+      .filter(bit_count(col("h1").bitwiseXOR(col("h2"))) <= maxHamming)
+    verified.groupBy(col("d1").as("doc1"), col("d2").as("doc2"))
+      .agg(countDistinct(col("f1")).as("matched1"),
+        countDistinct(col("f2")).as("matched2"))
+      .join(nPerVideo.select(col("doc_id").as("doc1"), col("n").as("n1")), Seq("doc1"))
+      .join(nPerVideo.select(col("doc_id").as("doc2"), col("n").as("n2")), Seq("doc2"))
+      .filter(col("matched1") * 100 >= lit(minMatchPct) * col("n1") &&
+        col("matched2") * 100 >= lit(minMatchPct) * col("n2"))
+      .select(col("doc1"), col("doc2"), col("matched1"), col("matched2"),
+        col("n1"), col("n2"))
   }
 
   /**

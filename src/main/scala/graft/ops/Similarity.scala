@@ -258,25 +258,131 @@ object Similarity {
     cents
   }
 
+  /** One sub-quantizer of a FUSED multi-quantizer training: `qid` its
+    * label, [off, off+len) its slice of the embedding (the full vector
+    * when len = dim), `nCodes` its codebook size, `l2` its metric
+    * (squared L2 for PQ sub-books, cosine for the IVF coarse level). */
+  final case class SubQ(qid: Int, off: Int, len: Int, nCodes: Int, l2: Boolean)
+
+  /**
+   * FUSED Lloyd training of MANY sub-quantizers in ONE pass over the
+   * corpus per iteration — the 100 TB training plan: PQ's m sub-books
+   * (and IVF-PQ's coarse level) each need the same scan, so training them
+   * one-at-a-time reads the corpus m (or m+1) times per iteration; here
+   * every row fans out to its |specs| keyed slices inside one
+   * mapPartitions and all codebooks update from ONE pair of bounded
+   * shuffles per iteration. Per-quantizer results are BIT-IDENTICAL to
+   * training each alone with [[kmeansCodebook]] over its sliced column:
+   * the (qid, list, salt) grouping keys partition rows exactly as the
+   * standalone (list, salt) keys do per quantizer, the fold orders
+   * (ascending vec_id inside a salt group, ascending salt inside a
+   * cluster) are unchanged, and the shared stride init selects the same
+   * candidate ROWS every standalone init selects (ids with
+   * vec_id mod stride == 0, id-ascending, first nCodes) — only the
+   * scheduling is shared. Returns one id-ascending codebook per spec.
+   */
+  def kmeansCodebooksFused(emb: DataFrame, specs: Seq[SubQ], iters: Int = 3,
+                           fanout: Int = 16): Map[Int, Array[Centroid]] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    require(specs.map(_.qid).distinct.size == specs.size, "duplicate SubQ qids")
+    val maxRow = emb.agg(max(col("vec_id"))).head()
+    if (maxRow.isNullAt(0)) return specs.map(s => s.qid -> Array.empty[Centroid]).toMap
+    val maxId = maxRow.getLong(0)
+    // shared init scan: one job collects the union of every spec's stride
+    // candidates (full vectors), then each spec replays the standalone
+    // selection (its own stride, id-ascending, limit nCodes) and slices
+    val strides = specs.map(s => math.max(1L, (maxId + 1) / s.nCodes)).distinct
+    val candFilter = strides.map(st => pmod(col("vec_id"), lit(st)) === 0)
+      .reduce(_ || _)
+    val cands = emb.filter(candFilter).orderBy(col("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    var books: Map[Int, Array[Centroid]] = specs.map { s =>
+      val stride = math.max(1L, (maxId + 1) / s.nCodes)
+      s.qid -> cands.iterator.filter(_._1 % stride == 0).take(s.nCodes).map {
+        case (id, v) =>
+          val sub = java.util.Arrays.copyOfRange(v, s.off, s.off + s.len)
+          Centroid(id, sub, normScalar(sub))
+      }.toArray
+    }.toMap
+    val specArr = specs.toArray
+    var it = 0
+    while (it < iters) {
+      val bc = spark.sparkContext.broadcast((specArr, books))
+      val partials = emb.select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])]
+        .mapPartitions { rows =>
+          val (ss, bks) = bc.value
+          rows.flatMap { case (id, v) =>
+            ss.iterator.map { s =>
+              val sub = java.util.Arrays.copyOfRange(v, s.off, s.off + s.len)
+              val cs = bks(s.qid)
+              val list = if (s.l2) nearestListL2(sub, cs) else nearestList(sub, cs)
+              (s.qid, list, id % fanout, id, sub)
+            }
+          }
+        }
+        .groupByKey { case (qid, list, salt, _, _) => (qid, list, salt) }
+        .mapGroups { (key: (Int, Long, Long), rows: Iterator[(Int, Long, Long, Long, Array[Float])]) =>
+          val buf = rows.toArray.sortBy(_._4) // ascending vec_id: fixed fold order
+          val dim = buf(0)._5.length
+          val sum = new Array[Double](dim)
+          buf.foreach { case (_, _, _, _, v) =>
+            var i = 0
+            while (i < dim) { sum(i) += v(i).toDouble; i += 1 }
+          }
+          (key._1, key._2, key._3, sum, buf.length.toLong)
+        }
+      val updated = partials
+        .groupByKey(p => (p._1, p._2))
+        .mapGroups { (key: (Int, Long), ps: Iterator[(Int, Long, Long, Array[Double], Long)]) =>
+          val sorted = ps.toArray.sortBy(_._3) // ascending salt: fixed fold order
+          val dim = sorted(0)._4.length
+          val sum = new Array[Double](dim)
+          var n = 0L
+          sorted.foreach { case (_, _, _, s, c) =>
+            var i = 0
+            while (i < dim) { sum(i) += s(i); i += 1 }
+            n += c
+          }
+          (key._1, key._2, sum.map(x => (x / n).toFloat))
+        }
+        .collect()
+        .groupBy(_._1).map { case (qid, rows) =>
+          qid -> rows.map(r => r._2 -> r._3).toMap
+        }
+      books = books.map { case (qid, cents) =>
+        val upd = updated.getOrElse(qid, Map.empty[Long, Array[Float]])
+        qid -> cents.map(c => upd.get(c.id) match {
+          case Some(v) => Centroid(c.id, v, normScalar(v))
+          case None    => c // empty cluster keeps its previous centroid
+        })
+      }
+      bc.destroy()
+      it += 1
+    }
+    books
+  }
+
   /**
    * Product-quantization sub-codebooks (Jégou et al. 2011): the embedding
    * split into `m` subspaces of dim/m dims; each subspace trains its own
    * `nCodes`-centroid k-means under SQUARED L2 (the PQ metric — it bounds
-   * the reconstruction error ADC scoring pays), reusing the deterministic
-   * hierarchical-mean-fold Lloyd machinery bit-for-bit. Returned as
-   * books(m)(c) = sub-centroid vector; CODE c = position in the
-   * id-ascending array. */
+   * the reconstruction error ADC scoring pays). All m sub-trainings run
+   * FUSED through [[kmeansCodebooksFused]] — one corpus pass per Lloyd
+   * iteration instead of m — with results bit-identical to the standalone
+   * per-subspace runs. Returned as books(m)(c) = sub-centroid vector;
+   * CODE c = position in the id-ascending array. */
   def pqCodebooks(emb: DataFrame, m: Int, nCodes: Int = 16, iters: Int = 3,
                   fanout: Int = 16): Array[Array[Array[Float]]] = {
     val headRow = emb.select(size(col("embedding"))).head()
     val dim = headRow.getInt(0)
     require(dim % m == 0, s"embedding dim $dim not divisible by m=$m subspaces")
     val ds = dim / m
-    (0 until m).map { s =>
-      val sub = emb.select(col("vec_id"),
-        slice(col("embedding"), s * ds + 1, ds).as("embedding"))
-      kmeansCodebook(sub, nCodes, iters, fanout, metric = "l2").map(_.v)
-    }.toArray
+    val fused = kmeansCodebooksFused(emb,
+      (0 until m).map(s => SubQ(s, s * ds, ds, nCodes, l2 = true)), iters, fanout)
+    (0 until m).map(s => fused(s).map(_.v)).toArray
   }
 
   /**
@@ -343,11 +449,27 @@ object Similarity {
     import graft.functions.GraftFunctions._
     val spark = emb.sparkSession
     import spark.implicits._
-    val coarse = kmeansCodebook(emb, nList, iters, fanout)
+    // ONE fused training for the coarse level (qid -1, full vector,
+    // cosine) AND the m PQ sub-books (L2 slices): one corpus pass per
+    // Lloyd iteration for all m+1 quantizers — results bit-identical to
+    // the standalone kmeansCodebook/pqCodebooks runs (see
+    // kmeansCodebooksFused)
+    val headRow = emb.select(size(col("embedding"))).limit(1).collect()
+    if (headRow.isEmpty)
+      return emb.limit(0).select(col("vec_id").as("query_id"),
+        col("vec_id").as("neighbor_id"), lit(1).as("rank"))
+    val dim = headRow(0).getInt(0)
+    require(dim % m == 0, s"embedding dim $dim not divisible by m=$m subspaces")
+    val ds = dim / m
+    val fused = kmeansCodebooksFused(emb,
+      SubQ(-1, 0, dim, nList, l2 = false) +:
+        (0 until m).map(s => SubQ(s, s * ds, ds, nCodes, l2 = true)),
+      iters, fanout)
+    val coarse = fused(-1)
     if (coarse.isEmpty)
       return emb.limit(0).select(col("vec_id").as("query_id"),
         col("vec_id").as("neighbor_id"), lit(1).as("rank"))
-    val books = pqCodebooks(emb, m, nCodes, iters, fanout)
+    val books: Array[Array[Array[Float]]] = (0 until m).map(s => fused(s).map(_.v)).toArray
     val normSq: Array[Double] = books.flatMap(_.map { cent =>
       var ns = 0.0; var i = 0
       while (i < cent.length) { ns += cent(i).toDouble * cent(i).toDouble; i += 1 }

@@ -155,10 +155,9 @@ class OpsSpec extends SparkSpec {
       val srcAspect = r.src_w.toDouble / r.src_h
       val outAspect = r.out_w.toDouble / r.out_h
       assert(math.abs(srcAspect - outAspect) / srcAspect < 0.05, s"$r")
-      // image rows carry a real PNG rendition; video rows the 64-byte stub
-      if (r.media_type == "image/png")
-        assert((r.thumb(0) & 0xff) == 0x89 && r.thumb(1) == 'P', s"${r.doc_id}: not a PNG")
-      else assert(r.thumb.length == 64)
+      // image rows carry a real PNG rendition; video rows a real PNG
+      // poster thumbnail of GIF frame 0
+      assert((r.thumb(0) & 0xff) == 0x89 && r.thumb(1) == 'P', s"${r.doc_id}: not a PNG")
     }
     // deterministic across invocations
     val again = graft.ops.Multimodal.resize(graft.ops.Multimodal.syntheticMedia(d), box = 100)
@@ -215,11 +214,70 @@ class OpsSpec extends SparkSpec {
       Seq(SequentialTwin.twinWavBytes(1L), SequentialTwin.twinWavBytes(4L)))
   }
 
-  test("multimodal extract: deterministic stub metadata, batch plumbing") {
+  test("real GIF path: lossless animated round-trip; decode/hashes/resize == analytic twin") {
+    import spark.implicits._
+    import graft.golden.SequentialTwin
+    // production decodes the actual GIF bitstream frame by frame; the
+    // twin never decodes — it predicts dims, frame count, every frame
+    // hash and the feature in closed form from the synthetic-video spec
+    for (id <- Seq(2L, 5L, 8L, 47L, 1001L)) {
+      val blob = Multimodal.gifFor(id)
+      assert(blob(0) == 'G' && blob(1) == 'I' && blob(2) == 'F', s"id=$id: not a GIF")
+      val (w, h, frames, feat) = Multimodal.decode("video/gif", blob)
+      assert((w, h, frames) == SequentialTwin.twinVideoSpec(id), s"id=$id meta")
+      assert(feat.toSeq == SequentialTwin.twinVideoFeature(id).toSeq,
+        s"id=$id: decoded feature diverges from the analytic twin")
+      // poster-frame resize: production's real decode + NN kernel must
+      // emit the exact bytes the twin builds from the closed-form pixels
+      val (sw, sh, ow, oh, thumb) = Multimodal.resizeGifPoster(blob, box = 24)
+      assert((sw, sh) == ((w, h)) && math.max(ow, oh) <= 24)
+      val twin = SequentialTwin.q49Resize(
+        Seq(SequentialTwin.Doc(id, "body", "en", "s")), box = 24).head
+      assert((twin.out_w, twin.out_h) == ((ow, oh)), s"id=$id fit")
+      assert(twin.thumb.toSeq == thumb.toSeq, s"id=$id rendition bytes diverge")
+    }
+    // frame hashes: the distributed operator vs the analytic per-frame aHash
+    val vids = docs(2L -> "x", 5L -> "y", 8L -> "z", 47L -> "w")
+    val got = Multimodal.videoFrameHashes(Multimodal.syntheticMedia(vids))
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2))).sorted.toSeq
+    val want = SequentialTwin.q175VideoFrameHashes(
+      Seq(2L, 5L, 8L, 47L).map(i => SequentialTwin.Doc(i, "b", "en", "s"))).sorted
+    assert(got == want, "frame hashes diverge from the analytic twin")
+    // multi-frame sampling is real: id=47 has 15 frames -> indices 0,4,8,12
+    assert(got.filter(_._1 == 47L).map(_._2) == Seq(0L, 4L, 8L, 12L))
+  }
+
+  test("video near-dup: planted +768 exact copies found in full; twin parity") {
+    import spark.implicits._
+    import graft.golden.SequentialTwin
+    // the spec's moduli (dims 24/16, gray 256, frames 12) all align at
+    // id+768, so each planted copy is a bit-identical GIF the operator
+    // must pair with its original at full frame match; the twin computes
+    // the definitional quadratic all-pairs (no banding) and must agree
+    val baseIds = Seq(2L, 5L, 8L)
+    val withPlanted = baseIds ++ baseIds.map(_ + 768L)
+    val media = Multimodal.syntheticMedia(withPlanted.toDF("doc_id"))
+    val got = Multimodal.videoNearDup(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sorted.toSeq
+    val want = SequentialTwin.q176VideoNearDup(
+      baseIds.map(i => SequentialTwin.Doc(i, "b", "en", "s")))
+    assert(got == want, "distributed banded join diverges from the quadratic twin")
+    for (id <- baseIds) {
+      val p = got.find(r => r._1 == id && r._2 == id + 768L)
+      assert(p.isDefined, s"planted copy of $id not found")
+      assert(p.get._3 == p.get._5 && p.get._4 == p.get._6,
+        s"exact copy of $id only partially matched: $p")
+    }
+    // structurally different videos never pair: ids with different dims
+    assert(!got.exists(r => r._1 == 2L && r._2 == 5L))
+  }
+
+  test("multimodal extract: real-codec metadata for all three types, batch plumbing") {
     import spark.implicits._
     val meta = Multimodal.extract(Multimodal.syntheticMedia(docs(
       0L -> "aaa", 1L -> "bbb", 2L -> "ccc"))).collect().sortBy(_.doc_id)
-    assert(meta.map(_.media_type).toSeq == Seq("image/png", "audio/wav", "video/mp4"))
+    assert(meta.map(_.media_type).toSeq == Seq("image/png", "audio/wav", "video/gif"))
     assert(meta.forall(_.n_bytes > 0))
     assert(meta.forall(_.feature.length == 8))
     // determinism across runs

@@ -59,6 +59,29 @@ class PqSpec extends SparkSpec {
     assert(hits >= 18, s"planted twin found for only $hits/20 queries")
   }
 
+  test("fused multi-quantizer training is bit-identical to standalone runs") {
+    // the fusion changes SCHEDULING only (one corpus pass per iteration
+    // for all quantizers): every per-quantizer codebook must equal the
+    // one kmeansCodebook trains alone over the sliced column, float for
+    // float — coarse cosine level and L2 sub-books alike
+    import Similarity.SubQ
+    val fused = Similarity.kmeansCodebooksFused(emb, Seq(
+      SubQ(-1, 0, 64, 16, l2 = false),
+      SubQ(0, 0, 8, 16, l2 = true),
+      SubQ(5, 40, 8, 16, l2 = true)), iters = 3, fanout = 16)
+    val coarse = Similarity.kmeansCodebook(emb, 16, 3, 16)
+    assert(fused(-1).map(_.id).toSeq === coarse.map(_.id).toSeq)
+    assert(fused(-1).map(_.v.toSeq).toSeq === coarse.map(_.v.toSeq).toSeq)
+    for (s <- Seq(0, 5)) {
+      val sub = emb.select(col("vec_id"),
+        slice(col("embedding"), s * 8 + 1, 8).as("embedding"))
+      val alone = Similarity.kmeansCodebook(sub, 16, 3, 16, metric = "l2")
+      assert(fused(s).map(_.id).toSeq === alone.map(_.id).toSeq, s"sub $s ids")
+      assert(fused(s).map(_.v.toSeq).toSeq === alone.map(_.v.toSeq).toSeq,
+        s"sub $s centroids diverge from the standalone training")
+    }
+  }
+
   test("dimension mismatch fails loudly") {
     val books = Similarity.pqCodebooks(emb, m = 8, nCodes = 16)
     val ragged = Seq((1L, Array.fill(32)(0.5f))).toDF("vec_id", "embedding")
