@@ -491,4 +491,22 @@ class PlanSpec extends SparkSpec {
     assert(!pPr.contains("CartesianProduct") &&
       !pPr.contains("BroadcastNestedLoopJoin"), pPr.take(2000))
   }
+
+  test("q175/q176: media scan reads only doc_id; video near-dup joins keyed, no window") {
+    // syntheticMedia derives blobs from the id alone — the wide text
+    // column must never leave the documents scan
+    val pHash = plan(SparkEntry.queries("q175_video_frame_hashes")(spark, sf))
+    val readSchemas = pHash.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(readSchemas.nonEmpty && readSchemas.forall(s =>
+      s.contains("doc_id") && !s.contains("text") && !s.contains("html")),
+      readSchemas.mkString("\n"))
+    // the near-dup join graph: banded candidates + hash verify + count
+    // joins are all keyed equi-joins — never a cartesian / nested-loop —
+    // and the match-fraction gate is aggregation, not a window sort
+    val pDup = plan(SparkEntry.queries("q176_video_neardup")(spark, sf))
+    assert(!pDup.contains("CartesianProduct") &&
+      !pDup.contains("BroadcastNestedLoopJoin"), pDup.take(3000))
+    assert(!pDup.linesIterator.exists(_.trim.matches("\\(\\d+\\) Window")),
+      pDup.take(3000))
+  }
 }
