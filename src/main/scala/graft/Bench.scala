@@ -45,8 +45,16 @@ object Bench {
     // self-describing (each per-query figure is already min-of-`reps`
     // within this process; BENCH.md's min-merged numbers additionally
     // min across processes)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
-      s""""method":"min_of_reps_per_query","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
+      s""""method":"min_of_reps_per_query","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // stdout captures can truncate a ~170-query map (BENCH_r04.json kept
+    // only a tail fragment); persist the full line beside the sources so
+    // every per-query figure survives the run regardless of capture limits
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] BENCH_LAST.json write failed: $e") }
     spark.stop()
   }
 }
