@@ -721,6 +721,35 @@ object SparkEntry {
         .orderBy(desc("out_triples"), asc("id")).limit(3).select(col("id"))
       graft.kg.Graphs.sssp(edges, seeds, maxHops = 6)
     }),
+    // minimum spanning forest (distributed Borůvka) over the q97 weighted
+    // co-mention relation made undirected — the cheapest-evidence backbone
+    // of the KG's support graph; deterministic under the (w, a, b) total
+    // order, so the golden Prim twin agrees by MSF uniqueness
+    "q177_msf" -> ((s, dir) => {
+      val tr = Pipeline.triples(s, dir).toDF()
+      val edges = tr.filter(col("subj") =!= col("obj"))
+        .groupBy(least(col("subj"), col("obj")).as("src"),
+          greatest(col("subj"), col("obj")).as("dst"))
+        .agg((lit(6L) - least(countDistinct(col("url")), lit(5L))).as("w"))
+      graft.kg.Graphs.minSpanningForest(edges)
+    }),
+    // single-linkage clusters at support threshold w <= 4, computed by
+    // CUTTING THE MSF (filter the forest, connected components over what
+    // survives) — while the SQL oracle computes the same clusters from ALL
+    // original edges <= 4 via a recursive CTE, never touching the forest:
+    // the classic single-linkage equivalence theorem as an independent
+    // cross-check of the MSF's structural correctness
+    "q178_single_linkage" -> ((s, dir) => {
+      val tr = Pipeline.triples(s, dir).toDF()
+      val edges = tr.filter(col("subj") =!= col("obj"))
+        .groupBy(least(col("subj"), col("obj")).as("src"),
+          greatest(col("subj"), col("obj")).as("dst"))
+        .agg((lit(6L) - least(countDistinct(col("url")), lit(5L))).as("w"))
+      val msf = graft.kg.Graphs.minSpanningForest(edges)
+      graft.canon.ConnectedComponents.run(
+          msf.filter(col("w") <= 4).select(col("a").as("src"), col("b").as("dst")))
+        .select(col("id"), col("component").as("cluster"))
+    }),
     // RDF N-Quads serialization of the triple table (graph = provenance
     // url): pure per-row codegen'd projection, zero shuffle; control-char
     // rows quarantined loudly; the oracle rebuilds each line by string
@@ -1669,6 +1698,22 @@ object SparkEntry {
         SELECT e.dst, walk.hops + 1, walk.d + e.w
         FROM walk JOIN e ON e.src = walk.id WHERE walk.hops < 6)
       SELECT id, min(d) AS dist FROM walk GROUP BY id""",
+    "q177_msf" -> golden("q177_msf"),
+    // single-linkage equivalence: the oracle clusters over ALL original
+    // edges with w <= 4 (recursive reachability), never reading the MSF —
+    // agreement proves the Spark side's cut-the-forest shortcut exact
+    "q178_single_linkage" -> s"""
+      WITH RECURSIVE t AS (SELECT * FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'),
+      e AS (SELECT least(subj, obj) AS a, greatest(subj, obj) AS b,
+                   CAST(6 - least(count(DISTINCT url), 5) AS BIGINT) AS w
+            FROM t WHERE subj <> obj GROUP BY 1, 2),
+      ud AS (SELECT a AS u, b AS v FROM e WHERE w <= 4
+             UNION SELECT b, a FROM e WHERE w <= 4),
+      reach(id, r) AS (
+        SELECT u, u FROM ud
+        UNION
+        SELECT reach.id, ud.v FROM reach JOIN ud ON ud.u = reach.r)
+      SELECT id, min(r) AS cluster FROM reach GROUP BY id""",
     "q98_nquads" -> s"""
       SELECT '<http://graft.kg/e/' || CAST(subj AS VARCHAR)
           || '> <http://graft.kg/p/' || pred

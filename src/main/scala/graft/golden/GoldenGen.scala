@@ -135,6 +135,7 @@ object GoldenGen {
     write("q115_graph_digest", q115GraphDigest(trip),
       "component", "n_nodes", "digest")
     write("q118_hits", q118Hits(trip), "id", "hub", "authority")
+    write("q177_msf", q177Msf(trip), "a", "b", "w")
     write("q111_sampled_neighbors", q111SampleNeighbors(trip),
       "root", "hop", "src", "dst")
     write("q48_span_metrics_greedy_vs_viterbi", q48Prf(mentions(vit), mentions(greedy)),

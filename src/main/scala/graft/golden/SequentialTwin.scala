@@ -557,6 +557,55 @@ object SequentialTwin {
     core.toSeq
   }
 
+  /** q177: minimum spanning forest twin — PRIM's algorithm (grow each
+    * component from its smallest unvisited node, always taking the
+    * (w, a, b)-minimal edge crossing the visited cut), a genuinely
+    * different algorithm from BOTH production paths (distributed Borůvka
+    * rounds, driver Kruskal): under the strict total edge order (w, a, b)
+    * the minimum spanning forest is UNIQUE (cut property with a linear
+    * order — no distinct-weights assumption needed), so all three agree
+    * by uniqueness, not by replaying one another's traversal. Edges = the
+    * q97/q171 weighted co-mention relation made undirected: unordered
+    * entity pairs, w = 6 - min(distinct urls, 5). */
+  def q177Msf(triples: Seq[Triple]): Seq[(Long, Long, Long)] = {
+    val e = triples.filter(t => t.subj != t.obj)
+      .map(t => ((math.min(t.subj, t.obj), math.max(t.subj, t.obj)), t.url))
+      .distinct.groupBy(_._1)
+      .map { case ((a, b), xs) =>
+        (a, b, 6L - math.min(xs.map(_._2).distinct.size.toLong, 5L)) }
+      .toSeq
+    val adj = scala.collection.mutable.HashMap
+      .empty[Long, scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]]
+    e.foreach { edge =>
+      adj.getOrElseUpdate(edge._1, scala.collection.mutable.ArrayBuffer.empty) += edge
+      adj.getOrElseUpdate(edge._2, scala.collection.mutable.ArrayBuffer.empty) += edge
+    }
+    val visited = scala.collection.mutable.HashSet.empty[Long]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    adj.keys.toSeq.sorted.foreach { start =>
+      if (!visited.contains(start)) {
+        visited += start
+        val pq = scala.collection.mutable.PriorityQueue
+          .empty[(Long, Long, Long)](
+            Ordering.by[(Long, Long, Long), (Long, Long, Long)] {
+              case (a, b, w) => (w, a, b) }(Ordering.Tuple3[Long, Long, Long])
+              .reverse)
+        adj(start).foreach(pq.enqueue(_))
+        while (pq.nonEmpty) {
+          val (a, b, w) = pq.dequeue()
+          val next = if (!visited.contains(a)) a
+                     else if (!visited.contains(b)) b else -1L
+          if (next >= 0L) {
+            visited += next
+            out += ((a, b, w))
+            adj(next).foreach(pq.enqueue(_))
+          }
+        }
+      }
+    }
+    out.toSeq
+  }
+
   /** q99: deterministic random-walk twin — restates the production rule
     * (kg.Graphs.randomWalks) sequentially: step t's neighbor at node cur
     * for walk (start, w) = dst-sorted out-neighbor at

@@ -926,6 +926,138 @@ object Graphs {
   }
 
   /**
+   * MINIMUM SPANNING FOREST — distributed Borůvka (the textbook
+   * parallel-MST algorithm: every round each component elects its
+   * cheapest outgoing edge under one global total order and the selected
+   * edges merge components, so components with any outgoing edge at
+   * least HALVE each round and the loop runs <= ceil(log2 V) rounds).
+   * KG reading: the cheapest-evidence backbone of a weighted relation —
+   * the minimum set of strongest links that keeps every connected entity
+   * group connected. Its defining structural property is the q178
+   * equivalence: cutting the forest at weight <= τ reproduces EXACT
+   * single-linkage clustering (connected components over ALL original
+   * edges <= τ) — the independent SQL-checkable theorem the oracle uses.
+   *
+   * Determinism: edges are ordered by the TOTAL order (w, a, b) — with
+   * no ties the forest is the unique MSF; with ties it is the unique
+   * forest of that total order, so the distributed rounds, the driver
+   * Kruskal fallback, and the Prim golden twin agree bit-for-bit by
+   * uniqueness, not by replaying one another's traversal order.
+   *
+   * Plan per round: two keyed label joins (endpoint -> current
+   * component), one min(struct(w, a, b)) partial-agg election per
+   * component (window-free — k=1 of the bounded-top-k discipline), a
+   * distinct over the <= |components| selected edges, and label
+   * contraction via [[graft.canon.ConnectedComponents.run]] over the
+   * SELECTED label-graph (<= one edge per component, shrinking
+   * geometrically; CC itself falls back to the driver when tiny).
+   * Intra-component edges are dropped from the working set as they are
+   * discovered, so per-round work shrinks with progress. The round
+   * count is bounded loudly (64 > log2 of any Long-id node count) —
+   * a non-terminating input is a bug, never a silent partial forest.
+   *
+   * Adaptive driver fallback below `smallGraphThreshold` edges: exact
+   * Kruskal under the same total order (union-find with iterative find,
+   * the [[graft.canon.ConnectedComponents]] discipline); the distributed
+   * loop is the scale path, equality-tested at threshold 0 (GraphsSpec).
+   *
+   * @param edgesIn (src, dst, w) weighted edges, read as undirected;
+   *                self-loops drop, parallel edges collapse to their
+   *                MINIMUM weight (any long weights — only the order is
+   *                used, so negative weights are legal for MSF).
+   * @return (a, b, w) forest edges with a < b — |components| fewer rows
+   *         than distinct nodes.
+   */
+  def minSpanningForest(edgesIn: DataFrame,
+                        smallGraphThreshold: Long = SmallGraphThreshold): DataFrame = {
+    val spark = edgesIn.sparkSession
+    val edges = edgesIn
+      .select(col("src").cast("long"), col("dst").cast("long"), col("w").cast("long"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"), col("w"))
+      .groupBy(col("a"), col("b")).agg(min(col("w")).as("w"))
+      .localCheckpoint(true)
+    if (edges.count() <= smallGraphThreshold)
+      return driverKruskal(spark,
+        edges.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
+    import spark.implicits._
+    // node -> current component label (self to start)
+    var labels = edges.select(col("a").as("id"))
+      .unionAll(edges.select(col("b").as("id"))).distinct()
+      .select(col("id"), col("id").as("lbl")).localCheckpoint(true)
+    var remaining = edges
+    var forest = Seq.empty[(Long, Long, Long)].toDF("a", "b", "w")
+    var round = 0
+    var done = false
+    while (round < 64 && !done) {
+      round += 1
+      val el = remaining
+        .join(labels.select(col("id").as("a"), col("lbl").as("la")), Seq("a"))
+        .join(labels.select(col("id").as("b"), col("lbl").as("lb")), Seq("b"))
+        .filter(col("la") =!= col("lb"))
+        .localCheckpoint(true)
+      if (el.isEmpty) done = true
+      else {
+        // per-component cheapest outgoing edge under (w, a, b); la/lb ride
+        // the struct for the contraction step (determined by (a, b), so
+        // they never influence the min)
+        val sel = el.select(col("la").as("c"),
+            struct(col("w"), col("a"), col("b"), col("la"), col("lb")).as("e"))
+          .unionAll(el.select(col("lb").as("c"),
+            struct(col("w"), col("a"), col("b"), col("la"), col("lb")).as("e")))
+          .groupBy(col("c")).agg(min(col("e")).as("e"))
+          .select(col("e.a").as("a"), col("e.b").as("b"), col("e.w").as("w"),
+            col("e.la").as("la"), col("e.lb").as("lb"))
+          .distinct().localCheckpoint(true)
+        forest = forest.unionAll(sel.select(col("a"), col("b"), col("w")))
+          .localCheckpoint(true)
+        val cc = graft.canon.ConnectedComponents.run(
+          sel.select(col("la").as("src"), col("lb").as("dst")))
+        labels = labels
+          .join(cc.withColumnRenamed("id", "lbl"), Seq("lbl"), "left")
+          .select(col("id"), coalesce(col("component"), col("lbl")).as("lbl"))
+          .localCheckpoint(true)
+        remaining = el.select(col("a"), col("b"), col("w")).localCheckpoint(true)
+      }
+    }
+    require(done, s"minSpanningForest did not converge in $round rounds — " +
+      "impossible for <= 2^63 nodes (components halve per round); input bug")
+    forest
+  }
+
+  /** Exact Kruskal under the (w, a, b) total order for an
+    * already-materialized small edge set (see `minSpanningForest`'s
+    * threshold): sort once, accept each edge iff its endpoints are in
+    * different union-find trees — iterative find + union-by-size, the
+    * [[graft.canon.ConnectedComponents]] driver discipline. */
+  private def driverKruskal(spark: org.apache.spark.sql.SparkSession,
+                            edges: Array[(Long, Long, Long)]): DataFrame = {
+    import spark.implicits._
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    val size = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x0: Long): Long = {
+      var r = x0
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var x = x0
+      while (parent.getOrElse(x, x) != x) { val nx = parent(x); parent(x) = r; x = nx }
+      r
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    edges.sortBy { case (a, b, w) => (w, a, b) }.foreach { case (a, b, w) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        val (sa, sb) = (size.getOrElse(ra, 1L), size.getOrElse(rb, 1L))
+        val (big, small) = if (sa >= sb) (ra, rb) else (rb, ra)
+        parent(small) = big
+        size(big) = sa + sb
+        out += ((a, b, w))
+      }
+    }
+    out.toSeq.toDF("a", "b", "w")
+  }
+
+  /**
    * Deterministic random-walk corpus (DeepWalk, Perozzi et al. 2014):
    * `walksPerNode` directed walks of length <= `maxLen` from every node
    * with at least one out-edge — the sentence-analog input a skip-gram

@@ -1324,4 +1324,99 @@ class GraphsSpec extends SparkSpec {
     val touched = got.toSeq.flatMap(p => Seq(p._1, p._2))
     assert(touched.distinct.size == touched.size)
   }
+
+  // ---- minimum spanning forest ----
+
+  private def msfRun(edges: Seq[(Long, Long, Long)], threshold: Long,
+                     parts: Int = 5): Set[(Long, Long, Long)] =
+    Graphs.minSpanningForest(wEdgesDf(edges, parts), threshold).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  /** Definitional third check: enumerate EVERY edge subset of a tiny
+    * graph, keep the acyclic ones spanning every component (i.e. with
+    * |V| - |components| edges after dedup to min-weight simple form),
+    * and return the minimum total weight. */
+  private def bruteMsfWeight(edges: Seq[(Long, Long, Long)]): Long = {
+    val simple = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2), e._3))
+      .groupBy(e => (e._1, e._2)).map { case (_, xs) => xs.minBy(_._3) }.toSeq
+    val nodes = simple.flatMap(e => Seq(e._1, e._2)).distinct
+    def components(es: Seq[(Long, Long, Long)]): Int = {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
+      }
+      es.foreach { e =>
+        val (ra, rb) = (find(e._1), find(e._2)); if (ra != rb) parent(ra) = rb
+      }
+      nodes.map(find).distinct.size
+    }
+    // a subset of exactly |V| - c(full) edges with c(sub) == c(full) has
+    // each component connected at its tree edge count — a spanning forest
+    val need = nodes.size - components(simple)
+    simple.combinations(need)
+      .filter(sub => components(sub) == components(simple))
+      .map(_.map(_._3).sum).min
+  }
+
+  test("msf: hand cases — triangle drops its heaviest edge, forest spans components") {
+    // triangle 1-2-3 with weights 1,2,3: forest keeps the two cheapest
+    val tri = Seq((1L, 2L, 1L), (2L, 3L, 2L), (1L, 3L, 3L))
+    assert(msfRun(tri, 100L) === Set((1L, 2L, 1L), (2L, 3L, 2L)))
+    // two components + self loop + parallel edges (collapse to min)
+    val two = Seq((1L, 2L, 5L), (2L, 1L, 3L), (2L, 2L, 0L), (7L, 8L, 9L))
+    assert(msfRun(two, 100L) === Set((1L, 2L, 3L), (7L, 8L, 9L)))
+    // equal weights everywhere: the (w, a, b) order keeps the lexicographic
+    // smallest spanning edges of K3 — (1,2) and (1,3), never (2,3)
+    val ties = Seq((1L, 2L, 4L), (2L, 3L, 4L), (1L, 3L, 4L))
+    assert(msfRun(ties, 100L) === Set((1L, 2L, 4L), (1L, 3L, 4L)))
+  }
+
+  test("msf: distributed == driver Kruskal at threshold 0, two partitionings, and matches the brute-force minimum weight") {
+    val rnd = new scala.util.Random(177)
+    // tiny graph for the exponential definitional check
+    val tiny = (1 to 12).map(_ => (rnd.nextInt(7).toLong + 1L,
+      rnd.nextInt(7).toLong + 1L, rnd.nextInt(9).toLong))
+    val viaDriver = msfRun(tiny, 1000000L)
+    val viaDistributed = msfRun(tiny, 0L)
+    assert(viaDriver === viaDistributed)
+    if (viaDriver.nonEmpty)
+      assert(viaDriver.toSeq.map(_._3).sum === bruteMsfWeight(tiny))
+    // larger pseudo-random graph, both paths, two partitionings
+    val big = (1 to 400).map { i =>
+      val s = if (i % 7 == 0) 0L else ((i * 31L + 7L) % 60L)
+      ((i * i * 17L + 3L) % 60L, s, (i * 13L) % 20L)
+    }
+    val d1 = msfRun(big, 1000000L)
+    assert(msfRun(big, 0L) === d1)
+    assert(msfRun(big, 0L, parts = 2) === d1)
+    // forest invariants: acyclic (|edges| = |nodes| - |components|) and
+    // spanning (same component count as the input graph)
+    val nodes = big.filter(e => e._1 != e._2).flatMap(e => Seq(e._1, e._2)).distinct
+    val inComp = graft.canon.ConnectedComponents.run(
+        wEdgesDf(big).select(col("src"), col("dst")))
+      .select(col("component")).distinct().count()
+    val outComp = graft.canon.ConnectedComponents.run(
+        wEdgesDf(d1.toSeq).select(col("src"), col("dst")))
+      .select(col("component")).distinct().count()
+    assert(inComp === outComp)
+    assert(d1.size.toLong === nodes.size.toLong - inComp)
+  }
+
+  test("msf: cutting the forest at w <= tau reproduces exact single-linkage (CC over ALL original edges <= tau)") {
+    val rnd = new scala.util.Random(178)
+    val es = (1 to 300).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong,
+      rnd.nextInt(12).toLong))
+    val msf = msfRun(es, 0L)
+    for (tau <- Seq(2L, 5L, 9L)) {
+      val viaMsf = graft.canon.ConnectedComponents.run(
+          wEdgesDf(msf.toSeq.filter(_._3 <= tau)).select(col("src"), col("dst")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val viaAll = graft.canon.ConnectedComponents.run(
+          wEdgesDf(es.filter(e => e._3 <= tau && e._1 != e._2))
+            .select(col("src"), col("dst")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaMsf === viaAll, s"single-linkage mismatch at tau=$tau")
+    }
+  }
 }
