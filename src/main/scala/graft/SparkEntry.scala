@@ -750,6 +750,40 @@ object SparkEntry {
           msf.filter(col("w") <= 4).select(col("a").as("src"), col("b").as("dst")))
         .select(col("id"), col("component").as("cluster"))
     }),
+    // maximal independent set over the rare-predicate hierarchy slice
+    // (the q89 convention — the full co-mention graph is a near-clique
+    // where MIS degenerates to one node) — deterministic Luby rounds
+    // under the (xxhash64(id, seed), id) priority order: a maximal set
+    // of pairwise NON-co-occurring entities
+    // (landmark/anchor selection, conflict-free merge scheduling); golden
+    // twin replays the identical recurrence sequentially (the priority IS
+    // the spec, the q94/q99 convention)
+    "q179_mis" -> ((s, dir) => {
+      val tr = Pipeline.triples(s, dir).toDF()
+      graft.kg.Graphs.maximalIndependentSet(
+        tr.filter(col("pred") =!= "related_to")
+          .select(col("subj").as("src"), col("obj").as("dst")))
+    }),
+    // Jones–Plassmann greedy coloring of the same slice — per round every
+    // priority-local-minimum uncolored node takes the smallest color its
+    // colored neighbors don't use; colors partition entity-merge work into
+    // lock-free waves, count bounded by maxDegree+1; golden twin
+    "q180_coloring" -> ((s, dir) => {
+      val tr = Pipeline.triples(s, dir).toDF()
+      graft.kg.Graphs.greedyColoring(
+        tr.filter(col("pred") =!= "related_to")
+          .select(col("subj").as("src"), col("obj").as("dst")))
+    }),
+    // hop-bounded Katz centrality, integer-exact: katz·4^H = Σ_h
+    // walks_h(v)·4^(H−h) in decimal(38,0) — attenuated walk-count
+    // influence (rewards MANY inbound walks, where PageRank normalizes
+    // mass away); the oracle re-derives the walk counts as four unrolled
+    // SQL joins over the golden triples and sums the same integers
+    "q181_katz" -> ((s, dir) => {
+      val tr = Pipeline.triples(s, dir).toDF()
+      graft.kg.Graphs.katz(
+        tr.select(col("subj").as("src"), col("obj").as("dst")), maxHops = 4)
+    }),
     // RDF N-Quads serialization of the triple table (graph = provenance
     // url): pure per-row codegen'd projection, zero shuffle; control-char
     // rows quarantined loudly; the oracle rebuilds each line by string
@@ -1526,6 +1560,33 @@ object SparkEntry {
              COALESCE(in_nbrs, 0) AS in_nbrs
       FROM o FULL OUTER JOIN i ON o.id = i.id""",
     "q48_span_metrics_greedy_vs_viterbi" -> golden("q48_span_metrics_greedy_vs_viterbi"),
+    "q179_mis" -> golden("q179_mis"),
+    "q180_coloring" -> golden("q180_coloring"),
+    // walk counts per length unrolled as four chained joins (H = 4,
+    // betaDen = 4 -> weights 64/16/4/1); HUGEINT sums cast to
+    // DECIMAL(38,0) so both engines compare as exact integers
+    "q181_katz" -> s"""
+      WITH t AS (SELECT DISTINCT subj, obj
+                 FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'
+                 WHERE subj <> obj),
+      n AS (SELECT subj AS id FROM t UNION SELECT obj FROM t),
+      w1 AS (SELECT obj AS id, CAST(count(*) AS HUGEINT) AS c
+             FROM t GROUP BY 1),
+      w2 AS (SELECT t.obj AS id, CAST(sum(w1.c) AS HUGEINT) AS c
+             FROM t JOIN w1 ON w1.id = t.subj GROUP BY 1),
+      w3 AS (SELECT t.obj AS id, CAST(sum(w2.c) AS HUGEINT) AS c
+             FROM t JOIN w2 ON w2.id = t.subj GROUP BY 1),
+      w4 AS (SELECT t.obj AS id, CAST(sum(w3.c) AS HUGEINT) AS c
+             FROM t JOIN w3 ON w3.id = t.subj GROUP BY 1)
+      SELECT n.id,
+             CAST(COALESCE(w1.c, 0) * 64 + COALESCE(w2.c, 0) * 16
+                + COALESCE(w3.c, 0) * 4 + COALESCE(w4.c, 0)
+               AS DECIMAL(38,0)) AS katz_scaled
+      FROM n
+      LEFT JOIN w1 ON w1.id = n.id
+      LEFT JOIN w2 ON w2.id = n.id
+      LEFT JOIN w3 ON w3.id = n.id
+      LEFT JOIN w4 ON w4.id = n.id""",
     "q81_distinct_sketch" -> golden("q81_distinct_sketch"),
     // real cross-engine oracle: DuckDB re-aggregates the golden triples;
     // valid because q83 runs below KMV saturation (est == exact distinct)

@@ -136,6 +136,13 @@ object GoldenGen {
       "component", "n_nodes", "digest")
     write("q118_hits", q118Hits(trip), "id", "hub", "authority")
     write("q177_msf", q177Msf(trip), "a", "b", "w")
+    // q179/q180 run on the rare-predicate hierarchy slice (the q89
+    // convention) — the full co-mention graph is a near-clique, where
+    // MIS degenerates to one node and coloring to |V| colors
+    write("q179_mis", q179Mis(trip.filter(_.pred != "related_to")),
+      "id", "round")
+    write("q180_coloring", q180Coloring(trip.filter(_.pred != "related_to")),
+      "id", "color")
     write("q111_sampled_neighbors", q111SampleNeighbors(trip),
       "root", "hop", "src", "dst")
     write("q48_span_metrics_greedy_vs_viterbi", q48Prf(mentions(vit), mentions(greedy)),

@@ -606,6 +606,73 @@ object SequentialTwin {
     out.toSeq
   }
 
+  /** q179: maximal-independent-set twin — the deterministic Luby
+    * recurrence replayed sequentially over mutable adjacency sets:
+    * per round, every remaining node whose (xxhash64(id, seed), id)
+    * priority is a strict local minimum among REMAINING neighbors (or
+    * with no remaining neighbor) is selected; selected nodes and their
+    * neighbors leave. Shares only the Xxh64 primitive with production
+    * (the priority IS the spec, like q94/q99). */
+  def q179Mis(triples: Seq[Triple], seed: Long = 0L): Seq[(Long, Long)] = {
+    val e = triples.filter(t => t.subj != t.obj)
+      .map(t => (math.min(t.subj, t.obj), math.max(t.subj, t.obj))).distinct
+    val adj = scala.collection.mutable.HashMap
+      .empty[Long, scala.collection.mutable.HashSet[Long]]
+    e.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, scala.collection.mutable.HashSet.empty) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.HashSet.empty) += a
+    }
+    def prio(v: Long): (Long, Long) = (Xxh64.sparkChain(Seq[Any](v, seed)), v)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var round = 0L
+    while (adj.nonEmpty) {
+      round += 1
+      val selected = adj.keysIterator.filter { v =>
+        adj(v).isEmpty || adj(v).forall(u =>
+          implicitly[Ordering[(Long, Long)]].lt(prio(v), prio(u)))
+      }.toSeq
+      require(selected.nonEmpty, "Luby round selected nothing — impossible " +
+        "under a strict total order (the global minimum always wins)")
+      selected.foreach(v => out += ((v, round)))
+      val removed = (selected ++ selected.flatMap(adj(_))).toSet
+      removed.foreach(adj.remove)
+      adj.valuesIterator.foreach(_ --= removed)
+    }
+    out.toSeq
+  }
+
+  /** q180: Jones–Plassmann coloring twin — same deterministic priorities:
+    * per round every uncolored strict-local-minimum (among UNCOLORED
+    * neighbors) takes the smallest color absent from its colored
+    * neighborhood. */
+  def q180Coloring(triples: Seq[Triple], seed: Long = 0L): Seq[(Long, Long)] = {
+    val e = triples.filter(t => t.subj != t.obj)
+      .map(t => (math.min(t.subj, t.obj), math.max(t.subj, t.obj))).distinct
+    val adj = scala.collection.mutable.HashMap
+      .empty[Long, scala.collection.mutable.HashSet[Long]]
+    e.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, scala.collection.mutable.HashSet.empty) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.HashSet.empty) += a
+    }
+    def prio(v: Long): (Long, Long) = (Xxh64.sparkChain(Seq[Any](v, seed)), v)
+    val color = scala.collection.mutable.HashMap.empty[Long, Long]
+    val uncolored = scala.collection.mutable.HashSet.empty[Long] ++ adj.keys
+    while (uncolored.nonEmpty) {
+      val ready = uncolored.iterator.filter { v =>
+        adj(v).iterator.filter(uncolored.contains).forall(u =>
+          implicitly[Ordering[(Long, Long)]].lt(prio(v), prio(u)))
+      }.toSeq
+      require(ready.nonEmpty, "Jones–Plassmann round selected nothing — " +
+        "impossible under a strict total order")
+      ready.foreach { v =>
+        val used = adj(v).iterator.flatMap(color.get).toSet
+        color(v) = Iterator.from(0).map(_.toLong).find(!used(_)).get
+      }
+      uncolored --= ready
+    }
+    color.toSeq
+  }
+
   /** q99: deterministic random-walk twin — restates the production rule
     * (kg.Graphs.randomWalks) sequentially: step t's neighbor at node cur
     * for walk (start, w) = dst-sorted out-neighbor at

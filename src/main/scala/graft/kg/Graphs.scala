@@ -2272,4 +2272,215 @@ object Graphs {
     }
     withSelfLoopOnly(assigned)
   }
+
+  /** Node priority table for the symmetry-breaking rounds of
+    * [[maximalIndependentSet]] and [[greedyColoring]]: a strict total
+    * order (xxhash64(id, seed), id) — the id component breaks hash
+    * collisions, so "local minimum" is always unique and the rounds are
+    * bit-deterministic at any partitioning. */
+  private def hashPriorities(nodes: DataFrame, seed: Long): DataFrame =
+    nodes.select(col("id"),
+      struct(xxhash64(col("id"), lit(seed)).as("h"), col("id").as("i"))
+        .as("prio"))
+
+  /**
+   * MAXIMAL INDEPENDENT SET over the undirected simple entity graph —
+   * Luby's symmetry-breaking rounds (Luby 1986) made DETERMINISTIC: the
+   * per-node lottery number is not a random draw but the strict total
+   * order (xxhash64(id, seed), id), a pure function of the graph, so
+   * every run — and the sequential golden twin replaying the same
+   * recurrence — selects the identical set. The KG use: an MIS over the
+   * co-mention graph is a maximal set of pairwise NON-co-occurring
+   * entities (anchor/landmark selection for sketches, seeds for
+   * coarsening, conflict-free scheduling of per-entity merge jobs).
+   *
+   * Round r: every remaining node whose priority is a strict local
+   * minimum among its REMAINING neighbors (or that has no remaining
+   * neighbor) joins the MIS; selected nodes AND their neighbors leave
+   * the graph. Adjacent nodes can never both be local minima, so each
+   * round's selection is independent by construction, and maximality
+   * holds because a node only leaves as a member or as a member's
+   * neighbor. With hash priorities the expected round count is
+   * O(log n) (Luby's analysis); the 64-round budget fails LOUDLY
+   * rather than silently emitting a non-maximal set.
+   *
+   * Shape per round: one keyed equi-join of the live symmetric edge
+   * list against the N-row priority table + one min partial
+   * aggregation + two anti-joins to shrink the frontier — label-table
+   * shuffles only, the [[labelPropagation]] iteration discipline;
+   * live edges shrink monotonically and are localCheckpointed.
+   *
+   * @return (id, round) for MIS members only — round is the 1-based
+   *         selection round (a determinism witness the oracle also
+   *         replays).
+   */
+  def maximalIndependentSet(edgesIn: DataFrame, seed: Long = 0L): DataFrame = {
+    val e = undirected(edgesIn)
+    var sym = e.select(col("a").as("node"), col("b").as("nbr"))
+      .unionAll(e.select(col("b").as("node"), col("a").as("nbr")))
+      .localCheckpoint(true)
+    var remaining = sym.select(col("node").as("id")).distinct()
+      .localCheckpoint(true)
+    val spark = edgesIn.sparkSession
+    import spark.implicits._
+    var mis = Seq.empty[(Long, Long)].toDF("id", "round")
+    var round = 0
+    while (!remaining.isEmpty) {
+      round += 1
+      require(round <= 64, "maximalIndependentSet did not converge in 64 " +
+        "rounds — expected O(log n) for any graph; input bug")
+      val prio = hashPriorities(remaining, seed).localCheckpoint(true)
+      val nbrMin = sym
+        .join(prio.select(col("id").as("nbr"), col("prio").as("np")),
+          Seq("nbr"))
+        .groupBy(col("node").as("id")).agg(min(col("np")).as("nmin"))
+      val selected = prio.join(nbrMin, Seq("id"), "left")
+        .filter(col("nmin").isNull || col("prio") < col("nmin"))
+        .select(col("id")).localCheckpoint(true)
+      mis = mis.unionAll(selected.select(col("id"), lit(round.toLong)
+        .as("round"))).localCheckpoint(true)
+      val removed = selected.unionAll(
+          sym.join(selected.withColumnRenamed("id", "node"), Seq("node"))
+            .select(col("nbr").as("id")))
+        .distinct().localCheckpoint(true)
+      remaining = remaining.join(removed, Seq("id"), "left_anti")
+        .localCheckpoint(true)
+      sym = sym
+        .join(removed.withColumnRenamed("id", "node"), Seq("node"), "left_anti")
+        .join(removed.withColumnRenamed("id", "nbr"), Seq("nbr"), "left_anti")
+        .localCheckpoint(true)
+    }
+    mis
+  }
+
+  /**
+   * GREEDY GRAPH COLORING — Jones–Plassmann (1993) with the same
+   * deterministic (xxhash64, id) priorities as [[maximalIndependentSet]]:
+   * in each round every uncolored node whose priority is a strict local
+   * minimum among its UNCOLORED neighbors takes the smallest color
+   * absent from its already-COLORED neighborhood. Simultaneous colorers
+   * form an independent set (adjacent nodes cannot both be local
+   * minima), so properness is invariant round over round. The KG use:
+   * a proper coloring of the entity conflict graph partitions merge/
+   * update work into waves that can run with NO cross-entity locking —
+   * and the color count is a cheap structure signal (>> degeneracy+1
+   * flags adversarial structure).
+   *
+   * Smallest-free-color election: neighbor colors aggregate to a
+   * DISTINCT set per ready node (collect_set partial-aggregates
+   * map-side; the set is bounded by the CURRENT palette size, not the
+   * degree — a 10^6-degree hub contributes at most |colors| distinct
+   * values), then the first gap of the sorted set is taken with a
+   * bounded `sequence(0, size)` probe (|set|+1 candidates, at least
+   * one free by pigeonhole). Rounds are bounded by the longest
+   * monotone priority path — O(log n / log log n) in expectation for
+   * hash priorities; the 256-round budget fails LOUDLY.
+   *
+   * @return (id, color) for every node with >= 1 edge; colors are
+   *         dense 0-based integers, color count <= maxDegree + 1 by
+   *         the greedy bound.
+   */
+  def greedyColoring(edgesIn: DataFrame, seed: Long = 0L): DataFrame = {
+    val e = undirected(edgesIn)
+    val sym = e.select(col("a").as("node"), col("b").as("nbr"))
+      .unionAll(e.select(col("b").as("node"), col("a").as("nbr")))
+      .localCheckpoint(true)
+    var uncolored = sym.select(col("node").as("id")).distinct()
+      .localCheckpoint(true)
+    val spark = edgesIn.sparkSession
+    import spark.implicits._
+    var colors = Seq.empty[(Long, Long)].toDF("id", "color")
+      .localCheckpoint(true)
+    var round = 0
+    while (!uncolored.isEmpty) {
+      round += 1
+      require(round <= 256, "greedyColoring did not converge in 256 " +
+        "rounds — expected O(log n) for hash priorities; input bug")
+      val prio = hashPriorities(uncolored, seed).localCheckpoint(true)
+      // local minima among UNCOLORED neighbors only
+      val nbrMin = sym
+        .join(prio.select(col("id").as("node"), col("prio")), Seq("node"))
+        .join(prio.select(col("id").as("nbr"), col("prio").as("np")),
+          Seq("nbr"))
+        .groupBy(col("node").as("id")).agg(min(col("np")).as("nmin"))
+      val ready = prio.join(nbrMin, Seq("id"), "left")
+        .filter(col("nmin").isNull || col("prio") < col("nmin"))
+        .select(col("id")).localCheckpoint(true)
+      // smallest color not used by any COLORED neighbor
+      val used = sym
+        .join(ready.withColumnRenamed("id", "node"), Seq("node"))
+        .join(colors.withColumnRenamed("id", "nbr"), Seq("nbr"))
+        .groupBy(col("node").as("id"))
+        .agg(sort_array(collect_set(col("color"))).as("used"))
+      val assigned = ready.join(used, Seq("id"), "left")
+        .withColumn("used", coalesce(col("used"),
+          array().cast("array<long>")))
+        .select(col("id"), array_min(filter(
+            sequence(lit(0L), size(col("used")).cast("long")),
+            c => !array_contains(col("used"), c))).as("color"))
+      colors = colors.unionAll(assigned).localCheckpoint(true)
+      uncolored = uncolored.join(ready, Seq("id"), "left_anti")
+        .localCheckpoint(true)
+    }
+    colors
+  }
+
+  /**
+   * HOP-BOUNDED KATZ CENTRALITY, integer-exact: katz(v) = Σ_{h=1..H}
+   * β^h · walks_h(v) with β = 1/betaDen, reported SCALED by betaDen^H
+   * so every term is an integer — katz_scaled(v) = Σ walks_h(v) ·
+   * betaDen^(H−h) in decimal(38,0), where walks_h(v) is the EXACT
+   * number of directed walks of length h ending at v (Katz 1953,
+   * truncated; the attenuated-influence ranking PageRank's
+   * degree-normalized mass cannot express — Katz rewards being reached
+   * by MANY walks, not by walks from important nodes). Division-free
+   * and order-free: both engines sum the same integers, so the oracle
+   * (an unrolled walk-count SQL) matches bit-for-bit; decimal(38,0)
+   * under ANSI mode OVERFLOWS LOUDLY rather than wrapping if H or the
+   * graph's walk growth outruns 38 digits.
+   *
+   * Shape per hop: ONE keyed equi-join of the edge list against the
+   * N-row count table + one partial-aggregated sum — the PageRank
+   * iteration discipline (the edge list is localCheckpointed once;
+   * each hop shuffles count rows only).
+   *
+   * @param maxHops H, the walk-length bound; require H <= 12 — walk
+   *                counts grow as (avg outdeg)^H and 38 digits is the
+   *                honest budget (the decimal overflow is the loud
+   *                backstop).
+   * @return (id, katz_scaled decimal(38,0)) for every node of the
+   *         simple directed graph; nodes no walk reaches score 0.
+   */
+  def katz(edgesIn: DataFrame, maxHops: Int, betaDen: Long = 4L): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 12,
+      s"maxHops must be in [1, 12], got $maxHops")
+    require(betaDen >= 2L, s"betaDen must be >= 2 (beta < 1), got $betaDen")
+    val edges = edgesIn
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src") =!= col("dst"))
+      .distinct().localCheckpoint(true)
+    val nodes = edges.select(col("src").as("id"))
+      .unionAll(edges.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    val dec = "decimal(38,0)"
+    var counts = nodes.select(col("id"), lit(1L).cast(dec).as("c"))
+      .localCheckpoint(true)
+    var acc = nodes.select(col("id"), lit(0L).cast(dec).as("katz_scaled"))
+    for (h <- 1 to maxHops) {
+      val stepped = edges
+        .join(counts.select(col("id").as("src"), col("c")), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(sum(col("c")).cast(dec).as("c"))
+      counts = nodes.join(stepped, Seq("id"), "left")
+        .select(col("id"), coalesce(col("c"), lit(0L).cast(dec)).as("c"))
+        .localCheckpoint(true)
+      val weight = lit(math.BigInt(betaDen).pow(maxHops - h).toString())
+        .cast(dec)
+      acc = acc.join(counts, Seq("id"))
+        .select(col("id"),
+          (col("katz_scaled") + col("c") * weight).cast(dec)
+            .as("katz_scaled"))
+        .localCheckpoint(true)
+    }
+    acc
+  }
 }

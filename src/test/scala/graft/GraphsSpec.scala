@@ -1419,4 +1419,144 @@ class GraphsSpec extends SparkSpec {
       assert(viaMsf === viaAll, s"single-linkage mismatch at tau=$tau")
     }
   }
+
+  // ---- maximal independent set / coloring / Katz ----
+
+  /** Inline sequential Luby twin (the SequentialTwin.q179Mis recurrence
+    * restated over raw edges — independent of production's DataFrame
+    * loop, shares only the Xxh64 priority, which IS the spec). */
+  private def seqMis(edges: Seq[(Long, Long)], seed: Long): Set[(Long, Long)] = {
+    val adj = scala.collection.mutable.HashMap
+      .empty[Long, scala.collection.mutable.HashSet[Long]]
+    simple(edges).foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, scala.collection.mutable.HashSet.empty) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.HashSet.empty) += a
+    }
+    def prio(v: Long) = (graft.functions.Xxh64.sparkChain(Seq[Any](v, seed)), v)
+    val out = scala.collection.mutable.Set.empty[(Long, Long)]
+    var round = 0L
+    while (adj.nonEmpty) {
+      round += 1
+      val sel = adj.keysIterator.filter(v => adj(v).forall(u =>
+        implicitly[Ordering[(Long, Long)]].lt(prio(v), prio(u)))).toSeq
+      sel.foreach(v => out += ((v, round)))
+      val removed = (sel ++ sel.flatMap(adj(_))).toSet
+      removed.foreach(adj.remove)
+      adj.valuesIterator.foreach(_ --= removed)
+    }
+    out.toSet
+  }
+
+  private def seqColoring(edges: Seq[(Long, Long)], seed: Long): Map[Long, Long] = {
+    val adj = scala.collection.mutable.HashMap
+      .empty[Long, scala.collection.mutable.HashSet[Long]]
+    simple(edges).foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, scala.collection.mutable.HashSet.empty) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.HashSet.empty) += a
+    }
+    def prio(v: Long) = (graft.functions.Xxh64.sparkChain(Seq[Any](v, seed)), v)
+    val color = scala.collection.mutable.HashMap.empty[Long, Long]
+    val un = scala.collection.mutable.HashSet.empty[Long] ++ adj.keys
+    while (un.nonEmpty) {
+      val ready = un.iterator.filter(v =>
+        adj(v).iterator.filter(un.contains).forall(u =>
+          implicitly[Ordering[(Long, Long)]].lt(prio(v), prio(u)))).toSeq
+      ready.foreach { v =>
+        val used = adj(v).iterator.flatMap(color.get).toSet
+        color(v) = Iterator.from(0).map(_.toLong).find(!used(_)).get
+      }
+      un --= ready
+    }
+    color.toMap
+  }
+
+  test("maximalIndependentSet: independent, maximal, twin-equal, partition-invariant") {
+    val want = seqMis(graph, 0L)
+    val adj = simple(graph)
+    for (parts <- Seq(1, 7)) {
+      val got = Graphs.maximalIndependentSet(edgesDf(graph, parts)).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === want, s"parts=$parts")
+      val mis = got.map(_._1)
+      // independence: no simple edge inside the set
+      assert(adj.forall { case (a, b) => !(mis(a) && mis(b)) })
+      // maximality: every non-member has a member neighbor
+      val nodes = adj.flatMap(e => Seq(e._1, e._2)).toSet
+      (nodes -- mis).foreach { v =>
+        assert(adj.exists { case (a, b) =>
+          (a == v && mis(b)) || (b == v && mis(a)) }, s"node $v addable")
+      }
+    }
+  }
+
+  test("maximalIndependentSet: hand cases — triangle picks 1, star picks leaves or hub") {
+    // triangle: exactly one member (whichever has the min priority)
+    val tri = Graphs.maximalIndependentSet(
+      edgesDf(Seq((1L, 2L), (2L, 3L), (1L, 3L)))).collect()
+    assert(tri.length === 1)
+    // star around 0: either {0} or all leaves — and it must match the twin
+    val star = (1L to 6L).map(l => (0L, l))
+    val got = Graphs.maximalIndependentSet(edgesDf(star)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === seqMis(star, 0L))
+    val ids = got.map(_._1)
+    assert(ids === Set(0L) || ids === (1L to 6L).toSet)
+  }
+
+  test("greedyColoring: proper, bounded by maxDeg+1, twin-equal, partition-invariant") {
+    val want = seqColoring(graph, 0L)
+    val adj = simple(graph)
+    val deg = adj.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    for (parts <- Seq(1, 7)) {
+      val got = Graphs.greedyColoring(edgesDf(graph, parts)).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want, s"parts=$parts")
+      adj.foreach { case (a, b) =>
+        assert(got(a) !== got(b), s"edge ($a,$b) monochromatic") }
+      assert(got.values.max <= deg.values.max,
+        "greedy bound: color index < maxDegree + 1")
+    }
+  }
+
+  test("greedyColoring: path 2-colors, odd cycle needs 3, K4 needs 4") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val pc = Graphs.greedyColoring(edgesDf(path)).collect()
+      .map(r => r.getLong(1)).toSet
+    assert(pc.subsetOf(Set(0L, 1L)) || pc.size <= 3) // greedy on a path uses <= 3
+    val c5 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L))
+    val cc = Graphs.greedyColoring(edgesDf(c5)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.values.toSet.size >= 3) // chi(C5) = 3, greedy can't beat chi
+    Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L)).foreach { case (a, b) =>
+      assert(cc(a) !== cc(b)) }
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val kc = Graphs.greedyColoring(edgesDf(k4)).collect()
+      .map(r => r.getLong(1)).toSet
+    assert(kc === Set(0L, 1L, 2L, 3L)) // clique forces all 4, dense from 0
+  }
+
+  test("katz: hand chain and brute-force walk-count twin at two partitionings") {
+    // chain 1 -> 2 -> 3, H = 2, betaDen = 4: scaled = w1*4 + w2
+    val chain = Graphs.katz(edgesDf(Seq((1L, 2L), (2L, 3L))), maxHops = 2)
+      .collect().map(r => r.getLong(0) -> BigInt(r.getDecimal(1).toBigInteger)).toMap
+    assert(chain === Map(1L -> BigInt(0), 2L -> BigInt(4), 3L -> BigInt(5)))
+    // brute-force DP twin over the skewed graph, H = 4
+    val es = graph.filter(e => e._1 != e._2).distinct
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+    var w = nodes.map(_ -> BigInt(1)).toMap
+    var acc = nodes.map(_ -> BigInt(0)).toMap
+    for (h <- 1 to 4) {
+      val nw = scala.collection.mutable.HashMap.empty[Long, BigInt]
+      es.foreach { case (u, v) => nw(v) = nw.getOrElse(v, BigInt(0)) + w(u) }
+      w = nodes.map(v => v -> nw.getOrElse(v, BigInt(0))).toMap
+      val weight = BigInt(4).pow(4 - h)
+      acc = nodes.map(v => v -> (acc(v) + w(v) * weight)).toMap
+    }
+    for (parts <- Seq(1, 7)) {
+      val got = Graphs.katz(edgesDf(graph, parts), maxHops = 4).collect()
+        .map(r => r.getLong(0) -> BigInt(r.getDecimal(1).toBigInteger)).toMap
+      assert(got === acc, s"parts=$parts")
+    }
+  }
 }
