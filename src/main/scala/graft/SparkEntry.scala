@@ -162,6 +162,27 @@ object SparkEntry {
       TextStats.langId(s.read.parquet(t(dir, "documents")))),
     "q25_token_counts" -> ((s, dir) =>
       TextStats.tokenCounts(s.read.parquet(t(dir, "documents")))),
+    // EXACT heavy hitters (tokens > 1% of the stream) via the two-pass
+    // Misra–Gries composition: pass 1's MG sketch (<= 100 counters per
+    // partial buffer — the full histogram never shuffles) yields a
+    // guaranteed candidate SUPERSET; pass 2 re-counts only candidates
+    // exactly, so the order-dependent sketch counts never reach the
+    // output and a plain GROUP BY + HAVING SQL oracle matches exactly
+    "q182_heavy_hitters" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+      graft.ops.Sketches.heavyHitters(
+        docs.select(explode(split(lower(col("text")), " ")).as("token")),
+        k = 100)
+    }),
+    // Count-Min error profile: one-pass CM sketch (order-invariant
+    // counter sums; depth*width longs per task), probed at the exact
+    // top-50 tokens — (token, cnt, cm_est) with est >= cnt always;
+    // golden twin replays cells and probes with the same Xxh64 chain
+    "q183_count_min" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+      graft.ops.Sketches.cmTopEstimates(
+        docs.select(explode(split(lower(col("text")), " ")).as("token")))
+    }),
     // EXACT quadratic twin of the LSH dedups — intentionally bounded to a
     // fixed candidate universe (doc_id < 2000): pairwise work grows as the
     // square of docs sharing a gram, so the exact form exists to oracle the
@@ -2987,6 +3008,15 @@ object SparkEntry {
       """SELECT token, count(*) AS cnt FROM (
            SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
          GROUP BY token HAVING count(*) > 10""",
+    // exact heavy hitters straight from the definition — the two-pass
+    // MG path must agree bit-for-bit (cnt * k > N, k = 100)
+    "q182_heavy_hitters" ->
+      """WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS token
+                       FROM documents),
+         c AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c)
+         SELECT token, cnt FROM c, tot WHERE cnt * 100 > n""",
+    "q183_count_min" -> golden("q183_count_min"),
     "q21_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS dup_cnt FROM documents GROUP BY text""",
     "q22_quality" ->

@@ -99,6 +99,8 @@ object GoldenGen {
     write("q81_distinct_sketch", q81DistinctSketch(docs),
       "group", "n_rows", "est_distinct", "n_kept", "kth_hash")
 
+    write("q183_count_min", q183CountMin(docs), "token", "cnt", "cm_est")
+
     // NER pipeline twins (NaiveKernel; one BiLSTM pass, both decoders)
     val models = graft.Pipeline.models(spark, sfDir)
     val (greedy, vit) = tagBoth(docs, models)

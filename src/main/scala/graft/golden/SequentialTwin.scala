@@ -606,6 +606,35 @@ object SequentialTwin {
     out.toSeq
   }
 
+  /** q183: Count-Min error-profile twin — exact token counts via one
+    * HashMap pass, the CM sketch replayed cell-for-cell with the same
+    * Xxh64 chain (hash(token, d) mod width), probes = exact top-topK by
+    * (count desc, token asc). Asserts the overestimate invariant the
+    * production spec also asserts. */
+  def q183CountMin(docs: Seq[Doc], depth: Int = 4, width: Int = 512,
+                   topK: Int = 50): Seq[(String, Long, Long)] = {
+    val toks = docs.flatMap(d =>
+      splitKeepAll(d.text.toLowerCase(java.util.Locale.ROOT)))
+    val exact = scala.collection.mutable.HashMap.empty[String, Long]
+    val cells = new Array[Long](depth * width)
+    toks.foreach { t =>
+      exact(t) = exact.getOrElse(t, 0L) + 1L
+      var d = 0
+      while (d < depth) {
+        cells(d * width + java.lang.Math.floorMod(
+          Xxh64.sparkChain(Seq[Any](t, d)), width.toLong).toInt) += 1L
+        d += 1
+      }
+    }
+    exact.toSeq.sortBy { case (t, c) => (-c, t) }.take(topK).map { case (t, c) =>
+      val est = (0 until depth).map(d => cells(d * width +
+        java.lang.Math.floorMod(
+          Xxh64.sparkChain(Seq[Any](t, d)), width.toLong).toInt)).min
+      require(est >= c, s"CM underestimated '$t': $est < $c — impossible")
+      (t, c, est)
+    }
+  }
+
   /** q179: maximal-independent-set twin — the deterministic Luby
     * recurrence replayed sequentially over mutable adjacency sets:
     * per round, every remaining node whose (xxhash64(id, seed), id)

@@ -163,4 +163,164 @@ object Sketches {
     persisted.unpersist()
     out
   }
+
+  /** Misra–Gries candidate summary: tokens sorted ascending with their
+    * (order-dependent, lower-bound) surviving counts — a SUPERSET of
+    * every token with true count > N/(k+1); the counts are diagnostics,
+    * never answers (see [[heavyHitters]] for the deterministic use). */
+  final case class MgCandidates(tokens: Array[String], lbs: Array[Long])
+
+  /**
+   * MISRA–GRIES frequent-items sketch (Misra & Gries 1982; merge rule
+   * from Agarwal et al., "Mergeable Summaries", PODS 2012): at most `k`
+   * counters; a new token beyond capacity decrements ALL counters
+   * (dropping zeros), a merge sums counterwise then subtracts the
+   * (k+1)-th largest count from every survivor. Each decrement event
+   * retires k+1 units of total count, so across any reduce/merge tree
+   * at most N/(k+1) is ever subtracted from a token's true count —
+   * every token with true count > N/(k+1) SURVIVES with a positive
+   * counter, regardless of row order or partitioning. The surviving
+   * COUNTS do depend on order (they are lower bounds, not estimates);
+   * only the GUARANTEED SUPERSET property is deterministic, which is
+   * why [[heavyHitters]] re-counts exactly instead of reporting them.
+   *
+   * State: <= k (token, count) pairs — O(k) per group forever. Cost:
+   * a decrement event is an O(k) map rebuild but happens at most once
+   * per k+1 input rows (amortized O(1) per row).
+   */
+  final class MgAgg(k: Int)
+      extends Aggregator[String, Map[String, Long], MgCandidates] {
+    require(k >= 1, "k must be >= 1")
+    override def zero: Map[String, Long] = Map.empty
+    override def reduce(buf: Map[String, Long], tok: String): Map[String, Long] =
+      buf.get(tok) match {
+        case Some(c) => buf.updated(tok, c + 1L)
+        case None if buf.size < k => buf.updated(tok, 1L)
+        case None => // decrement-all: retires k+1 units (k counters + this row)
+          buf.iterator.map { case (t, c) => (t, c - 1L) }
+            .filter(_._2 > 0L).toMap
+      }
+    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val sum = b.foldLeft(a) { case (m, (t, c)) =>
+        m.updated(t, m.getOrElse(t, 0L) + c) }
+      if (sum.size <= k) sum
+      else {
+        // subtract the (k+1)-th largest count from all, keep positives
+        val cut = sum.valuesIterator.toArray.sortBy(-_).apply(k)
+        sum.iterator.map { case (t, c) => (t, c - cut) }
+          .filter(_._2 > 0L).toMap
+      }
+    }
+    override def finish(buf: Map[String, Long]): MgCandidates = {
+      val sorted = buf.toArray.sortBy(_._1)
+      MgCandidates(sorted.map(_._1), sorted.map(_._2))
+    }
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    override def outputEncoder: Encoder[MgCandidates] =
+      Encoders.product[MgCandidates]
+  }
+
+  /**
+   * EXACT HEAVY HITTERS at unbounded scale — the classic two-pass
+   * composition: pass 1 runs [[MgAgg]] over the token stream (ONE
+   * global aggregation whose partial buffers are <= k pairs — the
+   * shuffle carries k tokens per task, never the stream) yielding a
+   * guaranteed SUPERSET of every token with count > N/(k+1); pass 2
+   * re-scans and counts ONLY the <= k candidates exactly (broadcast
+   * semi-join, one partial-agg count) and keeps those with
+   * `cnt * k > N` (strictly more than N/k of the stream). The output
+   * is EXACT and deterministic — the order-dependent MG counts never
+   * leave pass 1 — so a plain SQL oracle (GROUP BY + HAVING against
+   * the total) matches bit-for-bit while the distributed path never
+   * materializes the full token histogram. Guarantee: N/k > N/(k+1),
+   * so no qualifying token can be missing from the candidate set.
+   *
+   * @param tokensIn one `token` string column; scanned TWICE (the
+   *                 honest price of exactness — a sketch-only answer
+   *                 would be order-dependent).
+   * @return (token, cnt) for every token with cnt * k > N.
+   */
+  def heavyHitters(tokensIn: DataFrame, k: Int = 100): DataFrame = {
+    val toks = tokensIn.select(col("token").cast("string"))
+    val mg = udaf(new MgAgg(k))
+    val pass1 = toks.agg(mg(col("token")).as("c"),
+      count(lit(1)).as("n")).localCheckpoint(true)
+    val total = pass1.select(col("n"))
+    val cands = pass1.select(explode(col("c.tokens")).as("token"))
+    toks.join(broadcast(cands), Seq("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * lit(k.toLong) > col("n"))
+      .select(col("token"), col("cnt"))
+  }
+
+  /**
+   * COUNT-MIN sketch (Cormode & Muthukrishnan 2005) as a typed
+   * Aggregator — `depth` rows of `width` counters; token t increments
+   * row d at `floorMod(xxhash64_chain(t, d), width)` (the Spark
+   * xxhash64 chain, so [[graft.functions.Xxh64]] twins reproduce the
+   * cells exactly). Counters are SUMS, so unlike [[MgAgg]] the sketch
+   * itself is order- and partition-invariant — bit-identical buffers
+   * at any parallelism — and the point estimate min_d(cell) is a
+   * deterministic OVERESTIMATE (>= true count, always; <= true +
+   * eps*N with prob 1-delta at width = e/eps, depth = ln(1/delta)).
+   * State: depth*width longs per group, forever.
+   */
+  final class CmAgg(depth: Int, width: Int)
+      extends Aggregator[String, Array[Long], Array[Long]] {
+    require(depth >= 1 && width >= 2, "need depth >= 1, width >= 2")
+    override def zero: Array[Long] = new Array[Long](depth * width)
+    override def reduce(buf: Array[Long], tok: String): Array[Long] = {
+      var d = 0
+      while (d < depth) {
+        val idx = java.lang.Math.floorMod(
+          graft.functions.Xxh64.sparkChain(Seq[Any](tok, d)), width.toLong).toInt
+        buf(d * width + idx) += 1L
+        d += 1
+      }
+      buf
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    override def finish(buf: Array[Long]): Array[Long] = buf
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /**
+   * Count-Min ERROR PROFILE over the stream's own top tokens: builds
+   * the sketch in ONE pass (partial buffers merge counterwise —
+   * depth*width longs per task), takes the exact top-`topK` tokens by
+   * (count desc, token asc) via TakeOrdered (k-bounded, no global
+   * sort), and reports each probe's exact count beside its CM
+   * estimate. The estimate is evaluated ENGINE-SIDE — the sketch
+   * (one bounded array artifact, the codebook convention) becomes a
+   * literal and `least(element_at...)` over the depth cells runs as
+   * codegen'd expressions, so the probe pass is map-only. Output is
+   * deterministic (sums + exact ranks); `cm_est >= cnt` ALWAYS —
+   * the spec and the golden twin both assert it.
+   *
+   * @return (token, cnt, cm_est) for the exact top-`topK` tokens.
+   */
+  def cmTopEstimates(tokensIn: DataFrame, depth: Int = 4, width: Int = 512,
+                     topK: Int = 50): DataFrame = {
+    val toks = tokensIn.select(col("token").cast("string")).localCheckpoint(true)
+    val cm = udaf(new CmAgg(depth, width))
+    val sketch: Array[Long] =
+      toks.agg(cm(col("token"))).head().getSeq[Long](0).toArray
+    val top = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("token")).limit(topK)
+    val cells = (0 until depth).map { d =>
+      element_at(typedlit(sketch),
+        (lit(d * width) + pmod(xxhash64(col("token"), lit(d)),
+          lit(width.toLong)) + lit(1)).cast("int"))
+    }
+    top.withColumn("cm_est", least(cells: _*))
+  }
 }

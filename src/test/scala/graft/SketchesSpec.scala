@@ -113,4 +113,94 @@ class SketchesSpec extends SparkSpec {
       assert(got == expected, s"parts=$parts")
     }
   }
+
+  // ---- Misra–Gries / heavy hitters / Count-Min ----
+
+  /** Zipf-ish deterministic token stream: token "t<i>" appears ~N/i
+    * times, shuffled by a fixed permutation so MG sees adversarial
+    * interleaving rather than sorted runs. */
+  private def zipfTokens(n: Int): Seq[String] = {
+    val raw = (1 to 40).flatMap(i => Seq.fill(n / i)(s"t$i"))
+    // deterministic shuffle: sort by a hash of (token, position)
+    raw.zipWithIndex.sortBy { case (t, p) =>
+      graft.functions.Xxh64.sparkChain(Seq[Any](t, p)) }.map(_._1)
+  }
+
+  test("MgAgg superset guarantee holds under any reduce/merge split") {
+    val k = 10
+    val toks = zipfTokens(400)
+    val exact = toks.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val n = toks.size.toLong
+    val mustSurvive = exact.filter(_._2 * (k + 1) > n).keySet
+    val agg = new Sketches.MgAgg(k)
+    // three merge shapes: single fold, halves, 7-way chunks
+    val shapes = Seq(Seq(toks), toks.grouped(toks.size / 2 + 1).toSeq,
+      toks.grouped(toks.size / 7 + 1).toSeq)
+    shapes.foreach { chunks =>
+      val merged = chunks.map(_.foldLeft(agg.zero)(agg.reduce))
+        .reduce(agg.merge)
+      val r = agg.finish(merged)
+      assert(r.tokens.length <= k)
+      mustSurvive.foreach(t => assert(r.tokens.contains(t),
+        s"token $t (> N/(k+1)) dropped by MG — guarantee broken"))
+      // lower-bound property: surviving count <= true count
+      r.tokens.zip(r.lbs).foreach { case (t, lb) =>
+        assert(lb >= 1L && lb <= exact(t)) }
+    }
+  }
+
+  test("heavyHitters: exact output, partition-invariant, matches definition") {
+    import spark.implicits._
+    val toks = zipfTokens(300)
+    val exact = toks.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val n = toks.size.toLong
+    for (k <- Seq(5, 20); parts <- Seq(1, 7)) {
+      val want = exact.filter { case (_, c) => c * k > n }.toSet
+      val got = Sketches.heavyHitters(
+          toks.toDF("token").repartition(parts), k)
+        .as[(String, Long)].collect().toSet
+      assert(got === want, s"k=$k parts=$parts")
+    }
+  }
+
+  test("CmAgg sketch is bit-identical at any partitioning; estimates always over") {
+    import spark.implicits._
+    val toks = zipfTokens(300)
+    val exact = toks.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val seqCells = {
+      val agg = new Sketches.CmAgg(3, 64)
+      toks.foldLeft(agg.zero)(agg.reduce).toSeq
+    }
+    var firstDf: Seq[(String, Long, Long)] = null
+    for (parts <- Seq(1, 5)) {
+      val cm = udaf(new Sketches.CmAgg(3, 64))
+      val cells = toks.toDF("token").repartition(parts)
+        .agg(cm(col("token"))).head().getSeq[Long](0)
+      assert(cells.toSeq === seqCells, s"parts=$parts — CM not order-free")
+      val est = Sketches.cmTopEstimates(
+          toks.toDF("token").repartition(parts), depth = 3, width = 64,
+          topK = 10)
+        .as[(String, Long, Long)].collect().toSeq.sortBy(_._1)
+      est.foreach { case (t, c, e) =>
+        assert(c === exact(t)); assert(e >= c, s"CM under at $t") }
+      if (firstDf == null) firstDf = est else assert(est === firstDf)
+    }
+  }
+
+  test("cmTopEstimates: tight width makes estimates EXACT (no collisions forced)") {
+    import spark.implicits._
+    // 3 distinct tokens, width 64, depth 4: collisions possible but the
+    // overestimate can only come from the other two tokens; with exact
+    // counts known, est - cnt is a sum of colliding counts >= 0
+    val toks = Seq.fill(30)("a") ++ Seq.fill(20)("b") ++ Seq.fill(10)("c")
+    val got = Sketches.cmTopEstimates(toks.toDF("token"), depth = 4,
+        width = 64, topK = 3)
+      .as[(String, Long, Long)].collect()
+    assert(got.map(_._1).toSet === Set("a", "b", "c"))
+    got.foreach { case (t, c, e) =>
+      val want = Map("a" -> 30L, "b" -> 20L, "c" -> 10L)(t)
+      assert(c === want)
+      assert(e >= c && e <= 60L)
+    }
+  }
 }
