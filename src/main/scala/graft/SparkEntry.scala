@@ -795,6 +795,26 @@ object SparkEntry {
         tr.filter(col("pred") =!= "related_to")
           .select(col("subj").as("src"), col("obj").as("dst")))
     }),
+    // densest subgraph (Charikar via the Bahmani batch peel) on the same
+    // rare-predicate slice — the over-merge/spam-core detector; the
+    // (1+eps)-average-degree rule is integer cross-multiplied so the
+    // golden twin replays the identical peel; adaptive driver fallback,
+    // distributed loop equality-tested at threshold 0
+    "q184_densest" -> ((s, dir) => {
+      val tr = Pipeline.triples(s, dir).toDF()
+      graft.kg.Graphs.densestSubgraph(
+        tr.filter(col("pred") =!= "related_to")
+          .select(col("subj").as("src"), col("obj").as("dst")))
+    }),
+    // per-entity 4-clique participation over the full co-mention graph —
+    // kClist orientation (each 4-clique found once at its max-(deg,id)
+    // extension of its min-corner triangle); oracle = DuckDB's naive
+    // unordered a<b<c<d six-way self-join, no orientation anywhere
+    "q185_four_cliques" -> ((s, dir) => {
+      val tr = Pipeline.triples(s, dir).toDF()
+      graft.kg.Graphs.fourCliques(
+        tr.select(col("subj").as("src"), col("obj").as("dst")))
+    }),
     // hop-bounded Katz centrality, integer-exact: katz·4^H = Σ_h
     // walks_h(v)·4^(H−h) in decimal(38,0) — attenuated walk-count
     // influence (rewards MANY inbound walks, where PageRank normalizes
@@ -1583,6 +1603,26 @@ object SparkEntry {
     "q48_span_metrics_greedy_vs_viterbi" -> golden("q48_span_metrics_greedy_vs_viterbi"),
     "q179_mis" -> golden("q179_mis"),
     "q180_coloring" -> golden("q180_coloring"),
+    "q184_densest" -> golden("q184_densest"),
+    // naive unordered 4-clique enumeration: six-way self-join over the
+    // canonical a<b edge set with a<b<c<d — a genuinely different
+    // algorithm from the degree-ordered kClist orientation
+    "q185_four_cliques" -> s"""
+      WITH t AS (SELECT * FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'),
+      e AS (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+            FROM t WHERE subj <> obj),
+      q AS (SELECT e1.a AS w, e1.b AS x, e2.b AS y, e4.b AS z
+            FROM e e1 JOIN e e2 ON e2.a = e1.b
+                      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+                      JOIN e e4 ON e4.a = e2.b
+                      JOIN e e5 ON e5.a = e1.b AND e5.b = e4.b
+                      JOIN e e6 ON e6.a = e1.a AND e6.b = e4.b),
+      n AS (SELECT w AS id FROM q UNION ALL SELECT x FROM q
+            UNION ALL SELECT y FROM q UNION ALL SELECT z FROM q),
+      c AS (SELECT id, count(*) AS cliques4 FROM n GROUP BY 1),
+      nodes AS (SELECT a AS id FROM e UNION SELECT b AS id FROM e)
+      SELECT nodes.id, COALESCE(c.cliques4, 0) AS cliques4
+      FROM nodes LEFT JOIN c ON c.id = nodes.id""",
     // walk counts per length unrolled as four chained joins (H = 4,
     // betaDen = 4 -> weights 64/16/4/1); HUGEINT sums cast to
     // DECIMAL(38,0) so both engines compare as exact integers

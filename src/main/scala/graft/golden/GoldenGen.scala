@@ -143,6 +143,8 @@ object GoldenGen {
     // MIS degenerates to one node and coloring to |V| colors
     write("q179_mis", q179Mis(trip.filter(_.pred != "related_to")),
       "id", "round")
+    write("q184_densest", q184Densest(trip.filter(_.pred != "related_to")),
+      "id", "v_cnt", "e_cnt")
     write("q180_coloring", q180Coloring(trip.filter(_.pred != "related_to")),
       "id", "color")
     write("q111_sampled_neighbors", q111SampleNeighbors(trip),

@@ -635,6 +635,37 @@ object SequentialTwin {
     }
   }
 
+  /** q184: densest-subgraph twin — the Bahmani–Kumar–Vazirani batch
+    * peel replayed sequentially over an immutable edge set: per round,
+    * remove EVERY node with degree·|V|·epsDen <= 2·|E|·(epsDen+epsNum)
+    * (the (1+eps)-average-degree rule, cross-multiplied in BigInt —
+    * never a float division), tracking the max-density survivor set.
+    * The rule is the spec, so production, driver fallback and this twin
+    * must agree bit-for-bit on membership AND the (v_cnt, e_cnt) pair. */
+  def q184Densest(triples: Seq[Triple], epsNum: Long = 1L,
+                  epsDen: Long = 10L): Seq[(Long, Long, Long)] = {
+    var g = triples.filter(t => t.subj != t.obj)
+      .map(t => (math.min(t.subj, t.obj), math.max(t.subj, t.obj))).toSet
+    var nodes = g.flatMap(p => Seq(p._1, p._2))
+    var best = nodes
+    var bestE = BigInt(g.size); var bestV = BigInt(nodes.size)
+    while (nodes.nonEmpty) {
+      val (e, v) = (BigInt(g.size), BigInt(nodes.size))
+      if (e * bestV > bestE * v) { best = nodes; bestE = e; bestV = v }
+      val deg = scala.collection.mutable.HashMap.empty[Long, Long]
+      g.foreach { case (a, b) =>
+        deg(a) = deg.getOrElse(a, 0L) + 1; deg(b) = deg.getOrElse(b, 0L) + 1
+      }
+      val rhs = 2 * e * (epsDen + epsNum)
+      val doomed = nodes.filter(n =>
+        BigInt(deg.getOrElse(n, 0L)) * v * epsDen <= rhs)
+      require(doomed.nonEmpty, "twin batch peel removed nothing — impossible")
+      nodes = nodes -- doomed
+      g = g.filter { case (a, b) => !doomed(a) && !doomed(b) }
+    }
+    best.toSeq.sorted.map(id => (id, bestV.toLong, bestE.toLong))
+  }
+
   /** q179: maximal-independent-set twin — the deterministic Luby
     * recurrence replayed sequentially over mutable adjacency sets:
     * per round, every remaining node whose (xxhash64(id, seed), id)

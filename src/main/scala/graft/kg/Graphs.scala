@@ -2483,4 +2483,168 @@ object Graphs {
     }
     acc
   }
+
+  /** Sequential batch-peel twin of [[densestSubgraph]] — the SAME
+    * (1+eps)-threshold rule (so distributed == driver exactly), BigInt
+    * comparisons standing in for the decimal(38,0) columns. */
+  private def driverDensest(spark: org.apache.spark.sql.SparkSession,
+                            edges: Array[(Long, Long)],
+                            epsNum: Long, epsDen: Long): DataFrame = {
+    import spark.implicits._
+    var g = edges.toSet
+    var nodes = g.flatMap(p => Seq(p._1, p._2))
+    var best = nodes
+    var bestE = BigInt(g.size); var bestV = BigInt(nodes.size)
+    while (nodes.nonEmpty) {
+      val (e, v) = (BigInt(g.size), BigInt(nodes.size))
+      if (e * bestV > bestE * v) { best = nodes; bestE = e; bestV = v }
+      val deg = scala.collection.mutable.HashMap.empty[Long, Long]
+      g.foreach { case (a, b) =>
+        deg(a) = deg.getOrElse(a, 0L) + 1; deg(b) = deg.getOrElse(b, 0L) + 1
+      }
+      val rhs = 2 * e * (epsDen + epsNum)
+      val doomed = nodes.filter(n =>
+        BigInt(deg.getOrElse(n, 0L)) * v * epsDen <= rhs)
+      require(doomed.nonEmpty, "batch peel removed nothing — impossible: " +
+        "the minimum degree never exceeds (1+eps) * average degree")
+      nodes = nodes -- doomed
+      g = g.filter { case (a, b) => !doomed(a) && !doomed(b) }
+    }
+    best.toSeq.sorted
+      .map(id => (id, bestV.toLong, bestE.toLong))
+      .toDF("id", "v_cnt", "e_cnt")
+  }
+
+  /**
+   * DENSEST SUBGRAPH, 2(1+eps)-approximate (Charikar 2000's greedy peel
+   * in the batched MapReduce form of Bahmani–Kumar–Vazirani, VLDB 2012):
+   * repeatedly delete EVERY node whose degree is at most (1+eps) times
+   * the current average degree 2|E|/|V|, tracking the surviving node set
+   * of maximum density |E|/|V| across rounds. The min-degree node always
+   * sits at or below the average, so each round removes at least the
+   * eps/(1+eps) fraction of survivors and the loop closes in
+   * O(log_{1+eps} |V|) rounds — the property that makes the peel
+   * cluster-feasible where Charikar's one-node-at-a-time exact peel
+   * (|V| sequential rounds) is not. On the KG this is the over-merge /
+   * spam-farm detector: the densest co-mention core is where alias
+   * collapse or template-page cross-citation concentrates.
+   *
+   * Determinism/exactness: the batch rule depends only on integer
+   * degree counts — no float division anywhere. Density comparisons are
+   * cross-multiplied in BigInt on the driver (counts are Long actions);
+   * the per-node threshold test runs in decimal(38,0) columns, so
+   * deg·|V|·epsDen stays exact at any graph size (ANSI overflow is the
+   * loud backstop). Both engines and the golden twin replay the same
+   * rule, so membership agrees bit-for-bit.
+   *
+   * Shape per round: one partial-aggregated degree count + one
+   * threshold filter + two anti-joins (edges shed doomed endpoints) —
+   * every shuffle keyed by 8-byte node ids; `localCheckpoint` keeps the
+   * iterated plan flat (the coreness/BFS discipline). Adaptive driver
+   * fallback below `smallGraphThreshold` edges; the distributed loop is
+   * the scale path, equality-tested at threshold 0.
+   *
+   * @param epsNum/epsDen eps as an exact rational (default 1/10)
+   * @return one row per member of the best subgraph:
+   *         (id, v_cnt, e_cnt) with the subgraph's node/edge counts
+   *         (density = e_cnt/v_cnt) replicated per row.
+   */
+  def densestSubgraph(edgesIn: DataFrame, epsNum: Long = 1L, epsDen: Long = 10L,
+                      smallGraphThreshold: Long = SmallGraphThreshold): DataFrame = {
+    require(epsNum >= 0 && epsDen >= 1,
+      s"eps must be a non-negative rational, got $epsNum/$epsDen")
+    val e0 = undirected(edgesIn)
+    if (e0.count() <= smallGraphThreshold)
+      return driverDensest(edgesIn.sparkSession,
+        e0.collect().map(r => (r.getLong(0), r.getLong(1))), epsNum, epsDen)
+    val dec = "decimal(38,0)"
+    var g = e0.localCheckpoint(true)
+    var nodes = g.select(col("a").as("id")).unionAll(g.select(col("b").as("id")))
+      .distinct().localCheckpoint(true)
+    var eCnt = g.count(); var vCnt = nodes.count()
+    var best = nodes; var bestE = eCnt; var bestV = vCnt
+    while (vCnt > 0) {
+      if (BigInt(eCnt) * BigInt(bestV) > BigInt(bestE) * BigInt(vCnt)) {
+        best = nodes; bestE = eCnt; bestV = vCnt
+      }
+      val deg = g.select(col("a").as("id")).unionAll(g.select(col("b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("d"))
+      // deg * |V| * epsDen <= 2 * |E| * (epsDen + epsNum), both sides
+      // exact: the row side multiplies in decimal(38,0), the constant
+      // side is one BigInt rendered as a literal
+      val rhs = lit((BigInt(2) * eCnt * (epsDen + epsNum)).toString).cast(dec)
+      val lhsScale = lit((BigInt(vCnt) * epsDen).toString).cast(dec)
+      val doomed = nodes.join(deg, Seq("id"), "left")
+        .filter(coalesce(col("d"), lit(0L)).cast(dec) * lhsScale <= rhs)
+        .select(col("id")).localCheckpoint(true)
+      require(!doomed.isEmpty, "batch peel removed nothing — impossible: " +
+        "the minimum degree never exceeds (1+eps) * average degree")
+      nodes = nodes.join(doomed, Seq("id"), "left_anti").localCheckpoint(true)
+      g = g.join(doomed.withColumnRenamed("id", "a"), Seq("a"), "left_anti")
+        .join(doomed.withColumnRenamed("id", "b"), Seq("b"), "left_anti")
+        .select(col("a"), col("b")).localCheckpoint(true)
+      vCnt = nodes.count(); eCnt = g.count()
+    }
+    best.select(col("id"), lit(bestV).as("v_cnt"), lit(bestE).as("e_cnt"))
+  }
+
+  /**
+   * Per-node 4-CLIQUE participation counts — one rung up the k-clique
+   * ladder from [[triangles]] (the kClist orientation scheme of Danisch
+   * –Balalau–Sozio, WWW 2018, specialized to k = 4): orient edges by
+   * the (degree, id) total order exactly as the triangle counter does,
+   * enumerate each triangle once at its minimum-key corner, then EXTEND
+   * each oriented triangle (w < x < y) by the out-neighbors d of its
+   * MAXIMUM corner y and keep d adjacent to all three — every 4-clique
+   * {w,x,y,d} is found exactly once with d its maximum-key node, no
+   * post-hoc dedup shuffle. The orientation bounds every fan-out by the
+   * O(sqrt m) oriented out-degree regardless of hub skew, the same
+   * guarantee the triangle pass rides. On the KG, 4-clique density
+   * separates template co-citation blocks (cliquish) from genuine
+   * hub-and-spoke entity neighborhoods (triangle-rich but 4-clique-poor).
+   *
+   * Plan: the [[triangles]] plan + three further keyed equi-joins
+   * against the oriented edge list (extend by d, verify x–d, verify
+   * w–d) + one explode/partial-agg count. Integer counts only —
+   * engine-exact at any partitioning; the SQL oracle is the naive
+   * unordered a<b<c<d six-way self-join, a genuinely different
+   * algorithm with no orientation.
+   *
+   * @return (id: long, cliques4: long) for every node of the simple
+   *         graph, zeros included.
+   */
+  def fourCliques(edgesIn: DataFrame): DataFrame = {
+    val e = undirected(edgesIn).localCheckpoint(true)
+    val deg = e.select(col("a").as("id"))
+      .unionAll(e.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val withDeg = e
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), Seq("b"))
+    val aFirst = struct(col("da"), col("a")) < struct(col("db"), col("b"))
+    val oriented = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("src"),
+      when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+      when(aFirst, col("db")).otherwise(col("da")).as("ddeg"))
+      .localCheckpoint(true)
+    val o1 = oriented.select(col("src"), col("dst").as("lo"), col("ddeg").as("lodeg"))
+    val o2 = oriented.select(col("src"), col("dst").as("hi"), col("ddeg").as("hideg"))
+    val tris = o1.join(o2, Seq("src"))
+      .filter(struct(col("lodeg"), col("lo")) < struct(col("hideg"), col("hi")))
+      .join(oriented.select(col("src").as("lo"), col("dst").as("hi")),
+        Seq("lo", "hi"))
+      .select(col("src"), col("lo"), col("hi"))
+    // extend by the max corner's out-neighbors, then verify the two
+    // remaining clique edges — d's key exceeds hi's, hence all three
+    val quads = tris
+      .join(oriented.select(col("src").as("hi"), col("dst").as("d")), Seq("hi"))
+      .join(oriented.select(col("src").as("lo"), col("dst").as("d")), Seq("lo", "d"))
+      .join(oriented.select(col("src"), col("dst").as("d")), Seq("src", "d"))
+      .select(col("src"), col("lo"), col("hi"), col("d"))
+    val counts = quads
+      .select(explode(array(col("src"), col("lo"), col("hi"), col("d"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("cnt"))
+    deg.join(counts, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cnt"), lit(0L)).as("cliques4"))
+  }
 }

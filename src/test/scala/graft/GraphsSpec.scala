@@ -1559,4 +1559,95 @@ class GraphsSpec extends SparkSpec {
       assert(got === acc, s"parts=$parts")
     }
   }
+
+  // sequential batch-peel twin of densestSubgraph (same (1+eps) rule)
+  private def seqDensest(edges: Seq[(Long, Long)], epsNum: Long = 1L,
+                         epsDen: Long = 10L): (Set[Long], Long, Long) = {
+    var g = simple(edges)
+    var nodes = g.flatMap(p => Seq(p._1, p._2))
+    var best = nodes
+    var bestE = BigInt(g.size); var bestV = BigInt(nodes.size)
+    while (nodes.nonEmpty) {
+      val (e, v) = (BigInt(g.size), BigInt(nodes.size))
+      if (e * bestV > bestE * v) { best = nodes; bestE = e; bestV = v }
+      val deg = scala.collection.mutable.HashMap.empty[Long, Long]
+      g.foreach { case (a, b) =>
+        deg(a) = deg.getOrElse(a, 0L) + 1; deg(b) = deg.getOrElse(b, 0L) + 1 }
+      val rhs = 2 * e * (epsDen + epsNum)
+      val doomed = nodes.filter(n =>
+        BigInt(deg.getOrElse(n, 0L)) * v * epsDen <= rhs)
+      nodes = nodes -- doomed
+      g = g.filter { case (a, b) => !doomed(a) && !doomed(b) }
+    }
+    (best, bestV.toLong, bestE.toLong)
+  }
+
+  test("densestSubgraph: K5 with a pendant path — peel strips the path, keeps the clique") {
+    val k5 = (for { a <- 1L to 5L; b <- (a + 1) to 5L } yield (a, b)).toSeq
+    val g = k5 ++ Seq((5L, 6L), (6L, 7L), (7L, 8L))
+    val got = Graphs.densestSubgraph(edgesDf(g)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === (1L to 5L).map(id => (id, 5L, 10L)).toSet)
+    // a pure clique reports itself
+    val self = Graphs.densestSubgraph(edgesDf(k5)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(self === (1L to 5L).map(id => (id, 5L, 10L)).toSet)
+  }
+
+  test("densestSubgraph: distributed == driver at threshold 0, two partitionings, twin-equal") {
+    val (bn, bv, be) = seqDensest(graph)
+    val want = bn.map(id => (id, bv, be))
+    // density of the answer must be >= the full graph's (sanity of best-tracking)
+    val e0 = simple(graph); val v0 = e0.flatMap(p => Seq(p._1, p._2)).size
+    assert(BigInt(be) * v0 >= BigInt(e0.size) * bv)
+    for (parts <- Seq(1, 7); thr <- Seq(0L, Graphs.SmallGraphThreshold)) {
+      val got = Graphs.densestSubgraph(edgesDf(graph, parts),
+          smallGraphThreshold = thr).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === want, s"parts=$parts thr=$thr")
+    }
+  }
+
+  // brute-force 4-clique participation (no orientation — every 4-subset)
+  private def seqFourCliques(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val e = simple(edges)
+    val nodes = e.flatMap(p => Seq(p._1, p._2)).toSeq.distinct
+    val adj = nodes.map(n =>
+      n -> e.collect { case (a, b) if a == n => b; case (a, b) if b == n => a }.toSet).toMap
+    val counts = scala.collection.mutable.HashMap.empty[Long, Long]
+    nodes.foreach(n => counts(n) = 0L)
+    for {
+      Seq(w, x, y, z) <- nodes.sorted.combinations(4)
+      if adj(w)(x) && adj(w)(y) && adj(w)(z) &&
+         adj(x)(y) && adj(x)(z) && adj(y)(z)
+    } { counts(w) += 1; counts(x) += 1; counts(y) += 1; counts(z) += 1 }
+    counts.toMap
+  }
+
+  test("fourCliques: K4 counts once each, K5 counts C(4,3), triangle and diamond count zero") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val g4 = Graphs.fourCliques(edgesDf(k4)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g4 === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    val k5 = (for { a <- 1L to 5L; b <- (a + 1) to 5L } yield (a, b)).toSeq
+    val g5 = Graphs.fourCliques(edgesDf(k5)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g5 === (1L to 5L).map(_ -> 4L).toMap) // C(4,3) = 4 per node
+    val tri = Graphs.fourCliques(edgesDf(Seq((1L, 2L), (2L, 3L), (1L, 3L))))
+      .collect().map(r => r.getLong(1)).toSet
+    assert(tri === Set(0L))
+    val diamond = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val gd = Graphs.fourCliques(edgesDf(diamond)).collect()
+      .map(r => r.getLong(1)).toSet
+    assert(gd === Set(0L)) // two triangles sharing an edge, no 4th edge
+  }
+
+  test("fourCliques: brute-force twin on the skewed graph at two partitionings") {
+    val want = seqFourCliques(graph)
+    for (parts <- Seq(1, 7)) {
+      val got = Graphs.fourCliques(edgesDf(graph, parts)).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want, s"parts=$parts")
+    }
+  }
 }
