@@ -815,6 +815,48 @@ object SparkEntry {
       graft.kg.Graphs.fourCliques(
         tr.select(col("subj").as("src"), col("obj").as("dst")))
     }),
+    // per-entity BUTTERFLY counts (2×2 bicliques) over the page×entity
+    // incidence of the rare-predicate slice (the q179/q184 convention —
+    // the related_to hub makes the full incidence near-complete) — the
+    // bipartite template/co-citation detector; wedge-formula counting
+    // centered on the bounded page side, while the oracle is DuckDB's
+    // naive four-way self-join enumerating every butterfly with no wedge
+    // formula anywhere
+    "q186_butterflies" -> ((s, dir) => {
+      val tr = Pipeline.triples(s, dir).toDF()
+        .filter(col("pred") =!= "related_to")
+      val inc = tr.select(col("url").as("l"), col("subj").as("r"))
+        .unionAll(tr.select(col("url").as("l"), col("obj").as("r")))
+      graft.kg.Graphs.butterflies(inc)
+    }),
+    // TIME-RESPECTING earliest-arrival reachability from the top-3
+    // out-degree entities: each triple edge usable only AT its page's
+    // warc_ts, paths must be chronologically non-decreasing — the
+    // provenance-propagation question static BFS (q87) answers wrongly;
+    // golden twin replays the hop-bounded relaxation sequentially
+    "q187_temporal_reach" -> ((s, dir) => {
+      val tr = Pipeline.triples(s, dir).toDF()
+      val pg = Pipeline.pages(s, dir).toDF()
+        .select(col("url"), unix_micros(col("warc_ts")).as("ts"))
+      val edges = tr.join(pg, Seq("url"))
+        .select(col("subj").as("src"), col("obj").as("dst"), col("ts"))
+      val seeds = graft.kg.PageRank.degreeProfile(tr)
+        .orderBy(desc("out_triples"), asc("id")).limit(3).select(col("id"))
+      graft.kg.Temporal.earliestReach(edges, seeds, startTs = 0L, maxHops = 12)
+    }),
+    // cross-corpus KMV overlap profile: per SOURCE slice, the k-minimum
+    // -values sketch of distinct word 3-shingles; every source pair gets
+    // exact-integer sketch set statistics (union kept, common kept,
+    // Jaccard permille) plus the deterministic cardinality estimates —
+    // the corpus-contamination overlap measure that at 100 TB replaces
+    // an exact distinct-join shuffle with |groups|·k longs; golden twin
+    // replays the identical sketch math
+    "q188_corpus_overlap" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+      val sh = docs.select(col("source"),
+        explode(graft.ops.Dedup.shingles(col("text"), 3)).as("shingle"))
+      graft.ops.Sketches.sketchOverlap(sh, "source", "shingle", k = 256)
+    }),
     // hop-bounded Katz centrality, integer-exact: katz·4^H = Σ_h
     // walks_h(v)·4^(H−h) in decimal(38,0) — attenuated walk-count
     // influence (rewards MANY inbound walks, where PageRank normalizes
@@ -1623,6 +1665,27 @@ object SparkEntry {
       nodes AS (SELECT a AS id FROM e UNION SELECT b AS id FROM e)
       SELECT nodes.id, COALESCE(c.cliques4, 0) AS cliques4
       FROM nodes LEFT JOIN c ON c.id = nodes.id""",
+    // naive butterfly enumeration: four-way self-join over the distinct
+    // page×entity incidence of the rare-predicate slice — every 2×2
+    // biclique found by brute force (page pairs ordered by url string,
+    // entity pairs by id), no wedge formula anywhere — then per-entity
+    // counts; a genuinely different algorithm from the wedge aggregation
+    "q186_butterflies" -> s"""
+      WITH t AS (SELECT * FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'
+                 WHERE pred <> 'related_to'),
+      e AS (SELECT DISTINCT url, subj AS r FROM t
+            UNION SELECT DISTINCT url, obj FROM t),
+      q AS (SELECT e1.r AS x, e2.r AS y
+            FROM e e1 JOIN e e2 ON e2.url = e1.url AND e2.r > e1.r
+                      JOIN e e3 ON e3.r = e1.r AND e3.url > e1.url
+                      JOIN e e4 ON e4.url = e3.url AND e4.r = e2.r),
+      n AS (SELECT x AS id FROM q UNION ALL SELECT y FROM q),
+      c AS (SELECT id, count(*) AS cnt FROM n GROUP BY 1),
+      nodes AS (SELECT DISTINCT r AS id FROM e)
+      SELECT nodes.id, CAST(COALESCE(c.cnt, 0) AS DECIMAL(38,0)) AS butterflies
+      FROM nodes LEFT JOIN c ON c.id = nodes.id""",
+    "q187_temporal_reach" -> golden("q187_temporal_reach"),
+    "q188_corpus_overlap" -> golden("q188_corpus_overlap"),
     // walk counts per length unrolled as four chained joins (H = 4,
     // betaDen = 4 -> weights 64/16/4/1); HUGEINT sums cast to
     // DECIMAL(38,0) so both engines compare as exact integers

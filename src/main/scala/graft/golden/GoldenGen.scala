@@ -147,6 +147,10 @@ object GoldenGen {
       "id", "v_cnt", "e_cnt")
     write("q180_coloring", q180Coloring(trip.filter(_.pred != "related_to")),
       "id", "color")
+    write("q187_temporal_reach", q187TemporalReach(trip), "id", "arrival")
+    write("q188_corpus_overlap", q188CorpusOverlap(docs),
+      "g1", "g2", "est_g1", "est_g2", "est_union", "union_kept",
+      "n_common", "jaccard_permille", "est_intersection")
     write("q111_sampled_neighbors", q111SampleNeighbors(trip),
       "root", "hop", "src", "dst")
     write("q48_span_metrics_greedy_vs_viterbi", q48Prf(mentions(vit), mentions(greedy)),

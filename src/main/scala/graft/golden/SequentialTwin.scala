@@ -733,6 +733,86 @@ object SequentialTwin {
     color.toSeq
   }
 
+  /** q187: time-respecting earliest-arrival twin — hop-bounded relaxation
+    * replayed sequentially (arrival_h(v) = min ts of an edge u->v with
+    * ts >= arrival_{h-1}(u), h <= maxHops — the recurrence IS the spec,
+    * shared with production and its driver fallback). Edge timestamps are
+    * re-derived analytically from the url's doc id (CorpusGen's
+    * warc_ts = BaseEpochMs + id*1000 ms), never read back from Spark, so
+    * any timestamp-conversion drift in the engine breaks the fixture.
+    * Seeds = top-3 subjects by (triple count desc, id asc), the q87 rule. */
+  def q187TemporalReach(triples: Seq[Triple], maxHops: Int = 12,
+                        startTs: Long = 0L): Seq[(Long, Long)] = {
+    def tsOf(url: String): Long = {
+      val id = url.substring(url.lastIndexOf("doc") + 3).toLong
+      (graft.gen.CorpusGen.BaseEpochMs + id * 1000L) * 1000L
+    }
+    val seeds = triples.groupBy(_.subj).toSeq
+      .map { case (s, ts) => (s, ts.size.toLong) }
+      .sortBy { case (id, c) => (-c, id) }.take(3).map(_._1)
+    val edges = triples.filter(t => t.subj != t.obj)
+      .map(t => (t.subj, t.obj, tsOf(t.url))).filter(_._3 >= startTs).distinct
+    val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(e => (e._2, e._3)) }
+    val arr = scala.collection.mutable.HashMap.empty[Long, Long]
+    var frontier = seeds.distinct
+    frontier.foreach(arr(_) = startTs)
+    var h = 0
+    while (h < maxHops && frontier.nonEmpty) {
+      h += 1
+      val improved = scala.collection.mutable.HashMap.empty[Long, Long]
+      frontier.foreach { u =>
+        adj.getOrElse(u, Seq.empty).foreach { case (v, ts) =>
+          if (ts >= arr(u) && ts < arr.getOrElse(v, Long.MaxValue) &&
+              ts < improved.getOrElse(v, Long.MaxValue)) improved(v) = ts
+        }
+      }
+      val real = improved.filter { case (v, t) => t < arr.getOrElse(v, Long.MaxValue) }
+      real.foreach { case (v, t) => arr(v) = t }
+      frontier = real.keys.toSeq
+    }
+    arr.toSeq.sortBy(_._1)
+  }
+
+  /** q188: cross-corpus KMV overlap twin — per source, the word-3-shingle
+    * set (Spark-identical n-token concat shingles), its k smallest
+    * xxhash64 values by unsigned order, then per pair the identical
+    * integer sketch math: k-smallest-of-union, common membership count,
+    * permille Jaccard, the BigInt bottom-k estimator, and the
+    * inclusion-exclusion intersection estimate (unclamped). */
+  def q188CorpusOverlap(docs: Seq[Doc], k: Int = 256)
+      : Seq[(String, String, Long, Long, Long, Long, Long, Long, Long)] = {
+    val mask = (BigInt(1) << 64) - 1
+    def unsig(h: Long): BigInt = BigInt(h) & mask
+    def est(kept: Array[Long]): Long =
+      if (kept.length < k) kept.length.toLong
+      else ((BigInt(k - 1) << 64) / unsig(kept(k - 1)).max(BigInt(1)))
+        .min(BigInt(Long.MaxValue)).toLong
+    val bySource: Seq[(String, Array[Long])] =
+      docs.groupBy(_.source).toSeq.sortBy(_._1).map { case (src, ds) =>
+        val hs = ds.iterator.flatMap { d =>
+          val toks = splitKeepAll(d.text)
+          if (toks.length < 3) Iterator.empty
+          else (0 to toks.length - 3).iterator
+            .map(i => toks.slice(i, i + 3).mkString(""))
+        }.toSet.toArray.map((s: String) => Xxh64.hashString(s, Xxh64.SparkSeed))
+        src -> hs.distinct.sortBy(unsig).take(k)
+      }
+    for {
+      i <- bySource.indices
+      j <- (i + 1) until bySource.length
+    } yield {
+      val (g1, sa) = bySource(i)
+      val (g2, sb) = bySource(j)
+      val union = (sa ++ sb).distinct.sortBy(unsig).take(k)
+      val aSet = sa.toSet; val bSet = sb.toSet
+      val nCommon = union.count(h => aSet(h) && bSet(h)).toLong
+      val estU = est(union)
+      val jacPm = if (union.isEmpty) 0L else nCommon * 1000L / union.length
+      (g1, g2, est(sa), est(sb), estU, union.length.toLong, nCommon, jacPm,
+        est(sa) + est(sb) - estU)
+    }
+  }
+
   /** q99: deterministic random-walk twin — restates the production rule
     * (kg.Graphs.randomWalks) sequentially: step t's neighbor at node cur
     * for walk (start, w) = dst-sorted out-neighbor at

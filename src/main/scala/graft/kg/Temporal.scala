@@ -317,4 +317,107 @@ object Temporal {
         col("top.t0").as("t0"), col("top.t").as("t_last"),
         (col("top.t") - col("top.t0")).as("convert_micros"))
   }
+
+  private def driverEarliestReach(spark: org.apache.spark.sql.SparkSession,
+                                  edges: Array[(Long, Long, Long)],
+                                  seedIds: Array[Long], startTs: Long,
+                                  maxHops: Int): DataFrame = {
+    import spark.implicits._
+    val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(e => (e._2, e._3)) }
+    val arr = scala.collection.mutable.HashMap.empty[Long, Long]
+    var frontier = seedIds.distinct.toSeq
+    frontier.foreach(arr(_) = startTs)
+    var h = 0
+    while (h < maxHops && frontier.nonEmpty) {
+      h += 1
+      val improved = scala.collection.mutable.HashMap.empty[Long, Long]
+      frontier.foreach { u =>
+        adj.getOrElse(u, Array.empty[(Long, Long)]).foreach { case (v, ts) =>
+          if (ts >= arr(u) && ts < arr.getOrElse(v, Long.MaxValue) &&
+              ts < improved.getOrElse(v, Long.MaxValue)) improved(v) = ts
+        }
+      }
+      val real = improved.filter { case (v, t) => t < arr.getOrElse(v, Long.MaxValue) }
+      real.foreach { case (v, t) => arr(v) = t }
+      frontier = real.keys.toSeq
+    }
+    arr.toSeq.toDF("id", "arrival")
+  }
+
+  /**
+   * TIME-RESPECTING REACHABILITY (earliest-arrival): over a temporal edge
+   * list (src, dst, ts) — each edge usable only AT its timestamp — the
+   * earliest time every node can be reached from a seed set along a path
+   * whose edge timestamps are NON-DECREASING (Wu et al., VLDB 2014's
+   * earliest-arrival semantics; Holme–Saramäki's temporal-path model).
+   * On the KG this is the provenance-flow question static BFS answers
+   * wrongly: "when could this claim first have propagated from the seed
+   * pages to entity X?" — a static path through an edge asserted EARLIER
+   * than its predecessor is not a propagation route, and this operator
+   * never counts one.
+   *
+   * Correctness rests on the prefix-optimality of earliest arrival: any
+   * prefix of an earliest-arrival path is itself earliest-arrival, so
+   * frontier relaxation (candidate arrival at v = min ts of an edge u->v
+   * with ts >= arrival(u)) converges to the exact fixpoint, and every
+   * relaxation strictly DECREASES an arrival — at most one improvement
+   * per distinct edge timestamp, with `maxHops` rounds the loud bound.
+   * All comparisons are Long microseconds; min is order-free, so the
+   * result is engine-exact at any partitioning.
+   *
+   * Distributed loop (the [[graft.kg.Graphs.sssp]] discipline): per round
+   * ONE keyed equi-join of the improved frontier against the edge list
+   * (ts-filtered), ONE map-side-partial min per target, strict-improvement
+   * anti-filter, `localCheckpoint` keeping the plan flat; early exit on an
+   * empty frontier. Work per round is the frontier's out-edges, never the
+   * graph. Adaptive driver fallback below `smallGraphThreshold` edges;
+   * the distributed loop is the scale path, equality-tested at
+   * threshold 0 (TemporalReachSpec).
+   *
+   * @param edgesIn (src, dst, ts) temporal edges, ts castable to long
+   *                microseconds; parallel edges keep ALL timestamps (the
+   *                same pair may recur — only ts >= arrival ones count)
+   * @param seeds   (id) seed nodes, reached at `startTs`
+   * @param startTs the seeds' arrival time (edges before it unusable)
+   * @return (id: long, arrival: long) for every reachable node;
+   *         arrival = startTs for the seeds, unreachable nodes absent.
+   */
+  def earliestReach(edgesIn: DataFrame, seeds: DataFrame, startTs: Long,
+                    maxHops: Int = 12,
+                    smallGraphThreshold: Long = Graphs.SmallGraphThreshold): DataFrame = {
+    require(maxHops >= 0, "maxHops must be >= 0")
+    val edges = edgesIn
+      .select(col("src").cast("long"), col("dst").cast("long"), col("ts").cast("long"))
+      .filter(col("src") =!= col("dst") && col("ts") >= startTs)
+      // parallel same-ts duplicates collapse; distinct timestamps all kept
+      .distinct()
+    val seedIds = seeds.select(col("id").cast("long")).distinct()
+    if (edges.count() <= smallGraphThreshold)
+      return driverEarliestReach(edgesIn.sparkSession,
+        edges.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))),
+        seedIds.collect().map(_.getLong(0)), startTs, maxHops)
+    val e = edges.repartition(col("src")).localCheckpoint(true)
+    var arr = seedIds.withColumn("arrival", lit(startTs)).localCheckpoint(true)
+    var frontier = arr
+    var h = 0
+    var done = false
+    while (h < maxHops && !done) {
+      h += 1
+      val cand = frontier.withColumnRenamed("id", "src")
+        .join(e, Seq("src"))
+        .filter(col("ts") >= col("arrival"))
+        .select(col("dst").as("id"), col("ts").as("cand"))
+        .groupBy(col("id")).agg(min(col("cand")).as("cand"))
+      val improved = cand.join(arr, Seq("id"), "left")
+        .filter(col("arrival").isNull || col("cand") < col("arrival"))
+        .select(col("id"), col("cand").as("arrival")).localCheckpoint(true)
+      if (improved.isEmpty) done = true
+      else {
+        arr = arr.join(improved.select(col("id")), Seq("id"), "left_anti")
+          .unionAll(improved).localCheckpoint(true)
+        frontier = improved
+      }
+    }
+    arr
+  }
 }

@@ -323,4 +323,65 @@ object Sketches {
     }
     top.withColumn("cm_est", least(cells: _*))
   }
+
+  /**
+   * CROSS-CORPUS OVERLAP PROFILE from per-group KMV sketches: one
+   * distributed pass sketches the distinct `keyCol` values of every
+   * `groupCol` slice (k longs per group — the [[KmvAgg]] state bound),
+   * then every unordered group pair gets the classic bottom-k set
+   * statistics (Beyer et al., SIGMOD 2007): the k-smallest-of-union
+   * sketch, how many of its members appear in BOTH sides (`n_common` —
+   * the unbiased Jaccard numerator over the union sample), the exact
+   * integer `jaccard_permille = n_common*1000 div union_kept`, the three
+   * deterministic cardinality estimates, and the inclusion-exclusion
+   * intersection estimate (may round below zero for disjoint slices —
+   * reported as computed, never clamped, so the twin math is identical).
+   *
+   * This is the corpus-contamination measure at scale: exact cross-slice
+   * distinct overlap is a full shuffle join of every slice's key set,
+   * while this touches each key once and reduces to |groups|·k longs —
+   * the pair math is a driver-side bounded artifact (the codebook
+   * convention), |groups|^2/2 tuples over arrays of k Longs. EXACT below
+   * saturation: while both slices hold < k distinct keys, est == true
+   * distinct and n_common == true intersection size. All arithmetic is
+   * integer (BigInt for the estimator) — engine-exact at any
+   * partitioning, replayed bit-for-bit by the sequential twin.
+   *
+   * @return one row per unordered group pair (g1 < g2 as strings):
+   *         (g1, g2, est_g1, est_g2, est_union, union_kept, n_common,
+   *          jaccard_permille, est_intersection)
+   */
+  def sketchOverlap(df: DataFrame, groupCol: String, keyCol: String,
+                    k: Int = 256): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val kmv = udaf(new KmvAgg(k))
+    val perGroup = df.withColumn("__h", xxhash64(col(keyCol)))
+      .groupBy(col(groupCol).cast("string").as("group"))
+      .agg(kmv(col("__h")).as("r"))
+    val sketches = perGroup
+      .select(col("group"), col("r.est"), col("r.sketch")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2).toArray))
+      .sortBy(_._1)
+    val rows = for {
+      i <- sketches.indices
+      j <- (i + 1) until sketches.length
+    } yield {
+      val (g1, estA, sa) = sketches(i)
+      val (g2, estB, sb) = sketches(j)
+      // back to flipped space: signed order == unsigned order of originals
+      val fa = sa.map(_ ^ Long.MinValue)
+      val fb = sb.map(_ ^ Long.MinValue)
+      val union = mergeFlipped(fa, fb, k)
+      val aSet = fa.toSet
+      val bSet = fb.toSet
+      val nCommon = union.count(h => aSet(h) && bSet(h)).toLong
+      val estU = estimate(union, k)
+      val jacPm = if (union.isEmpty) 0L else nCommon * 1000L / union.length
+      (g1, g2, estA, estB, estU, union.length.toLong, nCommon, jacPm,
+        estA + estB - estU)
+    }
+    rows.toSeq.toDF("g1", "g2", "est_g1", "est_g2", "est_union",
+      "union_kept", "n_common", "jaccard_permille", "est_intersection")
+  }
 }

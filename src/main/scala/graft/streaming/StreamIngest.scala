@@ -431,6 +431,72 @@ object StreamIngest {
         .filter(col("batch_id") <= uptoBatch).drop("batch_id"),
       keys, bucketMicros, trailing, numK, denK, minCount)
 
+  /**
+   * Streaming COUNT-MIN frequency sketch (foreachBatch) — the streaming
+   * twin of [[graft.ops.Sketches.CmAgg]], and the one dedup/monitoring
+   * state machine whose fold needs NO merge logic at read time beyond
+   * addition: Count-Min is a LINEAR sketch (cells are sums of per-token
+   * indicator vectors), so the per-batch sketches written here sum
+   * counterwise to EXACTLY the sketch one [[graft.ops.Sketches.CmAgg]]
+   * pass over the full history would build — bit-identical, regardless
+   * of how tokens split across batches or how batches were partitioned.
+   * That linearity is why the token-frequency monitor can run at ingest
+   * with depth·width longs per batch of state and still answer
+   * "estimated count of token t over the stream so far" with the exact
+   * same deterministic overestimate the batch engine reports.
+   *
+   * Exactly-once: the delta is a pure function of the batch rows
+   * ([[graft.core.TableIO.writeResumable]] makes a replayed write a
+   * no-op); [[currentCmSketch]] folds committed deltas only, and an
+   * as-of read (`uptoBatch`) reproduces any past sketch exactly.
+   */
+  def cmBatchStep(tokens: DataFrame, stateRoot: String, batchId: Long,
+                  depth: Int = 4, width: Int = 512): Unit = {
+    val cm = udaf(new graft.ops.Sketches.CmAgg(depth, width))
+    graft.core.TableIO.writeResumable(
+      tokens.select(col("token").cast("string"))
+        .agg(cm(col("token")).as("cells"))
+        .withColumn("batch_id", lit(batchId)),
+      stateRoot, "batch_id")
+  }
+
+  /** The Count-Min sketch as of the committed deltas (optionally only
+    * batch_id <= `uptoBatch` — the replay / as-of read): counterwise sum
+    * of the per-batch sketches, returned as the bounded driver-side
+    * artifact (depth·width longs — the codebook convention) ready for
+    * map-only probe evaluation. */
+  def currentCmSketch(spark: SparkSession, stateRoot: String,
+                      depth: Int = 4, width: Int = 512,
+                      uptoBatch: Long = Long.MaxValue): Array[Long] = {
+    val folded = graft.core.TableIO.read(spark, stateRoot, "batch_id")
+      .withColumn("batch_id", col("batch_id").cast("long"))
+      .filter(col("batch_id") <= uptoBatch)
+      .select(posexplode(col("cells")).as(Seq("pos", "v")))
+      .groupBy(col("pos")).agg(sum(col("v")).as("v"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val out = new Array[Long](depth * width)
+    folded.foreach { case (pos, v) => out(pos) = v }
+    out
+  }
+
+  /** Point estimates for `probes` (a `token` column) against a folded
+    * sketch: min over the depth hash cells, evaluated as codegen'd
+    * expressions with the sketch inlined as a literal — map-only, the
+    * [[graft.ops.Sketches.cmTopEstimates]] probe shape. Estimates are
+    * deterministic overestimates of the true stream count. */
+  def cmEstimate(probes: DataFrame, sketch: Array[Long],
+                 depth: Int = 4, width: Int = 512): DataFrame = {
+    require(sketch.length == depth * width,
+      s"sketch length ${sketch.length} != depth*width ${depth * width}")
+    val cells = (0 until depth).map { d =>
+      element_at(typedlit(sketch),
+        (lit(d * width) + pmod(xxhash64(col("token"), lit(d)),
+          lit(width.toLong)) + lit(1)).cast("int"))
+    }
+    probes.select(col("token").cast("string"))
+      .withColumn("cm_est", least(cells: _*))
+  }
+
   /** Periodic state housekeeping for long-lived streams: rewrite state
     * partitions that accumulated many small files (one per executor per
     * batch). Run between batches (single-writer maintenance window). */

@@ -1650,4 +1650,78 @@ class GraphsSpec extends SparkSpec {
       assert(got === want, s"parts=$parts")
     }
   }
+
+  // ---- butterflies (bipartite 2x2 bicliques) ----
+
+  private def bipDf(edges: Seq[(String, Long)], parts: Int = 5) = {
+    import spark.implicits._
+    edges.toDF("l", "r").repartition(parts)
+  }
+
+  /** Naive butterfly enumeration: every (u1 < u2, x < y) with all four
+    * incidences present, credited to x and y — no wedge formula. */
+  private def seqButterflies(edges: Seq[(String, Long)]): Map[Long, Long] = {
+    val e = edges.distinct.toSet
+    val ls = e.map(_._1).toSeq.sorted
+    val rs = e.map(_._2).toSeq.sorted
+    val counts = scala.collection.mutable.HashMap.empty[Long, Long]
+    rs.foreach(counts(_) = 0L)
+    for {
+      Seq(u1, u2) <- ls.combinations(2)
+      Seq(x, y) <- rs.combinations(2)
+      if e((u1, x)) && e((u1, y)) && e((u2, x)) && e((u2, y))
+    } { counts(x) += 1; counts(y) += 1 }
+    counts.toMap
+  }
+
+  test("butterflies: hand cases — K(2,3) gives 2 per entity, a 4-cycle 1, a wedge 0") {
+    // K_{2,3}: 3 entity pairs each sharing both pages -> C(2,2)=1 butterfly
+    // per pair, each entity in 2 pairs
+    val k23 = for { u <- Seq("u1", "u2"); r <- Seq(1L, 2L, 3L) } yield (u, r)
+    val got = Graphs.butterflies(bipDf(k23)).collect()
+      .map(r => r.getLong(0) -> r.getDecimal(1).longValueExact()).toMap
+    assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // 4-cycle u1-x-u2-y: exactly one butterfly
+    val c4 = Seq(("u1", 1L), ("u1", 2L), ("u2", 1L), ("u2", 2L))
+    val gc = Graphs.butterflies(bipDf(c4)).collect()
+      .map(r => r.getLong(0) -> r.getDecimal(1).longValueExact()).toMap
+    assert(gc === Map(1L -> 1L, 2L -> 1L))
+    // wedge (one page, two entities): zero butterflies, zeros present
+    val w = Seq(("u1", 1L), ("u1", 2L))
+    val gw = Graphs.butterflies(bipDf(w)).collect()
+      .map(r => r.getLong(0) -> r.getDecimal(1).longValueExact()).toMap
+    assert(gw === Map(1L -> 0L, 2L -> 0L))
+  }
+
+  test("butterflies: naive-enumeration twin on a skewed incidence at two partitionings") {
+    // skewed: page p0 carries many entities, entity 0 sits on many pages,
+    // plus duplicates the op must collapse
+    val inc: Seq[(String, Long)] = (0 until 240).map { i =>
+      val p = if (i % 4 == 0) "p0" else s"p${(i * 13 + 5) % 20}"
+      val r = if (i % 7 == 0) 0L else (i * 31L + 3L) % 25L
+      (p, r)
+    } ++ Seq(("p1", 1L), ("p1", 1L))
+    val want = seqButterflies(inc)
+    for (parts <- Seq(1, 7)) {
+      val got = Graphs.butterflies(bipDf(inc, parts)).collect()
+        .map(r => r.getLong(0) -> r.getDecimal(1).longValueExact()).toMap
+      assert(got === want, s"parts=$parts")
+    }
+    val (dropped, _) = Graphs.lastDropReport("butterflies")
+    assert(dropped === 0L)
+  }
+
+  test("butterflies: maxLeftDegree cap drops hot pages LOUDLY, not silently") {
+    val inc = (1L to 10L).map(r => ("hub", r)) ++
+      Seq(("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L))
+    // cap below the hub's degree: hub excluded, report populated, the
+    // a/b butterfly on {1,2} survives
+    val got = Graphs.butterflies(bipDf(inc), maxLeftDegree = 5L).collect()
+      .map(r => r.getLong(0) -> r.getDecimal(1).longValueExact()).toMap
+    assert(got(1L) === 1L && got(2L) === 1L)
+    assert(Graphs.lastDropReport("butterflies") === ((1L, 10L)))
+    // capped run loses the hub's entities from the universe too (they have
+    // no other incidence): ids 3..10 absent
+    assert(!got.contains(3L))
+  }
 }

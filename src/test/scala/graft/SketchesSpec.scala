@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import graft.ops.Sketches
 import graft.ops.Sketches.{KmvAgg, KmvMergeAgg}
@@ -201,6 +202,48 @@ class SketchesSpec extends SparkSpec {
       val want = Map("a" -> 30L, "b" -> 20L, "c" -> 10L)(t)
       assert(c === want)
       assert(e >= c && e <= 60L)
+    }
+  }
+
+  test("sketchOverlap: EXACT below saturation — estimates are true distincts, n_common the true intersection") {
+    import spark.implicits._
+    // three slices with known overlap, all under k=64 distinct keys
+    val rows =
+      (1 to 30).map(i => ("a", s"k$i")) ++        // a: k1..k30
+      (21 to 50).map(i => ("b", s"k$i")) ++       // b: k21..k50 (|a∩b|=10)
+      (1 to 5).map(i => ("c", s"k$i")) ++         // c: k1..k5 (⊂ a, |b∩c|=0)
+      Seq(("a", "k1"), ("b", "k21"))              // duplicates collapse
+    var first: Seq[(String, String, Long, Long, Long, Long, Long, Long, Long)] = null
+    for (parts <- Seq(1, 7)) {
+      val got = Sketches.sketchOverlap(
+          rows.toDF("g", "key").repartition(parts), "g", "key", k = 64)
+        .as[(String, String, Long, Long, Long, Long, Long, Long, Long)]
+        .collect().toSeq.sortBy(r => (r._1, r._2))
+      assert(got.map(r => (r._1, r._2)) === Seq(("a", "b"), ("a", "c"), ("b", "c")))
+      val m = got.map(r => (r._1, r._2) -> r).toMap
+      // (g1, g2, est1, est2, estU, unionKept, nCommon, jacPm, estI)
+      assert(m(("a", "b")) === (("a", "b", 30L, 30L, 50L, 50L, 10L, 200L, 10L)))
+      assert(m(("a", "c")) === (("a", "c", 30L, 5L, 30L, 30L, 5L, 166L, 5L)))
+      assert(m(("b", "c")) === (("b", "c", 30L, 5L, 35L, 35L, 0L, 0L, 0L)))
+      if (first == null) first = got else assert(got === first)
+    }
+  }
+
+  test("sketchOverlap: saturated sketches stay deterministic and pair math bounds hold") {
+    import spark.implicits._
+    // two big overlapping slices, k=16 well below their cardinality
+    val rows = (1 to 400).map(i => ("x", s"v$i")) ++
+      (201 to 600).map(i => ("y", s"v$i"))
+    var first: Seq[Row] = null
+    for (parts <- Seq(1, 5)) {
+      val got = Sketches.sketchOverlap(
+        rows.toDF("g", "key").repartition(parts), "g", "key", k = 16).collect().toSeq
+      assert(got.size === 1)
+      val r = got.head
+      assert(r.getLong(5) === 16L)                  // union kept = k
+      assert(r.getLong(6) <= 16L)                   // common ⊆ union sample
+      assert(r.getLong(7) === r.getLong(6) * 1000L / 16L)
+      if (first == null) first = got else assert(got === first)
     }
   }
 }

@@ -522,4 +522,49 @@ class StreamIngestSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
     assert(keptRows === Set((1L, 1L, "A"), (2L, 0L, "A"), (2L, 3L, "B")))
   }
+
+  test("streaming Count-Min (foreachBatch + TableIO sketch log): linear fold == one-pass batch sketch, as-of read, exact replay") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val stateRoot = java.nio.file.Files.createTempDirectory("cm_state").toString
+    val depth = 3; val width = 32
+    val b1 = Seq.fill(7)("alpha") ++ Seq.fill(3)("beta") ++ Seq("gamma")
+    val b2 = Seq.fill(5)("alpha") ++ Seq.fill(9)("delta") ++ Seq("beta")
+    val stream = MemoryStream[String]
+    val q = stream.toDS().toDF("token")
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        StreamIngest.cmBatchStep(b, stateRoot, id, depth, width)
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+    stream.addData(b1: _*)
+    q.processAllAvailable()
+    stream.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    // linearity: the fold of per-batch sketches IS the one-pass sketch
+    def batchSketch(toks: Seq[String]): Seq[Long] = {
+      val agg = new graft.ops.Sketches.CmAgg(depth, width)
+      agg.finish(toks.foldLeft(agg.zero)(agg.reduce)).toSeq
+    }
+    val folded = StreamIngest.currentCmSketch(spark, stateRoot, depth, width)
+    assert(folded.toSeq === batchSketch(b1 ++ b2))
+    // as-of read reproduces the batch-0-only sketch exactly
+    assert(StreamIngest.currentCmSketch(spark, stateRoot, depth, width,
+      uptoBatch = 0L).toSeq === batchSketch(b1))
+    // probe estimates: deterministic overestimates of the true counts
+    val est = StreamIngest.cmEstimate(
+        Seq("alpha", "beta", "delta", "unseen").toDF("token"),
+        folded, depth, width)
+      .as[(String, Long)].collect().toMap
+    val exact = Map("alpha" -> 12L, "beta" -> 4L, "delta" -> 9L, "unseen" -> 0L)
+    exact.foreach { case (t, c) =>
+      assert(est(t) >= c, s"CM under at $t")
+      assert(est(t) <= (b1 ++ b2).size.toLong, s"CM above stream size at $t")
+    }
+    // replay: re-writing batch 1's delta is a no-op (same fold after)
+    StreamIngest.cmBatchStep(b2.toDF("token"), stateRoot, 1L, depth, width)
+    assert(StreamIngest.currentCmSketch(spark, stateRoot, depth, width).toSeq
+      === folded.toSeq)
+  }
 }

@@ -265,4 +265,79 @@ class TemporalSpec extends SparkSpec {
       "B" -> got.values.count(_._1 >= 2L).toLong,
       "C" -> got.values.count(_._1 >= 3L).toLong))
   }
+
+  // ---- earliestReach (time-respecting reachability) ----
+
+  private def tedges(rows: Seq[(Long, Long, Long)], parts: Int = 3) = {
+    import spark.implicits._
+    rows.toDF("src", "dst", "ts").repartition(parts)
+  }
+
+  private def seedsDf(ids: Seq[Long]) = {
+    import spark.implicits._
+    ids.toDF("id")
+  }
+
+  /** sequential brute force: enumerate time-respecting walks up to
+    * maxHops by hop-indexed DP over the FULL table each round (no
+    * frontier machinery). */
+  private def seqReach(rows: Seq[(Long, Long, Long)], seeds: Seq[Long],
+                       startTs: Long, maxHops: Int): Map[Long, Long] = {
+    val es = rows.filter(e => e._1 != e._2 && e._3 >= startTs).distinct
+    var arr = seeds.distinct.map(_ -> startTs).toMap
+    (1 to maxHops).foreach { _ =>
+      val next = es.flatMap { case (u, v, ts) =>
+        arr.get(u).filter(ts >= _).map(_ => v -> ts)
+      }.groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).min }
+      arr = (arr.keySet ++ next.keySet).map { v =>
+        v -> math.min(arr.getOrElse(v, Long.MaxValue),
+          next.getOrElse(v, Long.MaxValue))
+      }.toMap
+    }
+    arr
+  }
+
+  test("earliestReach: chronology respected — a static path with decreasing timestamps does not count") {
+    // a -(5)-> b -(3)-> c: static BFS reaches c, temporal does not;
+    // the later b -(7)-> c edge does
+    val e1 = Seq((1L, 2L, 5L), (2L, 3L, 3L))
+    val g1 = Temporal.earliestReach(tedges(e1), seedsDf(Seq(1L)), startTs = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g1 === Map(1L -> 0L, 2L -> 5L))
+    val g2 = Temporal.earliestReach(tedges(e1 :+ (2L, 3L, 7L)),
+        seedsDf(Seq(1L)), startTs = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g2 === Map(1L -> 0L, 2L -> 5L, 3L -> 7L))
+    // edges strictly before startTs are unusable
+    val g3 = Temporal.earliestReach(tedges(e1), seedsDf(Seq(1L)), startTs = 6L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g3 === Map(1L -> 6L))
+  }
+
+  test("earliestReach: a later slow edge beats an earlier blocked one (min over paths, not hops)") {
+    // two routes to 4: direct at ts=9, and 1->2->4 arriving at 6
+    val es = Seq((1L, 4L, 9L), (1L, 2L, 2L), (2L, 4L, 6L))
+    val got = Temporal.earliestReach(tedges(es), seedsDf(Seq(1L)), startTs = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(4L) === 6L)
+  }
+
+  test("earliestReach: distributed loop == driver fallback == brute force on a skewed temporal graph") {
+    // pseudo-random temporal digraph with a hub, duplicate edges at
+    // different timestamps, self-loops to drop
+    val es: Seq[(Long, Long, Long)] = (0 until 400).map { i =>
+      val s = if (i % 5 == 0) 0L else (i * 31L + 7L) % 40L
+      val d = (i * i * 17L + 3L) % 40L
+      (s, d, (i * 73L + 11L) % 100L)
+    }
+    val seeds = Seq(0L, 17L)
+    val want = seqReach(es, seeds, startTs = 0L, maxHops = 12)
+    val drv = Temporal.earliestReach(tedges(es), seedsDf(seeds), startTs = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Temporal.earliestReach(tedges(es, 7), seedsDf(seeds),
+        startTs = 0L, maxHops = 12, smallGraphThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(drv === want)
+    assert(dist === want)
+  }
 }
