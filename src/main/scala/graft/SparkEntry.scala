@@ -844,6 +844,20 @@ object SparkEntry {
         .orderBy(desc("out_triples"), asc("id")).limit(3).select(col("id"))
       graft.kg.Temporal.earliestReach(edges, seeds, startTs = 0L, maxHops = 12)
     }),
+    // TRIADIC CLOSURE timestamps on the full co-mention graph: per
+    // triangle, WHEN it completed (latest first-observation of its three
+    // edges, each edge first observed at its earliest asserting page's
+    // warc_ts) and the closure span — the link-prediction ground-truth
+    // clock; oracle re-derives page timestamps analytically from doc ids
+    // and re-enumerates triangles unordered in SQL
+    "q189_triadic_closure" -> ((s, dir) => {
+      val tr = Pipeline.triples(s, dir).toDF()
+      val pg = Pipeline.pages(s, dir).toDF()
+        .select(col("url"), unix_micros(col("warc_ts")).as("ts"))
+      val edges = tr.join(pg, Seq("url"))
+        .select(col("subj").as("src"), col("obj").as("dst"), col("ts"))
+      graft.kg.Graphs.triadicClosures(edges)
+    }),
     // cross-corpus KMV overlap profile: per SOURCE slice, the k-minimum
     // -values sketch of distinct word 3-shingles; every source pair gets
     // exact-integer sketch set statistics (union kept, common kept,
@@ -1686,6 +1700,26 @@ object SparkEntry {
       FROM nodes LEFT JOIN c ON c.id = nodes.id""",
     "q187_temporal_reach" -> golden("q187_temporal_reach"),
     "q188_corpus_overlap" -> golden("q188_corpus_overlap"),
+    // unordered triangle enumeration with per-edge first-observation
+    // minima; page timestamps re-derived analytically from the url's doc
+    // id (CorpusGen: warc_ts = 2024-01-01 + id seconds), so any engine
+    // timestamp drift breaks the row hash
+    "q189_triadic_closure" -> s"""
+      WITH t AS (SELECT subj, obj,
+                   (1704067200000 + CAST(regexp_extract(url, 'doc(\\d+)$$', 1)
+                      AS BIGINT) * 1000) * 1000 AS ts
+                 FROM '$goldenRoot/__SF__/q47_triples.parquet/*.parquet'
+                 WHERE subj <> obj),
+      e AS (SELECT least(subj, obj) AS a, greatest(subj, obj) AS b,
+                   min(ts) AS fts
+            FROM t GROUP BY 1, 2),
+      tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c,
+                     e1.fts AS t1, e2.fts AS t2, e3.fts AS t3
+              FROM e e1 JOIN e e2 ON e2.a = e1.b
+                        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+      SELECT a, b, c, greatest(t1, t2, t3) AS formed_ts,
+             greatest(t1, t2, t3) - least(t1, t2, t3) AS span_micros
+      FROM tri""",
     // walk counts per length unrolled as four chained joins (H = 4,
     // betaDen = 4 -> weights 64/16/4/1); HUGEINT sums cast to
     // DECIMAL(38,0) so both engines compare as exact integers

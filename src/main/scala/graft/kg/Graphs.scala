@@ -2649,6 +2649,71 @@ object Graphs {
   }
 
   /**
+   * TRIADIC CLOSURE timestamps over a temporal edge list: for every
+   * triangle of the simple graph, the moment it became complete —
+   * `formed_ts` = the LATEST of the three edges' FIRST observations
+   * (before it one edge was missing; at it the triad closed) — plus the
+   * closure span (formed_ts − the earliest first-observation). This is
+   * the link-prediction ground-truth generator (Leskovec et al.'s
+   * triadic-closure supervision: the third edge's arrival labels the
+   * open wedge positive) and the community-growth clock: a burst of
+   * small-span closures marks a densifying region, while static triangle
+   * counts (see [[triangles]]) cannot say WHEN.
+   *
+   * Algorithm: collapse the temporal multigraph to (a < b, first_ts =
+   * min ts) — one partial-aggregated groupBy — then run the exact
+   * degree-ordered orientation of [[triangles]] with `first_ts` riding
+   * each oriented edge; the wedge and closing joins carry the two/one
+   * edge timestamps, so each triangle emerges exactly once at its
+   * min-(deg, id) corner already holding all three. All arithmetic is
+   * Long-microsecond min/max/greatest — order-free, engine-exact; the
+   * oracle recomputes per-edge minima and re-enumerates triangles
+   * unordered in SQL.
+   *
+   * @param edgesIn (src, dst, ts) temporal edges (ts castable to long)
+   * @return (a, b, c, formed_ts, span_micros), ids ascending per row,
+   *         one row per triangle of the simple graph.
+   */
+  def triadicClosures(edgesIn: DataFrame): DataFrame = {
+    val e = edgesIn
+      .select(col("src").cast("long"), col("dst").cast("long"), col("ts").cast("long"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .agg(min(col("ts")).as("fts"))
+      .localCheckpoint(true)
+    val deg = e.select(col("a").as("id"))
+      .unionAll(e.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val withDeg = e
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), Seq("b"))
+    val aFirst = struct(col("da"), col("a")) < struct(col("db"), col("b"))
+    val oriented = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("src"),
+      when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+      when(aFirst, col("db")).otherwise(col("da")).as("ddeg"),
+      col("fts"))
+      .localCheckpoint(true)
+    val o1 = oriented.select(col("src"), col("dst").as("lo"),
+      col("ddeg").as("lodeg"), col("fts").as("t_lo"))
+    val o2 = oriented.select(col("src"), col("dst").as("hi"),
+      col("ddeg").as("hideg"), col("fts").as("t_hi"))
+    val tris = o1.join(o2, Seq("src"))
+      .filter(struct(col("lodeg"), col("lo")) < struct(col("hideg"), col("hi")))
+      .join(oriented.select(col("src").as("lo"), col("dst").as("hi"),
+        col("fts").as("t_close")), Seq("lo", "hi"))
+    val ids = array_sort(array(col("src"), col("lo"), col("hi")))
+    tris.select(
+      element_at(ids, 1).as("a"),
+      element_at(ids, 2).as("b"),
+      element_at(ids, 3).as("c"),
+      greatest(col("t_lo"), col("t_hi"), col("t_close")).as("formed_ts"),
+      (greatest(col("t_lo"), col("t_hi"), col("t_close")) -
+        least(col("t_lo"), col("t_hi"), col("t_close"))).as("span_micros"))
+  }
+
+  /**
    * Per-vertex BUTTERFLY counts over a bipartite incidence graph — the
    * butterfly (2×2 biclique: two left vertices both incident to the same
    * two right vertices) is the bipartite analog of the triangle

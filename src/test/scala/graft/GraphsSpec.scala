@@ -1651,6 +1651,52 @@ class GraphsSpec extends SparkSpec {
     }
   }
 
+  // ---- triadicClosures (temporal triangle formation) ----
+
+  private def tedgesDf(edges: Seq[(Long, Long, Long)], parts: Int = 5) = {
+    import spark.implicits._
+    edges.toDF("src", "dst", "ts").repartition(parts)
+  }
+
+  /** Naive twin: per-edge min ts, then unordered triple scan. */
+  private def seqClosures(edges: Seq[(Long, Long, Long)])
+      : Set[(Long, Long, Long, Long, Long)] = {
+    val fts = edges.filter(e => e._1 != e._2)
+      .groupBy(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      .map { case (k, xs) => k -> xs.map(_._3).min }
+    val nodes = fts.keySet.flatMap(p => Seq(p._1, p._2)).toSeq.sorted
+    (for {
+      Seq(x, y, z) <- nodes.combinations(3)
+      ts <- Seq(Seq(fts.get((x, y)), fts.get((x, z)), fts.get((y, z))))
+      if ts.forall(_.isDefined)
+      v = ts.flatten
+    } yield (x, y, z, v.max, v.max - v.min)).toSet
+  }
+
+  test("triadicClosures: hand case — formed at the LAST edge's FIRST observation") {
+    // triangle 1-2-3: edge (1,2) seen at 10 then again at 2 (min 2),
+    // (1,3) at 5, (2,3) at 9 -> formed at max(2,5,9)=9, span 7
+    val es = Seq((1L, 2L, 10L), (2L, 1L, 2L), (1L, 3L, 5L), (2L, 3L, 9L),
+      (3L, 9L, 1L)) // pendant edge: no triangle
+    val got = Graphs.triadicClosures(tedgesDf(es)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got === Set((1L, 2L, 3L, 9L, 7L)))
+  }
+
+  test("triadicClosures: naive twin on the skewed graph with timestamps at two partitionings") {
+    val tes = graph.zipWithIndex.map { case ((s, d), i) =>
+      (s, d, (i * 37L + 5L) % 1000L)
+    }
+    val want = seqClosures(tes)
+    for (parts <- Seq(1, 7)) {
+      val got = Graphs.triadicClosures(tedgesDf(tes, parts)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      assert(got === want, s"parts=$parts")
+    }
+  }
+
   // ---- butterflies (bipartite 2x2 bicliques) ----
 
   private def bipDf(edges: Seq[(String, Long)], parts: Int = 5) = {

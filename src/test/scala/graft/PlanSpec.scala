@@ -509,4 +509,38 @@ class PlanSpec extends SparkSpec {
     assert(!pDup.linesIterator.exists(_.trim.matches("\\(\\d+\\) Window")),
       pDup.take(3000))
   }
+
+  test("q186: butterfly wedge join and credit sums are keyed, partial-aggregated, window-free") {
+    val p = plan(SparkEntry.queries("q186_butterflies")(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.linesIterator.exists(_.trim.matches("\\(\\d+\\) Window")),
+      p.take(3000))
+    // the pair-count and credit aggregations partial-aggregate map-side
+    assert(p.contains("partial_"), p.take(3000))
+  }
+
+  test("q187: temporal-reach edge assembly is a keyed url join; relaxation loop keyed at threshold 0") {
+    import org.apache.spark.sql.functions._
+    // the query's edge assembly (triples x page warc_ts on url) — audited
+    // directly because the sf0.001 query output is the driver fallback's
+    // LocalRelation (the loop itself is equality-tested in TemporalSpec)
+    val tr = Pipeline.triples(spark, sf).toDF()
+    val pg = Pipeline.pages(spark, sf).toDF()
+      .select(col("url"), unix_micros(col("warc_ts")).as("ts"))
+    val edges = tr.join(pg, Seq("url"))
+      .select(col("subj").as("src"), col("obj").as("dst"), col("ts"))
+    val pEdges = plan(edges)
+    assert(!pEdges.contains("CartesianProduct") &&
+      !pEdges.contains("BroadcastNestedLoopJoin"), pEdges.take(3000))
+    // distributed relaxation output (threshold 0): window-free, no cross
+    val seeds = graft.kg.PageRank.degreeProfile(tr)
+      .orderBy(desc("out_triples"), asc("id")).limit(3).select(col("id"))
+    val pLoop = plan(graft.kg.Temporal.earliestReach(edges, seeds,
+      startTs = 0L, maxHops = 2, smallGraphThreshold = 0L))
+    assert(!pLoop.contains("CartesianProduct") &&
+      !pLoop.contains("BroadcastNestedLoopJoin"), pLoop.take(3000))
+    assert(!pLoop.linesIterator.exists(_.trim.matches("\\(\\d+\\) Window")),
+      pLoop.take(3000))
+  }
 }
