@@ -497,6 +497,49 @@ object StreamIngest {
       .withColumn("cm_est", least(cells: _*))
   }
 
+  /**
+   * Streaming KMV DISTINCT sketches (foreachBatch) — the streaming twin
+   * of [[graft.ops.Sketches.distinctSketch]]'s per-group bottom-k state:
+   * each batch appends its per-group k-minimum-hash sketch to the
+   * TableIO delta log (k longs per group per batch). KMV merge is SET
+   * union + truncate — associative, commutative, idempotent on
+   * duplicates — so [[currentKmvSketches]]'s fold equals the one-pass
+   * batch sketch over the full history BIT-FOR-BIT at any batch split:
+   * the distinct-cardinality monitor ("unique urls/tokens per slice so
+   * far") runs at ingest with bounded state and zero drift from its
+   * batch twin. Replay is a [[graft.core.TableIO.writeResumable]] no-op;
+   * `uptoBatch` gives exact as-of reads.
+   */
+  def kmvBatchStep(rows: DataFrame, stateRoot: String, batchId: Long,
+                   groupCol: String, keyCol: String, k: Int = 64): Unit = {
+    val kmv = udaf(new graft.ops.Sketches.KmvAgg(k))
+    graft.core.TableIO.writeResumable(
+      rows.withColumn("__h", xxhash64(col(keyCol)))
+        .groupBy(col(groupCol).cast("string").as("group"))
+        .agg(count(lit(1)).as("n_rows"), kmv(col("__h")).as("r"))
+        .select(col("group"), col("n_rows"), col("r.sketch").as("sketch"))
+        .withColumn("batch_id", lit(batchId)),
+      stateRoot, "batch_id")
+  }
+
+  /** Per-group distinct estimates as of the committed deltas: re-merge
+    * the per-batch sketches ([[graft.ops.Sketches.KmvMergeAgg]] — one
+    * partial-aggregated fold, k-long buffers only), emitting the same
+    * (est_distinct, n_kept, kth_hash) surface as the batch operator. */
+  def currentKmvSketches(spark: SparkSession, stateRoot: String,
+                         k: Int = 64,
+                         uptoBatch: Long = Long.MaxValue): DataFrame = {
+    val merge = udaf(new graft.ops.Sketches.KmvMergeAgg(k))
+    graft.core.TableIO.read(spark, stateRoot, "batch_id")
+      .withColumn("batch_id", col("batch_id").cast("long"))
+      .filter(col("batch_id") <= uptoBatch)
+      .groupBy(col("group"))
+      .agg(sum(col("n_rows")).as("n_rows"), merge(col("sketch")).as("r"))
+      .select(col("group"), col("n_rows"),
+        col("r.est").as("est_distinct"), col("r.n_kept").as("n_kept"),
+        element_at(col("r.sketch"), col("r.n_kept")).as("kth_hash"))
+  }
+
   /** Periodic state housekeeping for long-lived streams: rewrite state
     * partitions that accumulated many small files (one per executor per
     * batch). Run between batches (single-writer maintenance window). */

@@ -567,4 +567,46 @@ class StreamIngestSpec extends SparkSpec {
     assert(StreamIngest.currentCmSketch(spark, stateRoot, depth, width).toSeq
       === folded.toSeq)
   }
+
+  test("streaming KMV distinct sketches (foreachBatch + TableIO sketch log): fold == one-pass batch sketch, as-of read, exact replay") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val stateRoot = java.nio.file.Files.createTempDirectory("kmv_state").toString
+    val k = 8
+    // two slices; slice "en" crosses saturation (>8 distinct), "de" stays
+    // exact; batch 2 repeats keys from batch 1 (set semantics must hold)
+    val b1 = (1 to 6).map(i => ("en", s"u$i")) ++ Seq(("de", "x1"), ("de", "x2"))
+    val b2 = (4 to 12).map(i => ("en", s"u$i")) ++ Seq(("de", "x2"), ("de", "x3"))
+    val stream = MemoryStream[(String, String)]
+    val q = stream.toDS().toDF("g", "key")
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        StreamIngest.kmvBatchStep(b, stateRoot, id, "g", "key", k)
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+    stream.addData(b1: _*)
+    q.processAllAvailable()
+    stream.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    def sketchMap(df: org.apache.spark.sql.DataFrame) = df
+      .select("group", "n_rows", "est_distinct", "n_kept", "kth_hash")
+      .as[(String, Long, Long, Int, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // fold == the batch operator's per-group rows on the same history
+    def batchRows(rows: Seq[(String, String)]) = sketchMap(
+      graft.ops.Sketches.distinctSketch(rows.toDF("g", "key"), "g", "key", k)
+        .filter(col("group") =!= "ALL"))
+    val folded = sketchMap(StreamIngest.currentKmvSketches(spark, stateRoot, k))
+    assert(folded === batchRows(b1 ++ b2))
+    assert(folded("de") === ((4L, 3L, 3, folded("de")._4))) // exact below saturation
+    assert(folded("en")._3 === 8) // saturated: n_kept == k
+    // as-of read reproduces the batch-0-only state exactly
+    assert(sketchMap(StreamIngest.currentKmvSketches(spark, stateRoot, k,
+      uptoBatch = 0L)) === batchRows(b1))
+    // replay: re-writing batch 1's delta is a no-op
+    StreamIngest.kmvBatchStep(b2.toDF("g", "key"), stateRoot, 1L, "g", "key", k)
+    assert(sketchMap(StreamIngest.currentKmvSketches(spark, stateRoot, k))
+      === folded)
+  }
 }
