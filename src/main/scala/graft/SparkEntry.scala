@@ -871,6 +871,41 @@ object SparkEntry {
         explode(graft.ops.Dedup.shingles(col("text"), 3)).as("shingle"))
       graft.ops.Sketches.sketchOverlap(sh, "source", "shingle", k = 256)
     }),
+    // CONDENSATION LAYERING — the bow-tie structure decomposition, run
+    // on the top-3 kNN DIGRAPH over the embedding table (the graph that
+    // keeps growing with the corpus — the fixed ~30-entity KG slice
+    // collapses to ONE SCC past sf0.01): SCC-contract, drop intra-SCC
+    // self-loops (the contracted cycles), topologically layer the DAG
+    // (layer = longest incoming chain, Kahn peel rounds, cycles loud).
+    // The node universe is a deterministic stride sample of <= 500
+    // vectors (the q31 codebook arithmetic) so the INDEPENDENT SQL
+    // oracle — mutual-reach recursive-CTE SCC + all-walks longest path —
+    // stays tractable; production layers the full graph through the same
+    // distributed scc/topoLayers paths (threshold-0 equality-tested)
+    "q190_condensation_layers" -> ((s, dir) => {
+      val emb = s.read.parquet(t(dir, "embeddings"))
+      val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+      val stride = math.max(1L, (maxId + 1) / 500)
+      val sub = emb.filter(pmod(col("vec_id"), lit(stride)) === 0)
+      val knn = Similarity.bruteForceTopK(sub, lit(true), 3)
+        .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+      val labels = graft.kg.Graphs.scc(knn) // (id, scc)
+      val dag = graft.kg.Graphs
+        .quotientGraph(knn, labels.withColumnRenamed("scc", "label"))
+        .filter(col("src_label") =!= col("dst_label"))
+        .select(col("src_label").as("src"), col("dst_label").as("dst"))
+      graft.kg.Graphs.topoLayers(dag,
+        labels.select(col("scc").as("id")).distinct())
+    }),
+    // MUTUAL k-NN graph over the embedding table (the ER/semantic-cluster
+    // primitive: hub neighbors that rank no one back are pruned). Probing
+    // every list (nProbe = nList) makes the scan exhaustive, so the SQL
+    // oracle is the brute-force mutual row_number window; production sets
+    // nProbe << nList (the pruned path is spec-equality-tested against
+    // mutualize(bruteForceTopK) at full probes)
+    "q191_mutual_knn" -> ((s, dir) =>
+      Similarity.mutualKnn(s.read.parquet(t(dir, "embeddings")), k = 10,
+        nList = 16, nProbe = 16)),
     // hop-bounded Katz centrality, integer-exact: katz·4^H = Σ_h
     // walks_h(v)·4^(H−h) in decimal(38,0) — attenuated walk-count
     // influence (rewards MANY inbound walks, where PageRank normalizes
@@ -1720,6 +1755,65 @@ object SparkEntry {
       SELECT a, b, c, greatest(t1, t2, t3) AS formed_ts,
              greatest(t1, t2, t3) - least(t1, t2, t3) AS span_micros
       FROM tri""",
+    // independent algorithm end to end: brute-force top-3 window over the
+    // stride-sampled vectors (q31's sampling arithmetic), mutual-reach
+    // SCC (recursive CTE, q123's construction) + ALL-WALKS longest path
+    // over the condensation (base = every component at 0; max walk length
+    // ending at a node == its Kahn peel round) — vs production's
+    // trim+FW-BW/Tarjan + Kahn peel
+    "q190_condensation_layers" -> {
+      val cos = (a: String, b: String) =>
+        s"(list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b))))"
+      s"""WITH RECURSIVE
+      mx AS (SELECT max(vec_id) AS mid FROM embeddings),
+      sub AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings, mx
+              WHERE vec_id % greatest(1, (mid + 1) // 500) = 0),
+      e AS (SELECT src, dst FROM (
+          SELECT q.vec_id AS src, n.vec_id AS dst,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY round(${cos("q.v", "n.v")}, 9) DESC,
+                            n.vec_id ASC) AS rank
+          FROM sub q JOIN sub n ON n.vec_id <> q.vec_id)
+        WHERE rank <= 3),
+      nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+      reach(s, d) AS (
+        SELECT src, dst FROM e
+        UNION
+        SELECT r.s, e.dst FROM reach r JOIN e ON r.d = e.src),
+      mr AS (SELECT s, d FROM reach UNION SELECT id, id FROM nodes),
+      sc AS (SELECT a.s AS id, min(a.d) AS scc
+             FROM mr a JOIN mr b ON a.s = b.d AND a.d = b.s GROUP BY 1),
+      cn AS (SELECT DISTINCT scc FROM sc),
+      ce AS (SELECT DISTINCT sa.scc AS src, sb.scc AS dst
+             FROM e JOIN sc sa ON sa.id = e.src
+                    JOIN sc sb ON sb.id = e.dst
+             WHERE sa.scc <> sb.scc),
+      walk(id, l) AS (
+        SELECT scc, 0 FROM cn
+        UNION
+        SELECT ce.dst, w.l + 1 FROM walk w JOIN ce ON ce.src = w.id)
+      SELECT id, CAST(max(l) AS INT) AS layer FROM walk GROUP BY 1"""
+    },
+    // brute-force mutual top-k: with nProbe = nList every list is probed,
+    // so the IVF scan is exhaustive and the window oracle is exact
+    "q191_mutual_knn" -> {
+      val cos = (a: String, b: String) =>
+        s"(list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b))))"
+      s"""WITH r AS (
+        SELECT query_id, neighbor_id, rank FROM (
+          SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY ${cos("CAST(q.embedding AS DOUBLE[])", "CAST(e.embedding AS DOUBLE[])")} DESC,
+                            e.vec_id ASC) AS rank
+          FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id)
+        WHERE rank <= 10)
+      SELECT x.query_id AS a, x.neighbor_id AS b,
+             x.rank AS rank_ab, y.rank AS rank_ba
+      FROM r x JOIN r y ON y.query_id = x.neighbor_id
+                       AND y.neighbor_id = x.query_id
+      WHERE x.query_id < x.neighbor_id"""
+    },
     // walk counts per length unrolled as four chained joins (H = 4,
     // betaDen = 4 -> weights 64/16/4/1); HUGEINT sums cast to
     // DECIMAL(38,0) so both engines compare as exact integers

@@ -2798,4 +2798,119 @@ object Graphs {
       .select(col("id"),
         coalesce(col("cnt"), lit(0).cast(dec)).cast(dec).as("butterflies"))
   }
+
+  /** Sequential Kahn twin of [[topoLayers]] — the SAME peel rule (layer =
+    * peel round, 0-based), used below the threshold and as the
+    * distributed==driver equality oracle. */
+  private def driverTopoLayers(spark: org.apache.spark.sql.SparkSession,
+                               edges: Array[(Long, Long)],
+                               nodes: Array[Long]): DataFrame = {
+    import spark.implicits._
+    val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+    val indeg = scala.collection.mutable.HashMap.empty[Long, Long]
+    nodes.foreach(indeg(_) = 0L)
+    edges.foreach { case (_, d) => indeg(d) = indeg(d) + 1L }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    var frontier = nodes.filter(indeg(_) == 0L).toSeq
+    var layer = 0
+    while (frontier.nonEmpty) {
+      out ++= frontier.map(_ -> layer)
+      val next = scala.collection.mutable.ArrayBuffer.empty[Long]
+      for (u <- frontier; v <- adj.getOrElse(u, Array.empty[Long])) {
+        indeg(v) = indeg(v) - 1L
+        if (indeg(v) == 0L) next += v
+      }
+      frontier = next.toSeq
+      layer += 1
+    }
+    require(out.size == nodes.length,
+      s"topoLayers: graph has a cycle — ${nodes.length - out.size} of " +
+        s"${nodes.length} nodes form or depend on a cycle (no topological " +
+        "layering exists); condense SCCs first (scc + quotientGraph)")
+    out.toSeq.toDF("id", "layer")
+  }
+
+  /**
+   * TOPOLOGICAL LAYERING of a DAG — per node its longest-incoming-path
+   * length ("stratum"): layer(v) = 0 for sources, else
+   * 1 + max(layer(u) : (u,v) an edge). Equivalently the Kahn peel round,
+   * since a node's in-degree over the unpeeled graph reaches zero exactly
+   * when its last longest-path predecessor is peeled. The KG use is the
+   * DERIVATION DEPTH of the SCC condensation (scc + quotientGraph feed
+   * this — the classic web/KG structure decomposition): layer 0 = the
+   * source strata, max layer = the condensation's longest chain.
+   *
+   * CYCLES FAIL LOUDLY (the error names the stuck-node count) — a cycle
+   * has no layering, and a max-plus relaxation would silently spin;
+   * self-loops are the 1-cycles and are rejected in the same loud check.
+   * Callers layering a condensation drop intra-SCC self-loops FIRST
+   * (those edges are the contracted cycles, by construction).
+   *
+   * 100 TB shape: per round ONE keyed equi-join (the frontier's
+   * out-edges against the in-degree table — frontier-proportional
+   * probe side) + one partial-aggregated count; the in-degree table is
+   * the only full-width state, rewritten per round (the sssp/BFS dist
+   * -table discipline, `localCheckpoint` keeping the plan flat). Round
+   * count = DAG depth — condensations of web-scale KGs are shallow
+   * (tens), never the 10^6-deep pathological chain. Adaptive driver
+   * fallback below [[SmallGraphThreshold]] edges; the distributed loop
+   * is the scale path, equality-tested at threshold 0.
+   *
+   * @param edgesIn (src, dst) DAG edges; parallel edges collapse.
+   * @param nodesIn (id) the FULL node universe — isolated nodes (no
+   *                inter-edges at all, e.g. single-node SCCs nothing
+   *                points at or out of) are genuine layer-0 strata and
+   *                never appear in the edge list.
+   * @return (id: long, layer: int), layer 0-based.
+   */
+  def topoLayers(edgesIn: DataFrame, nodesIn: DataFrame,
+                 smallGraphThreshold: Long = SmallGraphThreshold): DataFrame = {
+    val spark = edgesIn.sparkSession
+    val selfLoops = edgesIn.filter(col("src") === col("dst")).count()
+    require(selfLoops == 0L,
+      s"topoLayers: $selfLoops self-loop(s) — a self-loop is a 1-cycle; " +
+        "no topological layering exists (condense SCCs first)")
+    val edges = edgesIn
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct().localCheckpoint(true)
+    val nodes = nodesIn.select(col("id").cast("long")).distinct()
+      .unionByName(edges.select(col("src").as("id")))
+      .unionByName(edges.select(col("dst").as("id")))
+      .distinct().localCheckpoint(true)
+    if (edges.count() <= smallGraphThreshold)
+      return driverTopoLayers(spark,
+        edges.collect().map(r => (r.getLong(0), r.getLong(1))),
+        nodes.collect().map(_.getLong(0)))
+    val e = edges.repartition(col("src")).localCheckpoint(true)
+    val indeg0 = e.groupBy(col("dst").as("id")).agg(count(lit(1)).as("indeg"))
+    var pending = nodes.join(indeg0, Seq("id"), "left")
+      .select(col("id"), coalesce(col("indeg"), lit(0L)).as("indeg"))
+      .localCheckpoint(true)
+    import spark.implicits._
+    var acc = Seq.empty[(Long, Int)].toDF("id", "layer")
+    var layer = 0
+    var frontier = pending.filter(col("indeg") === 0L).select(col("id"))
+      .localCheckpoint(true)
+    while (!frontier.isEmpty) {
+      acc = acc.unionByName(
+        frontier.select(col("id"), lit(layer).as("layer")))
+        .localCheckpoint(true)
+      val dec = e.join(frontier.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(count(lit(1)).as("d"))
+      pending = pending.join(frontier.select(col("id")), Seq("id"), "left_anti")
+        .join(dec, Seq("id"), "left")
+        .select(col("id"),
+          (col("indeg") - coalesce(col("d"), lit(0L))).as("indeg"))
+        .localCheckpoint(true)
+      frontier = pending.filter(col("indeg") === 0L).select(col("id"))
+        .localCheckpoint(true)
+      layer += 1
+    }
+    val stuck = pending.count()
+    require(stuck == 0L,
+      s"topoLayers: graph has a cycle — $stuck nodes form or depend on a " +
+        "cycle (no topological layering exists); condense SCCs first " +
+        "(scc + quotientGraph)")
+    acc
+  }
 }

@@ -649,4 +649,82 @@ object Similarity {
         coalesce(col("vec_id") === col("keeper"), lit(true)).as("keep"))
     Dedup.finish(out, assigned)
   }
+
+  /**
+   * Mutualize a ranked kNN relation: keep exactly the pairs where EACH
+   * side ranks the other inside its own top-k (the mutual-kNN graph —
+   * hub vectors that everyone ranks highly but that rank almost no one
+   * back are pruned, the classic ER/semantic-cluster false-positive).
+   * Ranker-agnostic: any (query_id, neighbor_id, rank) relation with
+   * every vector as a query works (bruteForceTopK for the exactness
+   * oracle, the IVF family for the 10^10-vector path). ONE keyed
+   * equi-join on the reversed pair — input is |V|·k rows, so the join
+   * is linear in the ranked relation, never in pairs of vectors.
+   *
+   * @return (a, b, rank_ab, rank_ba) with a < b; rank_ab = b's rank in
+   *         a's list, rank_ba = a's rank in b's list.
+   */
+  def mutualize(ranked: DataFrame): DataFrame = {
+    val fwd = ranked.select(col("query_id").as("a"),
+      col("neighbor_id").as("b"), col("rank").as("rank_ab"))
+    val rev = ranked.select(col("neighbor_id").as("a"),
+      col("query_id").as("b"), col("rank").as("rank_ba"))
+    fwd.join(rev, Seq("a", "b")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("rank_ab"), col("rank_ba"))
+  }
+
+  /**
+   * MUTUAL k-NEAREST-NEIGHBOR GRAPH over the whole embedding table —
+   * every vector is a query, so the broadcast-probes shape of the ANN
+   * serving path ([[ivfTopK]]) inverts: probes here are corpus-sized and
+   * must join the assignment KEYED. A plain join keyed on `list_id`
+   * would cap parallelism at nList distinct keys (the skew the ivf
+   * scaladoc warns about), so both sides carry a SALT — the assignment
+   * side splits each list into `salt` deterministic slices
+   * (`vec_id % salt`), the probe side replicates each probe across all
+   * slices — giving nList·salt join keys and per-task work bounded by
+   * |list|/salt · |probes in that list|. Candidate volume is
+   * Σ_q Σ_{probed lists} |list| — nProbe/nList of the quadratic scan;
+   * ranking is the bounded k-heap ([[graft.ops.TopK.rankTopK]], no
+   * window), mutualization one keyed equi-join on |V|·k rows.
+   *
+   * `nProbe = nList` probes every list — candidates become ALL pairs and
+   * the output is EXACTLY the brute-force mutual-kNN graph (the oracle
+   * setting; equality with `mutualize(bruteForceTopK)` is spec-tested).
+   * Production sets nProbe << nList and accepts coarse-quantizer recall.
+   *
+   * Cosine is the unrounded double of the shared `cosine` column (array
+   * order — bit-identical to the scalar twin and DuckDB), rank ties to
+   * the smaller vec_id: the rankTopK order contract.
+   */
+  def mutualKnn(emb: DataFrame, k: Int, nList: Int = 16, nProbe: Int = 4,
+                salt: Int = 32): DataFrame = {
+    require(salt >= 1, "salt must be >= 1")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents = centroidCodebook(emb, nList)
+    if (cents.isEmpty)
+      return emb.limit(0).select(col("vec_id").as("a"), col("vec_id").as("b"),
+        lit(1).as("rank_ab"), lit(1).as("rank_ba"))
+    val bcCents = spark.sparkContext.broadcast(cents)
+    val assigned = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bcCents.value
+        it.map { case (id, v) => (id, v, nearestList(v, cs), id % salt) }
+      }.toDF("vec_id", "embedding", "list_id", "slice")
+    val probes = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (qid, qv) =>
+        probeLists(qv, bcCents.value, nProbe).iterator
+          .map(listId => (qid, qv, listId))
+      }.toDF("query_id", "qv", "list_id")
+      // replicate each probe across the salt slices as a pure projection
+      // (explode of a literal array — no join, no Exchange)
+      .withColumn("slice", explode(array((0 until salt).map(i => lit(i.toLong)): _*)))
+    val scored = assigned.join(probes, Seq("list_id", "slice"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("qv"), col("embedding")))
+    mutualize(TopK.rankTopK(scored, "query_id", "vec_id", col("cosine"), k))
+  }
 }

@@ -540,6 +540,68 @@ object StreamIngest {
         element_at(col("r.sketch"), col("r.n_kept")).as("kth_hash"))
   }
 
+  /**
+   * Streaming MISRA–GRIES frequent-items summaries (foreachBatch) — the
+   * streaming side of [[graft.ops.Sketches.heavyHitters]]'s pass 1: each
+   * batch appends its <= k-counter MG summary (token/count arrays, one
+   * row per batch) plus the batch row count to the TableIO delta log.
+   * State per batch is O(k) forever; the raw token stream is never
+   * retained. [[currentMgSummary]] folds the deltas with the mergeable-
+   * summaries rule (Agarwal et al., PODS 2012): counterwise sum, then
+   * subtract the (k+1)-th largest combined count — every unit ever
+   * subtracted from a token (batch decrements AND the merge cut) retires
+   * k+1 units of total mass, so across the whole history
+   * `true - lb <= N/(k+1)`: every token with true count > N/(k+1) is
+   * GUARANTEED present with a positive lower bound. Counts are LOWER
+   * BOUNDS, not estimates (the MgAgg contract — order-dependent within a
+   * batch, committed once); exactness needs the heavyHitters recount,
+   * which requires the raw stream. Replay is a
+   * [[graft.core.TableIO.writeResumable]] no-op; `uptoBatch` gives exact
+   * as-of reads.
+   */
+  def mgBatchStep(rows: DataFrame, stateRoot: String, batchId: Long,
+                  keyCol: String, k: Int = 64): Unit = {
+    val mg = udaf(new graft.ops.Sketches.MgAgg(k))
+    graft.core.TableIO.writeResumable(
+      rows.agg(mg(col(keyCol).cast("string")).as("c"),
+          count(lit(1)).as("n_rows"))
+        .select(col("c.tokens").as("tokens"), col("c.lbs").as("lbs"),
+          col("n_rows"))
+        .withColumn("batch_id", lit(batchId)),
+      stateRoot, "batch_id")
+  }
+
+  /** Frequent-items lower bounds as of the committed deltas: counterwise
+    * sum of the per-batch MG summaries, minus the (k+1)-th largest sum
+    * when more than k tokens survive (TakeOrdered(k+1), never a sort of
+    * the token table). Emits (token, lb, n_total, err_bound) with
+    * err_bound = N div (k+1): lb <= true <= lb + err_bound, and every
+    * token with true > err_bound is present. */
+  def currentMgSummary(spark: SparkSession, stateRoot: String,
+                       k: Int = 64,
+                       uptoBatch: Long = Long.MaxValue): DataFrame = {
+    val st = graft.core.TableIO.read(spark, stateRoot, "batch_id")
+      .withColumn("batch_id", col("batch_id").cast("long"))
+      .filter(col("batch_id") <= uptoBatch)
+      .localCheckpoint(true)
+    val total = st.agg(coalesce(sum(col("n_rows")), lit(0L)).as("n_total"))
+    val summed = st
+      .select(explode(arrays_zip(col("tokens"), col("lbs"))).as("e"))
+      .select(col("e.tokens").as("token"), col("e.lbs").as("cnt"))
+      .groupBy(col("token")).agg(sum(col("cnt")).as("cnt"))
+      .localCheckpoint(true)
+    // merge cut: the (k+1)-th largest combined count (0 when <= k tokens
+    // survive). TakeOrdered over a <= k+1-row result — bounded heap per
+    // partition, no full sort.
+    val top = summed.orderBy(desc("cnt")).limit(k + 1)
+      .collect().map(_.getLong(1))
+    val cut = if (top.length <= k) 0L else top.min
+    summed.filter(col("cnt") > lit(cut))
+      .select(col("token"), (col("cnt") - lit(cut)).as("lb"))
+      .crossJoin(broadcast(total)) // one-row total
+      .withColumn("err_bound", expr(s"n_total div ${k + 1}"))
+  }
+
   /** Periodic state housekeeping for long-lived streams: rewrite state
     * partitions that accumulated many small files (one per executor per
     * batch). Run between batches (single-writer maintenance window). */

@@ -1770,4 +1770,60 @@ class GraphsSpec extends SparkSpec {
     // no other incidence): ids 3..10 absent
     assert(!got.contains(3L))
   }
+
+  // ---- topoLayers (DAG longest-path layering, Kahn peel) ----
+
+  test("topoLayers: diamond + chain + isolated node — longest-path layers") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("id")
+    val got = Graphs.topoLayers(edges, nodes)
+      .as[(Long, Int)].collect().toMap
+    assert(got === Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2, 5L -> 3, 9L -> 0))
+  }
+
+  test("topoLayers: the LONGEST incoming path sets the layer (a skip edge never shortens it)") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val got = Graphs.topoLayers(edges, Seq(1L, 2L, 3L).toDF("id"))
+      .as[(Long, Int)].collect().toMap
+    assert(got === Map(1L -> 0, 2L -> 1, 3L -> 2))
+  }
+
+  test("topoLayers: cycles and self-loops fail LOUDLY on both paths") {
+    import spark.implicits._
+    val cyc = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val nodes = Seq(0L, 1L, 2L, 3L).toDF("id")
+    val e1 = intercept[IllegalArgumentException] {
+      Graphs.topoLayers(cyc, nodes).collect()
+    }
+    assert(e1.getMessage.contains("cycle"))
+    val e2 = intercept[IllegalArgumentException] {
+      Graphs.topoLayers(cyc, nodes, smallGraphThreshold = 0L).collect()
+    }
+    assert(e2.getMessage.contains("cycle"))
+    val e3 = intercept[IllegalArgumentException] {
+      Graphs.topoLayers(Seq((1L, 1L)).toDF("src", "dst"),
+        Seq(1L).toDF("id")).collect()
+    }
+    assert(e3.getMessage.contains("self-loop"))
+  }
+
+  test("topoLayers: distributed == driver at threshold 0 on a pseudo-random DAG, two partitionings") {
+    import spark.implicits._
+    // deterministic pseudo-random DAG: candidate edges oriented low -> high
+    val edges = (for {
+      a <- 0L until 40L; b <- (a + 1) until 40L
+      if (a * 1103515245L + b * 12345L) % 7L == 0L
+    } yield (a, b)).toDF("src", "dst")
+    val nodes = (0L until 40L).map(identity).toDF("id")
+    val drv = Graphs.topoLayers(edges, nodes).as[(Long, Int)].collect().toMap
+    for (parts <- Seq(1, 7)) {
+      val dist = Graphs.topoLayers(edges.repartition(parts), nodes,
+        smallGraphThreshold = 0L).as[(Long, Int)].collect().toMap
+      assert(dist === drv, s"parts=$parts")
+    }
+    assert(drv.size === 40 && drv.values.min === 0)
+  }
 }

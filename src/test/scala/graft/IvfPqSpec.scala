@@ -61,4 +61,58 @@ class IvfPqSpec extends SparkSpec {
     val out = Similarity.ivfPqTopK(emptyEmb, col("vec_id") < 5, 10)
     assert(out.columns.toSeq == Seq("query_id", "neighbor_id", "rank") && out.count() == 0)
   }
+
+  // ---- mutual-kNN graph ----
+
+  private def asPairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+    .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+
+  test("mutualize hand case: asymmetric top-k pairs (the hub) drop, mutual pairs keep both ranks") {
+    val ranked = Seq(
+      (1L, 2L, 1), (2L, 1L, 2), // mutual, asymmetric ranks
+      (2L, 3L, 1), (3L, 2L, 1), // mutual
+      (4L, 2L, 1)               // 4 ranks the hub 2, hub never ranks 4 back
+    ).toDF("query_id", "neighbor_id", "rank")
+    assert(asPairs(Similarity.mutualize(ranked)) ===
+      Set((1L, 2L, 1, 2), (2L, 3L, 1, 1)))
+  }
+
+  test("mutual-kNN at full probes == mutualize(bruteForceTopK); partition-invariant; salt-invariant") {
+    val full = asPairs(Similarity.mutualKnn(emb, k = 10, nList = 16, nProbe = 16))
+    val brute = asPairs(Similarity.mutualize(
+      Similarity.bruteForceTopK(emb, lit(true), 10)))
+    assert(full === brute)
+    assert(full.nonEmpty)
+    assert(full.forall(t => t._1 < t._2 &&
+      t._3 >= 1 && t._3 <= 10 && t._4 >= 1 && t._4 <= 10))
+    val repart = asPairs(Similarity.mutualKnn(emb.repartition(7), 10, 16, 16))
+    assert(repart === full)
+    val salted = asPairs(Similarity.mutualKnn(emb, 10, 16, 16, salt = 5))
+    assert(salted === full)
+  }
+
+  test("pruned mutual-kNN pairs are mutual within their OWN ranked relation") {
+    // nProbe < nList trades recall; the output must still be internally
+    // consistent: every emitted pair is mutual under the pruned ranker
+    val pruned = asPairs(Similarity.mutualKnn(emb, 10, 16, 4))
+    assert(pruned.forall(t => t._1 < t._2))
+    // recall vs the exact mutual graph, reported (coarse-quantizer loss)
+    val exact = asPairs(Similarity.mutualKnn(emb, 10, 16, 16))
+      .map(t => (t._1, t._2))
+    val prunedPairs = pruned.map(t => (t._1, t._2))
+    val recall = exact.count(prunedPairs.contains).toDouble / math.max(1, exact.size)
+    info(f"mutual-kNN recall at nProbe=4/16: $recall%.3f (${pruned.size} of ${exact.size} pairs)")
+  }
+
+  test("plan: mutual-kNN has no window, no cartesian, every list_id exchange salted") {
+    val p = Similarity.mutualKnn(emb, 10, 16, 4)
+      .queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.linesIterator.exists(_.trim.matches("\\(\\d+\\) Window")), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the candidate join may key on list_id only WITH the salt slice —
+    // never on the nList-valued list_id alone (parallelism cap + skew)
+    val listParts = p.linesIterator.filter(_.contains("hashpartitioning(list_id")).toSeq
+    assert(listParts.forall(_.contains("slice")), listParts.mkString("\n"))
+    assert(p.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2, p.take(3000))
+  }
 }

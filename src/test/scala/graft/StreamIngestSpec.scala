@@ -609,4 +609,52 @@ class StreamIngestSpec extends SparkSpec {
     assert(sketchMap(StreamIngest.currentKmvSketches(spark, stateRoot, k))
       === folded)
   }
+
+  test("streaming Misra-Gries summaries (foreachBatch + TableIO summary log): mergeable bounds + superset guarantee, as-of read, exact replay") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val stateRoot = java.nio.file.Files.createTempDirectory("mg_state").toString
+    val k = 3
+    // batch 1: a x 8, b x 5, four singletons (n1 = 17); batch 2: g x 6,
+    // a x 4, b once (n2 = 11) — crosses the k-counter capacity both times
+    val b1 = Seq.fill(8)("a") ++ Seq.fill(5)("b") ++ Seq("c", "d", "e", "f")
+    val b2 = Seq.fill(6)("g") ++ Seq.fill(4)("a") ++ Seq("b")
+    val stream = MemoryStream[String]
+    val q = stream.toDS().toDF("key")
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        StreamIngest.mgBatchStep(b, stateRoot, id, "key", k)
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+    stream.addData(b1: _*)
+    q.processAllAvailable()
+    stream.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    def checkBounds(rows: Seq[(String, Long, Long, Long)],
+                    history: Seq[String]): Unit = {
+      val exact = history.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+      val n = history.size.toLong
+      rows.foreach { case (tok, lb, nTot, err) =>
+        assert(nTot === n && err === n / (k + 1))
+        assert(lb >= 1L && lb <= exact(tok), s"$tok lb=$lb exact=${exact(tok)}")
+        assert(exact(tok) <= lb + err, s"$tok exact=${exact(tok)} lb=$lb err=$err")
+      }
+      // guaranteed superset: every token with true count > N/(k+1) present
+      val present = rows.map(_._1).toSet
+      exact.filter(_._2 > n / (k + 1)).keys
+        .foreach(t => assert(present(t), s"heavy token $t missing"))
+    }
+    def current(upto: Long = Long.MaxValue) =
+      StreamIngest.currentMgSummary(spark, stateRoot, k, upto)
+        .as[(String, Long, Long, Long)].collect().toSeq
+    val both = current()
+    checkBounds(both, b1 ++ b2)
+    assert(both.size <= k) // merged summary never exceeds k counters
+    // as-of read: batch-0-only bounds against batch-1's history
+    checkBounds(current(upto = 0L), b1)
+    // replay: re-writing batch 1's delta is a no-op
+    StreamIngest.mgBatchStep(b2.toDF("key"), stateRoot, 1L, "key", k)
+    assert(current().toSet === both.toSet)
+  }
 }
