@@ -906,6 +906,26 @@ object SparkEntry {
     "q191_mutual_knn" -> ((s, dir) =>
       Similarity.mutualKnn(s.read.parquet(t(dir, "embeddings")), k = 10,
         nList = 16, nProbe = 16)),
+    // SQ8 scalar-quantized ANN (Faiss SQ8 shape): one byte per dimension,
+    // per-vector scale cancels in cosine so ranking runs on the INTEGER
+    // codes — dot/ssq exact integers, one correctly-rounded division +
+    // two sqrt, so the oracle recomputing codes from scratch matches
+    // bit-for-bit; zero vectors excluded (no direction)
+    "q193_ann_sq8" -> ((s, dir) =>
+      Similarity.sq8TopK(s.read.parquet(t(dir, "embeddings")), col("vec_id") < 20, 10)),
+    // INTEGER-EXACT BM25 retrieval (Okapi shape, raw Robertson idf ratio —
+    // the whole score is cross-multiplied rationals floor-divided to scaled
+    // integers, so per-term quotients SUM order-free and the independent
+    // engine reproduces every score bit-for-bit; ranking is the bounded
+    // Long-keyed k-heap — no Window). Queries = the first five tokens of
+    // the five lowest-id documents (self-retrieval sanity built in)
+    "q192_bm25" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+      val queries = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(col("text"), " "), 1, 5), " ").as("qtext"))
+      graft.ops.Retrieval.bm25TopK(docs, queries, k = 10)
+    }),
     // hop-bounded Katz centrality, integer-exact: katz·4^H = Σ_h
     // walks_h(v)·4^(H−h) in decimal(38,0) — attenuated walk-count
     // influence (rewards MANY inbound walks, where PageRank normalizes
@@ -1814,6 +1834,53 @@ object SparkEntry {
                        AND y.neighbor_id = x.query_id
       WHERE x.query_id < x.neighbor_id"""
     },
+    // SQ8 codes recomputed from scratch (floor(x·127/amax) over the DOUBLE
+    // cast), integer dot/ssq via exact double sums (< 2^53), the same
+    // div + sqrt shape — bit-identical sims, same round-9/id-asc ranking
+    "q193_ann_sq8" ->
+      """WITH a AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS amax
+              FROM embeddings),
+         s AS (SELECT vec_id,
+                 list_transform(e, x -> CAST(CAST(floor(x * 127.0 / amax) AS BIGINT) AS DOUBLE)) AS code
+               FROM a WHERE amax > 0),
+         w AS (SELECT vec_id, code, list_inner_product(code, code) AS ssq FROM s)
+         SELECT query_id, neighbor_id, rank FROM (
+           SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                    round(list_inner_product(q.code, n.code)
+                          / (sqrt(q.ssq) * sqrt(n.ssq)), 9) DESC,
+                    n.vec_id ASC) AS rank
+           FROM w q JOIN w n ON n.vec_id <> q.vec_id
+           WHERE q.vec_id < 20)
+         WHERE rank <= 10""",
+    // BM25 rebuilt from scratch: postings/df/corpus scalars re-derived in
+    // SQL, the same cross-multiplied rational floor-divided (// on
+    // HUGEINT) to the same scaled integers — exact integer sums rank
+    // identically in both engines (constants 44/20/6/18 = k1 6/5, b 3/4)
+    "q192_bm25" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         st AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                       CAST(SUM(len(ts)) AS HUGEINT) AS s FROM toks),
+         tf AS (SELECT doc_id, term, CAST(COUNT(*) AS HUGEINT) AS tf,
+                       CAST(MAX(dl) AS HUGEINT) AS dl
+                FROM (SELECT doc_id, unnest(ts) AS term, len(ts) AS dl FROM toks)
+                GROUP BY doc_id, term),
+         dft AS (SELECT term, CAST(COUNT(*) AS HUGEINT) AS df FROM tf GROUP BY term),
+         q AS (SELECT DISTINCT doc_id AS query_id, unnest(ts[1:5]) AS term
+               FROM toks WHERE doc_id < 5),
+         sc AS (SELECT q.query_id, tf.doc_id,
+                  (1000000::HUGEINT * (2*st.n - 2*dft.df + 1) * 44 * tf.tf * st.s)
+                  // ((2*dft.df + 1) * (20*tf.tf*st.s + 6*st.s + 18*tf.dl*st.n)) AS v
+                FROM q JOIN tf USING (term) JOIN dft USING (term), st),
+         agg AS (SELECT query_id, doc_id, SUM(v) AS score FROM sc GROUP BY 1, 2)
+         SELECT query_id, doc_id, rank, score FROM (
+           SELECT query_id, doc_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, doc_id ASC) AS rank,
+                  CAST(score AS DECIMAL(38,0)) AS score
+           FROM agg)
+         WHERE rank <= 10""",
     // walk counts per length unrolled as four chained joins (H = 4,
     // betaDen = 4 -> weights 64/16/4/1); HUGEINT sums cast to
     // DECIMAL(38,0) so both engines compare as exact integers

@@ -193,7 +193,96 @@ final class FactRankAgg[O: Ordering: scala.reflect.ClassTag](k: Int)(
   override def outputEncoder: Encoder[Array[RankedFact[O]]] = outEnc
 }
 
+/** One ranked integer-scored result (rank 1 = best, score exact Long). */
+final case class RankedScored(neighbor_id: Long, score: Long, rank: Int)
+
+/** Bounded integer-keyed top-k buffer: parallel arrays sorted best-first
+  * by (score DESC, id ASC); length <= k always. */
+final case class TopKLongBuf(scores: Array[Long], ids: Array[Long])
+
+/**
+ * [[TopKAgg]] with EXACT Long keys — for integer-scored rankings (the
+ * scaled-rational BM25 scores, any cross-multiplied fixed-point score)
+ * where a Double key would silently lose exactness past 2^53. Same
+ * bounded O(k)-state / map-side-partial discipline; the score rides the
+ * output so callers need no rejoin to recover it.
+ */
+final class TopKLongAgg(k: Int)
+  extends Aggregator[(Long, Long), TopKLongBuf, Array[RankedScored]] {
+  require(k >= 1, "k must be >= 1")
+
+  /** true iff (sa, ia) ranks strictly before (sb, ib). */
+  private def better(sa: Long, ia: Long, sb: Long, ib: Long): Boolean =
+    sa > sb || (sa == sb && ia < ib)
+
+  override def zero: TopKLongBuf =
+    TopKLongBuf(Array.emptyLongArray, Array.emptyLongArray)
+
+  override def reduce(b: TopKLongBuf, in: (Long, Long)): TopKLongBuf = {
+    val (score, id) = in
+    val n = b.scores.length
+    var lo = 0; var hi = n
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (better(b.scores(mid), b.ids(mid), score, id)) lo = mid + 1 else hi = mid
+    }
+    if (lo >= k) b
+    else {
+      val m = math.min(n + 1, k)
+      val ss = new Array[Long](m); val vs = new Array[Long](m)
+      System.arraycopy(b.scores, 0, ss, 0, lo)
+      System.arraycopy(b.ids, 0, vs, 0, lo)
+      ss(lo) = score; vs(lo) = id
+      System.arraycopy(b.scores, lo, ss, lo + 1, m - lo - 1)
+      System.arraycopy(b.ids, lo, vs, lo + 1, m - lo - 1)
+      TopKLongBuf(ss, vs)
+    }
+  }
+
+  override def merge(a: TopKLongBuf, b: TopKLongBuf): TopKLongBuf = {
+    if (b.scores.isEmpty) return a
+    if (a.scores.isEmpty) return b
+    val m = math.min(a.scores.length + b.scores.length, k)
+    val ss = new Array[Long](m); val vs = new Array[Long](m)
+    var i = 0; var j = 0; var n = 0
+    while (n < m) {
+      val takeA = j >= b.scores.length ||
+        (i < a.scores.length && better(a.scores(i), a.ids(i), b.scores(j), b.ids(j)))
+      if (takeA) { ss(n) = a.scores(i); vs(n) = a.ids(i); i += 1 }
+      else { ss(n) = b.scores(j); vs(n) = b.ids(j); j += 1 }
+      n += 1
+    }
+    TopKLongBuf(ss, vs)
+  }
+
+  override def finish(b: TopKLongBuf): Array[RankedScored] =
+    Array.tabulate(b.scores.length)(i => RankedScored(b.ids(i), b.scores(i), i + 1))
+
+  override def bufferEncoder: Encoder[TopKLongBuf] = Encoders.product[TopKLongBuf]
+  override def outputEncoder: Encoder[Array[RankedScored]] =
+    ExpressionEncoder[Array[RankedScored]]()
+}
+
 object TopK {
+
+  /**
+   * EXACT integer-keyed variant of [[rankTopK]]: rank the k best rows per
+   * `queryCol` group by (`key` DESC, `idCol` ASC) where `key` is an
+   * integral score (no 2^53 double-precision cliff), and keep the score
+   * in the output. Returns (queryCol, neighbor_id, score, rank), rank
+   * 1..k. Same plan shape as [[rankTopK]]: ObjectHashAggregate with a
+   * map-side partial — only k-entry buffers shuffle, no Window.
+   */
+  def rankTopKLong(scored: DataFrame, queryCol: String, idCol: String,
+                   key: Column, k: Int): DataFrame = {
+    val agg = udaf(new TopKLongAgg(k), ExpressionEncoder[(Long, Long)]())
+    scored
+      .groupBy(col(queryCol))
+      .agg(agg(key.cast("long"), col(idCol).cast("long")).as("top"))
+      .select(col(queryCol), explode(col("top")).as("p"))
+      .select(col(queryCol), col("p.neighbor_id").as("neighbor_id"),
+        col("p.score").as("score"), col("p.rank").as("rank"))
+  }
 
   /**
    * Rank the k best rows per `queryCol` group by (`key` DESC, `idCol` ASC)
