@@ -906,6 +906,14 @@ object SparkEntry {
     "q191_mutual_knn" -> ((s, dir) =>
       Similarity.mutualKnn(s.read.parquet(t(dir, "embeddings")), k = 10,
         nList = 16, nProbe = 16)),
+    // margin-based bitext mining (Artetxe & Schwenk / CCMatrix): cross-set
+    // pairs scored by the ratio margin over k-NN average cosines instead
+    // of raw cosine (hubness correction) — integer-exact via round(cos·1e9)
+    // neighbor sums and one cross-multiplied division; label 0 = source
+    // side, label 1 = target side, forward "max" strategy (best y per x)
+    "q194_bitext_margin" -> ((s, dir) =>
+      Similarity.marginPairs(s.read.parquet(t(dir, "embeddings")),
+        col("label") === 0, col("label") === 1, k = 4)),
     // SQ8 scalar-quantized ANN (Faiss SQ8 shape): one byte per dimension,
     // per-vector scale cancels in cosine so ranking runs on the INTEGER
     // codes — dot/ssq exact integers, one correctly-rounded division +
@@ -1833,6 +1841,40 @@ object SparkEntry {
       FROM r x JOIN r y ON y.query_id = x.neighbor_id
                        AND y.neighbor_id = x.query_id
       WHERE x.query_id < x.neighbor_id"""
+    },
+    // the margin algebra replayed from scratch: the same round(cos·1e9)
+    // integers, both k-NN windows, unfiltered neighbor sums, the same
+    // cross-multiplied integer division on positives (c > 0 keeps // and
+    // Spark's div on ground where floor == truncate)
+    "q194_bitext_margin" -> {
+      val cos = (a: String, b: String) =>
+        s"(list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b))))"
+      s"""WITH x AS (SELECT vec_id AS x_id, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings WHERE label = 0),
+         y AS (SELECT vec_id AS y_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE label = 1),
+         p AS (SELECT x_id, y_id,
+                 CAST(round(${cos("x.v", "y.v")} * 1e9) AS BIGINT) AS c
+               FROM x, y),
+         fwd AS (SELECT x_id, y_id, c FROM (
+                   SELECT p.*, row_number() OVER (PARTITION BY x_id
+                     ORDER BY c DESC, y_id ASC) AS r FROM p) WHERE r <= 4),
+         bcand AS (SELECT DISTINCT y_id FROM fwd),
+         bwd AS (SELECT y_id, c FROM (
+                   SELECT p.y_id, p.c, row_number() OVER (PARTITION BY p.y_id
+                     ORDER BY p.c DESC, p.x_id ASC) AS r
+                   FROM p JOIN bcand USING (y_id)) WHERE r <= 4),
+         sx AS (SELECT x_id, SUM(c) AS sum_x, COUNT(*) AS kx FROM fwd GROUP BY 1),
+         sy AS (SELECT y_id, SUM(c) AS sum_y, COUNT(*) AS ky FROM bwd GROUP BY 1),
+         sc AS (SELECT f.x_id, f.y_id,
+                  (2 * sx.kx * sy.ky * f.c * 1000)
+                  // (sx.sum_x * sy.ky + sy.sum_y * sx.kx) AS m
+                FROM fwd f JOIN sx USING (x_id) JOIN sy USING (y_id)
+                WHERE f.c > 0 AND sx.sum_x * sy.ky + sy.sum_y * sx.kx > 0)
+         SELECT x_id, y_id, m AS margin_permille FROM (
+           SELECT x_id, y_id, m, row_number() OVER (PARTITION BY x_id
+             ORDER BY m DESC, y_id ASC) AS r FROM sc)
+         WHERE r = 1"""
     },
     // SQ8 codes recomputed from scratch (floor(x·127/amax) over the DOUBLE
     // cast), integer dot/ssq via exact double sums (< 2^53), the same

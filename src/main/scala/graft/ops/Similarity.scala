@@ -729,6 +729,76 @@ object Similarity {
   }
 
   /**
+   * Margin-based bitext mining (Artetxe & Schwenk 2019, the LASER/CCMatrix
+   * parallel-data miner — the curation operator that BUILDS the translation
+   * pairs an LLM trains on): a cross-set pair (x, y) is scored not by raw
+   * cosine (hubness-biased) but by the RATIO margin
+   *     margin(x,y) = cos(x,y) / ((avg cos of x's k-NN in Y
+   *                              + avg cos of y's k-NN in X) / 2)
+   * and each x keeps its best-margin y (forward "max" strategy).
+   *
+   * INTEGER-EXACT evaluation: each cosine enters as c = round(cos·10^9)
+   * (one correctly-rounded multiply + half-away-from-zero round of the
+   * bit-identical double both engines compute — the q30/q191 cosine
+   * contract), neighbor sums are integer sums (order-free), and with
+   * kx/ky the ACTUAL neighbor counts (< k only when a side is smaller
+   * than k) the margin becomes one exact integer division
+   *     margin_permille = (2·kx·ky·c·1000) div (Σx·ky + Σy·kx)
+   * so the independent SQL oracle reproduces every value exactly. Pairs
+   * whose denominator is not positive carry no usable margin signal
+   * (average neighbor cosine ≤ 0) and are dropped — documented, and the
+   * oracle drops them identically.
+   *
+   * Plan shape: the query sides broadcast (X, then the ≤ |X|·k candidate
+   * ys); neighbor sums are partial aggs on 8-byte keys; ranking is the
+   * bounded Long-keyed k-heap — no Window (plan-tested). At 10^9-vector
+   * sides, swap the exhaustive scans for [[ivfTopKTrained]] lists — the
+   * margin algebra is unchanged.
+   */
+  def marginPairs(emb: DataFrame, leftFilter: Column, rightFilter: Column,
+                  k: Int = 4, scale: Long = 1000L): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val c9 = (a: Column, b: Column) =>
+      round(cosine(a, b) * lit(1e9)).cast("long")
+    val x = emb.filter(leftFilter)
+      .select(col("vec_id").as("x_id"), col("embedding").as("xv"))
+    val y = emb.filter(rightFilter)
+      .select(col("vec_id").as("y_id"), col("embedding").as("yv"))
+    // forward k-NN: each x against ALL of Y (candidate pairs AND Σx terms)
+    val fwd = TopK.rankTopKLong(
+      y.join(broadcast(x), col("x_id") =!= col("y_id"))
+        .withColumn("c", c9(col("xv"), col("yv"))),
+      "x_id", "y_id", col("c"), k)
+      .select(col("x_id"), col("neighbor_id").as("y_id"), col("score").as("c"))
+    // backward k-NN only for ys that are forward candidates (≤ |X|·k)
+    val candY = fwd.select(col("y_id")).distinct()
+      .join(y, "y_id").select(col("y_id"), col("yv"))
+    val bwd = TopK.rankTopKLong(
+      x.join(broadcast(candY), col("x_id") =!= col("y_id"))
+        .withColumn("c", c9(col("yv"), col("xv"))),
+      "y_id", "x_id", col("c"), k)
+      .select(col("y_id"), col("score").as("c"))
+    val sx = fwd.groupBy(col("x_id"))
+      .agg(sum(col("c")).as("sum_x"), count(lit(1)).as("kx"))
+    val sy = bwd.groupBy(col("y_id"))
+      .agg(sum(col("c")).as("sum_y"), count(lit(1)).as("ky"))
+    // candidate pairs need cos > 0 (a non-positive cosine is never a
+    // translation pair — and it keeps the division on positives, where
+    // Spark's truncating div and the oracle's floor division agree);
+    // the Σ sums above stay UNfiltered (the margin denominator averages
+    // all k neighbors, whatever their sign — the paper's definition)
+    val scored = fwd.filter(col("c") > 0L)
+      .join(sx, "x_id").join(sy, "y_id")
+      .withColumn("den", col("sum_x") * col("ky") + col("sum_y") * col("kx"))
+      .filter(col("den") > 0L)
+      .withColumn("m",
+        expr(s"(2 * kx * ky * c * $scale) div den"))
+    TopK.rankTopKLong(scored, "x_id", "y_id", col("m"), 1)
+      .select(col("x_id"), col("neighbor_id").as("y_id"),
+        col("score").as("margin_permille"))
+  }
+
+  /**
    * SQ8 scalar quantization — the third production ANN compression beside
    * IVF (pruning) and PQ (sub-vector codebooks): each vector stores one
    * byte per dimension, 4x smaller than float32 with near-exact recall
