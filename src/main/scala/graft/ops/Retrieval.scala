@@ -82,16 +82,28 @@ object Retrieval {
       return docs.sparkSession.emptyDataFrame
         .select(lit(0L).as("query_id"), lit(0L).as("doc_id"),
           lit(0).as("rank"), lit(0L).cast("decimal(38,0)").as("score"))
-    val nDocs = st.getLong(0)
-    val totTok = st.getLong(1)
+    bm25FromPostings(postings(docs), st.getLong(0), st.getLong(1), queries, k,
+      k1Num, k1Den, bNum, bDen, scale)
+  }
 
+  /**
+   * The postings-level BM25 core — shared by the batch operator (postings
+   * built in-pass) and the STREAMING index (postings folded from the
+   * per-batch delta log, [[graft.streaming.StreamIngest.postingsBatchStep]]):
+   * identical integer algebra over whatever (doc_id, term, tf, dl) frame
+   * and (nDocs, totTok) scalars the caller maintains.
+   */
+  def bm25FromPostings(post: DataFrame, nDocs: Long, totTok: Long,
+                       queries: DataFrame, k: Int,
+                       k1Num: Long = 6L, k1Den: Long = 5L,
+                       bNum: Long = 3L, bDen: Long = 4L,
+                       scale: Long = 1000000L): DataFrame = {
     // derived cross-multiplication constants (44 / 20 / 6 / 18 at defaults)
     val c1 = (k1Num + k1Den) * bDen
     val c2 = k1Den * bDen
     val c3 = k1Num * (bDen - bNum)
     val c4 = k1Num * bNum
 
-    val post = postings(docs)
     val dfT = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
 
     val qterms = queries.select(col("query_id"),

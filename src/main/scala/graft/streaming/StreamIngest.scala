@@ -602,6 +602,55 @@ object StreamIngest {
       .withColumn("err_bound", expr(s"n_total div ${k + 1}"))
   }
 
+  /**
+   * Streaming FULL-TEXT INDEX maintenance (foreachBatch) — the streaming
+   * side of [[graft.ops.Retrieval.bm25TopK]]: each batch of NEWLY-ingested
+   * documents appends its inverted-postings delta ((doc_id, term, tf, dl)
+   * rows — one explode + one partial-agg groupBy, exactly the batch
+   * operator's postings pass over just this batch) plus ONE corpus-scalar
+   * row (n_docs, n_tokens) to two TableIO delta logs. Because the doc
+   * stream is append-only (re-crawls deduplicate UPSTREAM via the
+   * exact-hash / Bloom ingest steps), postings from disjoint batches are
+   * disjoint row sets and corpus scalars SUM — the fold is exact: the
+   * index as of batch B equals the one-pass batch index over those
+   * documents BIT-FOR-BIT at any batch split (spec-asserted). Replay of a
+   * crashed batch is a [[graft.core.TableIO.writeResumable]] no-op on
+   * both logs; `uptoBatch` on the read side gives exact as-of retrieval
+   * (what WOULD this query have returned yesterday — the eval-leak
+   * forensics question).
+   */
+  def postingsBatchStep(docs: DataFrame, stateRoot: String, batchId: Long): Unit = {
+    graft.core.TableIO.writeResumable(
+      graft.ops.Retrieval.postings(docs).withColumn("batch_id", lit(batchId)),
+      s"$stateRoot/postings", "batch_id")
+    graft.core.TableIO.writeResumable(
+      docs.select(split(col("text"), " ").as("ts"))
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(size(col("ts")).cast("long")), lit(0L)).as("n_tokens"))
+        .withColumn("batch_id", lit(batchId)),
+      s"$stateRoot/scalars", "batch_id")
+  }
+
+  /** BM25 top-k as of the committed postings deltas: fold the scalar rows
+    * (integer sums), read the postings union, and run the SAME
+    * [[graft.ops.Retrieval.bm25FromPostings]] core the batch operator
+    * uses — scores and ranks identical to a from-scratch batch index
+    * over the same documents. */
+  def currentBm25TopK(spark: SparkSession, stateRoot: String,
+                      queries: DataFrame, k: Int,
+                      uptoBatch: Long = Long.MaxValue): DataFrame = {
+    val upto = (df: DataFrame) => df
+      .withColumn("batch_id", col("batch_id").cast("long"))
+      .filter(col("batch_id") <= uptoBatch)
+    val sc = upto(graft.core.TableIO.read(spark, s"$stateRoot/scalars", "batch_id"))
+      .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("s")).head()
+    val post = upto(graft.core.TableIO.read(spark, s"$stateRoot/postings", "batch_id"))
+      .select(col("doc_id"), col("term"), col("tf"), col("dl"))
+    graft.ops.Retrieval.bm25FromPostings(post, sc.getLong(0), sc.getLong(1),
+      queries, k)
+  }
+
   /** Periodic state housekeeping for long-lived streams: rewrite state
     * partitions that accumulated many small files (one per executor per
     * batch). Run between batches (single-writer maintenance window). */
