@@ -906,6 +906,24 @@ object SparkEntry {
     "q191_mutual_knn" -> ((s, dir) =>
       Similarity.mutualKnn(s.read.parquet(t(dir, "embeddings")), k = 10,
         nList = 16, nProbe = 16)),
+    // HYBRID retrieval via reciprocal-rank fusion (Cormack et al. 2009):
+    // the lexical BM25 list (q192's ranker, depth 20) fused with the
+    // embedding ANN list (q30's exact ranker, depth 20) — the synthetic
+    // fixture's convention is vec_id i embeds doc_id i, so ranks meet on
+    // one id space; each reciprocal enters as the exact floor
+    // 1e6 div (60 + rank), so fused scores are order-free integer sums
+    "q195_hybrid_rrf" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+      val queries = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(col("text"), " "), 1, 5), " ").as("qtext"))
+      val lexical = graft.ops.Retrieval.bm25TopK(docs, queries, k = 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val semantic = Similarity.bruteForceTopK(
+        s.read.parquet(t(dir, "embeddings")), col("vec_id") < 5, 20)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      graft.ops.Retrieval.rrfFuse(Seq(lexical, semantic), k = 10)
+    }),
     // margin-based bitext mining (Artetxe & Schwenk / CCMatrix): cross-set
     // pairs scored by the ratio margin over k-NN average cosines instead
     // of raw cosine (hubness correction) — integer-exact via round(cos·1e9)
@@ -1842,6 +1860,46 @@ object SparkEntry {
                        AND y.neighbor_id = x.query_id
       WHERE x.query_id < x.neighbor_id"""
     },
+    // both rankers replayed from scratch (the q192 BM25 algebra at depth
+    // 20 + the q30 cosine window at depth 20), reciprocals floored the
+    // same way (1e6 // (60 + rank)), integer sums, same final ranking
+    "q195_hybrid_rrf" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         st AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                       CAST(SUM(len(ts)) AS HUGEINT) AS s FROM toks),
+         tf AS (SELECT doc_id, term, CAST(COUNT(*) AS HUGEINT) AS tf,
+                       CAST(MAX(dl) AS HUGEINT) AS dl
+                FROM (SELECT doc_id, unnest(ts) AS term, len(ts) AS dl FROM toks)
+                GROUP BY doc_id, term),
+         dft AS (SELECT term, CAST(COUNT(*) AS HUGEINT) AS df FROM tf GROUP BY term),
+         q AS (SELECT DISTINCT doc_id AS query_id, unnest(ts[1:5]) AS term
+               FROM toks WHERE doc_id < 5),
+         sc AS (SELECT q.query_id, tf.doc_id,
+                  (1000000::HUGEINT * (2*st.n - 2*dft.df + 1) * 44 * tf.tf * st.s)
+                  // ((2*dft.df + 1) * (20*tf.tf*st.s + 6*st.s + 18*tf.dl*st.n)) AS v
+                FROM q JOIN tf USING (term) JOIN dft USING (term), st),
+         agg AS (SELECT query_id, doc_id, SUM(v) AS score FROM sc GROUP BY 1, 2),
+         lex AS (SELECT query_id, doc_id, rank FROM (
+                   SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+                     ORDER BY score DESC, doc_id ASC) AS rank FROM agg)
+                 WHERE rank <= 20),
+         sem AS (SELECT query_id, doc_id, rank FROM (
+                   SELECT e0.vec_id AS query_id, e.vec_id AS doc_id,
+                     row_number() OVER (PARTITION BY e0.vec_id
+                       ORDER BY round(list_cosine_similarity(
+                         CAST(e0.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 9) DESC,
+                       e.vec_id ASC) AS rank
+                   FROM embeddings e0 JOIN embeddings e ON e.vec_id <> e0.vec_id
+                   WHERE e0.vec_id < 5)
+                 WHERE rank <= 20),
+         u AS (SELECT query_id, doc_id, 1000000 // (60 + rank) AS contrib FROM lex
+               UNION ALL
+               SELECT query_id, doc_id, 1000000 // (60 + rank) FROM sem),
+         f AS (SELECT query_id, doc_id, SUM(contrib) AS rrf FROM u GROUP BY 1, 2)
+         SELECT query_id, doc_id, rank, rrf FROM (
+           SELECT query_id, doc_id, rrf, row_number() OVER (PARTITION BY query_id
+             ORDER BY rrf DESC, doc_id ASC) AS rank FROM f)
+         WHERE rank <= 10""",
     // the margin algebra replayed from scratch: the same round(cos·1e9)
     // integers, both k-NN windows, unfiltered neighbor sums, the same
     // cross-multiplied integer division on positives (c > 0 keeps // and

@@ -131,4 +131,40 @@ object Retrieval {
       .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"),
         col("score").cast("decimal(38,0)").as("score"))
   }
+
+  /**
+   * Reciprocal-rank fusion (Cormack/Clarke/Büttcher 2009) — HYBRID
+   * retrieval: fuse any number of per-query rankings (lexical BM25,
+   * embedding ANN, …) into one list, robust to incomparable score
+   * scales because only RANKS enter: rrf(d) = Σ_lists 1/(c + rank_d).
+   * The classic sum is floating-point; here each reciprocal enters as
+   * the EXACT floor `scale div (c + rank)` so contributions are
+   * integers that sum order-free and any independent engine reproduces
+   * every fused score bit-for-bit. A document absent from a list simply
+   * contributes nothing (the standard convention). At the default
+   * c = 60, scale = 10^6 consecutive floors stay distinct while
+   * (c + rank)(c + rank + 1) ≤ scale — i.e. through rank ≈ 939 — so
+   * fused ORDER matches the real-valued RRF for any plausible k; raise
+   * `scale` quadratically for deeper lists.
+   *
+   * Inputs carry (query_id, doc_id, rank); output (query_id, doc_id,
+   * rank, rrf) re-ranked 1..k by (fused score DESC, doc_id ASC) through
+   * the bounded Long-keyed k-heap — map-side partials, no Window. Union
+   * + one (query_id, doc_id)-keyed partial agg: flat in list count and
+   * list length at any scale.
+   */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int,
+              c: Long = 60L, scale: Long = 1000000L): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(c >= 0 && scale >= 1, "c must be >= 0 and scale >= 1")
+    val normed = rankings.map(_.select(col("query_id").cast("long"),
+      col("doc_id").cast("long"), col("rank").cast("long")))
+    val contrib = normed.reduce(_.unionAll(_))
+      .withColumn("contrib", expr(s"$scale div (${c}L + rank)"))
+    val fused = contrib.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib")).as("rrf_l"))
+    TopK.rankTopKLong(fused, "query_id", "doc_id", col("rrf_l"), k)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"),
+        col("score").as("rrf"))
+  }
 }

@@ -133,6 +133,30 @@ class RetrievalSpec extends SparkSpec {
     assert(rows(StreamIngest.currentBm25TopK(spark, stateRoot, qdf, 4)) === folded)
   }
 
+  test("rrfFuse == the sequential fold; consensus beats a single first place; absentees contribute nothing") {
+    // query 0: doc 10 is rank 2 in BOTH lists (2·⌊1e6/62⌋ = 32258),
+    // doc 11 is rank 1 in list A only (⌊1e6/61⌋ = 16393) — consensus wins
+    val a = Seq((0L, 11L, 1), (0L, 10L, 2), (1L, 20L, 1), (1L, 21L, 2))
+    val b = Seq((0L, 12L, 1), (0L, 10L, 2), (1L, 20L, 1))
+    def twin(lists: Seq[Seq[(Long, Long, Int)]], k: Int): Set[(Long, Long, Int, Long)] =
+      lists.flatten.groupBy(r => (r._1, r._2)).map { case ((q, d), rows) =>
+        (q, d, rows.map(r => 1000000L / (60L + r._3)).sum)
+      }.groupBy(_._1).flatMap { case (q, rows) =>
+        rows.toSeq.sortBy { case (_, d, s) => (-s, d) }.take(k).zipWithIndex
+          .map { case ((_, d, s), i) => (q, d, i + 1, s) }
+      }.toSet
+    val want = twin(Seq(a, b), 3)
+    assert(want.contains((0L, 10L, 1, 32258L)), "consensus rank-2 doc must win")
+    assert(want.contains((0L, 11L, 2, 16393L)))
+    for (parts <- Seq(1, 3)) {
+      val got = graft.ops.Retrieval.rrfFuse(Seq(
+        a.toDF("query_id", "doc_id", "rank").repartition(parts),
+        b.toDF("query_id", "doc_id", "rank").repartition(parts)), 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+      assert(got === want, s"parts=$parts")
+    }
+  }
+
   test("bm25 plan: no Window, bounded k-heap aggregate, query side broadcast") {
     val docs = corpus.toDF("doc_id", "text")
     val qdf = Seq((0L, "quick fox")).toDF("query_id", "qtext")
