@@ -906,6 +906,30 @@ object SparkEntry {
     "q191_mutual_knn" -> ((s, dir) =>
       Similarity.mutualKnn(s.read.parquet(t(dir, "embeddings")), k = 10,
         nList = 16, nProbe = 16)),
+    // retrieval EVAL harness (MRR / hits@k / first-relevant-rank,
+    // integer-exact): the BM25 ranker scored against the self-retrieval
+    // ground truth (doc i is the relevant answer to the query built from
+    // doc i's own first five tokens) — 50 queries; missed queries appear
+    // with rank 0, never silently dropped
+    "q197_retrieval_eval" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+      val queries = docs.filter(col("doc_id") < 50)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(col("text"), " "), 1, 5), " ").as("qtext"))
+      val ranking = graft.ops.Retrieval.bm25TopK(docs, queries, k = 10)
+      val qrels = docs.filter(col("doc_id") < 50)
+        .select(col("doc_id").as("query_id"), col("doc_id"))
+      graft.ops.Retrieval.rankEval(ranking, qrels, k = 10)
+    }),
+    // RESIDUAL IVF-PQ (the Faiss IVFPQ default): sub-books quantize
+    // r = v - c(list) so the byte budget spends itself on within-list
+    // detail; ADC identity (dot(q,c)/|q| + sum lut) / sqrt(|c|^2 + sum den)
+    // with per-LIST denominator tables; golden-oracled vs the sequential
+    // residual twin (independent coarse kmeans + residual books + the
+    // same identity, index-ascending accumulation)
+    "q196_ann_ivf_pq_residual" -> ((s, dir) =>
+      Similarity.ivfPqResidualTopK(s.read.parquet(t(dir, "embeddings")),
+        col("vec_id") < 20, 10)),
     // HYBRID retrieval via reciprocal-rank fusion (Cormack et al. 2009):
     // the lexical BM25 list (q192's ranker, depth 20) fused with the
     // embedding ANN list (q30's exact ranker, depth 20) — the synthetic
@@ -1860,6 +1884,39 @@ object SparkEntry {
                        AND y.neighbor_id = x.query_id
       WHERE x.query_id < x.neighbor_id"""
     },
+    // the BM25 replay at 50 queries + the eval joins: first relevant rank,
+    // hits in top 10, floored reciprocal rank — all integers
+    "q197_retrieval_eval" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         st AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                       CAST(SUM(len(ts)) AS HUGEINT) AS s FROM toks),
+         tf AS (SELECT doc_id, term, CAST(COUNT(*) AS HUGEINT) AS tf,
+                       CAST(MAX(dl) AS HUGEINT) AS dl
+                FROM (SELECT doc_id, unnest(ts) AS term, len(ts) AS dl FROM toks)
+                GROUP BY doc_id, term),
+         dft AS (SELECT term, CAST(COUNT(*) AS HUGEINT) AS df FROM tf GROUP BY term),
+         q AS (SELECT DISTINCT doc_id AS query_id, unnest(ts[1:5]) AS term
+               FROM toks WHERE doc_id < 50),
+         sc AS (SELECT q.query_id, tf.doc_id,
+                  (1000000::HUGEINT * (2*st.n - 2*dft.df + 1) * 44 * tf.tf * st.s)
+                  // ((2*dft.df + 1) * (20*tf.tf*st.s + 6*st.s + 18*tf.dl*st.n)) AS v
+                FROM q JOIN tf USING (term) JOIN dft USING (term), st),
+         agg AS (SELECT query_id, doc_id, SUM(v) AS score FROM sc GROUP BY 1, 2),
+         lex AS (SELECT query_id, doc_id, rank FROM (
+                   SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+                     ORDER BY score DESC, doc_id ASC) AS rank FROM agg)
+                 WHERE rank <= 10),
+         rels AS (SELECT DISTINCT doc_id AS query_id, doc_id
+                  FROM documents WHERE doc_id < 50),
+         rel AS (SELECT query_id, CAST(MIN(rank) AS BIGINT) AS frr,
+                        COUNT(*) AS h
+                 FROM lex JOIN rels USING (query_id, doc_id) GROUP BY 1)
+         SELECT rq.query_id, CAST(1 AS BIGINT) AS n_rel,
+                COALESCE(rel.frr, 0) AS first_rel_rank,
+                COALESCE(rel.h, 0) AS hits,
+                COALESCE(1000000 // rel.frr, 0) AS rr_scaled
+         FROM (SELECT DISTINCT query_id FROM rels) rq
+         LEFT JOIN rel USING (query_id)""",
     // both rankers replayed from scratch (the q192 BM25 algebra at depth
     // 20 + the q30 cosine window at depth 20), reciprocals floored the
     // same way (1e6 // (60 + rank)), integer sums, same final ranking
@@ -3392,6 +3449,7 @@ object SparkEntry {
     "q66_ann_ivf_trained" -> golden("q66_ann_ivf_trained"),
     "q78_ann_pq" -> golden("q78_ann_pq"),
     "q173_ann_ivf_pq" -> golden("q173_ann_ivf_pq"),
+    "q196_ann_ivf_pq_residual" -> golden("q196_ann_ivf_pq_residual"),
     // INDEPENDENT oracle: constructs the expected canonical form from
     // (source, doc_id) directly — never re-runs a canonicalizer. Tracking
     // params (utm_source, ref) vanish; surviving params byte-sorted

@@ -860,6 +860,47 @@ object PqAdc {
   }
 }
 
+/** pq_sum(code binary, table array<double>) -> double: the selective sum
+  * Σ_s table[s·nCodes + code_s] (nCodes = |table| / |code|) — the ADC
+  * lookup primitive factored out of [[PqAdc]] so RESIDUAL IVF-PQ can
+  * combine a per-query numerator table and a per-LIST denominator table
+  * with plain column arithmetic around them. M lookups per pair,
+  * subspace-ascending accumulation (the twins' operand order). */
+case class PqSum(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, DoubleType}
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes() = (left.dataType, right.dataType) match {
+    case (BinaryType, ArrayType(DoubleType, _)) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"pq_sum requires (binary, array<double>), got ($l, $r)")
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PqSum.compute(a.asInstanceOf[Array[Byte]],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.PqSum.compute($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PqSum =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "pq_sum"
+}
+
+object PqSum {
+  def compute(code: Array[Byte],
+              table: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val m = code.length
+    val nCodes = table.numElements() / m
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      acc += table.getDouble(s * nCodes + (code(s) & 0xFF))
+      s += 1
+    }
+    acc
+  }
+}
+
 object GraftFunctions {
   import org.apache.spark.sql.graftbridge.Bridge
   def extract_text(c: Column): Column = Bridge.column(ExtractText(Bridge.expression(c)))
@@ -893,6 +934,8 @@ object GraftFunctions {
     Bridge.column(PqLut(Bridge.expression(c), books))
   def pq_adc(code: Column, lut: Column, normSq: Array[Double]): Column =
     Bridge.column(PqAdc(Bridge.expression(code), Bridge.expression(lut), normSq))
+  def pq_sum(code: Column, table: Column): Column =
+    Bridge.column(PqSum(Bridge.expression(code), Bridge.expression(table)))
 
   /** Register for SQL use in an existing session. */
   def register(spark: SparkSession): Unit = {

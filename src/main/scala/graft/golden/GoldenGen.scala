@@ -77,6 +77,8 @@ object GoldenGen {
       "query_id", "neighbor_id", "rank")
     write("q173_ann_ivf_pq", q173IvfPqTopK(vecs),
       "query_id", "neighbor_id", "rank")
+    write("q196_ann_ivf_pq_residual", q196IvfPqResidual(vecs),
+      "query_id", "neighbor_id", "rank")
     write("q78_ann_pq", q78PqTopK(vecs),
       "query_id", "neighbor_id", "rank")
     write("q67_semdedup", q67SemDedup(vecs), "vec_id", "group_id", "keep")

@@ -1424,6 +1424,114 @@ object SequentialTwin {
       (qid, nid) => probed(qid).contains(assign(nid)))
   }
 
+  /** q196 rows: RESIDUAL IVF-PQ — independent sequential coarse k-means
+    * (twinKmeans, cosine) assigns lists; residuals r = v − c in FLOAT
+    * index order; per-subspace L2 k-means books over the RESIDUAL slices;
+    * each query probes nProbe lists (cosine desc, cid asc) and scores
+    * admitted neighbors by the residual ADC identity
+    * (dot(q,c)/|q| + Σ lut[code]) / sqrt(|c|² + Σ (2·<c_s, book> + |book|²)[code])
+    * — every accumulation subspace/index-ascending, matching production's
+    * operand order bit-for-bit. */
+  def q196IvfPqResidual(vecs: Seq[(Long, Array[Float])], queryMax: Long = 20L,
+                        k: Int = 10, nList: Int = 16, nProbe: Int = 4,
+                        m: Int = 8, nCodes: Int = 16,
+                        iters: Int = 3, fanout: Int = 16): Seq[(Long, Long, Int)] = {
+    if (vecs.isEmpty) return Nil
+    val dim = vecs.head._2.length
+    require(dim % m == 0)
+    val ds = dim / m
+    val coarse = twinKmeans(vecs, nList, iters, fanout)
+    val cById: Map[Long, Array[Float]] = coarse.toMap
+    val assign: Map[Long, Long] =
+      vecs.map { case (id, v) => id -> twinNearest(v, coarse)._1 }.toMap
+    val resids: Seq[(Long, Array[Float])] = vecs.map { case (id, v) =>
+      val cv = cById(assign(id))
+      val r = new Array[Float](dim)
+      var i = 0
+      while (i < dim) { r(i) = v(i) - cv(i); i += 1 }
+      (id, r)
+    }
+    val books: IndexedSeq[IndexedSeq[Array[Float]]] = (0 until m).map { s =>
+      val sub = resids.map { case (id, r) =>
+        (id, java.util.Arrays.copyOfRange(r, s * ds, (s + 1) * ds))
+      }
+      twinKmeansL2(sub, nCodes, iters, fanout).map(_._2).toIndexedSeq
+    }
+    val normSq: IndexedSeq[IndexedSeq[Double]] = books.map(_.map { cent =>
+      var ns = 0.0; var i = 0
+      while (i < cent.length) { ns += cent(i).toDouble * cent(i).toDouble; i += 1 }
+      ns
+    })
+    def encode(r: Array[Float]): Array[Int] = Array.tabulate(m) { s =>
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      for (c <- books(s).indices) {
+        var d = 0.0; var i = 0
+        while (i < ds) {
+          val t = r(s * ds + i).toDouble - books(s)(c)(i).toDouble
+          d += t * t; i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+      }
+      best
+    }
+    val codes = resids.map { case (id, r) => (id, encode(r)) }.toMap
+    // per-list denominator tables
+    val denByList: Map[Long, IndexedSeq[IndexedSeq[Double]]] = coarse.map {
+      case (cid, cv) =>
+        cid -> (0 until m).map { s =>
+          books(s).indices.map { j =>
+            val b = books(s)(j)
+            var dp = 0.0; var i = 0
+            while (i < ds) { dp += cv(s * ds + i).toDouble * b(i).toDouble; i += 1 }
+            2.0 * dp + normSq(s)(j)
+          }
+        }
+    }.toMap
+    vecs.filter(_._1 < queryMax).flatMap { case (qid, qv) =>
+      var qn = 0.0
+      var i = 0
+      while (i < qv.length) { qn += qv(i).toDouble * qv(i).toDouble; i += 1 }
+      val qnorm = math.sqrt(qn)
+      val lut: IndexedSeq[IndexedSeq[Double]] = (0 until m).map { s =>
+        books(s).map { cent =>
+          var ip = 0.0; var t = 0
+          while (t < ds) { ip += qv(s * ds + t).toDouble * cent(t).toDouble; t += 1 }
+          ip / qnorm
+        }
+      }
+      val probed: Seq[Long] = coarse.map { case (cid, cv) => (cosine(qv, cv), cid) }
+        .sortBy { case (s, cid) => (-s, cid) }.take(nProbe).map(_._2)
+      val probedSet = probed.toSet
+      // per probed list: dqc and |c|² with index-ascending accumulation
+      val listConst: Map[Long, (Double, Double)] = probed.map { lid =>
+        val cv = cById(lid)
+        var dq = 0.0; var c2 = 0.0; var x = 0
+        while (x < cv.length) {
+          dq += qv(x).toDouble * cv(x).toDouble
+          c2 += cv(x).toDouble * cv(x).toDouble
+          x += 1
+        }
+        lid -> ((dq / qnorm, c2))
+      }.toMap
+      vecs.iterator
+        .filter { case (nid, _) => nid != qid && probedSet.contains(assign(nid)) }
+        .map { case (nid, _) =>
+          val lid = assign(nid)
+          val (dqc, c2) = listConst(lid)
+          val code = codes(nid)
+          val den = denByList(lid)
+          var ip = 0.0; var ns = 0.0
+          for (s <- 0 until m) { ip += lut(s)(code(s)); ns += den(s)(code(s)) }
+          (sparkRound((dqc + ip) / math.sqrt(c2 + ns), 9), nid)
+        }
+        .toSeq
+        .sortBy { case (s, nid) => (-s, nid) }
+        .take(k).zipWithIndex
+        .map { case ((_, nid), r) => (qid, nid, r + 1) }
+    }
+  }
+
   def q66IvfTrained(vecs: Seq[(Long, Array[Float])], queryMax: Long = 20L,
                     k: Int = 10, nList: Int = 16, nProbe: Int = 4,
                     iters: Int = 3, fanout: Int = 16): Seq[(Long, Long, Int)] = {

@@ -133,6 +133,34 @@ object Retrieval {
   }
 
   /**
+   * Ranker-agnostic retrieval evaluation (the IR eval surface: MRR,
+   * hits@k, first-relevant-rank) over any (query_id, doc_id, rank)
+   * ranking and a (query_id, doc_id) relevance set. INTEGER-EXACT: the
+   * reciprocal rank enters as the floor `scale div first_rel_rank`
+   * (sum across queries and divide by |Q| downstream for MRR — both
+   * integer ops), hits and n_rel are counts; queries with no relevant
+   * hit in the top k get first_rel_rank = 0 and rr_scaled = 0 (and still
+   * appear — silent query drops would inflate every mean). Plan: one
+   * (query_id, doc_id)-keyed equi-join + two partial aggs + one keyed
+   * left join — flat at any query-set size, no window.
+   */
+  def rankEval(ranking: DataFrame, qrels: DataFrame, k: Int,
+               scale: Long = 1000000L): DataFrame = {
+    require(k >= 1 && scale >= 1, "k and scale must be >= 1")
+    val rels = qrels.select(col("query_id"), col("doc_id")).distinct()
+    val rel = ranking.filter(col("rank") <= k)
+      .join(rels, Seq("query_id", "doc_id"))
+      .groupBy(col("query_id"))
+      .agg(min(col("rank")).cast("long").as("frr"), count(lit(1)).as("h"))
+    rels.groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
+      .join(rel, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_rel"),
+        coalesce(col("frr"), lit(0L)).as("first_rel_rank"),
+        coalesce(col("h"), lit(0L)).as("hits"),
+        coalesce(expr(s"$scale div frr"), lit(0L)).as("rr_scaled"))
+  }
+
+  /**
    * Reciprocal-rank fusion (Cormack/Clarke/Büttcher 2009) — HYBRID
    * retrieval: fuse any number of per-query rankings (lexical BM25,
    * embedding ANN, …) into one list, robust to incomparable score

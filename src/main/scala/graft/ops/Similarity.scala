@@ -499,6 +499,127 @@ object Similarity {
     TopK.rankTopK(scored, "query_id", "neighbor_id", round(col("score"), 9), k)
   }
 
+  /**
+   * RESIDUAL IVF-PQ (Jégou et al. 2011 §IV-A, the Faiss `IVFPQ` default):
+   * sub-books quantize the RESIDUAL r = v − c(list(v)) instead of the raw
+   * vector, so the m·log2(nCodes) code bits spend themselves on the
+   * within-list detail the coarse level already localized — tighter
+   * reconstructions than [[ivfPqTopK]]'s raw-vector codes from the same
+   * byte budget. The scan stays ADC: with v̂ = c + r̂,
+   *     cos(q, v̂) ≈ (dot(q,c)/|q| + Σ_s lut_s[code_s])
+   *                  / sqrt(|c|² + Σ_s den_list[s][code_s])
+   * where lut is the SAME query-only table as flat PQ, and
+   * den_list[s][j] = 2·dot(c_slice_s, book_s[j]) + |book_s[j]|² is a
+   * per-LIST plan constant (nList·m·nCodes doubles — broadcast with the
+   * probes). Scoring per pair = 2·m lookups ([[graft.functions.PqSum]],
+   * codegen'd) + one sqrt; the float column is read only at encode time.
+   *
+   * Training is two phases by necessity (residuals need assignments):
+   * the coarse level first, then ONE fused pass per Lloyd iteration for
+   * all m residual sub-books; the residual map itself is a narrow
+   * per-row projection over the broadcast coarse codebook that fuses
+   * into each training scan (the [[ivfPqTopK]] `assigned` discipline —
+   * nothing persists). Output/order contract identical to the family
+   * (round-9 DESC, id ASC, self excluded); plan: codes join BROADCAST
+   * probes on list_id, bounded k-heap, no Window (plan-tested).
+   */
+  def ivfPqResidualTopK(emb: DataFrame, queryFilter: Column, k: Int,
+                        nList: Int = 16, nProbe: Int = 4, m: Int = 8,
+                        nCodes: Int = 16, iters: Int = 3,
+                        fanout: Int = 16): DataFrame = {
+    import graft.functions.GraftFunctions._
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val headRow = emb.select(size(col("embedding"))).limit(1).collect()
+    if (headRow.isEmpty)
+      return emb.limit(0).select(col("vec_id").as("query_id"),
+        col("vec_id").as("neighbor_id"), lit(1).as("rank"))
+    val dim = headRow(0).getInt(0)
+    require(dim % m == 0, s"embedding dim $dim not divisible by m=$m subspaces")
+    val ds = dim / m
+    // phase 1: coarse quantizer (cosine), the ivfPqTopK training verbatim
+    val coarse = kmeansCodebooksFused(emb,
+      Seq(SubQ(-1, 0, dim, nList, l2 = false)), iters, fanout)(-1)
+    if (coarse.isEmpty)
+      return emb.limit(0).select(col("vec_id").as("query_id"),
+        col("vec_id").as("neighbor_id"), lit(1).as("rank"))
+    val bcCoarse = spark.sparkContext.broadcast(coarse)
+    // residual frame: assignment + r = v − c in FLOAT, index order (one
+    // narrow pass; recomputed per training scan rather than persisted —
+    // it is O(dim·nList) per row and fuses into the scan)
+    val resid = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bcCoarse.value
+        val byId = cs.map(c => c.id -> c.v).toMap
+        it.map { case (id, v) =>
+          val lid = nearestList(v, cs)
+          val cv = byId(lid)
+          val r = new Array[Float](v.length)
+          var i = 0
+          while (i < v.length) { r(i) = v(i) - cv(i); i += 1 }
+          (id, r, lid)
+        }
+      }.toDF("vec_id", "embedding", "list_id")
+    // phase 2: m residual sub-books, one fused corpus pass per iteration
+    val fused = kmeansCodebooksFused(resid.select(col("vec_id"), col("embedding")),
+      (0 until m).map(s => SubQ(s, s * ds, ds, nCodes, l2 = true)), iters, fanout)
+    val books: Array[Array[Array[Float]]] = (0 until m).map(s => fused(s).map(_.v)).toArray
+    val normSq: Array[Double] = books.flatMap(_.map { cent =>
+      var ns = 0.0; var i = 0
+      while (i < cent.length) { ns += cent(i).toDouble * cent(i).toDouble; i += 1 }
+      ns
+    })
+    val nC = books(0).length
+    // per-list denominator tables: den[s·nCodes + j] = 2·<c_slice_s, book_s[j]> + |book_s[j]|²
+    val denByList: Map[Long, Array[Double]] = coarse.map { c =>
+      c.id -> Array.tabulate(m * nC) { idx =>
+        val s = idx / nC; val j = idx % nC
+        val b = books(s)(j)
+        var dp = 0.0; var i = 0
+        while (i < ds) { dp += c.v(s * ds + i).toDouble * b(i).toDouble; i += 1 }
+        2.0 * dp + normSq(idx)
+      }
+    }.toMap
+    val codes = resid.select(col("vec_id").as("neighbor_id"), col("list_id"),
+      pq_encode(col("embedding"), books).as("code"))
+    val bcDen = spark.sparkContext.broadcast(denByList)
+    val probes = emb.filter(queryFilter)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (qid, qv) =>
+        val cs = bcCoarse.value
+        val byId = cs.map(c => c.id -> c.v).toMap
+        var qn = 0.0
+        var i = 0
+        while (i < qv.length) { qn += qv(i).toDouble * qv(i).toDouble; i += 1 }
+        val qnorm = math.sqrt(qn)
+        val lut = Array.tabulate(m * nC) { idx =>
+          val s = idx / nC; val j = idx % nC
+          val b = books(s)(j)
+          var ip = 0.0; var t = 0
+          while (t < ds) { ip += qv(s * ds + t).toDouble * b(t).toDouble; t += 1 }
+          ip / qnorm
+        }
+        probeLists(qv, cs, nProbe).iterator.map { lid =>
+          val cv = byId(lid)
+          var dq = 0.0; var c2 = 0.0; var x = 0
+          while (x < cv.length) {
+            dq += qv(x).toDouble * cv(x).toDouble
+            c2 += cv(x).toDouble * cv(x).toDouble
+            x += 1
+          }
+          (qid, lid, lut, dq / qnorm, c2, bcDen.value(lid))
+        }
+      }.toDF("query_id", "list_id", "lut", "dqc", "c2", "den")
+    val scored = codes.join(broadcast(probes), Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score",
+        (col("dqc") + pq_sum(col("code"), col("lut"))) /
+          sqrt(col("c2") + pq_sum(col("code"), col("den"))))
+    TopK.rankTopK(scored, "query_id", "neighbor_id", round(col("score"), 9), k)
+  }
+
   private def ivfWithCodebook(emb: DataFrame, queryFilter: Column, k: Int,
                               nProbe: Int, cents: Array[Centroid]): DataFrame = {
     val spark = emb.sparkSession

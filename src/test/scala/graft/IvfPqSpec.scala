@@ -62,6 +62,51 @@ class IvfPqSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("query_id", "neighbor_id", "rank") && out.count() == 0)
   }
 
+  // ---- residual IVF-PQ ----
+
+  test("residual IVF-PQ matches the sequential residual twin; partition-invariant") {
+    val got = asTuples(SparkEntry.queries("q196_ann_ivf_pq_residual")(spark, sfDir))
+    val vecs = emb.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().sortBy(_._1).toSeq
+    val twin = golden.SequentialTwin.q196IvfPqResidual(vecs).toSet
+    assert(got === twin)
+    val repart = asTuples(Similarity.ivfPqResidualTopK(emb.repartition(7),
+      col("vec_id") < 20, 10))
+    assert(repart === got)
+  }
+
+  test("residual codes beat raw codes: recall vs exact reported for both encodings") {
+    val exact = asTuples(Similarity.bruteForceTopK(emb, col("vec_id") < 20, 10))
+      .map(t => (t._1, t._2))
+    val raw = asTuples(Similarity.ivfPqTopK(emb, col("vec_id") < 20, 10))
+      .map(t => (t._1, t._2))
+    val res = asTuples(Similarity.ivfPqResidualTopK(emb, col("vec_id") < 20, 10))
+      .map(t => (t._1, t._2))
+    val rRaw = exact.count(raw.contains).toDouble / exact.size
+    val rRes = exact.count(res.contains).toDouble / exact.size
+    info(f"recall@10 vs exact: residual ivf-pq $rRes%.3f, raw-code ivf-pq $rRaw%.3f")
+    // residual coding spends the byte budget on within-list detail; it
+    // must not lose to raw codes by more than noise on this corpus
+    assert(rRes >= rRaw - 0.05,
+      f"residual coding should not trail raw codes: $rRes%.3f vs $rRaw%.3f")
+    assert(res.nonEmpty && res.map(_._1).size == 20)
+  }
+
+  test("residual plan: no window, no exchange on list_id, probes broadcast, partial k-heap agg") {
+    val p = Similarity.ivfPqResidualTopK(emb, col("vec_id") < 20, 10)
+      .queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.linesIterator.exists(_.trim.matches("\\(\\d+\\) Window")), p.take(3000))
+    assert(!p.contains("hashpartitioning(list_id"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2, p.take(3000))
+  }
+
+  test("residual empty input returns empty result with the ANN schema") {
+    val emptyEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val out = Similarity.ivfPqResidualTopK(emptyEmb, col("vec_id") < 5, 10)
+    assert(out.columns.toSeq == Seq("query_id", "neighbor_id", "rank") && out.count() == 0)
+  }
+
   // ---- mutual-kNN graph ----
 
   private def asPairs(df: org.apache.spark.sql.DataFrame) = df.collect()

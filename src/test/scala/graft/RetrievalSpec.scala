@@ -157,6 +157,22 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("rankEval hand case: hit ranks floor-reciprocally, miss rows survive with zeros") {
+    val ranking = Seq((0L, 7L, 1), (0L, 3L, 2), (1L, 9L, 1), (1L, 4L, 3),
+      (2L, 5L, 1), (2L, 5L, 11)) // rank 11 beyond k must not count
+      .toDF("query_id", "doc_id", "rank")
+    val qrels = Seq((0L, 3L), (0L, 8L), (1L, 4L), (2L, 5L), (3L, 1L), (2L, 5L))
+      .toDF("query_id", "doc_id") // duplicate qrel must count once
+    val got = graft.ops.Retrieval.rankEval(ranking, qrels, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got === Set(
+      (0L, 2L, 2L, 1L, 500000L),   // rel 3 at rank 2 -> floor(1e6/2)
+      (1L, 1L, 3L, 1L, 333333L),   // floor(1e6/3)
+      (2L, 1L, 1L, 1L, 1000000L),  // the rank-11 duplicate is out of k
+      (3L, 1L, 0L, 0L, 0L)))       // miss: zeros, row present
+  }
+
   test("bm25 plan: no Window, bounded k-heap aggregate, query side broadcast") {
     val docs = corpus.toDF("doc_id", "text")
     val qdf = Seq((0L, "quick fox")).toDF("query_id", "qtext")
