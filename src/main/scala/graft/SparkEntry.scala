@@ -906,6 +906,18 @@ object SparkEntry {
     "q191_mutual_knn" -> ((s, dir) =>
       Similarity.mutualKnn(s.read.parquet(t(dir, "embeddings")), k = 10,
         nList = 16, nProbe = 16)),
+    // AMS/CountSketch F2 (self-join size) profile per language: the exact
+    // second moment beside the one-pass median-of-rows estimate — the
+    // moment that prices every self-join/skew decision at 100 TB; cells
+    // are order-free integer sums (linear sketch), state depth*width
+    // longs per group; golden twin replays cells + median bit-for-bit
+    "q198_f2_sketch" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+      graft.ops.Sketches.f2Profile(
+        docs.select(col("lang"),
+          explode(split(lower(col("text")), " ")).as("token")),
+        "lang", "token")
+    }),
     // retrieval EVAL harness (MRR / hits@k / first-relevant-rank,
     // integer-exact): the BM25 ranker scored against the self-retrieval
     // ground truth (doc i is the relevant answer to the query built from
@@ -3450,6 +3462,13 @@ object SparkEntry {
     "q78_ann_pq" -> golden("q78_ann_pq"),
     "q173_ann_ivf_pq" -> golden("q173_ann_ivf_pq"),
     "q196_ann_ivf_pq_residual" -> golden("q196_ann_ivf_pq_residual"),
+    // the twin stores exact/est as strings (no Long ceiling in the
+    // fixture); cast to DECIMAL(38,0) so both engines compare as the
+    // same float64-normalized integers
+    "q198_f2_sketch" ->
+      s"""SELECT "group", n_rows, CAST(exact_f2 AS DECIMAL(38,0)) AS exact_f2,
+             CAST(est_f2 AS DECIMAL(38,0)) AS est_f2, err_permille
+          FROM '$goldenRoot/__SF__/q198_f2_sketch.parquet/*.parquet'""",
     // INDEPENDENT oracle: constructs the expected canonical form from
     // (source, doc_id) directly — never re-runs a canonicalizer. Tracking
     // params (utm_source, ref) vanish; surviving params byte-sorted

@@ -79,6 +79,8 @@ object GoldenGen {
       "query_id", "neighbor_id", "rank")
     write("q196_ann_ivf_pq_residual", q196IvfPqResidual(vecs),
       "query_id", "neighbor_id", "rank")
+    write("q198_f2_sketch", q198F2Profile(docs),
+      "group", "n_rows", "exact_f2", "est_f2", "err_permille")
     write("q78_ann_pq", q78PqTopK(vecs),
       "query_id", "neighbor_id", "rank")
     write("q67_semdedup", q67SemDedup(vecs), "vec_id", "group_id", "keep")

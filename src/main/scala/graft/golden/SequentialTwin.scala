@@ -635,6 +635,45 @@ object SequentialTwin {
     }
   }
 
+  /** q198: AMS/CountSketch F2 profile twin — per lang, the exact second
+    * moment via one HashMap pass and the CountSketch cells replayed
+    * cell-for-cell (h from the Xxh64 chain seed d, the ±1 sign from the
+    * independent chain seed d + depth, lowest bit), median of the depth
+    * row estimates in BigInt, err_permille by truncating integer
+    * division. exact/est emitted as STRINGS (the oracle casts to
+    * DECIMAL(38,0)) so no Long ceiling enters the fixture. */
+  def q198F2Profile(docs: Seq[Doc], depth: Int = 5,
+                    width: Int = 256): Seq[(String, Long, String, String, Long)] = {
+    require(depth % 2 == 1)
+    docs.groupBy(_.lang).toSeq.sortBy(_._1).map { case (lang, ds) =>
+      val toks = ds.sortBy(_.docId).flatMap(d =>
+        splitKeepAll(d.text.toLowerCase(java.util.Locale.ROOT)))
+      val exact = scala.collection.mutable.HashMap.empty[String, Long]
+      val cells = new Array[Long](depth * width)
+      toks.foreach { t =>
+        exact(t) = exact.getOrElse(t, 0L) + 1L
+        var d = 0
+        while (d < depth) {
+          val idx = java.lang.Math.floorMod(
+            Xxh64.sparkChain(Seq[Any](t, d)), width.toLong).toInt
+          val sign =
+            if ((Xxh64.sparkChain(Seq[Any](t, d + depth)) & 1L) == 0L) 1L else -1L
+          cells(d * width + idx) += sign
+          d += 1
+        }
+      }
+      val exactF2 = exact.valuesIterator.map(c => BigInt(c) * BigInt(c)).sum
+      val ests = (0 until depth).map { d =>
+        var s = BigInt(0); var c = 0
+        while (c < width) { val v = BigInt(cells(d * width + c)); s += v * v; c += 1 }
+        s
+      }.sorted
+      val est = ests(depth / 2)
+      val err = ((est - exactF2).abs * 1000) / exactF2
+      (lang, toks.size.toLong, exactF2.toString, est.toString, err.toLong)
+    }
+  }
+
   /** q184: densest-subgraph twin — the Bahmani–Kumar–Vazirani batch
     * peel replayed sequentially over an immutable edge set: per round,
     * remove EVERY node with degree·|V|·epsDen <= 2·|E|·(epsDen+epsNum)

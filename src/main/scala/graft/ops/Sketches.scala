@@ -384,4 +384,101 @@ object Sketches {
     rows.toSeq.toDF("g1", "g2", "est_g1", "est_g2", "est_union",
       "union_kept", "n_common", "jaccard_permille", "est_intersection")
   }
+
+  /**
+   * AMS/CountSketch cells for SECOND-MOMENT (F2 = Σ_t f_t² — the
+   * self-join size) estimation (Alon–Matias–Szegedy 1996 via the
+   * Charikar–Chen–Farach-Colton CountSketch): depth independent rows,
+   * cell[d][h_d(t)] += s_d(t) with h from the [[CmAgg]] Xxh64 chain
+   * (seed d) and the ±1 sign from an INDEPENDENT chain (seed d + depth,
+   * lowest bit). Cells are plain integer sums — shuffle-order-invariant,
+   * counterwise-mergeable (the linear-sketch property the streaming fold
+   * relies on), state depth·width longs per group forever.
+   */
+  final class AmsAgg(depth: Int, width: Int)
+      extends Aggregator[String, Array[Long], Array[Long]] {
+    require(depth >= 1 && width >= 2, "need depth >= 1, width >= 2")
+    override def zero: Array[Long] = new Array[Long](depth * width)
+    override def reduce(buf: Array[Long], tok: String): Array[Long] = {
+      var d = 0
+      while (d < depth) {
+        val idx = java.lang.Math.floorMod(
+          graft.functions.Xxh64.sparkChain(Seq[Any](tok, d)), width.toLong).toInt
+        val sign =
+          if ((graft.functions.Xxh64.sparkChain(Seq[Any](tok, d + depth)) & 1L) == 0L) 1L
+          else -1L
+        buf(d * width + idx) += sign
+        d += 1
+      }
+      buf
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    override def finish(buf: Array[Long]): Array[Long] = buf
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Median of each group's depth CountSketch row estimates (Σ_c cell²,
+    * BigInt — cell ≤ n so squares reach n², far past Long), emitted as a
+    * string for an overflow-proof decimal(38,0) cast downstream. Odd
+    * depth required so the median is an actual row estimate. */
+  private[graft] def amsMedianEstimates(cells: DataFrame, depth: Int,
+                                        width: Int): DataFrame = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    cells.as[(String, Long, Array[Long])].map { case (g, n, cs) =>
+      val ests = (0 until depth).map { d =>
+        var s = BigInt(0); var c = 0
+        while (c < width) { val v = BigInt(cs(d * width + c)); s += v * v; c += 1 }
+        s
+      }.sorted
+      (g, n, ests(depth / 2).toString)
+    }.toDF("group", "n_rows", "est_str")
+  }
+
+  /**
+   * F2 (self-join size) PROFILE per group: the exact second moment (two
+   * partial-agg passes, decimal(38,0) squares) beside the one-pass
+   * AMS/CountSketch median-of-rows estimate and the integer error rate —
+   * the [[cmTopEstimates]] shape for the moment that prices every
+   * self-join/skew decision at 100 TB (a group's F2 IS its token
+   * self-join output size). The estimate's variance is F2²·2/width per
+   * row; the median over `depth` (odd) rows concentrates it — geometry
+   * is the caller's accuracy knob, state is depth·width longs per group
+   * regardless of distinct-key count. Exact and estimate come from ONE
+   * localCheckpointed token frame (one source scan), and the whole
+   * output is deterministic integers — the sequential twin replays it
+   * bit-for-bit.
+   *
+   * @return (group, n_rows, exact_f2, est_f2, err_permille) with
+   *         err_permille = |est − exact|·1000 div exact (exact ≥ 1
+   *         whenever the group exists).
+   */
+  def f2Profile(df: DataFrame, groupCol: String, keyCol: String,
+                depth: Int = 5, width: Int = 256): DataFrame = {
+    require(depth % 2 == 1, "depth must be odd (median of row estimates)")
+    val toks = df.select(col(groupCol).cast("string").as("group"),
+      col(keyCol).cast("string").as("key")).localCheckpoint(true)
+    val ams = udaf(new AmsAgg(depth, width))
+    val cells = toks.groupBy(col("group"))
+      .agg(count(lit(1)).as("n_rows"), ams(col("key")).as("cells"))
+    val est = amsMedianEstimates(cells, depth, width)
+      .select(col("group"), col("n_rows"),
+        col("est_str").cast("decimal(38,0)").as("est_f2"))
+    val exact = toks.groupBy(col("group"), col("key"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("c"))
+      .groupBy(col("group"))
+      .agg(sum(col("c") * col("c")).cast("decimal(38,0)").as("exact_f2"))
+    est.join(exact, "group")
+      .withColumn("err_permille",
+        expr("CAST(abs(est_f2 - exact_f2) * 1000 AS DECIMAL(38,0)) div exact_f2"))
+      .select(col("group"), col("n_rows"), col("exact_f2"), col("est_f2"),
+        col("err_permille"))
+  }
 }

@@ -460,6 +460,65 @@ object StreamIngest {
       stateRoot, "batch_id")
   }
 
+  /**
+   * Streaming AMS/CountSketch F2 maintenance (foreachBatch) — the
+   * second-moment (self-join size) sketch per group, the last linear
+   * sketch in the family beside Count-Min: each batch appends its
+   * per-group depth·width cell array plus the batch row count. Cells
+   * are plain integer sums, so the counterwise fold equals the one-pass
+   * batch sketch EXACTLY at any batch split (the [[cmBatchStep]]
+   * property, spec-asserted); state is |groups|·depth·width longs
+   * forever, the raw stream is never retained. Replay is a
+   * [[graft.core.TableIO.writeResumable]] no-op; `uptoBatch` gives
+   * exact as-of reads.
+   */
+  def amsBatchStep(rows: DataFrame, stateRoot: String, batchId: Long,
+                   groupCol: String, keyCol: String,
+                   depth: Int = 5, width: Int = 256): Unit = {
+    val ams = udaf(new graft.ops.Sketches.AmsAgg(depth, width))
+    graft.core.TableIO.writeResumable(
+      rows.groupBy(col(groupCol).cast("string").as("group"))
+        .agg(count(lit(1)).as("n_rows"),
+          ams(col(keyCol).cast("string")).as("cells"))
+        .withColumn("batch_id", lit(batchId)),
+      stateRoot, "batch_id")
+  }
+
+  /** Per-group F2 estimates as of the committed deltas: counterwise fold
+    * of the per-batch cell arrays (posexplode + (group, pos) partial
+    * aggs — only cell rows shuffle, never tokens), then the same
+    * median-of-row-estimates math as the batch
+    * [[graft.ops.Sketches.f2Profile]] (exact_f2 is absent by design —
+    * the raw stream is gone; that absence is the state bound). */
+  def currentF2Profile(spark: SparkSession, stateRoot: String,
+                       depth: Int = 5, width: Int = 256,
+                       uptoBatch: Long = Long.MaxValue): DataFrame = {
+    import spark.implicits._
+    val st = graft.core.TableIO.read(spark, stateRoot, "batch_id")
+      .withColumn("batch_id", col("batch_id").cast("long"))
+      .filter(col("batch_id") <= uptoBatch)
+      .localCheckpoint(true)
+    val nRows = st.groupBy(col("group")).agg(sum(col("n_rows")).as("n_rows"))
+    val folded = st
+      .select(col("group"), posexplode(col("cells")).as(Seq("pos", "v")))
+      .groupBy(col("group"), col("pos")).agg(sum(col("v")).as("v"))
+      .groupBy(col("group"))
+      .agg(map_from_arrays(collect_list(col("pos")), collect_list(col("v")))
+        .as("cellmap"))
+      .as[(String, Map[Int, Long])]
+      .map { case (g, m) =>
+        val cs = new Array[Long](depth * width)
+        m.foreach { case (pos, v) => cs(pos) = v }
+        (g, 0L, cs)
+      }.toDF("group", "n_ignored", "cells")
+    graft.ops.Sketches.amsMedianEstimates(
+      folded.select(col("group"), col("n_ignored").as("n_rows"), col("cells")),
+      depth, width)
+      .select(col("group"), col("est_str").cast("decimal(38,0)").as("est_f2"))
+      .join(nRows, "group")
+      .select(col("group"), col("n_rows"), col("est_f2"))
+  }
+
   /** The Count-Min sketch as of the committed deltas (optionally only
     * batch_id <= `uptoBatch` — the replay / as-of read): counterwise sum
     * of the per-batch sketches, returned as the bounded driver-side
