@@ -906,6 +906,14 @@ object SparkEntry {
     "q191_mutual_knn" -> ((s, dir) =>
       Similarity.mutualKnn(s.read.parquet(t(dir, "embeddings")), k = 10,
         nList = 16, nProbe = 16)),
+    // Gopher-family compression-ratio quality signal: deflate level 6 raw
+    // per row (codegen'd, zero shuffle), ratio_permille = deflate_len*1000
+    // div n_bytes — the vocabulary-free repetition detector (catches
+    // long-period templating n-gram profiles miss); empty docs defined
+    // incompressible; golden twin runs its OWN Deflater walk
+    "q199_compression_ratio" -> ((s, dir) =>
+      graft.ops.TextStats.compressionProfile(
+        s.read.parquet(t(dir, "documents")))),
     // AMS/CountSketch F2 (self-join size) profile per language: the exact
     // second moment beside the one-pass median-of-rows estimate — the
     // moment that prices every self-join/skew decision at 100 TB; cells
@@ -3462,6 +3470,7 @@ object SparkEntry {
     "q78_ann_pq" -> golden("q78_ann_pq"),
     "q173_ann_ivf_pq" -> golden("q173_ann_ivf_pq"),
     "q196_ann_ivf_pq_residual" -> golden("q196_ann_ivf_pq_residual"),
+    "q199_compression_ratio" -> golden("q199_compression_ratio"),
     // the twin stores exact/est as strings (no Long ceiling in the
     // fixture); cast to DECIMAL(38,0) so both engines compare as the
     // same float64-normalized integers

@@ -53,6 +53,42 @@ case class Fingerprint64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "fingerprint64"
 }
 
+/** deflate_len(text string) -> bigint: compressed size of the UTF-8 bytes
+  * under DEFLATE level 6, raw (nowrap) — the Gopher-family compression-
+  * ratio quality signal (repetitive/templated text compresses far below
+  * natural prose; the ratio is a one-pass, vocabulary-free repetition
+  * detector). Deterministic for a fixed zlib: the JDK pins one, and the
+  * sequential twin shares ONLY this JDK codec (the javax.imageio
+  * precedent for in-JDK primitives). */
+case class DeflateLen(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  def inputTypes: Seq[DataType] = Seq(StringType)
+  override def checkInputDataTypes() = {
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"deflate_len requires string input, got ${child.dataType}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    DeflateLen.compute(v.asInstanceOf[UTF8String].getBytes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.DeflateLen.compute($c.getBytes())")
+  override protected def withNewChildInternal(newChild: Expression): DeflateLen = copy(newChild)
+  override def prettyName: String = "deflate_len"
+}
+
+object DeflateLen {
+  def compute(bytes: Array[Byte]): Long = {
+    val d = new java.util.zip.Deflater(6, true)
+    try {
+      d.setInput(bytes); d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
+}
+
 /** cosine_sim(a array<float>, b array<float>) -> double: dot/(|a|*|b|) with
   * double accumulators in array-index order — bit-identical to the
   * zip_with+aggregate formulation and to the sequential twin, but codegen'd
@@ -936,6 +972,8 @@ object GraftFunctions {
     Bridge.column(PqAdc(Bridge.expression(code), Bridge.expression(lut), normSq))
   def pq_sum(code: Column, table: Column): Column =
     Bridge.column(PqSum(Bridge.expression(code), Bridge.expression(table)))
+  def deflate_len(c: Column): Column =
+    Bridge.column(DeflateLen(Bridge.expression(c)))
 
   /** Register for SQL use in an existing session. */
   def register(spark: SparkSession): Unit = {

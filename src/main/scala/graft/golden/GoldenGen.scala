@@ -81,6 +81,8 @@ object GoldenGen {
       "query_id", "neighbor_id", "rank")
     write("q198_f2_sketch", q198F2Profile(docs),
       "group", "n_rows", "exact_f2", "est_f2", "err_permille")
+    write("q199_compression_ratio", q199CompressionProfile(docs),
+      "doc_id", "n_bytes", "deflate_len", "ratio_permille", "keep")
     write("q78_ann_pq", q78PqTopK(vecs),
       "query_id", "neighbor_id", "rank")
     write("q67_semdedup", q67SemDedup(vecs), "vec_id", "group_id", "keep")

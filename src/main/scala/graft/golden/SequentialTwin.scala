@@ -674,6 +674,26 @@ object SequentialTwin {
     }
   }
 
+  /** q199: compression-ratio twin — its OWN java.util.zip.Deflater walk
+    * (level 6, raw) over each doc's UTF-8 bytes; shares only the JDK
+    * codec with production (the javax.imageio precedent), the ratio and
+    * keep rule re-derived in BigInt-free integer math. */
+  def q199CompressionProfile(docs: Seq[Doc], minRatioPermille: Long = 300L)
+      : Seq[(Long, Long, Long, Long, Boolean)] =
+    docs.sortBy(_.docId).map { d =>
+      val bytes = d.text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val defl = new java.util.zip.Deflater(6, true)
+      val dl = try {
+        defl.setInput(bytes); defl.finish()
+        val buf = new Array[Byte](4096)
+        var t = 0L
+        while (!defl.finished()) t += defl.deflate(buf)
+        t
+      } finally defl.end()
+      val ratio = if (bytes.isEmpty) 1000L else dl * 1000L / bytes.length
+      (d.docId, bytes.length.toLong, dl, ratio, ratio >= minRatioPermille)
+    }
+
   /** q184: densest-subgraph twin — the Bahmani–Kumar–Vazirani batch
     * peel replayed sequentially over an immutable edge set: per round,
     * remove EVERY node with degree·|V|·epsDen <= 2·|E|·(epsDen+epsNum)

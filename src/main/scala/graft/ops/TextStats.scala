@@ -694,4 +694,31 @@ object TextStats {
           - lit(84600L) * col("n_syllables") * col("n_sents")
           < lit(1000L * hardBelow) * col("n_sents") * col("n_words"))
   }
+
+  /**
+   * Compression-ratio quality signal (the Gopher-family repetition
+   * detector RefinedWeb/Dolma also ship): templated or repetitive text
+   * DEFLATEs far below natural prose, so
+   * `ratio_permille = deflate_len·1000 div n_bytes` is a one-pass,
+   * vocabulary-free repetition score — cheaper and broader than n-gram
+   * repetition profiles (it catches long-period templating n-grams
+   * miss). ZERO shuffle: one codegen'd [[graft.functions.DeflateLen]]
+   * pass per row, integer division, no aggregation. Empty documents are
+   * defined incompressible (ratio 1000) rather than a division by zero.
+   * `keep` = ratio ≥ minRatioPermille (low ratio = boilerplate →
+   * drop); deflate level 6 raw, deterministic for the JDK's pinned
+   * zlib — the sequential twin shares only that JDK codec (the
+   * javax.imageio precedent).
+   */
+  def compressionProfile(docs: DataFrame,
+                         minRatioPermille: Long = 300L): DataFrame = {
+    import graft.functions.GraftFunctions.deflate_len
+    docs.select(col("doc_id"),
+      octet_length(col("text")).cast("long").as("n_bytes"),
+      deflate_len(col("text")).as("deflate_len"))
+      .withColumn("ratio_permille",
+        when(col("n_bytes") === 0L, lit(1000L))
+          .otherwise(expr("(deflate_len * 1000) div n_bytes")))
+      .withColumn("keep", col("ratio_permille") >= lit(minRatioPermille))
+  }
 }
