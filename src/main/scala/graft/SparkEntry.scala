@@ -158,6 +158,89 @@ object SparkEntry {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
     }),
+    // ---- TPC-H-class relational widening (q200-q205): the OLAP verb
+    // surface under Catalyst's own join reordering / semi-join /
+    // broadcast-scalar machinery; money sums follow the board's
+    // round-4 convention, count/quantity aggregates are exact integers
+    // (l_quantity is integral-valued, so its double sums are exact) ----
+    // TPCH Q11 shape: brands whose revenue exceeds 1/25 of the total
+    // (broadcast one-row total, the board's crossJoin convention)
+    "q200_important_brands" -> ((s, dir) => {
+      val li = s.read.parquet(t(dir, "lineitem"))
+      val part = s.read.parquet(t(dir, "part"))
+      val rev = li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("v"))
+      val total = rev.agg(sum(col("v")).as("tot"))
+      rev.crossJoin(broadcast(total))
+        .filter(col("v") * lit(25) > col("tot"))
+        .select(col("p_brand"), round(col("v"), 2).as("value"))
+    }),
+    // TPCH Q13: order-count distribution INCLUDING zero-order customers
+    // (the left join no inner formulation can express) — exact integers
+    "q201_customer_distribution" -> ((s, dir) => {
+      val c = s.read.parquet(t(dir, "customer"))
+      val o = s.read.parquet(t(dir, "orders"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey")).agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+    }),
+    // TPCH Q15 shape: top-3 suppliers by shipped revenue in one quarter
+    "q202_top_suppliers" -> ((s, dir) => {
+      val li = s.read.parquet(t(dir, "lineitem"))
+      val sup = s.read.parquet(t(dir, "supplier"))
+      li.filter(col("l_shipdate") >= lit("1995-01-01") &&
+          col("l_shipdate") < lit("1995-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .orderBy(desc("rev"), asc("s_suppkey")).limit(3)
+        .select(col("s_suppkey"), col("s_name"), round(col("rev"), 2).as("total_rev"))
+    }),
+    // TPCH Q4 shape: orders with at least one lineitem shipped after the
+    // order date, counted per priority — a correlated EXISTS as one
+    // conditioned LEFT SEMI join, exact integers
+    "q203_priority_check" -> ((s, dir) => {
+      val o = s.read.parquet(t(dir, "orders"))
+      val li = s.read.parquet(t(dir, "lineitem"))
+      o.join(li, col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("order_count"))
+    }),
+    // TPCH Q18 shape: large-volume orders (sum of quantities > 150) with
+    // their customer — quantity sums are exact (integral doubles)
+    "q204_volume_orders" -> ((s, dir) => {
+      val li = s.read.parquet(t(dir, "lineitem"))
+      val o = s.read.parquet(t(dir, "orders"))
+      val c = s.read.parquet(t(dir, "customer"))
+      li.groupBy(col("l_orderkey")).agg(sum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 150)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"),
+          col("total_qty").cast("long").as("total_qty"))
+    }),
+    // TPCH Q5: regional nation revenue through the SIX-table join
+    // (customer-orders-lineitem-supplier-nation-region, local suppliers
+    // only) — the Catalyst join-reorder showcase
+    "q205_regional_revenue" -> ((s, dir) => {
+      val c = s.read.parquet(t(dir, "customer"))
+      val o = s.read.parquet(t(dir, "orders"))
+      val li = s.read.parquet(t(dir, "lineitem"))
+      val sup = s.read.parquet(t(dir, "supplier"))
+      val n = s.read.parquet(t(dir, "nation"))
+      val r = s.read.parquet(t(dir, "region"))
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey") &&
+          col("r_name") === lit("ASIA"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+    }),
     "q24_langid" -> ((s, dir) =>
       TextStats.langId(s.read.parquet(t(dir, "documents")))),
     "q25_token_counts" -> ((s, dir) =>
@@ -3294,6 +3377,54 @@ object SparkEntry {
     "q02_topk_orders" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS total, o_orderpriority
          FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+    "q200_important_brands" ->
+      """WITH rev AS (
+           SELECT p_brand, sum(l_extendedprice * (1 - l_discount)) AS v
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           GROUP BY p_brand),
+         tot AS (SELECT sum(v) AS tot FROM rev)
+         SELECT p_brand, round(v, 2) AS value FROM rev, tot
+         WHERE v * 25 > tot""",
+    "q201_customer_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+           SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+           FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+           GROUP BY c.c_custkey)
+         GROUP BY c_count""",
+    "q202_top_suppliers" ->
+      """WITH rev AS (
+           SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS rev
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+             AND l_shipdate < TIMESTAMP '1995-04-01 00:00:00'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, round(rev, 2) AS total_rev
+         FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         ORDER BY rev DESC, s_suppkey ASC LIMIT 3""",
+    "q203_priority_check" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders o
+         WHERE EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey
+                         AND l.l_shipdate > o.o_orderdate)
+         GROUP BY o_orderpriority""",
+    "q204_volume_orders" ->
+      """WITH big AS (
+           SELECT l_orderkey, sum(l_quantity) AS total_qty
+           FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+         SELECT c_name, o_orderkey, CAST(total_qty AS BIGINT) AS total_qty
+         FROM big JOIN orders ON l_orderkey = o_orderkey
+                  JOIN customer ON o_custkey = c_custkey""",
+    "q205_regional_revenue" ->
+      """SELECT n_name,
+              round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+         GROUP BY n_name""",
     "q03_join_mktsegment" ->
       """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
          FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment""",
