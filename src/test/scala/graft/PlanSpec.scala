@@ -543,4 +543,26 @@ class PlanSpec extends SparkSpec {
     assert(!pLoop.linesIterator.exists(_.trim.matches("\\(\\d+\\) Window")),
       pLoop.take(3000))
   }
+
+  test("q203/q205: EXISTS runs as a semi join; the six-table Q5 broadcasts dims, no cartesian") {
+    val p3 = plan(SparkEntry.queries("q203_priority_check")(spark, sf))
+    assert(p3.contains("LeftSemi") || p3.contains("Semi"), p3.take(2000))
+    assert(!p3.contains("CartesianProduct"), p3.take(2000))
+    val p5 = plan(SparkEntry.queries("q205_regional_revenue")(spark, sf))
+    assert(p5.contains("BroadcastHashJoin"), p5.take(2000))
+    assert(!p5.contains("CartesianProduct") &&
+      !p5.contains("BroadcastNestedLoopJoin"), p5.take(2000))
+    // the one-row total in q200 is the only nested-loop shape allowed
+    val p0 = plan(SparkEntry.queries("q200_important_brands")(spark, sf))
+    assert(!p0.contains("CartesianProduct"), p0.take(2000))
+  }
+
+  test("q192/q195: BM25 and RRF rank via partial k-heap aggregation, never a Window") {
+    for (q <- Seq("q192_bm25", "q195_hybrid_rrf", "q197_retrieval_eval")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(!p.linesIterator.exists(_.trim.matches("\\(\\d+\\) Window")),
+        s"$q:\n${p.take(2500)}")
+      assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(2500)}")
+    }
+  }
 }
