@@ -2380,8 +2380,21 @@ object Graphs {
    *         dense 0-based integers, color count <= maxDegree + 1 by
    *         the greedy bound.
    */
-  def greedyColoring(edgesIn: DataFrame, seed: Long = 0L): DataFrame = {
+  def greedyColoring(edgesIn: DataFrame, seed: Long = 0L,
+                     smallGraphThreshold: Long = SmallGraphThreshold): DataFrame = {
     val e = undirected(edgesIn)
+    // adaptive driver fallback (the sssp/topoLayers/trussness discipline):
+    // the synchronous-round loop pays fixed job latency per round, which
+    // dominates on small graphs — below the threshold run the SAME
+    // Jones-Plassmann recurrence sequentially (equality-tested at
+    // threshold 0 in GraphsSpec)
+    if (e.limit(math.min(smallGraphThreshold + 1, Int.MaxValue.toLong).toInt)
+          .count() <= smallGraphThreshold) {
+      val spark = edgesIn.sparkSession
+      import spark.implicits._
+      return driverColoring(spark,
+        e.select(col("a"), col("b")).as[(Long, Long)].collect(), seed)
+    }
     val sym = e.select(col("a").as("node"), col("b").as("nbr"))
       .unionAll(e.select(col("b").as("node"), col("a").as("nbr")))
       .localCheckpoint(true)
@@ -2423,6 +2436,41 @@ object Graphs {
         .localCheckpoint(true)
     }
     colors
+  }
+
+  /** The sequential Jones–Plassmann twin of [[greedyColoring]]'s
+    * distributed loop — SAME recurrence, round for round: ready = prio
+    * strictly below every UNCOLORED neighbor's, color = mex over the
+    * PRE-round colored neighbors (simultaneous assignment), priorities
+    * the identical (xxhash64(id, seed), id) total order. */
+  private def driverColoring(spark: org.apache.spark.sql.SparkSession,
+                             edges: Array[(Long, Long)], seed: Long): DataFrame = {
+    import spark.implicits._
+    val nbrs = scala.collection.mutable.HashMap.empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+    edges.foreach { case (a, b) =>
+      nbrs.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty) += b
+      nbrs.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer.empty) += a
+    }
+    val prio: Map[Long, (Long, Long)] = nbrs.keysIterator.map { id =>
+      id -> ((graft.functions.Xxh64.sparkChain(Seq[Any](id, seed)), id))
+    }.toMap
+    val ord = implicitly[Ordering[(Long, Long)]]
+    val colors = scala.collection.mutable.HashMap.empty[Long, Long]
+    val uncolored = scala.collection.mutable.HashSet.empty[Long] ++ nbrs.keys
+    while (uncolored.nonEmpty) {
+      val ready = uncolored.iterator.filter { id =>
+        nbrs(id).forall(n => !uncolored.contains(n) || ord.lt(prio(id), prio(n)))
+      }.toArray
+      val assigned = ready.map { id =>
+        val used = nbrs(id).iterator.flatMap(colors.get).toSet
+        var c = 0L
+        while (used.contains(c)) c += 1
+        id -> c
+      }
+      assigned.foreach { case (i, c) => colors(i) = c }
+      uncolored --= ready
+    }
+    colors.toSeq.map { case (i, c) => (i, c) }.toDF("id", "color")
   }
 
   /**

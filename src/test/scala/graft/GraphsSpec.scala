@@ -1519,6 +1519,17 @@ class GraphsSpec extends SparkSpec {
     }
   }
 
+  test("greedyColoring: distributed loop (threshold 0) == driver fallback, two partitionings") {
+    for (parts <- Seq(1, 7)) {
+      val dist = Graphs.greedyColoring(edgesDf(graph, parts),
+        smallGraphThreshold = 0L).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val drv = Graphs.greedyColoring(edgesDf(graph, parts)).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(dist === drv, s"parts=$parts")
+    }
+  }
+
   test("greedyColoring: path 2-colors, odd cycle needs 3, K4 needs 4") {
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
     val pc = Graphs.greedyColoring(edgesDf(path)).collect()
