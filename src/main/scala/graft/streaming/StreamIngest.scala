@@ -710,6 +710,91 @@ object StreamIngest {
       queries, k)
   }
 
+  /**
+   * Streaming EXACT triangle counting (foreachBatch) — incremental graph
+   * maintenance: each batch appends its genuinely-new undirected edges
+   * (canonicalized a < b, self-loops dropped, duplicates against all
+   * history anti-joined away) plus ONE delta row to a counts log, where
+   * the delta is the EXACT number of triangles the batch completed.
+   *
+   * New-edge-centered enumeration (the incremental bound: per-batch cost
+   * is proportional to the new edges' neighborhoods, NEVER a recount of
+   * the graph): for each new edge (a, b), every common neighbor c in the
+   * union graph closes a candidate triangle; classifying its two side
+   * edges as old/new gives the triangle's new-edge count k ∈ {1,2,3},
+   * and since a triangle with k new edges is discovered exactly k times
+   * (once per new edge), delta = n1 + n2/2 + n3/3 — with the
+   * divisibility REQUIRED loudly (any violation means the enumeration
+   * lost a case, not a rounding choice). Deltas from disjoint batches
+   * SUM to the one-pass batch count at ANY batch split and any arrival
+   * order (spec-asserted against [[graft.kg.Graphs.triangles]]); replay
+   * is a [[graft.core.TableIO.writeResumable]] no-op on both logs;
+   * `uptoBatch` gives exact as-of counts.
+   */
+  def triangleBatchStep(edges: DataFrame, stateRoot: String, batchId: Long): Unit = {
+    val spark = edges.sparkSession
+    val canon = edges
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    import spark.implicits._
+    val prior =
+      if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(stateRoot, "edges", "data")))
+        Seq.empty[(Long, Long)].toDF("a", "b")
+      else graft.core.TableIO.read(spark, s"$stateRoot/edges", "batch_id")
+        .withColumn("batch_id", col("batch_id").cast("long"))
+        .filter(col("batch_id") < batchId)
+        .select(col("a"), col("b"))
+    val newE = canon.join(prior, Seq("a", "b"), "left_anti").localCheckpoint(true)
+    graft.core.TableIO.writeResumable(
+      newE.withColumn("batch_id", lit(batchId)), s"$stateRoot/edges", "batch_id")
+    val union = prior.unionAll(newE).localCheckpoint(true)
+    val adj = union.select(col("a").as("x"), col("b").as("y"))
+      .unionAll(union.select(col("b").as("x"), col("a").as("y")))
+    // candidates: common neighbors of each new edge in the union graph
+    val cand = newE
+      .join(adj.select(col("x").as("a"), col("y").as("c")), Seq("a"))
+      .filter(col("c") =!= col("b"))
+      .join(adj.select(col("x").as("b"), col("y").as("c")), Seq("b", "c"))
+    val mark = newE.withColumn("is_new", lit(1L))
+    def side(u: String, v: String, name: String) = mark.select(
+      least(col("a"), col("b")).as(u), greatest(col("a"), col("b")).as(v),
+      col("is_new").as(name))
+    val classified = cand
+      .join(side("s1a", "s1b", "n1"),
+        least(col("a"), col("c")) === col("s1a") &&
+          greatest(col("a"), col("c")) === col("s1b"), "left")
+      .join(side("s2a", "s2b", "n2"),
+        least(col("b"), col("c")) === col("s2a") &&
+          greatest(col("b"), col("c")) === col("s2b"), "left")
+      .select((lit(1L) + coalesce(col("n1"), lit(0L)) +
+        coalesce(col("n2"), lit(0L))).as("k"))
+    val ks = classified.groupBy(col("k")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (c1, c2, c3) = (ks.getOrElse(1L, 0L), ks.getOrElse(2L, 0L), ks.getOrElse(3L, 0L))
+    require(c2 % 2 == 0 && c3 % 3 == 0,
+      s"triangle delta multiplicity broken: k=2 rows $c2, k=3 rows $c3 — " +
+        "a lost enumeration case, not a rounding choice")
+    val nNew = newE.count()
+    import spark.implicits._
+    graft.core.TableIO.writeResumable(
+      Seq((nNew, c1 + c2 / 2 + c3 / 3, batchId))
+        .toDF("n_new_edges", "delta_triangles", "batch_id"),
+      s"$stateRoot/counts", "batch_id")
+  }
+
+  /** Edge and triangle totals as of the committed deltas: two integer
+    * sums over the counts log — O(batches) rows, the graph itself never
+    * re-enumerates. */
+  def currentTriangleCount(spark: SparkSession, stateRoot: String,
+                           uptoBatch: Long = Long.MaxValue): DataFrame =
+    graft.core.TableIO.read(spark, s"$stateRoot/counts", "batch_id")
+      .withColumn("batch_id", col("batch_id").cast("long"))
+      .filter(col("batch_id") <= uptoBatch)
+      .agg(coalesce(sum(col("n_new_edges")), lit(0L)).as("n_edges"),
+        coalesce(sum(col("delta_triangles")), lit(0L)).as("n_triangles"))
+
   /** Periodic state housekeeping for long-lived streams: rewrite state
     * partitions that accumulated many small files (one per executor per
     * batch). Run between batches (single-writer maintenance window). */
