@@ -1059,6 +1059,13 @@ object SparkEntry {
     "q194_bitext_margin" -> ((s, dir) =>
       Similarity.marginPairs(s.read.parquet(t(dir, "embeddings")),
         col("label") === 0, col("label") === 1, k = 4)),
+    // MATRYOSHKA two-stage ANN (MRL adaptive retrieval): shortlist 50 by
+    // cosine over the first 16 dims (a quarter of the float bytes), exact
+    // full-dim rerank of the shortlist only; recall loss = shortlist miss
+    // rate, surviving pairs rank bit-identically to the exact scan
+    "q206_ann_matryoshka" -> ((s, dir) =>
+      Similarity.matryoshkaTopK(s.read.parquet(t(dir, "embeddings")),
+        col("vec_id") < 20, 10)),
     // SQ8 scalar-quantized ANN (Faiss SQ8 shape): one byte per dimension,
     // per-vector scale cancels in cosine so ranking runs on the INTEGER
     // codes — dot/ssq exact integers, one correctly-rounded division +
@@ -2093,6 +2100,30 @@ object SparkEntry {
            SELECT x_id, y_id, m, row_number() OVER (PARTITION BY x_id
              ORDER BY m DESC, y_id ASC) AS r FROM sc)
          WHERE r = 1"""
+    },
+    // both stages replayed as windows: prefix-16 cosine shortlist of 50,
+    // then the exact full-dim rerank over just that shortlist — the same
+    // round-9/id-asc contract at each stage
+    "q206_ann_matryoshka" -> {
+      val cos = (a: String, b: String) =>
+        s"(list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b))))"
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         q AS (SELECT vec_id AS query_id, e AS qv, e[1:16] AS qp
+               FROM v WHERE vec_id < 20),
+         c1 AS (SELECT query_id, neighbor_id FROM (
+                  SELECT q.query_id, n.vec_id AS neighbor_id,
+                    row_number() OVER (PARTITION BY q.query_id ORDER BY
+                      round(${cos("q.qp", "n.e[1:16]")}, 9) DESC,
+                      n.vec_id ASC) AS r
+                  FROM q JOIN v n ON n.vec_id <> q.query_id)
+                WHERE r <= 50)
+         SELECT query_id, neighbor_id, rank FROM (
+           SELECT c1.query_id, c1.neighbor_id,
+             row_number() OVER (PARTITION BY c1.query_id ORDER BY
+               round(${cos("q.qv", "n.e")}, 9) DESC, c1.neighbor_id ASC) AS rank
+           FROM c1 JOIN v n ON n.vec_id = c1.neighbor_id
+                   JOIN q ON q.query_id = c1.query_id)
+         WHERE rank <= 10"""
     },
     // SQ8 codes recomputed from scratch (floor(x·127/amax) over the DOUBLE
     // cast), integer dot/ssq via exact double sums (< 2^53), the same

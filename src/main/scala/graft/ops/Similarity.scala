@@ -920,6 +920,48 @@ object Similarity {
   }
 
   /**
+   * MATRYOSHKA two-stage ANN (Kusupati et al. 2022 — MRL adaptive
+   * retrieval, the "shortlist on a prefix, rerank exact" serving
+   * pattern): MRL-trained embeddings pack a usable low-dim embedding in
+   * every PREFIX of the vector, so stage 1 ranks the whole corpus by
+   * cosine over only the first `prefixDims` components (reading
+   * prefixDims/dim of the float data — at dim 64 / prefix 16 the scan
+   * touches a quarter of the bytes) and keeps a `shortlist` per query;
+   * stage 2 re-scores just the shortlist with the FULL-dimension exact
+   * cosine. Recall loss is exactly the prefix ranker's shortlist miss
+   * rate (spec-reported vs the exact scan); pairs surviving to stage 2
+   * rank bit-identically to `bruteForceTopK` on the same pairs.
+   *
+   * Both stages rank through the bounded k-heap with the family's
+   * round-9/id-ASC contract; the stage-2 join is shortlist-sized and
+   * keyed (query_id, neighbor_id) — no window, no cartesian
+   * (plan-tested). Output (query_id, neighbor_id, rank).
+   */
+  def matryoshkaTopK(emb: DataFrame, queryFilter: Column, k: Int,
+                     prefixDims: Int = 16, shortlist: Int = 50): DataFrame = {
+    require(prefixDims >= 1 && shortlist >= k,
+      "need prefixDims >= 1 and shortlist >= k")
+    val pre = (c: Column) => slice(c, 1, prefixDims)
+    val queries = emb.filter(queryFilter)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val cands = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+    // stage 1: prefix-cosine shortlist over the whole corpus
+    val coarse = TopK.rankTopK(
+      cands.select(col("neighbor_id"), pre(col("nv")).as("npre"))
+        .join(broadcast(queries.select(col("query_id"), pre(col("qv")).as("qpre"))),
+          col("query_id") =!= col("neighbor_id"))
+        .withColumn("c", cosine(col("qpre"), col("npre"))),
+      "query_id", "neighbor_id", round(col("c"), 9), shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    // stage 2: exact full-dim rerank of the shortlist only
+    val rescored = coarse
+      .join(cands, Seq("neighbor_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("cosine", cosine(col("qv"), col("nv")))
+    TopK.rankTopK(rescored, "query_id", "neighbor_id", round(col("cosine"), 9), k)
+  }
+
+  /**
    * SQ8 scalar quantization — the third production ANN compression beside
    * IVF (pruning) and PQ (sub-vector codebooks): each vector stores one
    * byte per dimension, 4x smaller than float32 with near-exact recall

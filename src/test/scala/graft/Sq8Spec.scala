@@ -90,6 +90,46 @@ class Sq8Spec extends SparkSpec {
       "a quantized neighbor crossed clusters")
   }
 
+  // ---- Matryoshka two-stage ANN ----
+
+  test("matryoshka with a corpus-wide shortlist == bruteForceTopK exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val exact = Similarity.bruteForceTopK(emb, col("vec_id") < 10, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val full = Similarity.matryoshkaTopK(emb, col("vec_id") < 10, 5,
+      prefixDims = 16, shortlist = 1000).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(full === exact, "a corpus-wide shortlist must reduce to the exact scan")
+  }
+
+  test("matryoshka recall at prefix 16 / shortlist 50 reported; partition-invariant") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val exact = Similarity.bruteForceTopK(emb, col("vec_id") < 20, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mrl = Similarity.matryoshkaTopK(emb, col("vec_id") < 20, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val pairs = mrl.map(t => (t._1, t._2))
+    val recall = exact.count(pairs.contains).toDouble / exact.size
+    info(f"matryoshka recall@10 (prefix 16/64 dims, shortlist 50): $recall%.3f")
+    assert(mrl.map(_._1).size == 20 && recall > 0.2,
+      f"prefix ranker collapsed: recall $recall%.3f")
+    val repart = Similarity.matryoshkaTopK(emb.repartition(7), col("vec_id") < 20, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(repart === mrl)
+  }
+
+  test("matryoshka plan: no Window, two k-heap stages, query sides broadcast") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = Similarity.matryoshkaTopK(emb, col("vec_id") < 5, 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "ranking must not use a window")
+    assert(plan.contains("ObjectHashAggregate"), "k-heap aggregates expected")
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"),
+      "query sides must broadcast")
+  }
+
   test("sq8 plan: no Window, k-heap aggregate, query side broadcast") {
     val dir = java.nio.file.Files.createTempDirectory("sq8plan").toString
     vectors.toDF("vec_id", "embedding").write.mode("overwrite").parquet(dir)
