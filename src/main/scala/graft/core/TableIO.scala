@@ -260,4 +260,50 @@ object TableIO {
       .format("parquet")
       .saveAsTable(tableName)
   }
+
+  /**
+   * Z-ORDER CLUSTERED write (the Delta/Iceberg `OPTIMIZE ZORDER BY`
+   * analog): lay the table out along the Morton space-filling curve of
+   * TWO integral columns so per-file min/max footers prune
+   * MULTI-dimensional predicates — a single-column sort makes one
+   * predicate file-prunable and leaves every file spanning the other
+   * column's full range; the interleaved order keeps rows close in BOTH
+   * dimensions close in file order (ClusterSpec measures it: a
+   * one-dimension-selective box query intersects a fraction of the
+   * z-ordered files vs ALL of the linearly-sorted ones).
+   *
+   * Each column maps to a bounded bucket index by exact integer
+   * min/max normalization — `(x − min)·(buckets−1) div (max − min)` in
+   * decimal(38,0) (overflow-proof for any Long range; constant columns
+   * collapse to bucket 0) — then the codegen'd
+   * [[graft.functions.ZOrder2]] interleaves the two indices and the
+   * frame range-partitions + sorts on that key. At 100 TB this is the
+   * compaction-time rewrite (one shuffle, the same cost class as
+   * [[compact]]); production systems replace min/max normalization with
+   * range-partition ids when the value distribution is heavily skewed —
+   * same curve, different bucketing.
+   */
+  def clusterBy(df: DataFrame, colA: String, colB: String, outPath: String,
+                nFiles: Int, buckets: Long = 1L << 16): Unit = {
+    require(nFiles >= 1 && buckets >= 2 && buckets <= (1L << 32),
+      "need nFiles >= 1 and 2 <= buckets <= 2^32")
+    val mm = df.agg(min(col(colA)).cast("long"), max(col(colA)).cast("long"),
+      min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
+    if (mm.isNullAt(0)) { // empty input: write the empty frame as-is
+      df.write.mode("overwrite").parquet(outPath)
+      return
+    }
+    def bucketOf(c: String, mn: Long, mx: Long) =
+      if (mx == mn) lit(0L)
+      else expr(s"CAST((CAST($c AS DECIMAL(38,0)) - $mn) * ${buckets - 1} " +
+        s"AS DECIMAL(38,0)) div ${mx - mn}")
+    val z = graft.functions.GraftFunctions.zorder2(
+      bucketOf(colA, mm.getLong(0), mm.getLong(1)),
+      bucketOf(colB, mm.getLong(2), mm.getLong(3)))
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(outPath)
+  }
 }
