@@ -509,43 +509,56 @@ object Multimodal {
    * uploads of one clip share sampled-frame hashes even after
    * re-encoding / brightness shifts, the [[aHash64]] invariance).
    *
-   * Plan (the [[imageNearDup]] discipline lifted to (video, frame) keys):
-   * frame hashes band 4x16 bits and candidate FRAME pairs come from the
-   * shared `idPairsFromBuckets` — keyed by a (doc_id, frame_idx) STRUCT,
-   * so nothing is packed into a Long and hot buckets (black frames, test
-   * cards) are capped LOUDLY with one counter each, never a materialized
-   * member list. Pigeonhole makes the band join LOSSLESS for
-   * `maxHamming` <= 3: any two hashes within hamming 3 agree on >= 1 of
-   * the 4 bands, so the result equals the definitional all-pairs
-   * semantics the sequential twin computes quadratically. Candidates
-   * verify by true hamming, then per video pair the DISTINCT matched
-   * frame indices of each side count up (the pair table is LSH-pruned —
-   * tiny relative to the corpus) and the match fraction gates
-   * integer-exactly (m·100 >= pct·n, no doubles). Returns
-   * (doc1, doc2, matched1, matched2, n1, n2).
+   * Plan: DISTINCT 64-bit hashes band 4x16 bits through the shared
+   * `idPairsFromBuckets` — banding over VALUES, not frame rows, so
+   * exact-duplicate frame mass (bit-identical re-uploads, template
+   * intros, black frames — the dominant mass at scale) collapses to one
+   * banded id per value and the loud `maxBucket` cap guards only genuine
+   * band degeneracy (> maxBucket DISTINCT values in one 16-bit slice).
+   * Pigeonhole makes the band join LOSSLESS for `maxHamming` <= 3: any
+   * two hashes within hamming 3 agree on >= 1 of the 4 bands. Verified
+   * near-hash pairs (plus the hamming-0 identity) then EXPAND to
+   * cross-video frame pairs by two hash-keyed joins — the expansion is
+   * the true match relation and feeds straight into the aggregation —
+   * and per video pair the DISTINCT matched frame indices of each side
+   * count up with the integer-exact match-fraction gate
+   * (m·100 >= pct·n, no doubles). Result equals the definitional
+   * all-pairs semantics the sequential twin computes quadratically.
+   * Returns (doc1, doc2, matched1, matched2, n1, n2).
    */
   def videoNearDup(media: DataFrame, stride: Int = 4, maxHamming: Int = 3,
-                   minMatchPct: Int = 50, maxBucket: Int = 64): DataFrame = {
+                   minMatchPct: Int = 50, maxBucket: Int = 1024): DataFrame = {
     val fh = videoFrameHashes(media, stride).localCheckpoint(true)
     val nPerVideo = fh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val banded = fh.select(
-      struct(col("doc_id"), col("frame_idx")).as("doc_id"),
+    // Band DISTINCT 64-bit hashes, not frame rows: identical frames — the
+    // DOMINANT mass at scale (bit-identical re-uploads, template intros,
+    // black frames) — all collapse to one banded id each, so bucket
+    // population counts distinct VALUES per 16-bit slice and the loud cap
+    // guards only genuine band degeneracy (an earlier frame-row banding
+    // overflowed the cap at sf0.1 from exact-duplicate mass alone and
+    // dropped everything in 134 buckets; the oracle caught it).
+    val hashes = fh.select(col("ahash")).distinct().localCheckpoint(true)
+    val banded = hashes.select(col("ahash").as("doc_id"),
       posexplode(expr(
         "transform(sequence(0, 3), c -> shiftright(ahash, c * 16) & 65535)"))
         .as(Seq("band", "bucket")))
-    val framePairs = graft.ops.Dedup.idPairsFromBuckets(banded, maxBucket,
+    // near-hash pairs (pigeonhole-lossless at hamming <= 3 over 4x16 bands)
+    val hp = graft.ops.Dedup.idPairsFromBuckets(banded, maxBucket,
         dropLabel = "videoNearDup")
-      .select(col("doc1.doc_id").as("d1"), col("doc1.frame_idx").as("f1"),
-        col("doc2.doc_id").as("d2"), col("doc2.frame_idx").as("f2"))
-      .filter(col("d1") =!= col("d2"))
-    // struct order sorts by doc_id first, so d1 < d2 already holds for
-    // cross-video pairs; verify by true hamming on the full 64-bit hashes
-    val verified = framePairs
-      .join(fh.select(col("doc_id").as("d1"), col("frame_idx").as("f1"),
-        col("ahash").as("h1")), Seq("d1", "f1"))
+      .select(col("doc1").as("h1"), col("doc2").as("h2"))
+      .filter(bit_count(col("h1").bitwiseXOR(col("h2"))) <= lit(maxHamming))
+    // matching-hash relation: both orientations of each near pair PLUS the
+    // identity (same hash = hamming 0) so the frame expansion below sees
+    // every cross-video match exactly once after the d1 < d2 cut
+    val hpBoth = hp
+      .unionAll(hp.select(col("h2").as("h1"), col("h1").as("h2")))
+      .unionAll(hashes.select(col("ahash").as("h1"), col("ahash").as("h2")))
+    val verified = fh
+      .select(col("doc_id").as("d1"), col("frame_idx").as("f1"), col("ahash").as("h1"))
+      .join(hpBoth, Seq("h1"))
       .join(fh.select(col("doc_id").as("d2"), col("frame_idx").as("f2"),
-        col("ahash").as("h2")), Seq("d2", "f2"))
-      .filter(bit_count(col("h1").bitwiseXOR(col("h2"))) <= maxHamming)
+        col("ahash").as("h2")), Seq("h2"))
+      .filter(col("d1") < col("d2"))
     verified.groupBy(col("d1").as("doc1"), col("d2").as("doc2"))
       .agg(countDistinct(col("f1")).as("matched1"),
         countDistinct(col("f2")).as("matched2"))
