@@ -625,18 +625,31 @@ object Multimodal {
    * hamming distance. Returns (doc1, doc2, hamming).
    */
   def imageNearDup(media: DataFrame, maxHamming: Int = 3,
-                   maxBucket: Int = 64): DataFrame = {
+                   maxBucket: Int = 1024): DataFrame = {
     val hashes = imageHashes(media).localCheckpoint(true)
-    val banded = hashes.select(col("doc_id"),
+    // band DISTINCT hash VALUES (the videoNearDup discipline): B
+    // bit-identical images collapse to one banded id instead of B bucket
+    // members — past maxBucket identical copies a doc-id banding dropped
+    // every one of their buckets; value banding caps only genuine band
+    // degeneracy (> maxBucket distinct values in one 16-bit slice)
+    val dh = hashes.select(col("ahash")).distinct().localCheckpoint(true)
+    val banded = dh.select(col("ahash").as("doc_id"),
       posexplode(expr(
         "transform(sequence(0, 3), c -> shiftright(ahash, c * 16) & 65535)"))
         .as(Seq("band", "bucket")))
-    graft.ops.Dedup.idPairsFromBuckets(banded, maxBucket,
+    val hp = graft.ops.Dedup.idPairsFromBuckets(banded, maxBucket,
         dropLabel = "imageNearDup")
-      .join(hashes.select(col("doc_id").as("doc1"), col("ahash").as("h1")), Seq("doc1"))
-      .join(hashes.select(col("doc_id").as("doc2"), col("ahash").as("h2")), Seq("doc2"))
+      .select(col("doc1").as("h1"), col("doc2").as("h2"))
       .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
       .filter(col("hamming") <= maxHamming)
+    val hpBoth = hp
+      .unionAll(hp.select(col("h2").as("h1"), col("h1").as("h2"), col("hamming")))
+      .unionAll(dh.select(col("ahash").as("h1"), col("ahash").as("h2"),
+        bit_count(lit(0L)).as("hamming")))
+    hashes.select(col("doc_id").as("doc1"), col("ahash").as("h1"))
+      .join(hpBoth, Seq("h1"))
+      .join(hashes.select(col("doc_id").as("doc2"), col("ahash").as("h2")), Seq("h2"))
+      .filter(col("doc1") < col("doc2"))
       .select(col("doc1"), col("doc2"), col("hamming"))
   }
 }

@@ -1089,6 +1089,16 @@ class OpsSpec extends SparkSpec {
       pairs.mkString(","))
     assert(!pairs.exists(p => p._1 == 2000L || p._2 == 2000L),
       pairs.mkString(","))
+    // planted duplicate-MASS regression (the q176 sf0.1 failure class):
+    // 12 bit-identical copies under maxBucket = 2 — a doc-id banding
+    // would overflow every bucket and drop ALL pairs; value banding
+    // collapses the mass to one banded id, so all C(12,2) pairs survive
+    val many = (0L until 12L).map(i => (i, "image/png", orig))
+      .toDF("doc_id", "media_type", "blob")
+    val massPairs = Multimodal.imageNearDup(many, maxHamming = 4, maxBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(massPairs.length == 66 && massPairs.forall(p => p._1 < p._2),
+      s"expected all 66 identical-copy pairs, got ${massPairs.length}")
   }
 
   test("readability: integer Flesch ingredients and hard flag") {
