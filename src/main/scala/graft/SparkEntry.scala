@@ -910,7 +910,16 @@ object SparkEntry {
         .filter(col("pred") =!= "related_to")
       val inc = tr.select(col("url").as("l"), col("subj").as("r"))
         .unionAll(tr.select(col("url").as("l"), col("obj").as("r")))
+      // COMPUTED-DECIMAL PITFALL (r5 verdict): DuckDB materializes a
+      // *computed* DECIMAL/HUGEINT column to pandas as float64, while
+      // Spark's parquet decimal reads back as exact Decimal objects — the
+      // driver then hashes Decimal('5') against 5.0 and mismatches even
+      // though the values are bit-identical. The oracle SQL is frozen, so
+      // the Spark side emits the same pandas-level float64 (values are
+      // exact integers far inside 2^53 at any tested SF; the operator
+      // itself keeps its exact decimal contract).
       graft.kg.Graphs.butterflies(inc)
+        .withColumn("butterflies", col("butterflies").cast("double"))
     }),
     // TIME-RESPECTING earliest-arrival reachability from the top-3
     // out-degree entities: each triple edge usable only AT its page's
@@ -1004,10 +1013,16 @@ object SparkEntry {
     // longs per group; golden twin replays cells + median bit-for-bit
     "q198_f2_sketch" -> ((s, dir) => {
       val docs = s.read.parquet(t(dir, "documents"))
+      // exact_f2/est_f2 -> double: the oracle CASTs the golden strings to
+      // DECIMAL(38,0), a *computed* decimal DuckDB hands to pandas as
+      // float64 (see q186 note); n_rows/err_permille stay exact int64 on
+      // both sides.
       graft.ops.Sketches.f2Profile(
         docs.select(col("lang"),
           explode(split(lower(col("text")), " ")).as("token")),
         "lang", "token")
+        .withColumn("exact_f2", col("exact_f2").cast("double"))
+        .withColumn("est_f2", col("est_f2").cast("double"))
     }),
     // retrieval EVAL harness (MRR / hits@k / first-relevant-rank,
     // integer-exact): the BM25 ranker scored against the self-retrieval
@@ -1049,7 +1064,10 @@ object SparkEntry {
       val semantic = Similarity.bruteForceTopK(
         s.read.parquet(t(dir, "embeddings")), col("vec_id") < 5, 20)
         .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      // rrf -> double: the oracle's SUM(BIGINT) is a DuckDB HUGEINT that
+      // pandas materializes as float64 (see q186 note); ids/rank stay int64
       graft.ops.Retrieval.rrfFuse(Seq(lexical, semantic), k = 10)
+        .withColumn("rrf", col("rrf").cast("double"))
     }),
     // margin-based bitext mining (Artetxe & Schwenk / CCMatrix): cross-set
     // pairs scored by the ratio margin over k-NN average cosines instead
@@ -1057,8 +1075,11 @@ object SparkEntry {
     // neighbor sums and one cross-multiplied division; label 0 = source
     // side, label 1 = target side, forward "max" strategy (best y per x)
     "q194_bitext_margin" -> ((s, dir) =>
+      // margin_permille -> double: the oracle's HUGEINT division result
+      // materializes to pandas as float64 (see q186 note); ids stay int64
       Similarity.marginPairs(s.read.parquet(t(dir, "embeddings")),
-        col("label") === 0, col("label") === 1, k = 4)),
+        col("label") === 0, col("label") === 1, k = 4)
+        .withColumn("margin_permille", col("margin_permille").cast("double"))),
     // MATRYOSHKA two-stage ANN (MRL adaptive retrieval): shortlist 50 by
     // cosine over the first 16 dims (a quarter of the float bytes), exact
     // full-dim rerank of the shortlist only; recall loss = shortlist miss
@@ -1084,7 +1105,11 @@ object SparkEntry {
       val queries = docs.filter(col("doc_id") < 5)
         .select(col("doc_id").as("query_id"),
           array_join(slice(split(col("text"), " "), 1, 5), " ").as("qtext"))
+      // score -> double: the oracle CASTs its HUGEINT sum to DECIMAL(38,0),
+      // a *computed* decimal that pandas materializes as float64 (see q186
+      // note); query_id/doc_id/rank stay exact int64 on both sides
       graft.ops.Retrieval.bm25TopK(docs, queries, k = 10)
+        .withColumn("score", col("score").cast("double"))
     }),
     // hop-bounded Katz centrality, integer-exact: katz·4^H = Σ_h
     // walks_h(v)·4^(H−h) in decimal(38,0) — attenuated walk-count
@@ -1093,8 +1118,13 @@ object SparkEntry {
     // SQL joins over the golden triples and sums the same integers
     "q181_katz" -> ((s, dir) => {
       val tr = Pipeline.triples(s, dir).toDF()
+      // katz_scaled -> double: the oracle CASTs its HUGEINT walk sums to
+      // DECIMAL(38,0), a *computed* decimal that pandas materializes as
+      // float64 (see q186 note); the operator keeps its exact decimal
+      // contract internally (loud ANSI overflow backstop intact)
       graft.kg.Graphs.katz(
         tr.select(col("subj").as("src"), col("obj").as("dst")), maxHops = 4)
+        .withColumn("katz_scaled", col("katz_scaled").cast("double"))
     }),
     // RDF N-Quads serialization of the triple table (graph = provenance
     // url): pure per-row codegen'd projection, zero shuffle; control-char

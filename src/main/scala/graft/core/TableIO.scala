@@ -285,8 +285,11 @@ object TableIO {
    */
   def clusterBy(df: DataFrame, colA: String, colB: String, outPath: String,
                 nFiles: Int, buckets: Long = 1L << 16): Unit = {
-    require(nFiles >= 1 && buckets >= 2 && buckets <= (1L << 32),
-      "need nFiles >= 1 and 2 <= buckets <= 2^32")
+    // buckets <= 2^31: two 31-bit indices interleave into a <= 62-bit
+    // Morton key, so the sort key can never go negative (a 2^32 bucket
+    // could set bit 63 and break curve monotonicity)
+    require(nFiles >= 1 && buckets >= 2 && buckets <= (1L << 31),
+      "need nFiles >= 1 and 2 <= buckets <= 2^31")
     val mm = df.agg(min(col(colA)).cast("long"), max(col(colA)).cast("long"),
       min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
     if (mm.isNullAt(0)) { // empty input: write the empty frame as-is
@@ -295,8 +298,12 @@ object TableIO {
     }
     def bucketOf(c: String, mn: Long, mx: Long) =
       if (mx == mn) lit(0L)
+      // divisor in decimal SQL, not driver Long arithmetic: mx - mn
+      // overflows Long when the column spans more than half the Long range
+      // (e.g. min = -2, max = Long.MaxValue), which silently produced
+      // garbage bucket ids — decimal(38,0) keeps the range exact
       else expr(s"CAST((CAST($c AS DECIMAL(38,0)) - $mn) * ${buckets - 1} " +
-        s"AS DECIMAL(38,0)) div ${mx - mn}")
+        s"AS DECIMAL(38,0)) div (CAST($mx AS DECIMAL(38,0)) - ($mn))")
     val z = graft.functions.GraftFunctions.zorder2(
       bucketOf(colA, mm.getLong(0), mm.getLong(1)),
       bucketOf(colB, mm.getLong(2), mm.getLong(3)))

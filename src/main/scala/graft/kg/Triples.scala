@@ -336,8 +336,11 @@ object Triples {
    * 100 TB shape: one 2× role explode + ONE partial-aggregated
    * (url, id) count; df is ONE partial-aggregated count over the pair
    * table (never the raw slots); n_pages rides in as a broadcast
-   * one-row cross join; the top-k window partitions by url — millions
-   * of small partitions, no skew, no global sort.
+   * one-row cross join; the top-k window partitions by url — a BOUNDED
+   * axis (each partition holds one page's distinct entities, capped by
+   * that page's own triple count — per-document state, never
+   * corpus-sized), millions of small partitions, no skew, no global
+   * sort.
    *
    * @return (url, id, tf, df, n_pages, rank) — rank 1..k per url
    */

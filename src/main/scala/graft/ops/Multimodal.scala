@@ -32,6 +32,44 @@ final case class MediaMeta(
  */
 object Multimodal {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /**
+   * Loud per-hash MULTIPLICITY cap for the near-dup identity expansion
+   * (the [[Dedup.idPairsFromBuckets]] hot-bucket convention applied to
+   * the hamming-0 axis). The pair expansion joins key on the raw 64-bit
+   * hash, so a hash carried by m rows emits Θ(m²) joined rows through
+   * ONE join key — and bit-identical mass (re-uploads, template intros,
+   * black frames) is exactly the mass a dedup operator meets at scale.
+   * Hashes whose row multiplicity exceeds `cap` are therefore dropped
+   * from pair emission ENTIRELY and LOUDLY: counted + logged +
+   * published in `Dedup.lastDropReport(label)` as
+   * (nHotHashes, nRowsCovered) before the operator returns. Exact
+   * duplicates past the cap are the exact-dedup operator's job
+   * ([[Dedup.exact]] on the hash value collapses them in one
+   * group-by, no quadratic anywhere).
+   *
+   * Cost: the multiplicity table derives from the already-checkpointed
+   * hash frame (one partial-agg pass over KB-scale state), and when
+   * nothing is hot — every board SF — the input is returned UNCHANGED
+   * (no anti-join enters the plan).
+   */
+  private def dropHotHashes(rows: DataFrame, cap: Long,
+                            label: String): DataFrame = {
+    val mult = rows.groupBy(col("ahash")).agg(count(lit(1)).as("m"))
+    val hot = mult.filter(col("m") > cap)
+    val dropRow = hot.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("m")), lit(0L)).as("slots")).head()
+    val (n, slots) = (dropRow.getLong(0), dropRow.getLong(1))
+    graft.ops.Dedup.lastDropReport(label) = (n, slots)
+    if (n == 0L) rows
+    else {
+      log.warn(s"[$label] dropped $n hot hash value(s) covering " +
+        s"$slots rows (cap=$cap)")
+      rows.join(hot.select(col("ahash")), Seq("ahash"), "left_anti")
+    }
+  }
+
   /** Synthetic-image SPEC (the contract the twin re-derives independently):
     * dims w = 16 + doc_id mod 48, h = 16 + doc_id mod 32; pixel (x, y) has
     * r = (7x + 13y + doc_id) mod 256, g = (3x + 5y + 2 doc_id) mod 256,
@@ -527,9 +565,20 @@ object Multimodal {
    * Returns (doc1, doc2, matched1, matched2, n1, n2).
    */
   def videoNearDup(media: DataFrame, stride: Int = 4, maxHamming: Int = 3,
-                   minMatchPct: Int = 50, maxBucket: Int = 1024): DataFrame = {
-    val fh = videoFrameHashes(media, stride).localCheckpoint(true)
-    val nPerVideo = fh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+                   minMatchPct: Int = 50, maxBucket: Int = 1024,
+                   maxHashMult: Long = 1024L): DataFrame = {
+    val fhAll = videoFrameHashes(media, stride).localCheckpoint(true)
+    val nPerVideo = fhAll.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // PAIR-OUTPUT CONTRACT: the expansion joins below key on the raw
+    // 64-bit hash, so pair-level semantics are inherently quadratic in
+    // per-hash multiplicity (m same-hash frames -> ~m² joined rows in ONE
+    // task's key — and bit-identical frame mass, black frames above all,
+    // dominates at real scale). Frames whose hash exceeds `maxHashMult`
+    // corpus-wide are therefore LOUDLY excluded from matching
+    // (lastDropReport("videoNearDup.hotHash")); their videos keep their
+    // true n1/n2 denominators, so a video made of dropped frames simply
+    // cannot reach the match gate — dropped, never silently paired.
+    val fh = dropHotHashes(fhAll, maxHashMult, "videoNearDup.hotHash")
     // Band DISTINCT 64-bit hashes, not frame rows: identical frames — the
     // DOMINANT mass at scale (bit-identical re-uploads, template intros,
     // black frames) — all collapse to one banded id each, so bucket
@@ -625,8 +674,17 @@ object Multimodal {
    * hamming distance. Returns (doc1, doc2, hamming).
    */
   def imageNearDup(media: DataFrame, maxHamming: Int = 3,
-                   maxBucket: Int = 1024): DataFrame = {
-    val hashes = imageHashes(media).localCheckpoint(true)
+                   maxBucket: Int = 1024,
+                   maxHashMult: Long = 1024L): DataFrame = {
+    // PAIR-OUTPUT CONTRACT: pair-level semantics are quadratic in
+    // per-hash multiplicity (m bit-identical images -> ~m² pairs through
+    // ONE hash join key), so hashes carried by more than `maxHashMult`
+    // images corpus-wide are LOUDLY excluded from pair emission
+    // (lastDropReport("imageNearDup.hotHash")) — the videoNearDup
+    // discipline; exact-duplicate collapse past the cap belongs to
+    // [[Dedup.exact]] on the hash value, which is linear.
+    val hashes = dropHotHashes(imageHashes(media).localCheckpoint(true),
+      maxHashMult, "imageNearDup.hotHash")
     // band DISTINCT hash VALUES (the videoNearDup discipline): B
     // bit-identical images collapse to one banded id instead of B bucket
     // members — past maxBucket identical copies a doc-id banding dropped

