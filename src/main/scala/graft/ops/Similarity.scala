@@ -23,6 +23,30 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
+  /** Spread a corpus-side frame across the session's full parallelism
+    * before a compute-heavy scan stage (the optimization guide's §2.5
+    * input-skew remedy: "one huge unsplittable file — repartition
+    * immediately after the read"). The board's parquet tables arrive as
+    * ONE split, which capped every cosine/ADC scan at a single core of
+    * local[32] (measured: q191's whole 4M-pair cosine scan ran as ONE
+    * task); AQE cannot fix it because it sizes partitions by shuffle
+    * BYTES while these stages are compute-bound on small bytes. The
+    * repartition hashes the 8-byte id column — deterministic (no
+    * round-robin sort-before-repartition, no retry hazard), scale-
+    * adaptive (defaultParallelism = total cores, never a tuned
+    * constant), and its shuffle moves only ids+vectors once before the
+    * quadratic-cost scan it feeds. Results unchanged: every operator
+    * here is partition-invariant (spec-tested at multiple
+    * partitionings). */
+  private def spread(df: DataFrame, key: String = "vec_id"): DataFrame =
+    // xxhash64(key), not the key itself: a same-keyed upstream exchange
+    // (aggregation/join) would make this repartition redundant, and the
+    // byte-small surviving exchange then AQE-coalesces to one task —
+    // exactly the single-core collapse this call exists to prevent
+    df.repartition(
+      math.max(2, df.sparkSession.sparkContext.defaultParallelism),
+      xxhash64(col(key)))
+
   /** Cosine similarity of two array<float> columns — the codegen'd native
     * expression (graft.functions.CosineSim). Bit-identical to `cosineHof`
     * (double accumulation in array order; parity-tested in FunctionsSpec). */
@@ -55,7 +79,7 @@ object Similarity {
   def bruteForceTopK(emb: DataFrame, queryFilter: Column, k: Int): DataFrame = {
     val queries = emb.filter(queryFilter)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val scored = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+    val scored = spread(emb).select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
       .join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("qv"), col("nv")))
     TopK.rankTopK(scored, "query_id", "neighbor_id", round(col("cosine"), 9), k)
@@ -411,7 +435,7 @@ object Similarity {
       while (i < cent.length) { ns += cent(i).toDouble * cent(i).toDouble; i += 1 }
       ns
     })
-    val codes = emb.select(col("vec_id").as("neighbor_id"),
+    val codes = spread(emb).select(col("vec_id").as("neighbor_id"),
       pq_encode(col("embedding"), books).as("code"))
     val queries = emb.filter(queryFilter)
       .select(col("vec_id").as("query_id"), pq_lut(col("embedding"), books).as("lut"))
@@ -478,7 +502,7 @@ object Similarity {
     val bcCoarse = spark.sparkContext.broadcast(coarse)
     // one partition-local pass: coarse list assignment (the float
     // embedding column is read here at encode time and never again)
-    val assigned = emb.select(col("vec_id"), col("embedding"))
+    val assigned = spread(emb).select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val cs = bcCoarse.value
@@ -547,7 +571,7 @@ object Similarity {
     // residual frame: assignment + r = v − c in FLOAT, index order (one
     // narrow pass; recomputed per training scan rather than persisted —
     // it is O(dim·nList) per row and fuses into the scan)
-    val resid = emb.select(col("vec_id"), col("embedding"))
+    val resid = spread(emb).select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val cs = bcCoarse.value
@@ -631,8 +655,9 @@ object Similarity {
         col("vec_id").as("neighbor_id"), lit(1).as("rank"))
     val bcCents = spark.sparkContext.broadcast(cents)
     // assignment: nearest centroid per vector — mapPartitions kernel over
-    // the broadcast codebook (tight JVM loop; one pass, stays partition-local)
-    val assigned = emb.select(col("vec_id"), col("embedding"))
+    // the broadcast codebook (tight JVM loop; one pass, stays partition-local
+    // after the id-hash spread of the single-split source)
+    val assigned = spread(emb).select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val cs = bcCents.value
@@ -828,7 +853,7 @@ object Similarity {
       return emb.limit(0).select(col("vec_id").as("a"), col("vec_id").as("b"),
         lit(1).as("rank_ab"), lit(1).as("rank_ba"))
     val bcCents = spark.sparkContext.broadcast(cents)
-    val assigned = emb.select(col("vec_id"), col("embedding"))
+    val assigned = spread(emb).select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val cs = bcCents.value
@@ -883,8 +908,8 @@ object Similarity {
       round(cosine(a, b) * lit(1e9)).cast("long")
     val x = emb.filter(leftFilter)
       .select(col("vec_id").as("x_id"), col("embedding").as("xv"))
-    val y = emb.filter(rightFilter)
-      .select(col("vec_id").as("y_id"), col("embedding").as("yv"))
+    val y = spread(emb.filter(rightFilter)
+      .select(col("vec_id").as("y_id"), col("embedding").as("yv")), "y_id")
     // forward k-NN: each x against ALL of Y (candidate pairs AND Σx terms)
     val fwd = TopK.rankTopKLong(
       y.join(broadcast(x), col("x_id") =!= col("y_id"))
@@ -895,7 +920,7 @@ object Similarity {
     val candY = fwd.select(col("y_id")).distinct()
       .join(y, "y_id").select(col("y_id"), col("yv"))
     val bwd = TopK.rankTopKLong(
-      x.join(broadcast(candY), col("x_id") =!= col("y_id"))
+      spread(x, "x_id").join(broadcast(candY), col("x_id") =!= col("y_id"))
         .withColumn("c", c9(col("yv"), col("xv"))),
       "y_id", "x_id", col("c"), k)
       .select(col("y_id"), col("score").as("c"))
@@ -952,7 +977,7 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(cents)
-    val assigned = corpus.select(col("id"), col("v"))
+    val assigned = spread(corpus, "id").select(col("id"), col("v"))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val cs = bc.value
@@ -1038,7 +1063,8 @@ object Similarity {
     val pre = (c: Column) => slice(c, 1, prefixDims)
     val queries = emb.filter(queryFilter)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val cands = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+    val cands = spread(emb)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
     // stage 1: prefix-cosine shortlist over the whole corpus
     val coarse = TopK.rankTopK(
       cands.select(col("neighbor_id"), pre(col("nv")).as("npre"))
@@ -1092,7 +1118,7 @@ object Similarity {
   /** SQ8 approximate top-k: same output/order contract as the ANN family
     * ((query_id, neighbor_id, rank), round-9 DESC, id ASC, self excluded). */
   def sq8TopK(emb: DataFrame, queryFilter: Column, k: Int): DataFrame = {
-    val enc = sq8Encode(emb)
+    val enc = sq8Encode(spread(emb))
     val queries = enc.filter(queryFilter)
       .select(col("vec_id").as("query_id"), col("code").as("qc"),
         col("ssq").as("qssq"))

@@ -1032,11 +1032,14 @@ class GraphsSpec extends SparkSpec {
   }
 
   test("hits: twin equality on the skewed graph at several partitionings") {
+    // threshold 0 forces the distributed loop; the default takes the
+    // driver fallback — both must equal the sequential twin bit-for-bit
     val want = seqHits(graph, 5)
-    for (parts <- Seq(1, 4, 9)) {
-      val got = Graphs.hits(edgesDf(graph, parts), iters = 5)
+    for (parts <- Seq(1, 4, 9); thr <- Seq(0L, Graphs.SmallGraphThreshold)) {
+      val got = Graphs.hits(edgesDf(graph, parts), iters = 5,
+          smallGraphThreshold = thr)
         .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
-      assert(got === want)
+      assert(got === want, s"parts=$parts thr=$thr")
     }
   }
 
