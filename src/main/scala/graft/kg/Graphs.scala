@@ -1095,11 +1095,20 @@ object Graphs {
    *         wants sentences).
    */
   def randomWalks(edgesIn: DataFrame, walksPerNode: Int, maxLen: Int,
-                  seed: Long = 0L): DataFrame = {
+                  seed: Long = 0L,
+                  smallGraphThreshold: Long = SmallGraphThreshold): DataFrame = {
     require(walksPerNode >= 1, "walksPerNode must be >= 1")
     require(maxLen >= 0, "maxLen must be >= 0")
     val e = edgesIn.select(col("src").cast("long"), col("dst").cast("long"))
-      .filter(col("src") =!= col("dst")).distinct()
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    // adaptive driver fallback (the hits/BFS convention): maxLen
+    // scheduled rounds of fixed latency vs one bounded 16 B/edge collect;
+    // equality-tested vs the distributed loop at threshold 0 and vs the
+    // sequential twin (GraphsSpec)
+    if (e.count() <= smallGraphThreshold)
+      return driverRandomWalks(edgesIn.sparkSession,
+        e.collect().map(r => (r.getLong(0), r.getLong(1))),
+        walksPerNode, maxLen, seed)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src")).orderBy(col("dst"))
     val adj = e.withColumn("rank", row_number().over(w).cast("long") - lit(1L))
@@ -1125,10 +1134,49 @@ object Graphs {
         .select(col("start"), col("walk"), lit(t).as("step"),
           col("dst").as("node"))
         .localCheckpoint(true)
-      out = out.unionAll(next).localCheckpoint(true)
+      // no checkpoint on the step union: every branch is already a
+      // checkpointed per-step frame, so the plan stays flat — the old
+      // per-step checkpoint rewrote the whole growing walk table each step
+      out = out.unionAll(next)
       frontier = next
     }
     out
+  }
+
+  /** Driver-side walk loop — the identical deterministic recurrence
+    * (dst-sorted adjacency ranks, `pmod(xxhash64(start, walk, t, cur,
+    * seed), outdeg)` neighbor choice via the Spark-chained xxh64), so
+    * results are bit-identical to the distributed loop and to the
+    * sequential golden twin (both spec-tested). */
+  private def driverRandomWalks(spark: org.apache.spark.sql.SparkSession,
+                                edges: Array[(Long, Long)], walksPerNode: Int,
+                                maxLen: Int, seed: Long): DataFrame = {
+    import spark.implicits._
+    val adj: Map[Long, Array[Long]] = edges.groupBy(_._1)
+      .map { case (s, es) => s -> es.map(_._2).sorted }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    adj.keysIterator.foreach { start =>
+      var walk = 0L
+      while (walk < walksPerNode) {
+        out += ((start, walk, 0L, start))
+        var cur = start
+        var t = 0L
+        var alive = true
+        while (t < maxLen && alive) {
+          t += 1
+          adj.get(cur) match {
+            case Some(nbrs) =>
+              val h = graft.functions.Xxh64.sparkChain(
+                Seq[Any](start, walk, t, cur, seed))
+              cur = nbrs((((h % nbrs.length) + nbrs.length) % nbrs.length).toInt)
+              out += ((start, walk, t, cur))
+            case None => alive = false
+          }
+        }
+        walk += 1
+      }
+    }
+    out.toSeq.toDF("start", "walk", "step", "node")
   }
 
   /**
@@ -1156,9 +1204,16 @@ object Graphs {
    *         propagation across bridges it need not be a member of the
    *         community it names.
    */
-  def labelPropagation(edgesIn: DataFrame, iters: Int = 5): DataFrame = {
+  def labelPropagation(edgesIn: DataFrame, iters: Int = 5,
+                       smallGraphThreshold: Long = SmallGraphThreshold): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
-    val e = undirected(edgesIn)
+    val e = undirected(edgesIn).localCheckpoint(true)
+    // adaptive driver fallback (the hits/BFS convention): iters scheduled
+    // join+agg rounds vs one bounded 16 B/edge collect; equality-tested
+    // vs the distributed loop at threshold 0 (GraphsSpec)
+    if (e.count() <= smallGraphThreshold)
+      return driverLpa(edgesIn.sparkSession,
+        e.collect().map(r => (r.getLong(0), r.getLong(1))), iters)
     val sym = e.select(col("a").as("node"), col("b").as("nbr"))
       .unionAll(e.select(col("b").as("node"), col("a").as("nbr")))
       .localCheckpoint(true)
@@ -1175,6 +1230,37 @@ object Graphs {
         .localCheckpoint(true)
     }
     labels
+  }
+
+  /** Driver-side synchronous LPA loop — the identical deterministic
+    * recurrence (highest neighbor-label count, ties to the SMALLEST
+    * label), bit-identical to the distributed loop (spec-tested). */
+  private def driverLpa(spark: org.apache.spark.sql.SparkSession,
+                        undirectedEdges: Array[(Long, Long)],
+                        iters: Int): DataFrame = {
+    import spark.implicits._
+    val adj = scala.collection.mutable.HashMap
+      .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+    undirectedEdges.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer.empty) += a
+    }
+    var labels: Map[Long, Long] = adj.keysIterator.map(n => n -> n).toMap
+    for (_ <- 1 to iters) {
+      labels = adj.iterator.map { case (n, nbrs) =>
+        val cnt = scala.collection.mutable.HashMap.empty[Long, Long]
+        nbrs.foreach { nb =>
+          val l = labels(nb); cnt(l) = cnt.getOrElse(l, 0L) + 1L
+        }
+        // max count, ties to the smallest label
+        var bestL = Long.MinValue; var bestC = -1L
+        cnt.foreach { case (l, c) =>
+          if (c > bestC || (c == bestC && l < bestL)) { bestC = c; bestL = l }
+        }
+        n -> bestL
+      }.toMap
+    }
+    labels.toSeq.toDF("id", "label")
   }
 
   /**
@@ -1496,14 +1582,24 @@ object Graphs {
    */
   def node2vecWalks(edgesIn: DataFrame, walksPerNode: Int, maxLen: Int,
                     wBack: Long, wCommon: Long, wFar: Long,
-                    seed: Long = 0L): DataFrame = {
+                    seed: Long = 0L,
+                    smallGraphThreshold: Long = SmallGraphThreshold): DataFrame = {
     require(walksPerNode >= 1, "walksPerNode must be >= 1")
     require(maxLen >= 0, "maxLen must be >= 0")
     require(wBack >= 0 && wCommon >= 0 && wFar >= 0,
       "transition weights must be non-negative")
     require(wBack + wCommon + wFar > 0, "at least one weight must be positive")
-    val e = edgesIn.select(col("src").cast("long"), col("dst").cast("long"))
-      .filter(col("src") =!= col("dst")).distinct()
+    val e0 = edgesIn.select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    // adaptive driver fallback (the randomWalks convention): per-step
+    // window+join rounds of fixed latency vs one bounded collect;
+    // equality-tested vs the distributed loop at threshold 0 and vs the
+    // sequential twin (GraphsSpec)
+    if (e0.count() <= smallGraphThreshold)
+      return driverNode2vecWalks(edgesIn.sparkSession,
+        e0.collect().map(r => (r.getLong(0), r.getLong(1))),
+        walksPerNode, maxLen, wBack, wCommon, wFar, seed)
+    val e = e0
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src")).orderBy(col("dst"))
     val adj = e.withColumn("rank", row_number().over(w).cast("long") - lit(1L))
@@ -1554,11 +1650,76 @@ object Graphs {
         .select(col("start"), col("walk"), col("src").as("prev"),
           col("dst").as("cur"))
         .localCheckpoint(true)
+      // flat union of checkpointed per-step frames (randomWalks note)
       out = out.unionAll(next.select(col("start"), col("walk"),
-        lit(t).as("step"), col("cur").as("node"))).localCheckpoint(true)
+        lit(t).as("step"), col("cur").as("node")))
       frontier = next
     }
     out
+  }
+
+  /** Driver-side node2vec loop — the identical deterministic recurrence
+    * (uniform first step, then the wBack/wCommon/wFar cumulative-weight
+    * selection over dst-sorted candidates with the same Spark-chained
+    * xxh64 draw), bit-identical to the distributed loop and the
+    * sequential twin (both spec-tested). */
+  private def driverNode2vecWalks(spark: org.apache.spark.sql.SparkSession,
+                                  edges: Array[(Long, Long)],
+                                  walksPerNode: Int, maxLen: Int, wBack: Long,
+                                  wCommon: Long, wFar: Long,
+                                  seed: Long): DataFrame = {
+    import spark.implicits._
+    val adj: Map[Long, Array[Long]] = edges.groupBy(_._1)
+      .map { case (s, es) => s -> es.map(_._2).sorted }
+    val eSet = edges.toSet
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    adj.keysIterator.foreach { start =>
+      var walk = 0L
+      while (walk < walksPerNode) {
+        out += ((start, walk, 0L, start))
+        if (maxLen > 0) {
+          // step 1: uniform over out-neighbors (the randomWalks rule)
+          val nbrs1 = adj(start)
+          val h1 = graft.functions.Xxh64.sparkChain(
+            Seq[Any](start, walk, 1L, start, seed))
+          var prev = start
+          var cur = nbrs1((((h1 % nbrs1.length) + nbrs1.length) % nbrs1.length).toInt)
+          out += ((start, walk, 1L, cur))
+          var t = 1L
+          var alive = true
+          while (t < maxLen && alive) {
+            t += 1
+            adj.get(cur) match {
+              case Some(cands) =>
+                val wgts = cands.map { d =>
+                  if (d == prev) wBack
+                  else if (eSet((prev, d))) wCommon
+                  else wFar
+                }
+                val tot = wgts.sum
+                if (tot <= 0) alive = false
+                else {
+                  val h = graft.functions.Xxh64.sparkChain(
+                    Seq[Any](start, walk, t, cur, seed))
+                  val r = ((h % tot) + tot) % tot
+                  var i = 0; var cum = 0L; var picked = -1
+                  while (picked < 0 && i < cands.length) {
+                    cum += wgts(i)
+                    if (r < cum) picked = i
+                    i += 1
+                  }
+                  prev = cur
+                  cur = cands(picked)
+                  out += ((start, walk, t, cur))
+                }
+              case None => alive = false
+            }
+          }
+        }
+        walk += 1
+      }
+    }
+    out.toSeq.toDF("start", "walk", "step", "node")
   }
 
   /**

@@ -571,7 +571,11 @@ object Similarity {
     // residual frame: assignment + r = v − c in FLOAT, index order (one
     // narrow pass; recomputed per training scan rather than persisted —
     // it is O(dim·nList) per row and fuses into the scan)
-    val resid = spread(emb).select(col("vec_id"), col("embedding"))
+    // no spread: the residual frame feeds kmeansCodebooksFused, whose
+    // groupByKey redistributes anyway — an extra exchange here was pure
+    // per-iteration overhead (measured) — and the pruned ADC scan's
+    // parallelism comes from the codes join below
+    val resid = emb.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val cs = bcCoarse.value
@@ -844,10 +848,24 @@ object Similarity {
    * the smaller vec_id: the rankTopK order contract.
    */
   def mutualKnn(emb: DataFrame, k: Int, nList: Int = 16, nProbe: Int = 4,
-                salt: Int = 32): DataFrame = {
-    require(salt >= 1, "salt must be >= 1")
+                saltIn: Int = 0): DataFrame = {
+    require(saltIn >= 0, "salt must be >= 0 (0 = adaptive)")
     val spark = emb.sparkSession
     import spark.implicits._
+    // ADAPTIVE salt (0 = derive from the session's parallelism): the
+    // probe side replicates each (query, probed-list) row — WITH its
+    // query vector — once per slice, so salt multiplies the probe
+    // shuffle's bytes; a constant tuned for either local mode or the
+    // cluster is wrong on the other (guide §2: keep scale-dependent
+    // settings derived, not constant). 4·cores/nProbe slices keep
+    // ~4·cores (list, slice) join keys — enough granularity to spread
+    // skewed lists over every core — while bounding replication at
+    // 4·cores/nProbe copies instead of a flat 32 (measured at sf0.1:
+    // the flat salt shuffled ~8x the bytes of the adaptive one with no
+    // parallelism gain past the core count).
+    val salt = if (saltIn > 0) saltIn
+      else math.max(1, 4 * spark.sparkContext.defaultParallelism /
+        math.max(1, nProbe))
     val cents = centroidCodebook(emb, nList)
     if (cents.isEmpty)
       return emb.limit(0).select(col("vec_id").as("a"), col("vec_id").as("b"),
@@ -906,10 +924,15 @@ object Similarity {
     require(k >= 1, "k must be >= 1")
     val c9 = (a: Column, b: Column) =>
       round(cosine(a, b) * lit(1e9)).cast("long")
+    // NO spread here: the exhaustive path is the oracle configuration
+    // over eval-set-sized X/Y, where the broadcast-side work is smaller
+    // than the exchange it would add (measured +0.9 s at sf0.1);
+    // corpus-scale margin mining goes through [[marginPairsIvf]], whose
+    // candidate scans DO spread their corpus sides
     val x = emb.filter(leftFilter)
       .select(col("vec_id").as("x_id"), col("embedding").as("xv"))
-    val y = spread(emb.filter(rightFilter)
-      .select(col("vec_id").as("y_id"), col("embedding").as("yv")), "y_id")
+    val y = emb.filter(rightFilter)
+      .select(col("vec_id").as("y_id"), col("embedding").as("yv"))
     // forward k-NN: each x against ALL of Y (candidate pairs AND Σx terms)
     val fwd = TopK.rankTopKLong(
       y.join(broadcast(x), col("x_id") =!= col("y_id"))
@@ -920,7 +943,7 @@ object Similarity {
     val candY = fwd.select(col("y_id")).distinct()
       .join(y, "y_id").select(col("y_id"), col("yv"))
     val bwd = TopK.rankTopKLong(
-      spread(x, "x_id").join(broadcast(candY), col("x_id") =!= col("y_id"))
+      x.join(broadcast(candY), col("x_id") =!= col("y_id"))
         .withColumn("c", c9(col("yv"), col("xv"))),
       "y_id", "x_id", col("c"), k)
       .select(col("y_id"), col("score").as("c"))

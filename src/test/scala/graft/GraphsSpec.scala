@@ -361,10 +361,11 @@ class GraphsSpec extends SparkSpec {
     val want = graft.golden.SequentialTwin.q99RandomWalks(
       asTriples(graph), walksPerNode = 2, maxLen = 4).toSet
     val dirEdges = graph.filter(e => e._1 != e._2).toSet
-    for (parts <- Seq(1, 7)) {
-      val rows = Graphs.randomWalks(edgesDf(graph, parts), walksPerNode = 2, maxLen = 4)
+    for (parts <- Seq(1, 7); thr <- Seq(0L, Graphs.SmallGraphThreshold)) {
+      val rows = Graphs.randomWalks(edgesDf(graph, parts), walksPerNode = 2,
+          maxLen = 4, smallGraphThreshold = thr)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-      assert(rows.toSet === want, s"parts=$parts")
+      assert(rows.toSet === want, s"parts=$parts thr=$thr")
       assert(rows.length === rows.toSet.size) // (start, walk, step) unique
       // walk validity: each consecutive hop is a real directed edge
       rows.groupBy(x => (x._1, x._2)).foreach { case (_, steps) =>
@@ -461,10 +462,11 @@ class GraphsSpec extends SparkSpec {
       asTriples(graph), walksPerNode = 2, maxLen = 4,
       wBack = 2L, wCommon = 6L, wFar = 3L).toSet
     val dirEdges = graph.filter(e => e._1 != e._2).toSet
-    for (parts <- Seq(1, 7)) {
-      val rows = Graphs.node2vecWalks(edgesDf(graph, parts), 2, 4, 2L, 6L, 3L)
+    for (parts <- Seq(1, 7); thr <- Seq(0L, Graphs.SmallGraphThreshold)) {
+      val rows = Graphs.node2vecWalks(edgesDf(graph, parts), 2, 4, 2L, 6L, 3L,
+          smallGraphThreshold = thr)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-      assert(rows.toSet === want, s"parts=$parts")
+      assert(rows.toSet === want, s"parts=$parts thr=$thr")
       assert(rows.length === rows.toSet.size)
       rows.groupBy(x => (x._1, x._2)).foreach { case (_, steps) =>
         steps.sortBy(_._3).sliding(2).foreach {
@@ -542,12 +544,14 @@ class GraphsSpec extends SparkSpec {
   }
 
   test("labelPropagation: twin equality on the skewed graph at several iteration counts and partitionings") {
-    for (iters <- Seq(0, 1, 3, 5); parts <- Seq(1, 7)) {
+    for (iters <- Seq(0, 1, 3, 5); parts <- Seq(1, 7);
+         thr <- Seq(0L, Graphs.SmallGraphThreshold)) {
       val want = graft.golden.SequentialTwin
         .q100LabelPropagation(asTriples(graph), iters).toMap
-      val got = Graphs.labelPropagation(edgesDf(graph, parts), iters)
+      val got = Graphs.labelPropagation(edgesDf(graph, parts), iters,
+          smallGraphThreshold = thr)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got === want, s"iters=$iters parts=$parts")
+      assert(got === want, s"iters=$iters parts=$parts thr=$thr")
     }
   }
 

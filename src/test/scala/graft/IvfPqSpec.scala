@@ -132,7 +132,7 @@ class IvfPqSpec extends SparkSpec {
       t._3 >= 1 && t._3 <= 10 && t._4 >= 1 && t._4 <= 10))
     val repart = asPairs(Similarity.mutualKnn(emb.repartition(7), 10, 16, 16))
     assert(repart === full)
-    val salted = asPairs(Similarity.mutualKnn(emb, 10, 16, 16, salt = 5))
+    val salted = asPairs(Similarity.mutualKnn(emb, 10, 16, 16, saltIn = 5))
     assert(salted === full)
   }
 
