@@ -145,7 +145,11 @@ object Blocking {
       .join(strs.filter(col("side") === "c")
         .select(col("s").as("c"), col("g").as("g2")), Seq("c"))
       .withColumn("inter", size(array_intersect(col("g1"), col("g2"))).cast("long"))
-      .withColumn("uni", size(array_union(col("g1"), col("g2"))).cast("long"))
+      // gram arrays are DISTINCT (array_distinct in prep), so
+      // |union| = |g1| + |g2| - |inter| exactly — arithmetic instead of
+      // materializing a per-pair union array (the Dedup convention)
+      .withColumn("uni",
+        (size(col("g1")) + size(col("g2"))).cast("long") - col("inter"))
       .filter(col("inter") * 100 >= col("uni") * minJaccardPct)
       .select(col("q"), col("c"), col("inter"), col("uni"))
     val out = verified.localCheckpoint(true)

@@ -135,7 +135,11 @@ object Dedup {
       .join(withShingles.withColumnRenamed("doc_id", "doc1").withColumnRenamed("sh", "sh1"), Seq("doc1"))
       .join(withShingles.withColumnRenamed("doc_id", "doc2").withColumnRenamed("sh", "sh2"), Seq("doc2"))
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
-      .withColumn("uni", size(array_union(col("sh1"), col("sh2"))))
+      // shingle arrays are DISTINCT by construction (shinglesFromTokens),
+      // so |union| = |sh1| + |sh2| - |inter| exactly — arithmetic instead
+      // of materializing a per-pair union array (array_union allocated a
+      // fresh array per candidate pair just to take its size)
+      .withColumn("uni", size(col("sh1")) + size(col("sh2")) - col("inter"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc1"), col("doc2"), col("inter"), col("uni"), col("jaccard"))
@@ -699,7 +703,9 @@ object Dedup {
       .join(withG.withColumnRenamed("doc_id", "doc1").withColumnRenamed("g", "g1"), Seq("doc1"))
       .join(withG.withColumnRenamed("doc_id", "doc2").withColumnRenamed("g", "g2"), Seq("doc2"))
       .withColumn("inter", size(array_intersect(col("g1"), col("g2"))))
-      .withColumn("uni", size(array_union(col("g1"), col("g2"))))
+      // gram arrays are DISTINCT by construction: |union| by arithmetic,
+      // not a per-pair materialized union array (the minhashLsh note)
+      .withColumn("uni", size(col("g1")) + size(col("g2")) - col("inter"))
       .filter(col("inter") * 100 >= col("uni") * minJaccardPct)
       .select(col("doc1"), col("doc2"), col("inter"), col("uni"))
     if (eagerOps) {
