@@ -306,7 +306,14 @@ object Bpe {
     val spark = docs.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(merges)
+    // spread the map-only walk across the session's parallelism (the
+    // Similarity.spread discipline): the board's documents table is ONE
+    // parquet split, which would run the whole greedy-merge walk on one
+    // core; xxhash64-keyed so no upstream partitioning makes it
+    // redundant, scale-adaptive, row-set identical (pure per-row map)
     docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .repartition(math.max(2, spark.sparkContext.defaultParallelism),
+        xxhash64(col("doc_id")))
       .as[(Long, Seq[String])]
       .mapPartitions { it =>
         val ms = bc.value.toArray

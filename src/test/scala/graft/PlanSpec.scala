@@ -237,11 +237,14 @@ class PlanSpec extends SparkSpec {
     }
     // q71 pack assembly: the ids ride the packRows bucket window and the
     // per-pack groupBy reuses that partitioning — NO join anywhere, and
-    // exactly one Exchange in the whole plan
+    // exactly TWO Exchanges in the whole plan: the r6 scale-adaptive
+    // input spread (xxhash64(doc_id), ahead of the single-split BPE
+    // segment walk) and the bucket-window shuffle; the groupBy adding a
+    // third would mean the window partitioning stopped being reused
     val p71 = plan(SparkEntry.queries("q71_packed_ids")(spark, sf))
     assert(!p71.contains("Join"), p71.take(3000))
     val exchanges = p71.linesIterator.count(_.trim.matches("\\(\\d+\\) Exchange.*"))
-    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n${p71.take(3000)}")
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n${p71.take(3000)}")
     // paragraph dedup, 100 TB mode: scans pruned past lang/source and the
     // keeper aggregation keys on xxhash64 (text never rides that shuffle)
     val docs = graft.ops.Dedup.syntheticParagraphs(
