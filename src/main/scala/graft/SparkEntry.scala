@@ -85,6 +85,11 @@ object SparkEntry {
       // build side xSalts would multiply shuffle volume by the salt count.
       // Result identical to a plain join (oracle-checked).
       val salts = 8
+      // NO input spread here (tried, measured, reverted): lineitem rows
+      // are wide (16 columns), so repartitioning them costs more than the
+      // single-split scan it would parallelize — the spread discipline
+      // pays off only when the spread rows are narrow relative to the
+      // compute they feed
       val li0 = s.read.parquet(t(dir, "lineitem"))
       val hot = li0.groupBy(col("l_orderkey")).count()
         .filter(col("count") > 5L).select(col("l_orderkey").as("hk"))
@@ -1767,7 +1772,12 @@ object SparkEntry {
     // to fine nodes — the pieces composing is the point
     "q172_coarsen_move" -> ((s, dir) => {
       val tr = Pipeline.triples(s, dir).toDF()
+      // checkpoint the shared edge projection once: three composed
+      // operators (matching, quotient contraction, the label derivation)
+      // each re-scan it — one 16 B/row materialization replaces three
+      // passes over the cached triples' columnar decode
       val edges = tr.select(col("subj").as("src"), col("obj").as("dst"))
+        .localCheckpoint(true)
       val matched = graft.kg.Graphs.handshakeMatching(edges)
       val simple = edges.filter(col("src") =!= col("dst"))
       val nodes = simple.select(col("src").as("id"))

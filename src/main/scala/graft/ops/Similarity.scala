@@ -569,12 +569,16 @@ object Similarity {
         col("vec_id").as("neighbor_id"), lit(1).as("rank"))
     val bcCoarse = spark.sparkContext.broadcast(coarse)
     // residual frame: assignment + r = v − c in FLOAT, index order (one
-    // narrow pass; recomputed per training scan rather than persisted —
-    // it is O(dim·nList) per row and fuses into the scan)
+    // narrow pass, materialized once — see the checkpoint note below)
     // no spread: the residual frame feeds kmeansCodebooksFused, whose
     // groupByKey redistributes anyway — an extra exchange here was pure
     // per-iteration overhead (measured) — and the pruned ADC scan's
-    // parallelism comes from the codes join below
+    // parallelism comes from the codes join below. CHECKPOINTED: the
+    // frame is read m-book-training-iterations + 1 (codes) times; the
+    // earlier recompute-per-scan traded one corpus-sized materialization
+    // for 4 assignment re-passes, the wrong side of the trade once the
+    // per-pass cost was measured (each re-pass re-runs the O(dim·nList)
+    // nearest-centroid kernel over every row)
     val resid = emb.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
@@ -588,7 +592,7 @@ object Similarity {
           while (i < v.length) { r(i) = v(i) - cv(i); i += 1 }
           (id, r, lid)
         }
-      }.toDF("vec_id", "embedding", "list_id")
+      }.toDF("vec_id", "embedding", "list_id").localCheckpoint(true)
     // phase 2: m residual sub-books, one fused corpus pass per iteration
     val fused = kmeansCodebooksFused(resid.select(col("vec_id"), col("embedding")),
       (0 until m).map(s => SubQ(s, s * ds, ds, nCodes, l2 = true)), iters, fanout)
