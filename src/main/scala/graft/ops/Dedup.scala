@@ -662,7 +662,14 @@ object Dedup {
   def ngramJaccardPairsPrefix(docs: DataFrame, n: Int = 3,
                               minJaccardPct: Int = 50,
                               maxGramPostings: Int = 10000): DataFrame = {
+    // spread the gram-array frame before persisting: a one-file corpus
+    // arrives as ONE split, so every downstream scan of the cache (the
+    // gram explode, the verification joins' broadcast builds) would run
+    // at 1-2 partitions; xxhash64-keyed so the spread is never
+    // same-key-pruned (the syntheticMedia/spread() discipline)
     val withG = persistIntermediate(docs
+      .repartition(math.max(2, docs.sparkSession.sparkContext.defaultParallelism),
+        xxhash64(col("doc_id")))
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), shinglesFromTokens(col("toks"), n).as("g"))
       .filter(size(col("g")) > 0))
@@ -672,7 +679,14 @@ object Dedup {
     // per-doc rank under the canonical order; keep the prefix:
     // p = gsz - ceil(pct*gsz/100) + 1  (integer ceil)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("freq"), col("gram"))
+    // the gram-frequency join output is byte-small, so AQE coalesces the
+    // window's doc_id exchange to a couple of tasks while the per-doc
+    // sort+rank is compute-bound; a user-specified repartition on the
+    // window key pins the width (not same-key-pruned: the join output is
+    // not already hash-partitioned on doc_id) and the Window reuses it
     val prefixes = persistIntermediate(grams.join(freq, Seq("gram"))
+      .repartition(math.max(2, docs.sparkSession.sparkContext.defaultParallelism),
+        col("doc_id"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <=
         col("gsz") - floor((col("gsz") * minJaccardPct + 99) / 100) + 1)
@@ -699,6 +713,21 @@ object Dedup {
         first(col("gsz")).as("g1sz"), first(col("gsz2")).as("g2sz"))
       .filter(col("ub") * (100 + minJaccardPct) >= (col("g1sz") + col("g2sz")) * minJaccardPct)
       .select(col("doc_id").as("doc1"), col("doc2"))
+      // verification parallelism: the candidate frame is BYTE-small (two
+      // ids per row) so AQE coalesces its exchange to a couple of tasks,
+      // but each surviving candidate pays an array_intersect over the FULL
+      // gram arrays — compute-bound on small bytes (the ngramJaccardPairs
+      // AQE note above; measured: the whole verification stage ran as 3
+      // tasks). A user-specified repartition pins the stage width — keyed
+      // on xxhash64(doc1, doc2), NOT the raw pair, because the raw keys
+      // equal the upstream aggregation's grouping keys and
+      // EnsureRequirements prunes a same-key repartition (the
+      // syntheticMedia/spread() trap), putting the stage back on the
+      // AQE-coalesced agg exchange. The gram-array joins below broadcast,
+      // so no further exchange follows and the verification inherits this
+      // width.
+      .repartition(math.max(2, docs.sparkSession.sparkContext.defaultParallelism),
+        xxhash64(col("doc1"), col("doc2")))
     val verified = cands
       .join(withG.withColumnRenamed("doc_id", "doc1").withColumnRenamed("g", "g1"), Seq("doc1"))
       .join(withG.withColumnRenamed("doc_id", "doc2").withColumnRenamed("g", "g2"), Seq("doc2"))
