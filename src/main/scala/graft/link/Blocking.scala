@@ -103,6 +103,13 @@ object Blocking {
     def prep(df: DataFrame, c: String, side: String): DataFrame = df
       .select(col(c).cast("string").as("s"))
       .filter(col("s").isNotNull).distinct()
+      // the distinct's byte-small exchange AQE-coalesces to a couple of
+      // tasks, serializing the n-gram walk below; an xxhash64-keyed
+      // repartition pins the width (raw-s would be same-key-pruned
+      // against the distinct's own hashpartitioning — the Dedup.spread
+      // discipline)
+      .repartition(math.max(2, df.sparkSession.sparkContext.defaultParallelism),
+        xxhash64(col("s")))
       // native code-point n-gram walk (one compiled pass), distinct set
       // semantics via array_distinct — no per-character regex split
       .select(col("s"), array_distinct(char_ngrams(col("s"), n)).as("g"))

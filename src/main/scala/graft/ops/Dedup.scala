@@ -112,7 +112,10 @@ object Dedup {
     val rows = numHashes / bands
     // higher-order array functions are interpreted (no codegen); the shingle
     // table is referenced three times (signature + both join-backs) — cache
-    // it once rather than re-deriving per reference.
+    // it once rather than re-deriving per reference. An input spread()
+    // was measured and REVERTED here (warm 1.5 -> 1.8 s): the codegen'd
+    // shingle+minhash pass is cheap per row, so shuffling document text
+    // costs more than the narrow compute it parallelizes (the q08 rule).
     val withShingles = persistIntermediate(docs
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), shinglesFromTokens(col("toks"), shingleSize).as("sh"))
@@ -528,6 +531,9 @@ object Dedup {
    */
   def containmentPairs(docs: DataFrame, n: Int = 6, minContainPct: Int = 50,
                        maxGramPostings: Int = 10000): DataFrame = {
+    // An input spread() was measured and REVERTED (warm best 1.5 ->
+    // 2.0 s): 6-gram shingling is one codegen'd pass — shuffling the
+    // text costs more than the compute it parallelizes (the q08 rule).
     val withG = persistIntermediate(docs
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), shinglesFromTokens(col("toks"), n).as("g"))
@@ -570,7 +576,10 @@ object Dedup {
     * chunks (guaranteed to catch hamming distance <= 3), verified by true
     * hamming distance <= `maxHamming`. */
   def simhashNearDup(docs: DataFrame, maxHamming: Int = 3, maxBucket: Int = 64): DataFrame = {
-    // interpreted HOF, referenced three times (banding + two join-backs)
+    // referenced three times (banding + two join-backs). An input
+    // spread() was measured and REVERTED (warm 1.0 -> 2.1 s): the
+    // codegen'd fingerprint is one hash pass per row — shuffling the
+    // text costs more than the compute it parallelizes (the q08 rule).
     val sh = persistIntermediate(simhash(docs))
     val banded = sh.select(col("doc_id"),
       posexplode(expr(
@@ -662,14 +671,12 @@ object Dedup {
   def ngramJaccardPairsPrefix(docs: DataFrame, n: Int = 3,
                               minJaccardPct: Int = 50,
                               maxGramPostings: Int = 10000): DataFrame = {
-    // spread the gram-array frame before persisting: a one-file corpus
-    // arrives as ONE split, so every downstream scan of the cache (the
-    // gram explode, the verification joins' broadcast builds) would run
-    // at 1-2 partitions; xxhash64-keyed so the spread is never
-    // same-key-pruned (the syntheticMedia/spread() discipline)
+    // An input spread() was measured and REVERTED here (warm min 3.17 ->
+    // 3.26 s): it widened the broadcast-build scans (0.40 -> 0.16 s) but
+    // shuffling the text cost as much as it saved (the q08 rule); the
+    // verification and window repartitions below are where the real
+    // narrow-stage cost was.
     val withG = persistIntermediate(docs
-      .repartition(math.max(2, docs.sparkSession.sparkContext.defaultParallelism),
-        xxhash64(col("doc_id")))
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), shinglesFromTokens(col("toks"), n).as("g"))
       .filter(size(col("g")) > 0))
