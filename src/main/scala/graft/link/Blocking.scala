@@ -103,13 +103,13 @@ object Blocking {
     def prep(df: DataFrame, c: String, side: String): DataFrame = df
       .select(col(c).cast("string").as("s"))
       .filter(col("s").isNotNull).distinct()
-      // the distinct's byte-small exchange AQE-coalesces to a couple of
-      // tasks, serializing the n-gram walk below; an xxhash64-keyed
-      // repartition pins the width (raw-s would be same-key-pruned
-      // against the distinct's own hashpartitioning — the Dedup.spread
-      // discipline)
-      .repartition(math.max(2, df.sparkSession.sparkContext.defaultParallelism),
-        xxhash64(col("s")))
+      // An xxhash64-keyed repartition here (pinning the n-gram walk's
+      // width past the distinct's AQE-coalesced byte-small exchange) was
+      // measured and REVERTED: isolated noop reps looked ~0.3 s better,
+      // but in the full warm board run the walk is cheap and the extra
+      // exchange cost ~0.2-0.4 s (q157 1.3-1.5 -> 1.6-2.3 s while
+      // control queries held flat) — the q08 rule: the spread pays only
+      // when the widened compute outweighs the exchange.
       // native code-point n-gram walk (one compiled pass), distinct set
       // semantics via array_distinct — no per-character regex split
       .select(col("s"), array_distinct(char_ngrams(col("s"), n)).as("g"))
